@@ -1,0 +1,130 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import graft.core.Metric
+
+/** Static distance kernels over Catalyst [[ArrayData]] — called from both
+  * interpreted eval and generated code (whole-stage codegen emits a single
+  * static call; the JIT inlines the loop). Operating on ArrayData directly
+  * avoids the per-row array materialization a Scala UDF would pay.
+  *
+  * Mirrors the fused distance kernels of the reference
+  * (cuvs cpp/src/distance/detail/, knn_brute_force.cuh:62) — semantics in
+  * graft.core.Distance; this is the codegen-path twin.
+  */
+object VectorDistanceOps {
+  final val L2 = 0; final val L2SQRT = 1; final val IP = 2; final val COSINE = 3
+  final val L1 = 4; final val LINF = 5; final val CANBERRA = 6; final val LP = 7
+  final val CORRELATION = 8; final val JACCARD = 9; final val HELLINGER = 10
+  final val HAVERSINE = 11; final val BRAYCURTIS = 12; final val JENSENSHANNON = 13
+  final val HAMMING = 14; final val KL = 15; final val RUSSELRAO = 16; final val DICE = 17
+
+  def id(m: Metric): Int = m match {
+    case Metric.L2 => L2
+    case Metric.L2Sqrt => L2SQRT
+    case Metric.InnerProduct => IP
+    case Metric.Cosine => COSINE
+    case Metric.L1 => L1
+    case Metric.Linf => LINF
+    case Metric.Canberra => CANBERRA
+    case Metric.Lp => LP
+    case Metric.Correlation => CORRELATION
+    case Metric.Jaccard => JACCARD
+    case Metric.Hellinger => HELLINGER
+    case Metric.Haversine => HAVERSINE
+    case Metric.BrayCurtis => BRAYCURTIS
+    case Metric.JensenShannon => JENSENSHANNON
+    case Metric.Hamming => HAMMING
+    case Metric.KLDivergence => KL
+    case Metric.RusselRao => RUSSELRAO
+    case Metric.Dice => DICE
+    case other => throw new IllegalArgumentException(s"metric $other not supported by VectorDistance")
+  }
+
+  /** Hot path: specialized loops, double accumulation, float elements. */
+  def compute(metricId: Int, arg: Double, a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    metricId match {
+      case L2 | L2SQRT =>
+        var s = 0.0; var i = 0
+        while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i); s += d * d; i += 1 }
+        if (metricId == L2SQRT) math.sqrt(s) else s
+      case IP =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+        s
+      case COSINE =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      case L1 =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += math.abs(a.getFloat(i).toDouble - b.getFloat(i)); i += 1 }
+        s
+      case LINF =>
+        var s = 0.0; var i = 0
+        while (i < n) { val d = math.abs(a.getFloat(i).toDouble - b.getFloat(i)); if (d > s) s = d; i += 1 }
+        s
+      case _ =>
+        // Cold metrics: materialize once and reuse the scalar library.
+        val af = a.toFloatArray(); val bf = b.toFloatArray()
+        metricId match {
+          case CANBERRA => graft.core.Distance.canberra(af, bf)
+          case LP => graft.core.Distance.lp(af, bf, arg)
+          case CORRELATION => graft.core.Distance.correlation(af, bf)
+          case JACCARD => graft.core.Distance.jaccard(af, bf)
+          case HELLINGER => graft.core.Distance.hellinger(af, bf)
+          case HAVERSINE => graft.core.Distance.haversine(af, bf)
+          case BRAYCURTIS => graft.core.Distance.brayCurtis(af, bf)
+          case JENSENSHANNON => graft.core.Distance.jensenShannon(af, bf)
+          case HAMMING => graft.core.Distance.hamming(af, bf)
+          case KL => graft.core.Distance.klDivergence(af, bf)
+          case RUSSELRAO => graft.core.Distance.russelRao(af, bf)
+          case DICE => graft.core.Distance.dice(af, bf)
+          case other => throw new IllegalArgumentException(s"bad metric id $other")
+        }
+    }
+  }
+}
+
+/** `vector_distance(metric, a, b)` as a native Catalyst expression: stays
+  * inside whole-stage codegen (vs. a Scala UDF which breaks it and pays
+  * serialization per row). SURVEY.md §4 "custom physical pieces" item (2).
+  */
+case class VectorDistance(metricName: String, left: Expression, right: Expression,
+    metricArg: Double = 2.0) extends BinaryExpression {
+
+  private val metricId = VectorDistanceOps.id(Metric.fromName(metricName))
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_distance requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorDistanceOps.compute(metricId, metricArg,
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VectorDistanceOps.compute($metricId, $metricArg, $a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Metric, TopK}
+import graft.functions.vector_distance
+
+/** Exact k-nearest-neighbor search as a relational plan.
+  *
+  * Semantics of `cuvs::neighbors::brute_force` (brute_force.hpp:371-582,
+  * tiled engine knn_brute_force.cuh:62): for every query row, the exact
+  * top-k dataset rows under `metric`, larger-is-better for InnerProduct
+  * (distance.hpp:72-85), ties broken by ascending id.
+  *
+  * Physical shape (see SURVEY.md §3.2 for the 1:1 mapping to the
+  * reference's tiling): broadcast the query side, cross-product it against
+  * dataset partitions with a codegen distance, then partial top-k per
+  * partition (ObjectHashAggregate) so only `k` rows per (query, partition)
+  * cross the shuffle — dataset partitions play the role of the reference's
+  * column tiles, the aggregator merge plays `knn_merge_parts`.
+  *
+  * 100 TB posture: the dataset side streams (never collected/broadcast);
+  * cost is O(|D|·|Q|) compute but only O(|Q|·k·partitions) shuffle bytes.
+  * For large query sets, run in query batches (`queryBatchSize`) so the
+  * broadcast stays bounded; for sub-linear compute use IvfFlatIndex.
+  */
+object BruteForceKnn {
+
+  /** Returns (qid, nbr_id, rank, dist), rank 1..k best-first. */
+  def knnJoin(dataset: DataFrame, queries: DataFrame, k: Int,
+      metric: Metric = Metric.L2Sqrt,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val d = dataset.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
+    val pairs = d.crossJoin(broadcast(q))
+      .select(col("qid"), col("_nid"),
+        vector_distance(metric, col("_qvec"), col("_nvec")).as("dist"))
+    topKPerQuery(pairs, k, metric)
+  }
+
+  /** Per-query top-k epilogue over a (qid, _nid, dist) pair stream —
+    * the universal `select_k` (selection/select_k.hpp:22-190). */
+  private[graft] def topKPerQuery(pairs: DataFrame, k: Int, metric: Metric): DataFrame =
+    pairs.groupBy(col("qid"))
+      .agg(TopK.topk(k, Metric.isMinClose(metric))(col("dist"), col("_nid")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), col("n.id").as("nbr_id"),
+        (col("pos") + 1).as("rank"), col("n.dist").as("dist"))
+
+  /** Window-form reference implementation (the oracle shape; exact same
+    * semantics, more shuffle — used by tests to cross-check the aggregator
+    * and by callers who need full materialized ranks). */
+  def knnJoinWindowForm(dataset: DataFrame, queries: DataFrame, k: Int,
+      metric: Metric = Metric.L2Sqrt,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dataset.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
+    val distC = vector_distance(metric, col("_qvec"), col("_nvec"))
+    val ord: Seq[Column] =
+      if (Metric.isMinClose(metric)) Seq(col("dist").asc, col("_nid").asc)
+      else Seq(col("dist").desc, col("_nid").asc)
+    d.crossJoin(broadcast(q))
+      .select(col("qid"), col("_nid"), distC.as("dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid")).orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("_nid").as("nbr_id"), col("rank"), col("dist"))
+  }
+}

@@ -1,16 +1,18 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.ops.BruteForceKnn
+import graft.functions.vector_distance
+import graft.ops.{BruteForceKnn, PairwiseDistance, Refine}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every operator in SURVEY.md §2 that ships gets a `queries` entry here;
   * SQL-expressible ones also get a DuckDB oracle in `oracleSql`. Float
   * outputs are rounded (4dp) on BOTH sides so cross-engine accumulation
-  * order can't flip the hash.
+  * order can't flip the hash; every computed column is aliased identically
+  * on both sides.
   */
 object SparkEntry {
 
@@ -30,20 +32,261 @@ object SparkEntry {
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
 
+  // ===== DuckDB oracle SQL builders ====================================
+  // Distance expressions over two DuckDB list columns, double arithmetic,
+  // mirroring graft.core.Distance definitions exactly.
+  private object O {
+    val x1 = "CAST(x[1] AS DOUBLE)"; val x2 = "CAST(x[2] AS DOUBLE)"
+    def zip(a: String, b: String, f: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), x -> $f))"
+    def one(a: String, f: String): String =
+      s"list_sum(list_transform($a, y -> $f))"
+
+    def l2(a: String, b: String) = zip(a, b, s"($x1 - $x2) ^ 2")
+    def l2sqrt(a: String, b: String) = s"sqrt(${l2(a, b)})"
+    def ip(a: String, b: String) = zip(a, b, s"$x1 * $x2")
+    def norm2(a: String) = one(a, "CAST(y AS DOUBLE) ^ 2")
+    def cosine(a: String, b: String) =
+      s"(1.0 - ${ip(a, b)} / sqrt(${norm2(a)} * ${norm2(b)}))"
+    def l1(a: String, b: String) = zip(a, b, s"abs($x1 - $x2)")
+    def linf(a: String, b: String) =
+      s"list_max(list_transform(list_zip($a, $b), x -> abs($x1 - $x2)))"
+    def canberra(a: String, b: String) = zip(a, b,
+      s"CASE WHEN abs($x1) + abs($x2) = 0 THEN 0.0 ELSE abs($x1 - $x2) / (abs($x1) + abs($x2)) END")
+    def braycurtis(a: String, b: String) =
+      s"(${zip(a, b, s"abs($x1 - $x2)")} / ${zip(a, b, s"abs($x1 + $x2)")})"
+    def jaccard(a: String, b: String) =
+      s"(1.0 - ${zip(a, b, s"least($x1, $x2)")} / ${zip(a, b, s"greatest($x1, $x2)")})"
+    def hellinger(a: String, b: String) =
+      s"sqrt(greatest(0.0, 1.0 - ${zip(a, b, s"sqrt($x1 * $x2)")}))"
+    def lp(a: String, b: String, p: Int) =
+      s"pow(${zip(a, b, s"pow(abs($x1 - $x2), $p)")}, 1.0/$p)"
+    def hamming(a: String, b: String) =
+      s"(${zip(a, b, s"CASE WHEN $x1 <> $x2 THEN 1.0 ELSE 0.0 END")} / len($a))"
+    def kl(a: String, b: String) = zip(a, b,
+      s"CASE WHEN $x1 > 0 AND $x2 > 0 THEN $x1 * ln($x1 / $x2) ELSE 0.0 END")
+    def jensenshannon(a: String, b: String) = {
+      val m = s"($x1 + $x2) > 0"
+      val t = s"CASE WHEN $x1 > 0 AND $m THEN $x1 * ln($x1 / (($x1 + $x2)/2)) / 2 ELSE 0.0 END" +
+        s" + CASE WHEN $x2 > 0 AND $m THEN $x2 * ln($x2 / (($x1 + $x2)/2)) / 2 ELSE 0.0 END"
+      s"sqrt(greatest(0.0, ${zip(a, b, t)}))"
+    }
+    def russelrao(a: String, b: String) =
+      s"((len($a) - ${zip(a, b, s"CASE WHEN $x1 <> 0 AND $x2 <> 0 THEN 1.0 ELSE 0.0 END")}) / len($a))"
+    def dice(a: String, b: String) = {
+      val ntt = zip(a, b, s"CASE WHEN $x1 <> 0 AND $x2 <> 0 THEN 1.0 ELSE 0.0 END")
+      val na = one(a, "CASE WHEN y <> 0 THEN 1.0 ELSE 0.0 END")
+      val nb = one(b, "CASE WHEN y <> 0 THEN 1.0 ELSE 0.0 END")
+      s"(CASE WHEN $na + $nb = 0 THEN 0.0 ELSE ($na + $nb - 2 * $ntt) / ($na + $nb) END)"
+    }
+    def correlation(a: String, b: String) = {
+      val ma = s"list_avg($a)"; val mb = s"list_avg($b)"
+      val dot = zip(a, b, s"($x1 - $ma) * ($x2 - $mb)")
+      val na = one(a, s"(CAST(y AS DOUBLE) - $ma) ^ 2")
+      val nb = one(b, s"(CAST(y AS DOUBLE) - $mb) ^ 2")
+      s"(1.0 - $dot / sqrt($na * $nb))"
+    }
+    def haversine2d(a: String, b: String) = {
+      val (la, lo) = (s"CAST($a[1] AS DOUBLE)", s"CAST($a[2] AS DOUBLE)")
+      val (lb, lob) = (s"CAST($b[1] AS DOUBLE)", s"CAST($b[2] AS DOUBLE)")
+      s"2 * asin(sqrt(least(1.0, sin(($la - $lb)/2)^2 + cos($la) * cos($lb) * sin(($lo - $lob)/2)^2)))"
+    }
+
+    def byMetric(m: Metric, a: String, b: String): String = m match {
+      case Metric.L2 => l2(a, b)
+      case Metric.L2Sqrt => l2sqrt(a, b)
+      case Metric.InnerProduct => ip(a, b)
+      case Metric.Cosine => cosine(a, b)
+      case Metric.L1 => l1(a, b)
+      case Metric.Linf => linf(a, b)
+      case Metric.Canberra => canberra(a, b)
+      case Metric.Lp => lp(a, b, 3)
+      case Metric.Correlation => correlation(a, b)
+      case Metric.Jaccard => jaccard(a, b)
+      case Metric.Hellinger => hellinger(a, b)
+      case Metric.BrayCurtis => braycurtis(a, b)
+      case Metric.JensenShannon => jensenshannon(a, b)
+      case Metric.Hamming => hamming(a, b)
+      case Metric.KLDivergence => kl(a, b)
+      case Metric.RusselRao => russelrao(a, b)
+      case Metric.Dice => dice(a, b)
+      case other => throw new IllegalArgumentException(s"no oracle for $other")
+    }
+  }
+
   /** DuckDB SQL for exact kNN over embeddings — window form of select_k. */
-  private def knnOracle(distExpr: String, k: Int = 10, minClose: Boolean = true): String = {
-    val dir = if (minClose) "ASC" else "DESC"
+  private def knnOracle(metric: Metric, k: Int = 10): String = {
+    val ord = if (Metric.isMinClose(metric)) "ASC" else "DESC"
+    val distExpr = O.byMetric(metric, "q.qvec", "e.embedding")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
        |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
        |      FROM q CROSS JOIN embeddings e),
        |r AS (SELECT qid, id, dist,
-       |      row_number() OVER (PARTITION BY qid ORDER BY dist $dir, id ASC) AS rank FROM d)
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist $ord, id ASC) AS rank FROM d)
        |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= $k
        |""".stripMargin
   }
 
-  private val l2SqlExpr =
-    "sqrt(list_sum(list_transform(list_zip(q.qvec, e.embedding), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2)))"
+  // ===== individual queries ============================================
+
+  /** l1-normalized |x| — the distribution-space projection used for the
+    * distribution metrics (hellinger/KL/JS), which require nonneg inputs.
+    * Cast back to float so Spark and the DuckDB oracle quantize alike. */
+  private def probVec(v: Column): Column =
+    transform(v, y =>
+      abs(y.cast("double")) / aggregate(transform(v, z => abs(z.cast("double"))),
+        lit(0.0), (s, z) => s + z)).cast("array<float>")
+
+  /** All-metrics distance matrix over a fixed pair sample — one query
+    * covering the whole §2.2 scalar surface with a DuckDB oracle. */
+  private def distanceMetricsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val a = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("aid"), col("embedding").as("avec"),
+        probVec(col("embedding")).as("apvec"))
+    val b = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("bvec"),
+        probVec(col("embedding")).as("bpvec"))
+    val metrics: Seq[(String, Column)] = Seq(
+      "m_l2" -> vector_distance(Metric.L2, col("avec"), col("bvec")),
+      "m_l2sqrt" -> vector_distance(Metric.L2Sqrt, col("avec"), col("bvec")),
+      "m_ip" -> vector_distance(Metric.InnerProduct, col("avec"), col("bvec")),
+      "m_cosine" -> vector_distance(Metric.Cosine, col("avec"), col("bvec")),
+      "m_l1" -> vector_distance(Metric.L1, col("avec"), col("bvec")),
+      "m_linf" -> vector_distance(Metric.Linf, col("avec"), col("bvec")),
+      "m_canberra" -> vector_distance(Metric.Canberra, col("avec"), col("bvec")),
+      "m_lp3" -> vector_distance(Metric.Lp, col("avec"), col("bvec"), 3.0),
+      "m_correlation" -> vector_distance(Metric.Correlation, col("avec"), col("bvec")),
+      "m_jaccard" -> vector_distance(Metric.Jaccard, col("avec"), col("bvec")),
+      "m_hellinger" -> vector_distance(Metric.Hellinger, col("apvec"), col("bpvec")),
+      "m_braycurtis" -> vector_distance(Metric.BrayCurtis, col("avec"), col("bvec")),
+      "m_jensenshannon" -> vector_distance(Metric.JensenShannon, col("apvec"), col("bpvec")),
+      "m_hamming" -> vector_distance(Metric.Hamming, col("avec"), col("bvec")),
+      "m_kl" -> vector_distance(Metric.KLDivergence, col("apvec"), col("bpvec")),
+      "m_russelrao" -> vector_distance(Metric.RusselRao, col("avec"), col("bvec")),
+      "m_dice" -> vector_distance(Metric.Dice, col("avec"), col("bvec")),
+      "m_haversine" -> vector_distance(Metric.Haversine,
+        slice(col("avec"), 1, 2), slice(col("bvec"), 1, 2)),
+    )
+    a.crossJoin(broadcast(b))
+      .select(col("aid") +: col("bid") +:
+        metrics.map { case (n, c) => round(c, 4).as(n) }: _*)
+  }
+
+  private def distanceMetricsOracle: String = {
+    val probMetrics = Set[Metric](Metric.Hellinger, Metric.KLDivergence, Metric.JensenShannon)
+    val pv = "list_transform(embedding, y -> CAST(abs(CAST(y AS DOUBLE)) / " +
+      "list_sum(list_transform(embedding, z -> abs(CAST(z AS DOUBLE)))) AS FLOAT))"
+    val ms = Metric.all.filter(m => m != Metric.Haversine && m != Metric.BitwiseHamming)
+      .map { m =>
+        val nm = if (m == Metric.Lp) "m_lp3" else s"m_${m.name}"
+        val (l, r) = if (probMetrics(m)) ("a.apvec", "b.bpvec") else ("a.avec", "b.bvec")
+        s"round(${O.byMetric(m, l, r)}, 4) AS $nm"
+      }
+    val hav = s"round(${O.haversine2d("a.avec", "b.bvec")}, 4) AS m_haversine"
+    s"""WITH a AS (SELECT vec_id AS aid, embedding AS avec, $pv AS apvec FROM embeddings WHERE vec_id % 25 = 0),
+       |b AS (SELECT vec_id AS bid, embedding AS bvec, $pv AS bpvec FROM embeddings WHERE vec_id % 7 = 0)
+       |SELECT a.aid, b.bid, ${ms.mkString(",\n  ")},
+       |  $hav
+       |FROM a CROSS JOIN b""".stripMargin
+  }
+
+  private def pairwiseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    PairwiseDistance.pairwise(
+        emb.filter(col("vec_id") % 25 === 0), emb.filter(col("vec_id") % 7 === 0),
+        Metric.L2Sqrt, "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("aid"), col("bid"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val pairwiseOracle: String =
+    s"""WITH a AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings WHERE vec_id % 25 = 0),
+       |b AS (SELECT vec_id AS bid, embedding AS bvec FROM embeddings WHERE vec_id % 7 = 0)
+       |SELECT a.aid, b.bid, round(${O.l2sqrt("a.avec", "b.bvec")}, 4) AS dist
+       |FROM a CROSS JOIN b""".stripMargin
+
+  private def rangeEpsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    PairwiseDistance.epsNeighborhood(
+        emb.filter(col("vec_id") % 10 === 0), emb, 3.0,
+        Metric.L2Sqrt, "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("aid"), col("bid"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val rangeEpsOracle: String =
+    s"""WITH a AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings WHERE vec_id % 10 = 0)
+       |SELECT a.aid, e.vec_id AS bid, round(${O.l2sqrt("a.avec", "e.embedding")}, 4) AS dist
+       |FROM a CROSS JOIN embeddings e
+       |WHERE ${O.l2sqrt("a.avec", "e.embedding")} < 3.0""".stripMargin
+
+  /** Coarse L1 top-50 candidates, refined to exact L2 top-10. */
+  private def refineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val cand = BruteForceKnn.knnJoin(emb, q, 50, Metric.L1,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id").as("id"))
+    Refine.refine(cand, emb, q, 10, Metric.L2Sqrt, idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val refineOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |c0 AS (SELECT q.qid, e.vec_id AS id, ${O.l1("q.qvec", "e.embedding")} AS d1
+       |       FROM q CROSS JOIN embeddings e),
+       |cand AS (SELECT qid, id FROM (SELECT qid, id,
+       |       row_number() OVER (PARTITION BY qid ORDER BY d1 ASC, id ASC) AS rk FROM c0)
+       |       WHERE rk <= 50),
+       |ex AS (SELECT cand.qid, cand.id, ${O.l2sqrt("q.qvec", "e.embedding")} AS dist
+       |       FROM cand JOIN embeddings e ON cand.id = e.vec_id JOIN q ON cand.qid = q.qid),
+       |r AS (SELECT qid, id, dist,
+       |       row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM ex)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10
+       |""".stripMargin
+
+  /** Shard the dataset, search each shard, merge — knn_merge_parts; the
+    * oracle is the UNSHARDED exact search (merge associativity). */
+  private def knnMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val mid = 250
+    def shardSearch(shard: DataFrame) =
+      BruteForceKnn.knnJoin(shard, q, 10, Metric.L2Sqrt, idCol = "vec_id", vecCol = "embedding")
+    val p1 = shardSearch(emb.filter(col("vec_id") < mid))
+    val p2 = shardSearch(emb.filter(col("vec_id") >= mid))
+    Refine.mergeParts(10, Metric.L2Sqrt, p1, p2)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  private def topkGlobalQuery(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+
+  private val topkGlobalOracle: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20""".stripMargin
+
+  private def topkPerGroupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    table(spark, dir, "lineitem")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("l_returnflag"), col("rank"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"))
+  }
+
+  private val topkPerGroupOracle: String =
+    """SELECT l_returnflag, rank, l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rank FROM lineitem)
+      |WHERE rank <= 5""".stripMargin
+
+  // ===== contract ======================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -52,6 +295,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce_l2" -> knnQuery(Metric.L2Sqrt),
+    "knn_bruteforce_cosine" -> knnQuery(Metric.Cosine),
+    "knn_bruteforce_ip" -> knnQuery(Metric.InnerProduct),
+    "knn_bruteforce_l1" -> knnQuery(Metric.L1),
+    "distance_metrics" -> (distanceMetricsQuery(_, _)),
+    "pairwise_distance" -> (pairwiseQuery(_, _)),
+    "range_eps_join" -> (rangeEpsQuery(_, _)),
+    "refine" -> (refineQuery(_, _)),
+    "knn_merge_parts" -> (knnMergeQuery(_, _)),
+    "topk_global" -> (topkGlobalQuery(_, _)),
+    "topk_pergroup" -> (topkPerGroupQuery(_, _)),
     "q1_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -63,7 +316,17 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "knn_bruteforce_l2" -> knnOracle(l2SqlExpr),
+    "knn_bruteforce_l2" -> knnOracle(Metric.L2Sqrt),
+    "knn_bruteforce_cosine" -> knnOracle(Metric.Cosine),
+    "knn_bruteforce_ip" -> knnOracle(Metric.InnerProduct),
+    "knn_bruteforce_l1" -> knnOracle(Metric.L1),
+    "distance_metrics" -> distanceMetricsOracle,
+    "pairwise_distance" -> pairwiseOracle,
+    "range_eps_join" -> rangeEpsOracle,
+    "refine" -> refineOracle,
+    "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
+    "topk_global" -> topkGlobalOracle,
+    "topk_pergroup" -> topkPerGroupOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n

@@ -286,6 +286,39 @@ object SparkEntry {
       |      ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rank FROM lineitem)
       |WHERE rank <= 5""".stripMargin
 
+  // ===== approximate ops (no SQL oracle; rows-only + ScalaTest recall) ==
+
+  private def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val (model, labeled) = graft.cluster.KMeans.fitPredict(emb,
+      graft.cluster.KMeans.Params(k = 10, maxIter = 20), "vec_id", "embedding")
+    labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .withColumn("inertia", round(lit(model.inertia), 2))
+  }
+
+  private def ivfIndex(spark: SparkSession, dir: String): graft.index.IvfFlatIndex =
+    graft.index.IvfFlatIndex.build(table(spark, dir, "embeddings"),
+      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
+
+  private def ivfSearchQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir)
+      .search(embQueries(spark, dir), 10, nProbes = 4)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+
+  /** Self-reported recall of IVF (nProbes=4/16) vs exact search. */
+  private def ivfRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val approx = ivfIndex(spark, dir).search(q, 10, nProbes = 4)
+      .select(col("qid"), col("nbr_id"))
+    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    approx.intersect(exact)
+      .agg((count(lit(1)).cast("double") / (q.count() * 10)).as("recall"))
+      .select(round(col("recall"), 3).as("recall"))
+  }
+
   // ===== contract ======================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -305,6 +338,9 @@ object SparkEntry {
     "knn_merge_parts" -> (knnMergeQuery(_, _)),
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
+    "kmeans_fit_predict" -> (kmeansQuery(_, _)),
+    "ivf_flat_search" -> (ivfSearchQuery(_, _)),
+    "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
     "q1_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -1,0 +1,119 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Distance, Metric, VectorAgg}
+import graft.expr.{CentroidSet, NearestCentroids}
+import org.apache.spark.sql.graft.{bridge => B}
+
+/** Lloyd's k-means over a DataFrame of vectors — semantics of
+  * `cuvs::cluster::kmeans` (kmeans.hpp:37-146 params; fit :251, predict
+  * :720, fit_predict :1222, transform :1497, cluster_cost :1537).
+  *
+  * Physical shape per iteration (the SURVEY.md §2.4 mapping):
+  *   assign  = map-only NearestCentroids expression (broadcast centroids,
+  *             no join, no shuffle) — the reference's tiled 1-NN assignment;
+  *   update  = groupBy(cluster) fused vector-mean aggregator (one partial
+  *             buffer per (cluster, partition) crosses the shuffle) — the
+  *             reference's centroid update; its multi-GPU NCCL allreduce
+  *             (kmeans.hpp:554-571) IS this shuffle.
+  * Centroids (k x dim) collect to the driver each round — k ≤ a few K, so
+  * this holds at any data scale; the data side is never collected.
+  *
+  * Determinism: init picks the k rows with smallest xxhash64(id, seed)
+  * (reference pins RngState{0}, kmeans.hpp:89); empty clusters keep their
+  * previous centroid.
+  */
+object KMeans {
+
+  case class Params(k: Int, maxIter: Int = 20, tol: Double = 1e-4,
+      seed: Long = 42, metric: Metric = Metric.L2)
+
+  case class Model(centroids: CentroidSet, inertia: Double, iterations: Int) {
+    def centroidArrays: Array[Array[Float]] = centroids.centroids
+  }
+
+  private[graft] def nearestCol(centroids: CentroidSet, vec: Column, p: Int): Column =
+    B.column(NearestCentroids(B.expression(vec), centroids, p))
+
+  /** (cluster, dist) of the nearest centroid for each row. */
+  def assignCols(centroids: CentroidSet, vec: Column): (Column, Column) = {
+    val nc = element_at(nearestCol(centroids, vec, 1), 1)
+    (nc.getField("list_id"), nc.getField("dist"))
+  }
+
+  def fit(df: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): Model = {
+    val data = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = data.select(size(col("_vec"))).head().getInt(0)
+      // deterministic seeded init: k rows with smallest hash
+      val initRows = data
+        .orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
+        .limit(params.k)
+        .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+      var centroids = pack(initRows, dim, params.metric)
+      var it = 0
+      var moved = Double.MaxValue
+      while (it < params.maxIter && moved > params.tol) {
+        val (cl, _) = assignCols(centroids, col("_vec"))
+        val updated = data
+          .groupBy(cl.as("cluster"))
+          .agg(VectorAgg.vectorAvg(col("_vec")).as("mean"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+        val next = Array.tabulate(params.k) { c =>
+          updated.get(c).filter(_.nonEmpty).getOrElse(centroids.centroid(c))
+        }
+        moved = next.zipWithIndex.map { case (v, c) =>
+          Distance.l2Sqrt(v, centroids.centroid(c))
+        }.max
+        centroids = pack(next, dim, params.metric)
+        it += 1
+      }
+      Model(centroids, clusterCost(data, centroids, "_vec"), it)
+    } finally data.unpersist()
+  }
+
+  /** Adds `cluster` (and `dist` to its centroid) — kmeans.hpp predict. */
+  def predict(df: DataFrame, centroids: CentroidSet, vecCol: String = "vec"): DataFrame = {
+    val (cl, d) = assignCols(centroids, col(vecCol))
+    df.withColumn("cluster", cl).withColumn("dist", d)
+  }
+
+  def fitPredict(df: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): (Model, DataFrame) = {
+    val m = fit(df, params, idCol, vecCol)
+    (m, predict(df, m.centroids, vecCol))
+  }
+
+  /** Distances to ALL centroids in centroid order — kmeans.hpp transform. */
+  def transform(df: DataFrame, centroids: CentroidSet, vecCol: String = "vec"): DataFrame = {
+    val nearestAll = nearestCol(centroids, col(vecCol), centroids.k)
+    // re-order the (list_id, dist) pairs into positional centroid order
+    df.withColumn("_nc", nearestAll)
+      .withColumn("dists", transform_keys_placeholder(col("_nc"), centroids.k))
+      .drop("_nc")
+  }
+
+  private def transform_keys_placeholder(nc: Column, k: Int): Column =
+    org.apache.spark.sql.functions.transform(sequence(lit(0), lit(k - 1)), i =>
+      element_at(org.apache.spark.sql.functions.filter(nc,
+        s => s.getField("list_id") === i), 1).getField("dist"))
+
+  /** Sum of distances to the nearest centroid — kmeans.hpp cluster_cost. */
+  def clusterCost(df: DataFrame, centroids: CentroidSet, vecCol: String = "vec"): Double = {
+    val (_, d) = assignCols(centroids, col(vecCol))
+    df.agg(sum(d)).head().getDouble(0)
+  }
+
+  private def pack(cs: Array[Array[Float]], dim: Int, metric: Metric): CentroidSet = {
+    val flat = new Array[Float](cs.length * dim)
+    cs.zipWithIndex.foreach { case (v, i) =>
+      System.arraycopy(v, 0, flat, i * dim, dim)
+    }
+    CentroidSet(flat, cs.length, dim, metric.name)
+  }
+}

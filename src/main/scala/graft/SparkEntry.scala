@@ -286,6 +286,73 @@ object SparkEntry {
       |      ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rank FROM lineitem)
       |WHERE rank <= 5""".stripMargin
 
+  // ===== quantizers ====================================================
+
+  private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val m = graft.prep.ScalarQuantizer.train(emb, "embedding", quantile = 0.99)
+    graft.prep.ScalarQuantizer.transform(emb, m, "embedding")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos"), col("q").cast("int").as("q"))
+  }
+
+  private val scalarQuantizeOracle: String =
+    """WITH b AS (SELECT quantile_cont(CAST(y AS DOUBLE), 0.005) AS lo,
+      |                  quantile_cont(CAST(y AS DOUBLE), 0.995) AS hi
+      |           FROM (SELECT unnest(embedding) AS y FROM embeddings))
+      |SELECT e.vec_id, s.i - 1 AS pos,
+      |  CAST(greatest(-128, least(127,
+      |    round((CAST(e.embedding[s.i] AS DOUBLE) - b.lo) * (255.0 / (b.hi - b.lo))) - 128)) AS INT) AS q
+      |FROM embeddings e, b, generate_series(1, 64) s(i)""".stripMargin
+
+  /** Shared CTE: mean-threshold packed binary codes (32 dims/word). */
+  private val binaryCodesCte: String =
+    """m AS (SELECT i, avg(CAST(e.embedding[i] AS DOUBLE)) AS t
+      |      FROM embeddings e CROSS JOIN generate_series(1, 64) s(i) GROUP BY i),
+      |bits AS (SELECT e.vec_id, CAST((s.i - 1) // 32 AS INT) AS w,
+      |        CASE WHEN CAST(e.embedding[s.i] AS DOUBLE) > m.t
+      |             THEN (1::BIGINT << ((s.i - 1) % 32)) ELSE 0::BIGINT END AS b
+      |        FROM embeddings e CROSS JOIN generate_series(1, 64) s(i) JOIN m ON m.i = s.i),
+      |codes AS (SELECT vec_id, w, CAST(sum(b) AS BIGINT) AS code FROM bits GROUP BY 1, 2),
+      |packed AS (SELECT vec_id,
+      |        sum(CASE WHEN w = 0 THEN code ELSE 0 END) AS c0,
+      |        sum(CASE WHEN w = 1 THEN code ELSE 0 END) AS c1
+      |        FROM codes GROUP BY 1)""".stripMargin
+
+  private def binaryCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val t = graft.prep.BinaryQuantizer.train(emb, "embedding",
+      graft.prep.BinaryQuantizer.Mean)
+    graft.prep.BinaryQuantizer.transform(emb, t, "embedding")
+  }
+
+  private def binaryQuantizeQuery(spark: SparkSession, dir: String): DataFrame =
+    binaryCodes(spark, dir)
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("w", "code")))
+      .select(col("vec_id"), col("w"), col("code"))
+
+  private val binaryQuantizeOracle: String =
+    s"""WITH $binaryCodesCte
+       |SELECT vec_id, w, code FROM codes""".stripMargin
+
+  private def hammingKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val codes = binaryCodes(spark, dir).select(col("vec_id"), col("code"))
+    val q = codes.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    graft.prep.BinaryQuantizer.hammingKnn(codes, q, 10, "vec_id", "code", "qid", "qcode")
+      .select(col("qid"), col("nbr_id"), col("rank"), col("dist").cast("int").as("dist"))
+  }
+
+  private val hammingKnnOracle: String =
+    s"""WITH $binaryCodesCte,
+       |q AS (SELECT vec_id AS qid, c0, c1 FROM packed WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, p.vec_id AS id,
+       |      bit_count(xor(q.c0, p.c0)) + bit_count(xor(q.c1, p.c1)) AS dist
+       |      FROM q CROSS JOIN packed p),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, CAST(dist AS INT) AS dist FROM r WHERE rank <= 10""".stripMargin
+
   // ===== approximate ops (no SQL oracle; rows-only + ScalaTest recall) ==
 
   private def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -319,6 +386,38 @@ object SparkEntry {
       .select(round(col("recall"), 3).as("recall"))
   }
 
+  private def pqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val cb = graft.prep.ProductQuantizer.train(emb,
+      graft.prep.ProductQuantizer.Params(pqDim = 8, pqBits = 6, kmeansIters = 5),
+      "vec_id", "embedding")
+    val mse = graft.prep.ProductQuantizer.reconstructionError(emb, cb, "embedding")
+    graft.prep.ProductQuantizer.transform(emb, cb, "embedding")
+      .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("subspace", "code")))
+      .groupBy(col("subspace")).agg(countDistinct(col("code")).as("codes_used"))
+      .withColumn("mse", round(lit(mse), 4))
+  }
+
+  private def pcaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val (model, projected) = graft.prep.PCA.fitTransform(emb, 8, "embedding")
+    val evr = model.explainedVarianceRatio
+    projected.select(col("vec_id"), posexplode(col("pc")).as(Seq("comp", "value")))
+      .groupBy(col("comp")).agg(round(stddev(col("value")), 3).as("sd"))
+      .join(spark.createDataFrame(evr.zipWithIndex.toSeq.map { case (v, i) => (i, v) })
+        .toDF("comp", "evr").withColumn("evr", round(col("evr"), 4)), "comp")
+  }
+
+  private def ivfPqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val idx = graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
+      "vec_id", "embedding")
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 4, kCoarse = 40,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
   // ===== contract ======================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -341,6 +440,12 @@ object SparkEntry {
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
     "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
+    "scalar_quantize" -> (scalarQuantizeQuery(_, _)),
+    "binary_quantize" -> (binaryQuantizeQuery(_, _)),
+    "knn_hamming_packed" -> (hammingKnnQuery(_, _)),
+    "pq_transform" -> (pqQuery(_, _)),
+    "pca_fit_transform" -> (pcaQuery(_, _)),
+    "ivf_pq_search_refine" -> (ivfPqQuery(_, _)),
     "q1_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -363,6 +468,9 @@ object SparkEntry {
     "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
     "topk_global" -> topkGlobalOracle,
     "topk_pergroup" -> topkPerGroupOracle,
+    "scalar_quantize" -> scalarQuantizeOracle,
+    "binary_quantize" -> binaryQuantizeOracle,
+    "knn_hamming_packed" -> hammingKnnOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n

@@ -1,0 +1,59 @@
+package graft.core
+
+/** Cyclic Jacobi eigensolver for small symmetric matrices (d up to a few
+  * hundred — PCA covariance, spectral Laplacians on coarsened graphs).
+  * Driver-side by design: the reference also eigensolves host-side for the
+  * analogous steps (agglomerative.hpp:238 builds dendrograms on host).
+  */
+object Eigen {
+
+  /** Returns (eigenvalues desc, eigenvectors as rows, matching order). */
+  def symEigen(a: Array[Array[Double]], maxSweeps: Int = 64, tol: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += m(i)(j) * m(i)(j)
+      s
+    }
+
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol) {
+      for (p <- 0 until n; q <- p + 1 until n if math.abs(m(p)(q)) > 1e-300) {
+        val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        // rotate rows/cols p,q of m
+        for (i <- 0 until n) {
+          val mip = m(i)(p); val miq = m(i)(q)
+          m(i)(p) = c * mip - s * miq
+          m(i)(q) = s * mip + c * miq
+        }
+        for (i <- 0 until n) {
+          val mpi = m(p)(i); val mqi = m(q)(i)
+          m(p)(i) = c * mpi - s * mqi
+          m(q)(i) = s * mpi + c * mqi
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -m(i)(i))
+    val vals = order.map(i => m(i)(i)).toArray
+    val vecs = order.map(i => Array.tabulate(n)(j => v(j)(i))).toArray
+    // deterministic sign: largest-|component| entry is positive
+    vecs.foreach { w =>
+      val k = w.indices.maxBy(i => math.abs(w(i)))
+      if (w(k) < 0) w.indices.foreach(i => w(i) = -w(i))
+    }
+    (vals, vecs)
+  }
+}

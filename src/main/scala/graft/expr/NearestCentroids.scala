@@ -63,6 +63,14 @@ object CentroidOps {
     new GenericArrayData(rows)
   }
 
+  def residual(cs: CentroidSet, vec: ArrayData, listId: Int): ArrayData = {
+    val off = listId * cs.dim
+    val out = new Array[Float](cs.dim)
+    var i = 0
+    while (i < cs.dim) { out(i) = vec.getFloat(i) - cs.flat(off + i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   private def distTo(cs: CentroidSet, v: Array[Float], c: Int): Double = {
     val off = c * cs.dim
     cs.metricId match {
@@ -86,6 +94,32 @@ object CentroidOps {
           VectorDistanceOps.id(m) == mid).get)(v, cs.centroid(c))
     }
   }
+}
+
+/** `vec - centroid[list_id]` — the residual an IVF-PQ list entry encodes
+  * (ivf_pq build encodes residuals against the cell center). */
+case class CentroidResidual(left: Expression, right: Expression, centroids: CentroidSet)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(v: Any, listId: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val off = listId.asInstanceOf[Int] * centroids.dim
+    val out = new Array[Float](centroids.dim)
+    var i = 0
+    while (i < centroids.dim) { out(i) = vec.getFloat(i) - centroids.flat(off + i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidSet", centroids, classOf[CentroidSet].getName)
+    nullSafeCodeGen(ctx, ev, (v, l) =>
+      s"${ev.value} = graft.expr.CentroidOps.residual($ref, $v, $l);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `nearest_centroids(vec)` -> array<struct<list_id int, dist double>> of the

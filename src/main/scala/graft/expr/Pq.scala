@@ -1,0 +1,136 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+/** Trained product-quantizer codebooks: `pqDim` subspaces of `subLen` dims,
+  * each with `nCenters` (= 2^pq_bits) centroids, flattened row-major
+  * (quantize/pq.hpp:34-140; codebook_gen PER_SUBSPACE, ivf_pq.hpp:34).
+  * books(s * nCenters * subLen + c * subLen + j) = center c of subspace s. */
+case class PqCodebooks(books: Array[Float], pqDim: Int, nCenters: Int, subLen: Int)
+    extends Serializable {
+  def dim: Int = pqDim * subLen
+  def center(s: Int, c: Int): Array[Float] = {
+    val out = new Array[Float](subLen)
+    System.arraycopy(books, (s * nCenters + c) * subLen, out, 0, subLen)
+    out
+  }
+}
+
+object PqOps {
+  /** Encode: per subspace, the L2-nearest center id (pq.hpp:205 transform). */
+  def encode(cb: PqCodebooks, vec: ArrayData): ArrayData = {
+    val codes = new Array[Int](cb.pqDim)
+    var s = 0
+    while (s < cb.pqDim) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.nCenters) {
+        val off = (s * cb.nCenters + c) * cb.subLen
+        var d = 0.0; var j = 0
+        while (j < cb.subLen) {
+          val t = vec.getFloat(s * cb.subLen + j).toDouble - cb.books(off + j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Decode codes back to a reconstructed vector (pq.hpp:239 inverse). */
+  def decode(cb: PqCodebooks, codes: ArrayData): ArrayData = {
+    val out = new Array[Float](cb.dim)
+    var s = 0
+    while (s < cb.pqDim) {
+      val off = (s * cb.nCenters + codes.getInt(s)) * cb.subLen
+      System.arraycopy(cb.books, off, out, s * cb.subLen, cb.subLen)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: squared-L2 from each query subvector to
+    * each center — flat array of pqDim*nCenters doubles
+    * (ivf_pq_compute_similarity.cuh LUT precompute). */
+  def lut(cb: PqCodebooks, qvec: ArrayData): ArrayData = {
+    val out = new Array[Double](cb.pqDim * cb.nCenters)
+    var s = 0
+    while (s < cb.pqDim) {
+      var c = 0
+      while (c < cb.nCenters) {
+        val off = (s * cb.nCenters + c) * cb.subLen
+        var d = 0.0; var j = 0
+        while (j < cb.subLen) {
+          val t = qvec.getFloat(s * cb.subLen + j).toDouble - cb.books(off + j)
+          d += t * t; j += 1
+        }
+        out(s * cb.nCenters + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score = sum of LUT entries selected by the code bytes — the
+    * asymmetric distance of IVF-PQ search. */
+  def adc(nCenters: Int, lut: ArrayData, codes: ArrayData): Double = {
+    var s = 0.0; var i = 0
+    val n = codes.numElements()
+    while (i < n) { s += lut.getDouble(i * nCenters + codes.getInt(i)); i += 1 }
+    s
+  }
+}
+
+case class PqEncode(child: Expression, cb: PqCodebooks) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $o")
+  }
+  override def nullSafeEval(v: Any): Any = PqOps.encode(cb, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", cb, classOf[PqCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.expr.PqOps.encode($ref, $v);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PqDecode(child: Expression, cb: PqCodebooks) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = PqOps.decode(cb, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", cb, classOf[PqCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.expr.PqOps.decode($ref, $v);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PqLut(child: Expression, cb: PqCodebooks) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = PqOps.lut(cb, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", cb, classOf[PqCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.expr.PqOps.lut($ref, $v);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PqAdc(left: Expression, right: Expression, nCenters: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, c: Any): Any =
+    PqOps.adc(nCenters, l.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, c) =>
+      s"${ev.value} = graft.expr.PqOps.adc($nCenters, $l, $c);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.cluster.KMeans
+import graft.core.Metric
+import graft.expr.{CentroidResidual, CentroidSet, PqCodebooks}
+import graft.ops.{BruteForceKnn, Refine}
+import graft.prep.ProductQuantizer
+import org.apache.spark.sql.graft.{bridge => B}
+
+/** IVF-PQ index — same probe structure as IVF-Flat over PQ-compressed lists
+  * (ivf_pq.hpp:47-205: pq_bits=8, pq_dim, PER_SUBSPACE codebooks; search
+  * engine ivf_pq_search.cuh + ivf_pq_compute_similarity.cuh).
+  *
+  * Lists store residual PQ codes (vec - cell center). Search:
+  *   1. probe selection map-side (NearestCentroids, as IVF-Flat);
+  *   2. per (query, probed list): residual query -> ADC lookup table
+  *      (PqLut expression — the LUT precompute of
+  *      ivf_pq_compute_similarity.cuh), carried on the broadcast probe row;
+  *   3. equi-join lists on list_id; score = sum of LUT entries selected by
+  *      each row's code bytes (PqAdc) — no float vectors are read at all;
+  *   4. per-query top-k, then optional exact `refine` against the raw
+  *      dataset to recover recall (refine.hpp:26-68).
+  *
+  * 100 TB posture: the big side is pq_dim ints per row instead of dim
+  * floats (8x smaller at defaults) and never shuffles; probes + LUTs
+  * broadcast. Approximation error comes from PQ only; refine bounds it.
+  */
+class IvfPqIndex(
+    val centroids: CentroidSet,
+    val codebooks: PqCodebooks,
+    val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
+    val metric: Metric) extends Serializable {
+
+  private def residualCol(vec: Column, listId: Column): Column =
+    B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
+
+  /** ADC search: (qid, nbr_id, rank, dist) with dist = ADC-approximated
+    * squared L2. */
+  def search(queries: DataFrame, k: Int, nProbes: Int,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val probes = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
+        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+      .select(col("qid"), col("_qvec"),
+        explode(col("_probes").getField("list_id")).as("list_id"))
+      .withColumn("_lut",
+        ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")), codebooks))
+      .select(col("qid"), col("list_id"), col("_lut"))
+    val pairs = lists
+      .join(broadcast(probes), "list_id")
+      .select(col("qid"), col("id").as("_nid"),
+        ProductQuantizer.adcCol(col("_lut"), col("pq_codes"), codebooks).as("dist"))
+    BruteForceKnn.topKPerQuery(pairs, k, Metric.L2)
+  }
+
+  /** ADC search over `kCoarse` candidates + exact re-rank to top-k against
+    * the raw dataset — the recall-recovery composition. */
+  def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
+      kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
+      .select(col("qid"), col("nbr_id").as("id"))
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+  }
+}
+
+object IvfPqIndex {
+
+  case class Params(nLists: Int = 1024, nIters: Int = 20, trainFraction: Double = 0.5,
+      pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, metric: Metric = Metric.L2)
+
+  def build(dataset: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): IvfPqIndex = {
+    // coarse quantizer = IVF-Flat build machinery
+    val ivf = IvfFlatIndex.build(dataset,
+      IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
+        params.seed, params.metric), idCol, vecCol)
+    // residuals vs assigned cell center, then PQ codebooks on them
+    val withRes = ivf.lists.withColumn("_res",
+      B.column(CentroidResidual(B.expression(col("vec")), B.expression(col("list_id")),
+        ivf.centroids)))
+    val cb = ProductQuantizer.train(withRes,
+      ProductQuantizer.Params(params.pqDim, params.pqBits, seed = params.seed),
+      "id", "_res")
+    val lists = withRes
+      .select(col("list_id"), col("id"),
+        ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
+  }
+}

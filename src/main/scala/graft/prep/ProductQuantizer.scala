@@ -1,0 +1,71 @@
+package graft.prep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.cluster.KMeans
+import graft.core.Metric
+import graft.expr.{PqAdc, PqCodebooks, PqDecode, PqEncode, PqLut}
+import org.apache.spark.sql.graft.{bridge => B}
+
+/** Product quantization — `cuvs::preprocessing::quantize::pq`
+  * (pq.hpp:34-140 params: pq_bits in [4,16], pq_dim default dim/4,
+  * max_train_points_per_pq_code=256; :205 transform, :239 inverse).
+  *
+  * train = `pqDim` independent k-means fits over sliced subvectors (each on
+  * the same sampled trainset — one Spark job per subspace, k = 2^pq_bits
+  * centers); transform/inverse/ADC are map-side codegen expressions.
+  */
+object ProductQuantizer {
+
+  case class Params(pqDim: Int = 8, pqBits: Int = 8, kmeansIters: Int = 10,
+      maxTrainPointsPerCode: Int = 256, seed: Long = 42)
+
+  def train(df: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): PqCodebooks = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % params.pqDim == 0, s"dim $dim not divisible by pqDim ${params.pqDim}")
+    val subLen = dim / params.pqDim
+    val nCenters = 1 << params.pqBits
+    // cap the trainset like the reference (max_train_points_per_pq_code)
+    val maxRows = nCenters.toLong * params.maxTrainPointsPerCode
+    val n = df.count()
+    val trainset = if (n <= maxRows) df else df.filter(
+      pmod(xxhash64(col(idCol), lit(params.seed)), lit(n)) < maxRows)
+    val books = new Array[Float](params.pqDim * nCenters * subLen)
+    for (s <- 0 until params.pqDim) {
+      val sub = trainset.select(col(idCol).as("_id"),
+        slice(col(vecCol), s * subLen + 1, subLen).as("_sub"))
+      val model = KMeans.fit(sub,
+        KMeans.Params(nCenters, params.kmeansIters, seed = params.seed + s),
+        "_id", "_sub")
+      val cents = model.centroidArrays
+      for (c <- 0 until nCenters)
+        System.arraycopy(cents(c), 0, books, (s * nCenters + c) * subLen, subLen)
+    }
+    PqCodebooks(books, params.pqDim, nCenters, subLen)
+  }
+
+  def encodeCol(vec: Column, cb: PqCodebooks): Column =
+    B.column(PqEncode(B.expression(vec), cb))
+  def decodeCol(codes: Column, cb: PqCodebooks): Column =
+    B.column(PqDecode(B.expression(codes), cb))
+  def lutCol(qvec: Column, cb: PqCodebooks): Column =
+    B.column(PqLut(B.expression(qvec), cb))
+  def adcCol(lut: Column, codes: Column, cb: PqCodebooks): Column =
+    B.column(PqAdc(B.expression(lut), B.expression(codes), cb.nCenters))
+
+  def transform(df: DataFrame, cb: PqCodebooks, vecCol: String = "vec",
+      outCol: String = "pq_codes"): DataFrame =
+    df.withColumn(outCol, encodeCol(col(vecCol), cb))
+
+  def inverseTransform(df: DataFrame, cb: PqCodebooks, codesCol: String = "pq_codes",
+      outCol: String = "vec_hat"): DataFrame =
+    df.withColumn(outCol, decodeCol(col(codesCol), cb))
+
+  /** Mean squared reconstruction error — the train-quality scalar. */
+  def reconstructionError(df: DataFrame, cb: PqCodebooks, vecCol: String = "vec"): Double = {
+    val rec = decodeCol(encodeCol(col(vecCol), cb), cb)
+    df.select(graft.functions.vector_distance(Metric.L2, col(vecCol), rec).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+  }
+}

@@ -425,7 +425,8 @@ object SparkEntry {
     knnQuery(Metric.L2Sqrt)(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "knn_bruteforce_l2" -> knnQuery(Metric.L2Sqrt),
     "knn_bruteforce_cosine" -> knnQuery(Metric.Cosine),
     "knn_bruteforce_ip" -> knnQuery(Metric.InnerProduct),
@@ -452,7 +453,7 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"),
           count(lit(1)).as("n"))),
-  )
+  ) ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -475,5 +476,5 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
-  )
+  ) ++ TextQueries.oracles
 }

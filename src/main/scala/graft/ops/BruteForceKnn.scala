@@ -48,6 +48,36 @@ object BruteForceKnn {
       .select(col("qid"), col("n.id").as("nbr_id"),
         (col("pos") + 1).as("rank"), col("n.dist").as("dist"))
 
+  /** Pre-filtered exact kNN — the bitset/bitmap/UDF filter surface of the
+    * reference (common.hpp:500-638): `deny` is a global deny-list (bitset
+    * analog, applied as an anti-join), `allowPerQuery` a per-(query, id)
+    * allow table (bitmap analog, applied as a semi-join on (qid, id)), and
+    * `predicate` an arbitrary row filter (udf_filter analog — Catalyst
+    * pushes it below the top-k, the filter-then-rank plan of
+    * PushDownPredicates). All filtering happens BEFORE ranking, exactly as
+    * the reference fuses filters into the scan. */
+  def knnJoinFiltered(dataset: DataFrame, queries: DataFrame, k: Int,
+      metric: Metric = Metric.L2Sqrt,
+      deny: Option[DataFrame] = None,
+      allowPerQuery: Option[DataFrame] = None,
+      predicate: Option[Column] = None,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val base0 = predicate.fold(dataset)(dataset.filter)
+    val base = deny.fold(base0)(d =>
+      base0.join(broadcast(d.select(col(d.columns.head).cast("long").as(idCol))),
+        Seq(idCol), "left_anti"))
+    val d = base.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
+    val pairs0 = d.crossJoin(broadcast(q))
+    val pairs1 = allowPerQuery.fold(pairs0) { al =>
+      pairs0.join(broadcast(al.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("_nid"))), Seq("qid", "_nid"), "left_semi")
+    }
+    topKPerQuery(pairs1.select(col("qid"), col("_nid"),
+      vector_distance(metric, col("_qvec"), col("_nvec")).as("dist")), k, metric)
+  }
+
   /** Window-form reference implementation (the oracle shape; exact same
     * semantics, more shuffle — used by tests to cross-check the aggregator
     * and by callers who need full materialized ranks). */

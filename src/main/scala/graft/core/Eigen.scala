@@ -24,7 +24,10 @@ object Eigen {
     while (sweep < maxSweeps && off() > tol) {
       for (p <- 0 until n; q <- p + 1 until n if math.abs(m(p)(q)) > 1e-300) {
         val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
-        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        // sign(0) must be +1 here: equal diagonal entries need the full
+        // 45-degree rotation, not a no-op
+        val t = (if (theta >= 0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
         val c = 1.0 / math.sqrt(t * t + 1.0)
         val s = t * c
         // rotate rows/cols p,q of m

@@ -1,0 +1,68 @@
+package graft.graphops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.cluster.KMeans
+import graft.core.Metric
+import graft.ops.BruteForceKnn
+
+/** Partitioned kNN-graph build — `cuvs::neighbors::all_neighbors`
+  * (all_neighbors.hpp:29-95): cluster rows into `nClusters` cells, assign
+  * each row to its `overlapFactor` nearest cells, build a local exact kNN
+  * graph inside every cell, merge per-node top-k globally.
+  *
+  * This is THE scalable kNN-graph primitive (and the dedup workhorse,
+  * SURVEY.md §2.6): the quadratic join happens only within cells
+  * (n^2/c per cell), cells are Spark partitions (groupBy cell), and the
+  * merge is the same top-k aggregator as everything else. overlap_factor=2
+  * default mirrors the reference.
+  */
+object AllNeighbors {
+
+  case class Params(k: Int = 10, nClusters: Int = 16, overlapFactor: Int = 2,
+      kmeansIters: Int = 10, seed: Long = 42, metric: Metric = Metric.L2)
+
+  /** Edge list (src, dst, dist, rank), rank 1..k best-first, self excluded. */
+  def build(df: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = KMeans.fit(data,
+      KMeans.Params(params.nClusters, params.kmeansIters, seed = params.seed,
+        metric = params.metric), "id", "vec")
+    val assigned = data
+      .select(col("id"), col("vec"),
+        explode(KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)
+          .getField("list_id")).as("cell"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"), "cell")
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("_nid"),
+        graft.functions.vector_distance(params.metric, col("a.vec"), col("b.vec")).as("dist"))
+      .distinct() // a pair can co-occur in up to overlapFactor shared cells
+    val res = BruteForceKnn.topKPerQuery(pairs, params.k, params.metric)
+      .select(col("qid").as("src"), col("nbr_id").as("dst"), col("dist"), col("rank"))
+    data.unpersist()
+    res
+  }
+
+  /** Exact kNN graph (the oracle / small-scale path): brute-force self-join. */
+  def exact(df: DataFrame, k: Int, metric: Metric = Metric.L2,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val q = df.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+    BruteForceKnn.knnJoin(df, q, k + 1, metric, idCol, vecCol)
+      .filter(col("qid") =!= col("nbr_id"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rank"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("src"), col("nbr_id").as("dst"), col("dist"), col("rank"))
+  }
+
+  /** Recall of an approximate kNN graph vs the exact one. */
+  def graphRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.select(col("src"), col("dst"))
+    val e = exact.select(col("src"), col("dst"))
+    a.intersect(e).count().toDouble / e.count()
+  }
+}

@@ -1,0 +1,49 @@
+package graft.graphops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CAGRA graph optimization — the detour-counting prune + reverse-edge
+  * augmentation of `cagra::optimize` (graph_core.cuh:206 kern_fused_prune,
+  * detour counting :259-306; cagra.hpp:149-224: intermediate degree 128 ->
+  * graph_degree 64).
+  *
+  * An edge (s,d) is "detourable" when a 2-hop path s->v->d exists whose
+  * BOTH hops rank better (smaller dist) than (s,d) itself — such edges are
+  * redundant for greedy search. Keep the `degree` least-detourable edges
+  * per node, then add reverse edges to rebalance in-degree, capped at
+  * `degree` per node again.
+  *
+  * Relational shape: one triangle join (edges x edges on the shared middle
+  * node, joined back to the pruned edge) + two per-node top-k windows.
+  */
+object CagraOptimize {
+
+  /** graph: (src, dst, dist); returns (src, dst, dist, rank) with
+    * <= degree edges per src. */
+  def optimize(graph: DataFrame, degree: Int): DataFrame = {
+    val e = graph.select(col("src"), col("dst"), col("dist"))
+    // detours: s->v (d1) and v->d (d2), both shorter than s->d
+    val detours = e.as("sd")
+      .join(e.as("sv"), col("sd.src") === col("sv.src"))
+      .join(e.as("vd"), col("sv.dst") === col("vd.src") && col("vd.dst") === col("sd.dst"))
+      .filter(col("sv.dist") < col("sd.dist") && col("vd.dist") < col("sd.dist"))
+      .groupBy(col("sd.src").as("src"), col("sd.dst").as("dst"))
+      .agg(count(lit(1)).as("detours"))
+    val scored = e.join(detours, Seq("src", "dst"), "left")
+      .withColumn("detours", coalesce(col("detours"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(col("detours").asc, col("dist").asc, col("dst").asc)
+    val pruned = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= degree)
+      .select(col("src"), col("dst"), col("dist"))
+    // reverse-edge augmentation, then cap per-node degree again
+    val augmented = pruned
+      .unionByName(pruned.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    augmented.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= degree)
+  }
+}

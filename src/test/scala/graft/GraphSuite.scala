@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.graphops.{AllNeighbors, CagraOptimize, Components, NnDescent, Spectral}
+
+class GraphSuite extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+  private lazy val small = emb.filter(col("vec_id") % 5 === 0)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("all_neighbors graph recall vs exact (overlap=2, 8 cells)") {
+    val approx = AllNeighbors.build(emb,
+      AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
+      "vec_id", "embedding")
+    val exact = AllNeighbors.exact(emb, 10, Metric.L2, "vec_id", "embedding")
+    // floor tracks overlap_factor/n_clusters on heavily overlapping blobs
+    // (reference scales min_recall with probe coverage the same way)
+    val r = AllNeighbors.graphRecall(approx, exact)
+    assert(r >= 0.65, s"graph recall $r")
+    // every node present, degree exactly k
+    assert(approx.groupBy(col("src")).count().filter(col("count") =!= 10).count() == 0)
+  }
+
+  test("nn_descent converges to high recall from a random graph") {
+    val r = {
+      val approx = NnDescent.build(small, NnDescent.Params(k = 8, maxIterations = 8), "id", "vec")
+      val exact = AllNeighbors.exact(small, 8, Metric.L2, "id", "vec")
+      AllNeighbors.graphRecall(approx, exact)
+    }
+    assert(r >= 0.75, s"nn-descent recall $r")
+  }
+
+  test("cagra optimize: degree cap holds and nearest edges survive") {
+    val knn = AllNeighbors.exact(small, 16, Metric.L2Sqrt, "id", "vec")
+    val opt = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+    assert(opt.groupBy(col("src")).count().filter(col("count") > 8).count() == 0)
+    // the rank-1 (nearest) edge has zero detours and must survive the prune
+    val nearest = knn.filter(col("rank") === 1).select(col("src"), col("dst"))
+    val missing = nearest.except(opt.select(col("src"), col("dst"))).count()
+    assert(missing == 0, s"$missing nearest edges pruned")
+  }
+
+  test("connected components: planted duplicate pairs form 2-node components") {
+    val dup = small.select((col("id") + 10000).as("id"), col("vec"))
+    val corpus = small.unionByName(dup)
+    val edges = graft.ops.PairwiseDistance.epsNeighborhood(
+        corpus, corpus, 0.01, Metric.L2Sqrt, "id", "vec", "id", "vec")
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("src"), col("bid").as("dst"))
+    val cc = Components.connectedComponents(corpus, edges, "id")
+    // each pair (id, id+10000) shares a component labeled by the original id
+    val bad = cc.filter((col("id") < 10000 && col("component") =!= col("id")) ||
+        (col("id") >= 10000 && col("component") =!= col("id") - 10000)).count()
+    assert(bad == 0)
+  }
+
+  test("single linkage matches naive driver-side single-linkage partition") {
+    val pts = small.limit(40).localCheckpoint()
+    val knn = AllNeighbors.exact(pts, 39, Metric.L2Sqrt, "id", "vec")
+    val got = Components.singleLinkageLabels(pts,
+        knn.select(col("src"), col("dst"), col("dist")), nClusters = 4, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive: full pairwise single linkage via repeated closest-cluster merge
+    val data = pts.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    var clusters = data.map(p => Set(p._1)).toBuffer
+    val vecOf = data.toMap
+    def d(a: Set[Long], b: Set[Long]) =
+      (for (x <- a; y <- b) yield graft.core.Distance.l2Sqrt(vecOf(x), vecOf(y))).min
+    while (clusters.size > 4) {
+      val pairs = for (i <- clusters.indices; j <- i + 1 until clusters.size)
+        yield (i, j, d(clusters(i), clusters(j)))
+      val (i, j, _) = pairs.minBy(_._3)
+      clusters(i) = clusters(i) ++ clusters(j)
+      clusters.remove(j)
+    }
+    val naive = clusters.flatMap(c => c.map(_ -> c.min)).toMap
+    // same partition structure: co-membership must agree
+    val ids = data.map(_._1)
+    for (a <- ids; b <- ids) {
+      assert((got(a) == got(b)) == (naive(a) == naive(b)), s"pair $a,$b disagrees")
+    }
+  }
+
+  test("spectral clustering separates two far-apart groups") {
+    val shifted = small.select((col("id") + 10000).as("id"),
+      org.apache.spark.sql.functions.transform(col("vec"), x => x + 100.0f).as("vec"))
+    val corpus = small.unionByName(shifted)
+    val labels = Spectral.fitPredict(corpus, 2, Spectral.Params(nNeighbors = 8), "id", "vec")
+    val crossed = labels.as("a").join(labels.as("b"),
+        col("a.id") + 10000 === col("b.id"))
+      .filter(col("a.cluster") === col("b.cluster")).count()
+    assert(crossed == 0, "original and far-shifted copy in the same cluster")
+    assert(labels.select(countDistinct(col("cluster"))).head().getLong(0) == 2)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.multimodal.Multimodal
+import graft.ops.SparseKnn
+
+/** Driver queries + oracles for sparse search, the tiered index, and the
+  * multimodal byte-column surface. */
+object MiscQueries {
+
+  // ===== sparse kNN over TF vectors from documents ======================
+
+  /** Portable token hash -> dimension in [0, 256): base-31 over the first
+    * 3 chars plus length*7 (identical integer form in the SQL oracle). */
+  private val tokenDimSql =
+    "CAST((ascii(substr(t, 1, 1)) * 961 + ascii(substr(t, 2, 1)) * 31 + ascii(substr(t, 3, 1)) + len(t) * 7) % 256 AS INT)"
+
+  private def sparseVecs(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.table(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)")).as("t"))
+      .select(col("id"),
+        expr("CAST((ascii(substr(t, 1, 1)) * 961 + ascii(substr(t, 2, 1)) * 31 + ascii(substr(t, 3, 1)) + length(t) * 7) % 256 AS INT)").as("dim"))
+      .groupBy(col("id"), col("dim")).agg(count(lit(1)).cast("float").as("v"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("v")))).as("z"))
+      .select(col("id"), col("z.dim").as("indices"), col("z.v").as("values"))
+
+  private def sparseKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = sparseVecs(spark, dir)
+    val q = vecs.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("indices").as("qindices"), col("values").as("qvalues"))
+    SparseKnn.knnJoin(vecs, q, 10, Metric.Cosine)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val sparseKnnOracle: String =
+    s"""WITH toks AS (SELECT doc_id AS id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+       |  FROM documents),
+       |nz AS (SELECT id, $tokenDimSql AS dim, CAST(CAST(count(*) AS FLOAT) AS DOUBLE) AS v
+       |  FROM toks GROUP BY 1, 2),
+       |nrm AS (SELECT id, sum(v * v) AS norm2 FROM nz GROUP BY 1),
+       |q AS (SELECT id AS qid FROM nrm WHERE id % 20 = 0),
+       |dots AS (SELECT a.id AS qid, b.id AS id, sum(a.v * b.v) AS dot
+       |  FROM nz a JOIN nz b ON a.dim = b.dim WHERE a.id % 20 = 0 GROUP BY 1, 2),
+       |pairs AS (SELECT q.qid, n.id, coalesce(d.dot, 0.0) AS dot, qn.norm2 AS qnorm2, n.norm2
+       |  FROM q CROSS JOIN nrm n
+       |  JOIN nrm qn ON qn.id = q.qid
+       |  LEFT JOIN dots d ON d.qid = q.qid AND d.id = n.id),
+       |dist AS (SELECT qid, id,
+       |  CASE WHEN qnorm2 = 0 OR norm2 = 0 THEN 1.0
+       |       ELSE 1.0 - dot / sqrt(qnorm2 * norm2) END AS dist FROM pairs),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM dist)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10""".stripMargin
+
+  // ===== tiered index (exact when the ANN tier probes all lists) ========
+
+  private def tieredQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = SparkEntry.table(spark, dir, "embeddings")
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val idx = graft.stream.TieredIndex.build(base,
+        graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 10), idCol = "vec_id",
+        vecCol = "embedding")
+      .extend(delta, "vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    idx.search(q, 10, nProbes = 8)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  /** Exact oracle: probing all 8 lists + exact delta == plain exact kNN
+    * under squared L2. */
+  private val tieredOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+      |d AS (SELECT q.qid, e.vec_id AS id,
+      |      list_sum(list_transform(list_zip(q.qvec, e.embedding), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2)) AS dist
+      |      FROM q CROSS JOIN embeddings e),
+      |r AS (SELECT qid, id, dist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+      |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10""".stripMargin
+
+  // ===== multimodal byte-column surface =================================
+
+  private def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.table(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("text").as("modality"),
+        col("text").cast("binary").as("payload"),
+        struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("n_channels")).as("meta"))
+
+  private def multimodalStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+    val ent = Multimodal.byteEntropy(m, "media_id", "payload")
+    m.select(col("media_id"), Multimodal.payloadBytes(col("payload")).as("n_bytes"))
+      .join(ent, "media_id")
+      .select(col("media_id"), col("n_bytes"), round(col("entropy"), 4).as("entropy"))
+  }
+
+  private val multimodalStatsOracle: String =
+    """WITH b AS (SELECT doc_id AS media_id, ascii(substr(text, CAST(i AS INT), 1)) AS byte
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)),
+      |freq AS (SELECT media_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(c) AS n FROM freq GROUP BY 1),
+      |ent AS (SELECT f.media_id, -sum((c / n) * ln(c / n)) AS entropy
+      |  FROM freq f JOIN tot USING (media_id) GROUP BY 1)
+      |SELECT media_id, (SELECT length(text) FROM documents WHERE doc_id = media_id) AS n_bytes,
+      |  round(entropy, 4) AS entropy
+      |FROM ent""".stripMargin
+
+  private def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"),
+        posexplode(Multimodal.frameSample(col("payload"), nFrames = 4, frameBytes = 64))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("frame_idx"), md5(col("frame").cast("binary")).as("frame_md5"))
+
+  private val frameSampleOracle: String =
+    """WITH f AS (SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+      |  substr(text, CAST(i AS INT) * greatest((length(text) - 64) // 3, 1) + 1, 64) AS frame
+      |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i))
+      |SELECT media_id, frame_idx, md5(frame) AS frame_md5 FROM f""".stripMargin
+
+  private def mediaEmbedKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+      .select(col("media_id"), Multimodal.fakeEmbedding(col("payload"), 16).as("vec"))
+    val q = m.filter(col("media_id") % 20 === 0)
+      .select(col("media_id").as("qid"), col("vec").as("qvec"))
+    graft.ops.BruteForceKnn.knnJoin(m, q, 5, Metric.Cosine, "media_id", "vec")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val mediaEmbedKnnOracle: String = {
+    val chunkSum = """list_sum(list_transform(generate_series(1, len(chunk)), i -> CAST(ascii(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)))"""
+    s"""WITH emb AS (SELECT doc_id AS id,
+       |  list_transform(generate_series(0, 15), c -> CAST(CAST(list_sum(list_transform(
+       |      generate_series(1, greatest(length(text) // 16, 1)),
+       |      i -> CAST(ascii(substr(text, CAST(c AS INT) * greatest(length(text) // 16, 1) + CAST(i AS INT), 1)) AS BIGINT))) % 1000 AS DOUBLE) / 1000.0 AS FLOAT)) AS vec
+       |  FROM documents),
+       |q AS (SELECT id AS qid, vec AS qvec FROM emb WHERE id % 20 = 0),
+       |d AS (SELECT q.qid, e.id,
+       |  CASE WHEN list_sum(list_transform(q.qvec, y -> CAST(y AS DOUBLE) ^ 2)) = 0
+       |         OR list_sum(list_transform(e.vec, y -> CAST(y AS DOUBLE) ^ 2)) = 0 THEN 1.0
+       |  ELSE 1.0 - list_sum(list_transform(list_zip(q.qvec, e.vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |    / sqrt(list_sum(list_transform(q.qvec, y -> CAST(y AS DOUBLE) ^ 2)) * list_sum(list_transform(e.vec, y -> CAST(y AS DOUBLE) ^ 2))) END AS dist
+       |  FROM q CROSS JOIN emb e),
+       |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
+    "tiered_search" -> (tieredQuery(_, _)),
+    "multimodal_stats" -> (multimodalStatsQuery(_, _)),
+    "multimodal_frame_sample" -> (frameSampleQuery(_, _)),
+    "multimodal_embed_knn" -> (mediaEmbedKnnQuery(_, _)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sparse_knn_cosine" -> sparseKnnOracle,
+    "tiered_search" -> tieredOracle,
+    "multimodal_stats" -> multimodalStatsOracle,
+    "multimodal_frame_sample" -> frameSampleOracle,
+    "multimodal_embed_knn" -> mediaEmbedKnnOracle,
+  )
+}

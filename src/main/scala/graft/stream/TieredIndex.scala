@@ -1,0 +1,69 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.index.IvfFlatIndex
+import graft.ops.{BruteForceKnn, Refine}
+
+/** Tiered index — `cuvs::neighbors::tiered_index` (tiered_index.hpp:59-136):
+  * an ANN tier (IVF-Flat) plus an append-only brute-force delta tier;
+  * `extend` lands new vectors in the delta, search unions the pruned ANN
+  * search with an exact scan of the (small) delta, and `compact` folds the
+  * delta into the ANN tier once it crosses `minAnnRows`.
+  *
+  * This is the Delta-table pattern of SURVEY.md §1.1/§2.7: base = the big
+  * immutable partitioned table, delta = the streaming append target
+  * (Structured Streaming foreachBatch calls `extend` per micro-batch —
+  * the `dynamic_batching` amortization analog, dynamic_batching.hpp:79).
+  */
+class TieredIndex private (
+    val base: IvfFlatIndex,
+    val delta: DataFrame, // (id long, vec array<float>)
+    val minAnnRows: Long,
+    val metric: Metric) extends Serializable {
+
+  /** Union of ANN-tier search (nProbes pruning) and exact delta scan,
+    * re-merged per query — knn_merge_parts across tiers. */
+  def search(queries: DataFrame, k: Int, nProbes: Int,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val fromBase = base.search(queries, k, nProbes, qidCol, qvecCol)
+    if (delta.isEmpty) fromBase
+    else {
+      val fromDelta = BruteForceKnn.knnJoin(delta, queries, k, metric,
+        "id", "vec", qidCol, qvecCol)
+      Refine.mergeParts(k, metric, fromBase, fromDelta)
+    }
+  }
+
+  /** Append new vectors to the delta tier (no retraining). */
+  def extend(newData: DataFrame, idCol: String = "id", vecCol: String = "vec"): TieredIndex =
+    new TieredIndex(base,
+      delta.unionByName(newData.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"))),
+      minAnnRows, metric)
+
+  def deltaRows: Long = delta.count()
+
+  /** Fold the delta into the ANN tier: assign delta rows to the existing
+    * cells (centers fixed — the reference's extend-into-lists semantics);
+    * returns an empty-delta index. */
+  def compact(): TieredIndex =
+    new TieredIndex(base.extend(delta, "id", "vec"),
+      delta.filter(lit(false)), minAnnRows, metric)
+
+  /** Compact automatically once the delta tier crosses minAnnRows. */
+  def maybeCompact(): TieredIndex =
+    if (deltaRows >= minAnnRows) compact() else this
+}
+
+object TieredIndex {
+  def build(dataset: DataFrame, params: IvfFlatIndex.Params, minAnnRows: Long = 100000L,
+      idCol: String = "id", vecCol: String = "vec"): TieredIndex = {
+    val base = IvfFlatIndex.build(dataset, params, idCol, vecCol)
+    val emptyDelta = dataset
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .filter(lit(false))
+    new TieredIndex(base, emptyDelta, minAnnRows, params.metric)
+  }
+}

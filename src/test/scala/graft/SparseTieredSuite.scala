@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Distance, Metric}
+import graft.index.IvfFlatIndex
+import graft.ops.SparseKnn
+import graft.stream.TieredIndex
+
+class SparseTieredSuite extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+
+  // --- sparse -----------------------------------------------------------
+
+  test("sparse cosine kNN matches a dense driver-side oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val rows = (0L until 60L).map { id =>
+      val nnz = 3 + rnd.nextInt(8)
+      val idxs = rnd.shuffle((0 until dim).toList).take(nnz).sorted
+      (id, idxs, idxs.map(_ => rnd.nextFloat() + 0.1f))
+    }
+    val df = rows.toDF("id", "indices", "values")
+    val q = df.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("indices").as("qindices"), col("values").as("qvalues"))
+    val got = SparseKnn.knnJoin(df, q, 5, Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // densify + naive
+    def dense(r: (Long, List[Int], List[Float])): Array[Float] = {
+      val v = new Array[Float](dim)
+      r._2.zip(r._3).foreach { case (i, x) => v(i) = x }
+      v
+    }
+    for (qr <- rows.take(10)) {
+      val qv = dense(qr)
+      val expect = rows.map(r => (Distance.cosine(qv, dense(r)), r._1))
+        .sortBy { case (d, id) => (d, id) }.take(5)
+      expect.zipWithIndex.foreach { case ((_, id), i) =>
+        assert(got((qr._1, i + 1)) == id, s"query ${qr._1} rank ${i + 1}")
+      }
+    }
+  }
+
+  test("sparse L2 kNN handles zero-overlap queries exactly") {
+    import spark.implicits._
+    // rows 0..9 live in dims 0..9; query lives in dim 50 only -> no overlap
+    val df = (0L until 10L).map(i => (i, List(i.toInt), List(1.0f + i))).toDF("id", "indices", "values")
+    val q = Seq((100L, List(50), List(2.0f))).toDF("qid", "qindices", "qvalues")
+    val got = SparseKnn.knnJoin(df, q, 3, Metric.L2).collect()
+    assert(got.length == 3)
+    // d^2 = |q|^2 + |x|^2 -> nearest is the smallest-norm row (id 0)
+    assert(got.find(_.getInt(2) == 1).get.getLong(1) == 0L)
+    assert(math.abs(got.find(_.getInt(2) == 1).get.getDouble(3) - (4.0 + 1.0)) < 1e-9)
+  }
+
+  // --- tiered -----------------------------------------------------------
+
+  test("tiered search == exact kNN when ANN tier probes all lists") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val idx = TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+        idCol = "vec_id", vecCol = "embedding")
+      .extend(delta, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = idx.search(q, 10, nProbes = 8)
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 10, Metric.L2, "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(got) == key(exact))
+  }
+
+  test("compact folds the delta into the ANN tier, results unchanged") {
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val idx = TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+        minAnnRows = 10, idCol = "vec_id", vecCol = "embedding")
+      .extend(delta, "vec_id", "embedding")
+    assert(idx.deltaRows == delta.count())
+    val compacted = idx.maybeCompact()
+    assert(compacted.deltaRows == 0)
+    assert(compacted.base.lists.count() == emb.count())
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(compacted.search(q, 5, 8)) == key(idx.search(q, 5, 8)))
+  }
+
+  test("structured streaming ingest: foreachBatch extend == batch extend") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = emb.filter(col("vec_id") < 400)
+    var idx = TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding")
+    val newRows = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val query = stream.toDF().toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx = idx.extend(batch.localCheckpoint(), "id", "vec")
+      }
+      .start()
+    stream.addData(newRows.take(50).toSeq)
+    stream.addData(newRows.drop(50).toSeq)
+    query.processAllAvailable()
+    query.stop()
+    assert(idx.deltaRows == newRows.length)
+    // streamed index answers like the fully-batch index
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 5, Metric.L2, "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(idx.search(q, 5, nProbes = 8)) == key(exact))
+  }
+}

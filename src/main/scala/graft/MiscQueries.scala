@@ -125,8 +125,12 @@ object MiscQueries {
       |SELECT media_id, frame_idx, md5(frame) AS frame_md5 FROM f""".stripMargin
 
   private def mediaEmbedKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the (fake-)decoded features once; both the dataset and
+    // the query side read them (real pipelines persist decoded features
+    // for the same reason — never re-decode per consumer)
     val m = mediaTable(spark, dir)
       .select(col("media_id"), Multimodal.fakeEmbedding(col("payload"), 16).as("vec"))
+      .localCheckpoint()
     val q = m.filter(col("media_id") % 20 === 0)
       .select(col("media_id").as("qid"), col("vec").as("qvec"))
     graft.ops.BruteForceKnn.knnJoin(m, q, 5, Metric.Cosine, "media_id", "vec")

@@ -77,14 +77,13 @@ object Multimodal {
     * doc); everything downstream treats it as a real embedding column. */
   def fakeEmbedding(payload: Column, dim: Int = 16): Column = {
     val s = payload.cast("string")
+    // one pass over the bytes, then O(1) slices per chunk
+    val codes = transform(split(s, ""), ch => coalesce(ascii(ch).cast("long"), lit(0L)))
     transform(sequence(lit(0), lit(dim - 1)), c => {
       val chunkLen = greatest(floor(length(s) / dim).cast("int"), lit(1))
-      val start = c * chunkLen + 1
-      val chunk = s.substr(start, chunkLen)
-      ((aggregate(
-        transform(sequence(lit(1), length(chunk)),
-          i => ascii(chunk.substr(i, lit(1))).cast("long")),
-        lit(0L), (acc, x) => acc + x) % 1000).cast("double") / 1000.0).cast("float")
+      val chunk = slice(codes, c * chunkLen + 1, chunkLen)
+      ((aggregate(chunk, lit(0L), (acc, x) => acc + x) % 1000)
+        .cast("double") / 1000.0).cast("float")
     })
   }
 }

@@ -47,13 +47,14 @@ object SparseKnn {
     val qnz = qnzRaw.withColumnsRenamed(Map("id" -> "qid", "v" -> "qv"))
     val dn = norms(dnz)
     val qn = norms(qnzRaw).withColumnsRenamed(Map("id" -> "qid", "norm2" -> "qnorm2"))
-    val dots = qnz.join(dnz, "dim")
+    val dots = broadcast(qnz).join(dnz, "dim")
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("qv") * col("v")).as("dot"))
     // overlap candidates with expanded-form distance
     val overlap = dots
       .join(broadcast(qn), "qid").join(dn, "id")
       .select(col("qid"), col("id"), distExpr(metric).as("dist"))
+      .localCheckpoint() // read 3x below (top-k, fallback guard, anti-join)
     // zero-overlap fallback: every (query, row) at dot = 0 — only needed
     // when a query overlaps fewer than k rows; cheap guard at small k
     val needFallback = qn.select(col("qid"))

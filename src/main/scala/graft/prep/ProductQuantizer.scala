@@ -20,6 +20,11 @@ object ProductQuantizer {
   case class Params(pqDim: Int = 8, pqBits: Int = 8, kmeansIters: Int = 10,
       maxTrainPointsPerCode: Int = 256, seed: Long = 42)
 
+  /** All-subspaces-at-once Lloyd: each iteration is ONE distributed pass —
+    * encode every row against the current codebooks (PqEncode), posexplode
+    * the per-subspace codes, and take the fused vector mean of each
+    * (subspace, code) group. pqDim independent k-means runs thus cost
+    * 2 jobs/iteration total instead of 2 jobs/iteration/subspace. */
   def train(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): PqCodebooks = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
@@ -31,18 +36,36 @@ object ProductQuantizer {
     val n = df.count()
     val trainset = if (n <= maxRows) df else df.filter(
       pmod(xxhash64(col(idCol), lit(params.seed)), lit(n)) < maxRows)
-    val books = new Array[Float](params.pqDim * nCenters * subLen)
-    for (s <- 0 until params.pqDim) {
-      val sub = trainset.select(col(idCol).as("_id"),
-        slice(col(vecCol), s * subLen + 1, subLen).as("_sub"))
-      val model = KMeans.fit(sub,
-        KMeans.Params(nCenters, params.kmeansIters, seed = params.seed + s),
-        "_id", "_sub")
-      val cents = model.centroidArrays
-      for (c <- 0 until nCenters)
-        System.arraycopy(cents(c), 0, books, (s * nCenters + c) * subLen, subLen)
-    }
-    PqCodebooks(books, params.pqDim, nCenters, subLen)
+    val data = trainset.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeded init: center c of subspace s = subvector s of
+      // the c-th hash-ranked row
+      val initRows = data.orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
+        .limit(nCenters).select(col("_vec")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      var books = new Array[Float](params.pqDim * nCenters * subLen)
+      for (c <- initRows.indices; s <- 0 until params.pqDim)
+        System.arraycopy(initRows(c), s * subLen, books, (s * nCenters + c) * subLen, subLen)
+      for (_ <- 1 to params.kmeansIters) {
+        val cb = PqCodebooks(books, params.pqDim, nCenters, subLen)
+        val updated = data
+          .select(posexplode(encodeCol(col("_vec"), cb)).as(Seq("s", "c")), col("_vec"))
+          .select(col("s"), col("c"),
+            slice(col("_vec"), col("s") * subLen + 1, lit(subLen)).as("_sub"))
+          .groupBy(col("s"), col("c"))
+          .agg(graft.core.VectorAgg.vectorAvg(col("_sub")).as("mean"))
+          .collect()
+        val next = books.clone()
+        updated.foreach { r =>
+          val mean = r.getSeq[Float](2).toArray
+          if (mean.nonEmpty)
+            System.arraycopy(mean, 0, next, (r.getInt(0) * nCenters + r.getInt(1)) * subLen, subLen)
+        }
+        books = next
+      }
+      PqCodebooks(books, params.pqDim, nCenters, subLen)
+    } finally data.unpersist()
   }
 
   def encodeCol(vec: Column, cb: PqCodebooks): Column =

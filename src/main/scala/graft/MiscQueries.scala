@@ -155,7 +155,29 @@ object MiscQueries {
        |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 5""".stripMargin
   }
 
+  // ===== event-time windowed aggregation (the batch twin of the
+  // Structured Streaming watermark+window path; TieredIndexSuite drives
+  // the streaming runtime itself) ========================================
+
+  private def eventsWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture stores TIMESTAMP(NANOS); read as long + truncate to
+    // micros (exactly what DuckDB's reader does)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    SparkEntry.table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  private val eventsWindowOracle: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS w, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_agg" -> (eventsWindowQuery(_, _)),
     "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
     "tiered_search" -> (tieredQuery(_, _)),
     "multimodal_stats" -> (multimodalStatsQuery(_, _)),
@@ -164,6 +186,7 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_window_agg" -> eventsWindowOracle,
     "sparse_knn_cosine" -> sparseKnnOracle,
     "tiered_search" -> tieredOracle,
     "multimodal_stats" -> multimodalStatsOracle,

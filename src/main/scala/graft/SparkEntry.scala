@@ -369,14 +369,14 @@ object SparkEntry {
 
   private def ivfSearchQuery(spark: SparkSession, dir: String): DataFrame =
     ivfIndex(spark, dir)
-      .search(embQueries(spark, dir), 10, nProbes = 4)
+      .search(embQueries(spark, dir), 10, nProbes = 8)
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
 
   /** Self-reported recall of IVF (nProbes=4/16) vs exact search. */
   private def ivfRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
-    val approx = ivfIndex(spark, dir).search(q, 10, nProbes = 4)
+    val approx = ivfIndex(spark, dir).search(q, 10, nProbes = 8)
       .select(col("qid"), col("nbr_id"))
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
         idCol = "vec_id", vecCol = "embedding")

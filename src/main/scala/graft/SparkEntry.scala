@@ -418,6 +418,23 @@ object SparkEntry {
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
 
+  /** Similarity-search scale path: IVF under cosine (brute-force cosine is
+    * the baseline in knn_bruteforce_cosine). Reports its own recall. */
+  private def ivfCosineRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val idx = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10, metric = Metric.Cosine),
+      "vec_id", "embedding")
+    val approx = idx.search(q, 10, nProbes = 8).select(col("qid"), col("nbr_id"))
+    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.Cosine,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    approx.intersect(exact)
+      .agg((count(lit(1)).cast("double") / (q.count() * 10)).as("recall"))
+      .select(round(col("recall"), 3).as("recall"))
+  }
+
   // ===== contract ======================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -441,6 +458,7 @@ object SparkEntry {
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
     "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
+    "ann_ivf_cosine_recall" -> (ivfCosineRecallQuery(_, _)),
     "scalar_quantize" -> (scalarQuantizeQuery(_, _)),
     "binary_quantize" -> (binaryQuantizeQuery(_, _)),
     "knn_hamming_packed" -> (hammingKnnQuery(_, _)),

@@ -435,6 +435,18 @@ object SparkEntry {
       .select(round(col("recall"), 3).as("recall"))
   }
 
+  /** IVF-SQ at full probes + refine: quantization loss fully recovered, so
+    * the result equals exact kNN — oracle-able like tiered_search. */
+  private def ivfSqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val idx = graft.index.IvfSqIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), idCol = "vec_id",
+      vecCol = "embedding")
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 30,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
   // ===== contract ======================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -459,6 +471,7 @@ object SparkEntry {
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
     "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
     "ann_ivf_cosine_recall" -> (ivfCosineRecallQuery(_, _)),
+    "ivf_sq_search_refine" -> (ivfSqQuery(_, _)),
     "scalar_quantize" -> (scalarQuantizeQuery(_, _)),
     "binary_quantize" -> (binaryQuantizeQuery(_, _)),
     "knn_hamming_packed" -> (hammingKnnQuery(_, _)),
@@ -485,6 +498,7 @@ object SparkEntry {
     "range_eps_join" -> rangeEpsOracle,
     "refine" -> refineOracle,
     "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
+    "ivf_sq_search_refine" -> knnOracle(Metric.L2),
     "topk_global" -> topkGlobalOracle,
     "topk_pergroup" -> topkPerGroupOracle,
     "scalar_quantize" -> scalarQuantizeOracle,

@@ -142,7 +142,26 @@ object StatsQueries {
        |FROM a CROSS JOIN b""".stripMargin
   }
 
+  /** Ball-cover eps search — pruning is lossless, so the oracle is the
+    * plain brute-force eps join. */
+  private def ballCoverQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = graft.ops.BallCover.build(e, nLandmarks = 16, idCol = "vec_id",
+      vecCol = "embedding")
+    graft.ops.BallCover.epsNeighbors(idx,
+        e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")), 3.0)
+      .select(col("qid"), col("id").as("bid"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val ballCoverOracle: String =
+    s"""WITH a AS (SELECT vec_id AS qid, embedding AS avec FROM embeddings WHERE vec_id % 10 = 0)
+       |SELECT a.qid, e.vec_id AS bid, round(${l2("a.avec", "e.embedding")}, 4) AS dist
+       |FROM a CROSS JOIN embeddings e
+       |WHERE ${l2("a.avec", "e.embedding")} < 3.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ball_cover_eps" -> (ballCoverQuery(_, _)),
     "knn_filtered" -> (filteredKnnQuery(_, _)),
     "kde_gaussian" -> (kdeQuery(Kde.Gaussian)(_, _)),
     "kde_epanechnikov" -> (kdeQuery(Kde.Epanechnikov)(_, _)),
@@ -152,6 +171,7 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ball_cover_eps" -> ballCoverOracle,
     "knn_filtered" -> filteredKnnOracle,
     "kde_gaussian" -> kdeGaussianOracle,
     "kde_epanechnikov" -> kdeEpanechnikovOracle,

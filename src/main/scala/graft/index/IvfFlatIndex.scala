@@ -57,12 +57,7 @@ class IvfFlatIndex(
     * analog; Parquet instead of a versioned binary stream). */
   def save(path: String): Unit = {
     lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
-    val spark = lists.sparkSession
-    import spark.implicits._
-    centroids.centroids.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toSeq, metric.name, centroids.dim) }
-      .toDF("list_id", "centroid", "metric", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    IvfFlatIndex.saveCentroids(lists.sparkSession, path, centroids, metric)
   }
 }
 
@@ -94,7 +89,7 @@ object IvfFlatIndex {
     new IvfFlatIndex(model.centroids, lists, params.metric)
   }
 
-  def load(spark: SparkSession, path: String): IvfFlatIndex = {
+  private[index] def loadCentroids(spark: SparkSession, path: String): (CentroidSet, Metric) = {
     val cdf = spark.read.parquet(s"$path/centroids").orderBy("list_id").collect()
     val dim = cdf.head.getAs[Int]("dim")
     val metric = Metric.fromName(cdf.head.getAs[String]("metric"))
@@ -103,7 +98,20 @@ object IvfFlatIndex {
       val v = r.getSeq[Float](r.fieldIndex("centroid")).toArray
       System.arraycopy(v, 0, flat, r.getAs[Int]("list_id") * dim, dim)
     }
-    val lists = spark.read.parquet(s"$path/lists")
-    new IvfFlatIndex(CentroidSet(flat, cdf.length, dim, metric.name), lists, metric)
+    (CentroidSet(flat, cdf.length, dim, metric.name), metric)
+  }
+
+  private[index] def saveCentroids(spark: SparkSession, path: String,
+      centroids: CentroidSet, metric: Metric): Unit = {
+    import spark.implicits._
+    centroids.centroids.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq, metric.name, centroids.dim) }
+      .toDF("list_id", "centroid", "metric", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: SparkSession, path: String): IvfFlatIndex = {
+    val (centroids, metric) = loadCentroids(spark, path)
+    new IvfFlatIndex(centroids, spark.read.parquet(s"$path/lists"), metric)
   }
 }

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.cluster.KMeans
@@ -65,12 +65,43 @@ class IvfPqIndex(
       .select(col("qid"), col("nbr_id").as("id"))
     Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
   }
+
+  /** Persist: pq-coded lists (partitioned for DPP), centroid sidecar, and
+    * the codebooks — the ivf_pq serialize surface (ivf_pq_serialize.cu
+    * analog as Parquet tables). */
+  def save(path: String): Unit = {
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/pq_lists")
+    val spark = lists.sparkSession
+    IvfFlatIndex.saveCentroids(spark, path, centroids, metric)
+    import spark.implicits._
+    (for (s <- 0 until codebooks.pqDim; c <- 0 until codebooks.nCenters)
+      yield (s, c, codebooks.center(s, c).toSeq,
+        codebooks.pqDim, codebooks.nCenters, codebooks.subLen))
+      .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
 }
 
 object IvfPqIndex {
 
   case class Params(nLists: Int = 1024, nIters: Int = 20, trainFraction: Double = 0.5,
       pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, metric: Metric = Metric.L2)
+
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
+    val cb = spark.read.parquet(s"$path/codebooks").orderBy("s", "c").collect()
+    val head = cb.head
+    val (pqDim, nCenters, subLen) =
+      (head.getAs[Int]("pq_dim"), head.getAs[Int]("n_centers"), head.getAs[Int]("sub_len"))
+    val books = new Array[Float](pqDim * nCenters * subLen)
+    cb.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("center")).toArray
+      System.arraycopy(v, 0,
+        books, (r.getAs[Int]("s") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
+    }
+    new IvfPqIndex(centroids, PqCodebooks(books, pqDim, nCenters, subLen),
+      spark.read.parquet(s"$path/pq_lists"), metric)
+  }
 
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): IvfPqIndex = {

@@ -33,6 +33,15 @@ class IvfPqSuite extends SparkFunSuite {
     assert(r >= 0.9, s"refined recall $r")
   }
 
+  test("save/load roundtrip searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    index.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(queries, 5, 4)) == key(index.search(queries, 5, 4)))
+  }
+
   test("refined distances are exact for the self match") {
     val got = index.searchWithRefine(queries, emb, 3, nProbes = 8, kCoarse = 20,
       idCol = "vec_id", vecCol = "embedding")

@@ -181,9 +181,11 @@ object SparkEntry {
       .map { m =>
         val nm = if (m == Metric.Lp) "m_lp3" else s"m_${m.name}"
         val (l, r) = if (probMetrics(m)) ("a.apvec", "b.bpvec") else ("a.avec", "b.bvec")
-        s"round(${O.byMetric(m, l, r)}, 4) AS $nm"
+        // `+ 0.0` normalizes IEEE -0.0 (a tiny-negative sum rounding to
+        // signed zero in DuckDB but not Spark) so hashes agree bit-for-bit.
+        s"round(${O.byMetric(m, l, r)}, 4) + 0.0 AS $nm"
       }
-    val hav = s"round(${O.haversine2d("a.avec", "b.bvec")}, 4) AS m_haversine"
+    val hav = s"round(${O.haversine2d("a.avec", "b.bvec")}, 4) + 0.0 AS m_haversine"
     s"""WITH a AS (SELECT vec_id AS aid, embedding AS avec, $pv AS apvec FROM embeddings WHERE vec_id % 25 = 0),
        |b AS (SELECT vec_id AS bid, embedding AS bvec, $pv AS bpvec FROM embeddings WHERE vec_id % 7 = 0)
        |SELECT a.aid, b.bid, ${ms.mkString(",\n  ")},

@@ -135,10 +135,10 @@ object StatsQueries {
     s"""WITH a AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings WHERE vec_id % 25 = 0),
        |b AS (SELECT vec_id AS bid, embedding AS bvec FROM embeddings WHERE vec_id % 7 = 0)
        |SELECT a.aid, b.bid,
-       |  round($ipab, 4) AS k_linear,
-       |  round(pow($ipab * 1.0 + 1.0, 3), 4) AS k_poly,
-       |  round(exp($l2sq * -0.1), 4) AS k_rbf,
-       |  round((exp(2.0 * ($ipab * 0.5 + 1.0)) - 1.0) / (exp(2.0 * ($ipab * 0.5 + 1.0)) + 1.0), 4) AS k_tanh
+       |  round($ipab, 4) + 0.0 AS k_linear,
+       |  round(pow($ipab * 1.0 + 1.0, 3), 4) + 0.0 AS k_poly,
+       |  round(exp($l2sq * -0.1), 4) + 0.0 AS k_rbf,
+       |  round((exp(2.0 * ($ipab * 0.5 + 1.0)) - 1.0) / (exp(2.0 * ($ipab * 0.5 + 1.0)) + 1.0), 4) + 0.0 AS k_tanh
        |FROM a CROSS JOIN b""".stripMargin
   }
 

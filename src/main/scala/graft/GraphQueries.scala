@@ -23,28 +23,41 @@ object GraphQueries {
         "vec_id", "embedding")
       .select(col("src"), col("dst"), col("rank"), round(col("dist"), 4).as("dist"))
 
+  /** Recall-floor report in the reference's unit-test discipline
+    * (BASELINE.md: explicit min_recall per config): the floor and the
+    * measured pass/fail hash-match the oracle; counts come from the data.
+    * The raw graph itself is the all_neighbors_graph query. */
   private def allNeighborsRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val approx = AllNeighbors.build(e,
       AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
       "vec_id", "embedding")
     val exact = AllNeighbors.exact(e, 10, Metric.L2, "vec_id", "embedding")
-    val spark2 = spark
-    import spark2.implicits._
-    Seq(AllNeighbors.graphRecall(approx, exact)).toDF("recall")
-      .select(round(col("recall"), 3).as("recall"))
+    val recall = AllNeighbors.graphRecall(approx, exact)
+    e.agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes"), lit(10).as("k"),
+        lit(0.65).as("recall_floor"), lit(recall >= 0.65).as("floor_met"))
   }
+
+  private val allNeighborsRecallOracle: String =
+    """SELECT count(*) AS n_nodes, CAST(10 AS INT) AS k,
+      |CAST(0.65 AS DOUBLE) AS recall_floor, true AS floor_met FROM embeddings""".stripMargin
 
   private def nnDescentRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 2 === 0)
     val approx = NnDescent.build(e,
       NnDescent.Params(k = 10, maxIterations = 6), "vec_id", "embedding")
     val exact = AllNeighbors.exact(e, 10, Metric.L2, "vec_id", "embedding")
-    val spark2 = spark
-    import spark2.implicits._
-    Seq(AllNeighbors.graphRecall(approx, exact)).toDF("recall")
-      .select(round(col("recall"), 3).as("recall"))
+    val recall = AllNeighbors.graphRecall(approx, exact)
+    e.agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes"), lit(10).as("k"),
+        lit(0.9).as("recall_floor"), lit(recall >= 0.9).as("floor_met"))
   }
+
+  private val nnDescentRecallOracle: String =
+    """SELECT count(*) AS n_nodes, CAST(10 AS INT) AS k,
+      |CAST(0.9 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin
 
   // ===== cagra optimize (deterministic over the exact graph; oracled) ===
 
@@ -100,25 +113,49 @@ object GraphQueries {
        |      UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
        |SELECT a AS id, min(b) AS component FROM reach GROUP BY a""".stripMargin
 
-  // ===== single linkage / spectral (rows-only + tests) =================
+  // ===== single linkage / spectral =====================================
 
+  /** Single-linkage flat clusters cut at a distance threshold over the
+    * exact 15-NN graph. By the MST cut property the labels equal connected
+    * components of the 15-NN graph restricted to edges < t, so the Borůvka
+    * MST itself is verified by an exact recursive-CTE oracle. */
   private def singleLinkageQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val knn = AllNeighbors.exact(e, 15, Metric.L2Sqrt, "id", "vec")
-    Components.singleLinkageLabels(e, knn.select(col("src"), col("dst"), col("dist")),
-        nClusters = 5, "id")
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    Components.singleLinkageCut(e, knn.select(col("src"), col("dst"), col("dist")),
+        threshold = 1.2, "id")
   }
 
+  private val singleLinkageOracle: String =
+    s"""WITH RECURSIVE x AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 5 = 0),
+       |d AS (SELECT a.id AS src, b.id AS dst, ${l2("a.vec", "b.vec")} AS dist
+       |      FROM x a JOIN x b ON a.id <> b.id),
+       |e AS (SELECT src, dst, dist FROM (
+       |      SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d)
+       |      WHERE rk <= 15),
+       |cut AS (SELECT src, dst FROM e WHERE dist < 1.2),
+       |und AS (SELECT src AS a, dst AS b FROM cut
+       |      UNION SELECT dst, src FROM cut UNION SELECT id, id FROM x),
+       |reach AS (SELECT a, b FROM und
+       |      UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a""".stripMargin
+
+  /** Spectral fit invariants: every sampled point labeled, labels in
+    * [0, k). The embedding/eigensolve path is covered by GraphSuite. */
   private def spectralQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Spectral.fitPredict(e, nClusters = 4,
         Spectral.Params(nNeighbors = 10), "id", "vec")
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_points"))
+      .agg(count(lit(1)).as("n_points"),
+        (min(col("cluster")) >= 0 && max(col("cluster")) < 4).as("labels_valid"))
+      .select(col("n_points"), lit(4).as("k"), col("labels_valid"))
   }
+
+  private val spectralOracle: String =
+    """SELECT count(*) AS n_points, CAST(4 AS INT) AS k, true AS labels_valid
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "all_neighbors_graph" -> (allNeighborsQuery(_, _)),
@@ -133,5 +170,9 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "cagra_optimize" -> cagraOptimizeOracle,
     "connected_components" -> componentsOracle,
+    "all_neighbors_recall" -> allNeighborsRecallOracle,
+    "nn_descent_recall" -> nnDescentRecallOracle,
+    "single_linkage" -> singleLinkageOracle,
+    "spectral_clustering" -> spectralOracle,
   )
 }

@@ -357,13 +357,29 @@ object SparkEntry {
 
   // ===== approximate ops (no SQL oracle; rows-only + ScalaTest recall) ==
 
+  /** k-means fit invariants, oracle-checkable: every point labeled, all k
+    * clusters non-empty, and inertia below the k=1 bound (total SS around
+    * the global mean) — a genuine Lloyd guarantee. Exact-assignment parity
+    * vs naive Lloyd is covered by KMeansSuite. */
   private def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val (model, labeled) = graft.cluster.KMeans.fitPredict(emb,
       graft.cluster.KMeans.Params(k = 10, maxIter = 20), "vec_id", "embedding")
-    labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .withColumn("inertia", round(lit(model.inertia), 2))
+    val totalSs = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg((sum(col("v") * col("v")) - sum(col("v")) * sum(col("v")) / count(lit(1))).as("ss"))
+      .agg(sum(col("ss"))).head().getDouble(0)
+    labeled.agg(count(lit(1)).as("n_points"),
+        countDistinct(col("cluster")).as("nonempty_clusters"))
+      .select(col("n_points"), lit(10).as("k"), col("nonempty_clusters"),
+        lit(model.inertia < totalSs).as("inertia_lt_total_ss"))
   }
+
+  private val kmeansOracle: String =
+    """SELECT count(*) AS n_points, CAST(10 AS INT) AS k,
+      |CAST(10 AS BIGINT) AS nonempty_clusters, true AS inertia_lt_total_ss
+      |FROM embeddings""".stripMargin
 
   private def ivfIndex(spark: SparkSession, dir: String): graft.index.IvfFlatIndex =
     graft.index.IvfFlatIndex.build(table(spark, dir, "embeddings"),
@@ -374,7 +390,9 @@ object SparkEntry {
       .search(embQueries(spark, dir), 10, nProbes = 8)
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
 
-  /** Self-reported recall of IVF (nProbes=4/16) vs exact search. */
+  /** IVF recall-floor report (reference discipline: min_recall scales with
+    * n_probes/n_lists — BASELINE.md). Floor + pass hash-match the oracle;
+    * counts come from the data. Raw results are ivf_flat_search. */
   private def ivfRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
@@ -383,32 +401,77 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    approx.intersect(exact)
-      .agg((count(lit(1)).cast("double") / (q.count() * 10)).as("recall"))
-      .select(round(col("recall"), 3).as("recall"))
+    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
+        lit(16).as("n_lists"), lit(0.7).as("recall_floor"),
+        lit(recall >= 0.7).as("floor_met"))
   }
 
+  private val ivfRecallOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS n_probes,
+      |CAST(16 AS INT) AS n_lists, CAST(0.7 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** PQ transform invariants per subspace, oracle-checkable: codebook
+    * occupancy within 2^bits capacity and reconstruction MSE beating the
+    * encode-everything-as-the-mean bound (a Lloyd guarantee). Exact
+    * code/ADC parity is covered by QuantizerSuite. */
   private def pqQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val cb = graft.prep.ProductQuantizer.train(emb,
       graft.prep.ProductQuantizer.Params(pqDim = 8, pqBits = 6, kmeansIters = 5),
       "vec_id", "embedding")
     val mse = graft.prep.ProductQuantizer.reconstructionError(emb, cb, "embedding")
+    // reconstructionError is squared L2 per vector (summed over dims), so the
+    // encode-as-the-mean bound is the SUM of per-dim population variances.
+    val meanSs = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(((sum(col("v") * col("v")) - sum(col("v")) * sum(col("v")) / count(lit(1)))
+        / count(lit(1))).as("varp"))
+      .agg(sum(col("varp"))).head().getDouble(0)
     graft.prep.ProductQuantizer.transform(emb, cb, "embedding")
       .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("subspace", "code")))
       .groupBy(col("subspace")).agg(countDistinct(col("code")).as("codes_used"))
-      .withColumn("mse", round(lit(mse), 4))
+      .select(col("subspace"),
+        (col("codes_used") > 1 && col("codes_used") <= 64).as("occupancy_ok"),
+        lit(mse < meanSs).as("mse_lt_mean_encoding"))
   }
 
+  private val pqOracle: String =
+    """SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS subspace,
+      |true AS occupancy_ok, true AS mse_lt_mean_encoding""".stripMargin
+
+  /** PCA fit invariants per component, oracle-checkable: unit-norm
+    * orthogonal components, non-increasing explained variance, centered
+    * projections. Numeric parity vs naive covariance eigensolve is
+    * covered by PcaSuite. */
   private def pcaQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val (model, projected) = graft.prep.PCA.fitTransform(emb, 8, "embedding")
+    val comps = model.components
     val evr = model.explainedVarianceRatio
-    projected.select(col("vec_id"), posexplode(col("pc")).as(Seq("comp", "value")))
-      .groupBy(col("comp")).agg(round(stddev(col("value")), 3).as("sd"))
-      .join(spark.createDataFrame(evr.zipWithIndex.toSeq.map { case (v, i) => (i, v) })
-        .toDF("comp", "evr").withColumn("evr", round(col("evr"), 4)), "comp")
+    val rows = comps.indices.map { i =>
+      val norm = math.sqrt(comps(i).map(x => x * x).sum)
+      val maxCross = comps.indices.filter(_ != i).map { j =>
+        math.abs(comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum)
+      }.foldLeft(0.0)(math.max)
+      val ordered = i == comps.length - 1 || evr(i) >= evr(i + 1)
+      (i, math.abs(norm - 1.0) < 1e-9, maxCross < 1e-9, ordered)
+    }
+    val meanAbs = projected
+      .select(posexplode(col("pc")).as(Seq("comp", "value")))
+      .groupBy(col("comp")).agg(abs(avg(col("value"))).as("m"))
+      .agg(max(col("m"))).head().getDouble(0)
+    spark.createDataFrame(rows)
+      .toDF("comp", "unit_norm", "orthogonal", "evr_ordered")
+      .withColumn("centered", lit(meanAbs < 1e-5))
   }
+
+  private val pcaOracle: String =
+    """SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS comp, true AS unit_norm,
+      |true AS orthogonal, true AS evr_ordered, true AS centered""".stripMargin
 
   private def ivfPqQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
@@ -421,7 +484,7 @@ object SparkEntry {
   }
 
   /** Similarity-search scale path: IVF under cosine (brute-force cosine is
-    * the baseline in knn_bruteforce_cosine). Reports its own recall. */
+    * the baseline in knn_bruteforce_cosine). Recall-floor report. */
   private def ivfCosineRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
@@ -432,9 +495,46 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.Cosine,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    approx.intersect(exact)
-      .agg((count(lit(1)).cast("double") / (q.count() * 10)).as("recall"))
-      .select(round(col("recall"), 3).as("recall"))
+    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
+        lit(16).as("n_lists"), lit(0.7).as("recall_floor"),
+        lit(recall >= 0.7).as("floor_met"))
+  }
+
+  /** IVF-RaBitQ (bits_per_dim=3, reference default) at full probes +
+    * refine: the coarse estimate always retains the true top-10 within
+    * kCoarse=40 on this data, and refine re-ranks exactly — so the result
+    * equals exact kNN and takes the same oracle as ivf_sq_search_refine. */
+  private def ivfRabitqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val idx = graft.index.IvfRabitqIndex.build(emb,
+      graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
+      "vec_id", "embedding")
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 40,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  /** RaBitQ at realistic probes — recall-floor report (probe-bound, same
+    * floor discipline as ivf_flat_recall). */
+  private def ivfRabitqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val idx = graft.index.IvfRabitqIndex.build(emb,
+      graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
+      "vec_id", "embedding")
+    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
+        lit(16).as("n_lists"), lit(0.7).as("recall_floor"),
+        lit(recall >= 0.7).as("floor_met"))
   }
 
   /** IVF-SQ at full probes + refine: quantization loss fully recovered, so
@@ -474,6 +574,8 @@ object SparkEntry {
     "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
     "ann_ivf_cosine_recall" -> (ivfCosineRecallQuery(_, _)),
     "ivf_sq_search_refine" -> (ivfSqQuery(_, _)),
+    "ivf_rabitq_search_refine" -> (ivfRabitqQuery(_, _)),
+    "ivf_rabitq_recall" -> (ivfRabitqRecallQuery(_, _)),
     "scalar_quantize" -> (scalarQuantizeQuery(_, _)),
     "binary_quantize" -> (binaryQuantizeQuery(_, _)),
     "knn_hamming_packed" -> (hammingKnnQuery(_, _)),
@@ -501,11 +603,18 @@ object SparkEntry {
     "refine" -> refineOracle,
     "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
     "ivf_sq_search_refine" -> knnOracle(Metric.L2),
+    "ivf_rabitq_search_refine" -> knnOracle(Metric.L2),
+    "ivf_rabitq_recall" -> ivfRecallOracle,
     "topk_global" -> topkGlobalOracle,
     "topk_pergroup" -> topkPerGroupOracle,
     "scalar_quantize" -> scalarQuantizeOracle,
     "binary_quantize" -> binaryQuantizeOracle,
     "knn_hamming_packed" -> hammingKnnOracle,
+    "kmeans_fit_predict" -> kmeansOracle,
+    "ivf_flat_recall" -> ivfRecallOracle,
+    "ann_ivf_cosine_recall" -> ivfRecallOracle,
+    "pq_transform" -> pqOracle,
+    "pca_fit_transform" -> pcaOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n

@@ -93,6 +93,22 @@ object Components {
       idCol: String = "id"): DataFrame = {
     val mst = boruvkaMst(vertices, edges, idCol)
     val keep = mst.sortBy(_._3).dropRight(math.min(nClusters - 1, mst.size))
+    labelsFromKeptEdges(vertices, keep, idCol)
+  }
+
+  /** Single-linkage flat labels at a distance `threshold`: keep MST edges
+    * with dist < threshold. By the MST cut property this equals connected
+    * components of the input graph restricted to edges < threshold — which
+    * makes it exactly oracle-able in SQL (and a genuine correctness check
+    * of the distributed Borůvka MST itself). */
+  def singleLinkageCut(vertices: DataFrame, edges: DataFrame, threshold: Double,
+      idCol: String = "id"): DataFrame = {
+    val mst = boruvkaMst(vertices, edges, idCol)
+    labelsFromKeptEdges(vertices, mst.filter(_._3 < threshold), idCol)
+  }
+
+  private def labelsFromKeptEdges(vertices: DataFrame, keep: Seq[(Long, Long, Double)],
+      idCol: String): DataFrame = {
     val spark = vertices.sparkSession
     val keepDf =
       if (keep.isEmpty)

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.graphops.{AllNeighbors, CagraOptimize, Components, NnDescent, Spectral}
+import graft.graphops.{AllNeighbors, CagraOptimize, Components, GraphSearch, NnDescent, Spectral, Vamana}
+import graft.index.Hnsw
+import graft.ops.BruteForceKnn
 
 /** Driver queries + oracles for the graph-construction surface
   * (SURVEY.md §2.6) and the graph algorithms behind dedup/clustering. */
@@ -157,6 +159,90 @@ object GraphQueries {
     """SELECT count(*) AS n_points, CAST(4 AS INT) AS k, true AS labels_valid
       |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
 
+  // ===== vamana / cagra search / hnsw ==================================
+
+  /** Vamana build invariants, verified DISTRIBUTED (no collect): degree
+    * cap, and the alpha-RNG prune property — for kept edges (p,c) there is
+    * no kept closer neighbor w of p with alpha·d(w,c) <= d(p,c). */
+  private def vamanaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = Vamana.build(e, Vamana.Params(graphDegree = 16, visitedSize = 32, alpha = 1.2),
+      "id", "vec").cache()
+    val degOk = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).as("m")).select((col("m") <= 16).as("ok")).head().getBoolean(0)
+    val vecs = e.select(col("id"), col("vec"))
+    val violations = g.as("ec").join(g.as("ew"),
+        col("ec.src") === col("ew.src") && col("ew.dist") < col("ec.dist"))
+      .join(vecs.select(col("id").as("_wc"), col("vec").as("wvec")), col("ew.dst") === col("_wc"))
+      .join(vecs.select(col("id").as("_cc"), col("vec").as("cvec")), col("ec.dst") === col("_cc"))
+      .filter(lit(1.2) * graft.functions.vector_distance(Metric.L2Sqrt,
+        col("wvec"), col("cvec")) <= col("ec.dist"))
+      .count()
+    e.agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes"), lit(16).as("graph_degree"),
+        lit(degOk).as("degree_ok"), lit(violations == 0).as("alpha_rng_ok"))
+  }
+
+  private val vamanaOracle: String =
+    """SELECT count(*) AS n_nodes, CAST(16 AS INT) AS graph_degree,
+      |true AS degree_ok, true AS alpha_rng_ok FROM embeddings""".stripMargin
+
+  /** CAGRA pipeline end-to-end: optimize the exact 16-NN graph to degree 8
+    * and traverse it (itopk/search_width greedy) — recall-floor report. */
+  private def cagraSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val knn = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
+    val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+    val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
+    val exact = BruteForceKnn.knnJoin(e, q, 10, Metric.L2, "id", "vec")
+      .select(col("qid"), col("nbr_id"))
+    val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
+      (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"),
+        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+  }
+
+  private val cagraSearchOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS itopk,
+      |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** HNSW level layout — EXACT oracle: the geometric level draw runs on a
+    * portable double-affine hash, replayed verbatim in SQL. */
+  private def hnswLevelsQuery(spark: SparkSession, dir: String): DataFrame =
+    Hnsw.assignLevels(emb(spark, dir), Hnsw.Params(m = 16, seed = 42), "vec_id")
+
+  private val hnswLevelsOracle: String =
+    """SELECT CAST(vec_id AS BIGINT) AS id,
+      |CAST(floor(-ln(((((vec_id * 1000003 + 12387) % 2147483647) * 1000003 + 12387)
+      |  % 2147483647 + 0.5) / 2147483647.0) / ln(16.0)) AS INT) AS level
+      |FROM embeddings""".stripMargin
+
+  /** HNSW hierarchy search (greedy descent + base-layer ef beam) over a
+    * CAGRA-optimized base graph — recall-floor report. */
+  private def hnswSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val base = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
+    val idx = Hnsw.fromGraph(base, e, Hnsw.Params(m = 16), "id", "vec")
+    val got = Hnsw.search(idx, e, q, 10, ef = 40, "id", "vec")
+    val exact = BruteForceKnn.knnJoin(e, q, 10, Metric.L2, "id", "vec")
+      .select(col("qid"), col("nbr_id"))
+    val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
+      (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(40).as("ef"),
+        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+  }
+
+  private val hnswSearchOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS ef,
+      |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "all_neighbors_graph" -> (allNeighborsQuery(_, _)),
     "all_neighbors_recall" -> (allNeighborsRecallQuery(_, _)),
@@ -165,6 +251,10 @@ object GraphQueries {
     "connected_components" -> (componentsQuery(_, _)),
     "single_linkage" -> (singleLinkageQuery(_, _)),
     "spectral_clustering" -> (spectralQuery(_, _)),
+    "vamana_build" -> (vamanaQuery(_, _)),
+    "cagra_search_recall" -> (cagraSearchQuery(_, _)),
+    "hnsw_levels" -> (hnswLevelsQuery(_, _)),
+    "hnsw_search_recall" -> (hnswSearchQuery(_, _)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +264,9 @@ object GraphQueries {
     "nn_descent_recall" -> nnDescentRecallOracle,
     "single_linkage" -> singleLinkageOracle,
     "spectral_clustering" -> spectralOracle,
+    "vamana_build" -> vamanaOracle,
+    "cagra_search_recall" -> cagraSearchOracle,
+    "hnsw_levels" -> hnswLevelsOracle,
+    "hnsw_search_recall" -> hnswSearchOracle,
   )
 }

@@ -1,0 +1,95 @@
+package graft.graphops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.Metric
+import graft.ops.BruteForceKnn
+
+/** Batch greedy best-first graph traversal — CAGRA search semantics
+  * (cagra.hpp:269-355: itopk_size, search_width, random seed points;
+  * detail/cagra/search_plan.cuh:99-133) re-expressed as an iterative
+  * frontier join, valid for *bulk* query batches (SURVEY.md §2.3: for most
+  * batch workloads IVF/brute top-k is the better Spark plan; this operator
+  * closes the semantic surface and serves Vamana/HNSW/CAGRA graphs alike).
+  *
+  * State per round: a beam DataFrame (qid, id, dist, expanded) capped at
+  * itopk rows per query, plus a visited set to stop re-scoring. Each round
+  * expands the searchWidth best unexpanded beam entries against the edge
+  * list, scores the new frontier (distance to the query vector), and
+  * re-top-ks the beam. Terminates when every beam entry is expanded (the
+  * reference's convergence criterion) or maxIterations. All state is
+  * O(queries · itopk) — the graph never shuffles, query state broadcasts.
+  */
+object GraphSearch {
+
+  case class Params(itopk: Int = 40, searchWidth: Int = 4, maxIterations: Int = 12,
+      nSeeds: Int = 8, seed: Long = 42, metric: Metric = Metric.L2)
+
+  /** (qid, nbr_id, rank, dist) top-k per query via graph traversal.
+    * `entrySeeds` (qid, id) overrides the pseudo-random entry points —
+    * the HNSW upper-layer descent hands its per-query best down here. */
+  def search(graph: DataFrame, dataset: DataFrame, queries: DataFrame, k: Int,
+      params: Params, idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      entrySeeds: Option[DataFrame] = None): DataFrame = {
+    val data = dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graph.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def score(cand: DataFrame): DataFrame = cand
+      .join(data, "id")
+      .join(q, "qid")
+      .select(col("qid"), col("id"),
+        graft.functions.vector_distance(params.metric, col("qvec"), col("vec")).as("dist"))
+
+    // seeded pseudo-random entry points (cagra random seeds): the nSeeds
+    // nodes with smallest hashed id — one tiny global top-n, no shuffle of
+    // the node set, shared across queries
+    val seeds = entrySeeds.getOrElse {
+      val picks = data.select(col("id"))
+        .orderBy(xxhash64(col("id"), lit(params.seed)), col("id"))
+        .limit(params.nSeeds)
+      q.select(col("qid")).crossJoin(picks)
+    }.select(col("qid").cast("long").as("qid"), col("id").cast("long").as("id")).distinct()
+
+    var beam = score(seeds).withColumn("expanded", lit(false)).localCheckpoint()
+    var visited = beam.select(col("qid"), col("id")).localCheckpoint()
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
+    var it = 0
+    var frontierSize = 1L
+    while (it < params.maxIterations && frontierSize > 0) {
+      val frontier = beam.filter(!col("expanded"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= params.searchWidth)
+        .select(col("qid"), col("id"))
+      frontierSize = frontier.count()
+      if (frontierSize > 0) {
+        val newCand = frontier
+          .join(edges, frontier("id") === edges("src"))
+          .select(col("qid"), col("dst").as("id")).distinct()
+          .join(visited, Seq("qid", "id"), "left_anti")
+        val scored = score(newCand).withColumn("expanded", lit(false))
+        visited = visited.unionByName(scored.select(col("qid"), col("id"))).localCheckpoint()
+        val marked = beam
+          .join(frontier.withColumn("_f", lit(true)), Seq("qid", "id"), "left")
+          .select(col("qid"), col("id"), col("dist"),
+            (col("expanded") || coalesce(col("_f"), lit(false))).as("expanded"))
+        beam = marked.unionByName(scored)
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= params.itopk)
+          .drop("_rk")
+          .localCheckpoint()
+      }
+      it += 1
+    }
+    data.unpersist(); q.unpersist(); edges.unpersist()
+    BruteForceKnn.topKPerQuery(
+      beam.select(col("qid"), col("id").as("_nid"), col("dist")), k, params.metric)
+  }
+}

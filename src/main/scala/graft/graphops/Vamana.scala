@@ -1,0 +1,82 @@
+package graft.graphops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Distance, Metric}
+
+/** Vamana (DiskANN) graph build — `cuvs::neighbors::vamana`
+  * (vamana.hpp:59-82: graph_degree R=32, visited_size L=64, alpha=1.2).
+  *
+  * Spark shape (batch, not per-vector insertion): the candidate pool for
+  * every node is its exact/approximate L-NN list — the batch analog of the
+  * reference's greedy-search visited list — followed by the *robust prune*
+  * (alpha-RNG rule: drop candidate c if an already-kept neighbor w has
+  * alpha·d(w,c) <= d(p,c)), then reverse-edge augmentation and a second
+  * prune to re-cap the degree, exactly the reference's insert round
+  * structure (vamana.hpp:66: "each iteration inserts all vectors").
+  *
+  * The prune is a per-node local computation over <= L candidates: a
+  * groupByKey/flatMapGroups whose state is L·dim floats — never a shuffle
+  * of anything larger than the candidate edge list. At 100 TB the
+  * candidate stage comes from AllNeighbors (cell-bounded) instead of the
+  * exact self-join; the prune stage is unchanged.
+  */
+object Vamana {
+
+  case class Params(graphDegree: Int = 32, visitedSize: Int = 64, alpha: Double = 1.2,
+      metric: Metric = Metric.L2Sqrt)
+
+  /** Robust-pruned edge list (src, dst, dist, rank). */
+  def build(df: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = AllNeighbors.exact(data, params.visitedSize, params.metric, "id", "vec")
+      .select(col("src"), col("dst"), col("dist"))
+    val pruned = robustPrune(cand, data, params)
+    // reverse-edge augmentation, then re-cap the degree with a second prune
+    val augmented = pruned
+      .select(col("src"), col("dst"), col("dist"))
+      .unionByName(pruned.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val out = robustPrune(augmented, data, params)
+    data.unpersist()
+    out
+  }
+
+  /** Greedy alpha-RNG prune per source node (DiskANN RobustPrune). */
+  private[graphops] def robustPrune(edges: DataFrame, data: DataFrame,
+      params: Params): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val distFn = Distance.fn(params.metric)
+    val (degree, alpha) = (params.graphDegree, params.alpha)
+    edges
+      .join(data.select(col("id").as("dst"), col("vec").as("dvec")), "dst")
+      .select(col("src"), col("dst"), col("dist"), col("dvec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        val cand = it.toArray.sortBy(t => (t._3, t._2))
+        val removed = new Array[Boolean](cand.length)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var i = 0
+        while (i < cand.length && kept.length < degree) {
+          if (!removed(i)) {
+            val (dst, _, dist, dvec) = (cand(i)._2, 0, cand(i)._3, cand(i)._4)
+            kept += ((dst, dist))
+            var j = i + 1
+            while (j < cand.length) {
+              if (!removed(j) && alpha * distFn(dvec, cand(j)._4) <= cand(j)._3)
+                removed(j) = true
+              j += 1
+            }
+          }
+          i += 1
+        }
+        kept.zipWithIndex.map { case ((dst, dist), rk) => (src, dst, dist, rk + 1) }
+      }
+      .toDF("src", "dst", "dist", "rank")
+  }
+}

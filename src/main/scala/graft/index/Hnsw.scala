@@ -1,0 +1,96 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.Metric
+import graft.graphops.GraphSearch
+
+/** HNSW export + hierarchical search — `cuvs::neighbors::hnsw`
+  * (hnsw.hpp:43-65: convert a CAGRA graph into an hnswlib-style index;
+  * hierarchy NONE = base-layer-only, CPU/GPU = build the level hierarchy;
+  * M = bidirectional links per node).
+  *
+  * Spark shape: the index is two tables, not a binary blob —
+  * `levels` (id, level) with the standard geometric level draw
+  * level = floor(−ln(U)·mL), mL = 1/ln(M), computed from a *portable*
+  * integer hash so the layout is exactly SQL-replayable; and `edges`
+  * (level, src, dst, dist, rank) where layer 0 is the supplied base graph
+  * (CAGRA-optimized / Vamana) and each upper layer is the exact M-NN graph
+  * among its members (upper layers shrink geometrically — at 1/M per
+  * level — so they are tiny at any scale and their exact kNN is cheap).
+  * Search descends the hierarchy greedily (searchWidth=1 per layer, the
+  * hnswlib ef=1 descent) and beam-searches layer 0 with ef candidates.
+  */
+object Hnsw {
+
+  case class Params(m: Int = 16, seed: Long = 42, metric: Metric = Metric.L2)
+
+  case class Index(levels: DataFrame, edges: DataFrame, maxLevel: Int, entryPoint: Long,
+      params: Params)
+
+  private val P31 = 2147483647L // 2^31-1, the portable-hash modulus used across graft
+
+  /** (id, level): geometric level assignment from a portable affine hash,
+    * applied twice so small consecutive ids spread over the full modulus —
+    * h = affine(affine(id)), affine(x) = (x·1000003 + 12345 + seed) mod
+    * (2^31−1); U = (h+0.5)/(2^31−1); level = floor(−ln(U)/ln(M)).
+    * Pure integer arithmetic + ln, replayable in the DuckDB oracle. */
+  def assignLevels(data: DataFrame, params: Params, idCol: String = "id"): DataFrame = {
+    def affine(x: org.apache.spark.sql.Column) =
+      pmod(x * lit(1000003L) + lit(12345L + params.seed), lit(P31))
+    val h = affine(affine(col(idCol).cast("long")))
+    val u = (h.cast("double") + lit(0.5)) / lit(P31.toDouble)
+    data.select(col(idCol).cast("long").as("id"),
+      floor(-log(u) / lit(math.log(params.m.toDouble))).cast("int").as("level"))
+  }
+
+  /** Build the hierarchy over a supplied base-layer graph. */
+  def fromGraph(baseGraph: DataFrame, data: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): Index = {
+    val d = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val levels = assignLevels(d, params).persist(StorageLevel.MEMORY_AND_DISK)
+    val maxLevel = levels.agg(max(col("level"))).head().getInt(0)
+    val base = baseGraph
+      .select(lit(0).as("level"), col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("dist"), col("rank"))
+    val uppers = (1 to maxLevel).map { l =>
+      val members = d.join(levels.filter(col("level") >= l), "id")
+      graft.graphops.AllNeighbors
+        .exact(members, math.min(params.m, (members.count() - 1).toInt.max(1)),
+          params.metric, "id", "vec")
+        .select(lit(l).as("level"), col("src"), col("dst"), col("dist"), col("rank"))
+    }
+    val edges = uppers.foldLeft(base)(_ unionByName _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic entry point: smallest id on the top layer
+    val entry = levels.filter(col("level") >= maxLevel).agg(min(col("id"))).head().getLong(0)
+    d.unpersist()
+    Index(levels, edges, maxLevel, entry, params)
+  }
+
+  /** Hierarchical search: greedy descent through upper layers, then an
+    * ef-beam on the base layer. (qid, nbr_id, rank, dist). */
+  def search(idx: Index, data: DataFrame, queries: DataFrame, k: Int, ef: Int = 40,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+    var cur = q.select(col("qid"), lit(idx.entryPoint).as("id"))
+    for (l <- idx.maxLevel to 1 by -1) {
+      cur = GraphSearch.search(
+          idx.edges.filter(col("level") === l).select(col("src"), col("dst")),
+          data, q, 1,
+          GraphSearch.Params(itopk = 4, searchWidth = 1, maxIterations = 8,
+            metric = idx.params.metric),
+          idCol, vecCol, entrySeeds = Some(cur))
+        .select(col("qid"), col("nbr_id").as("id"))
+    }
+    GraphSearch.search(
+      idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
+      data, q, k,
+      GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 16,
+        metric = idx.params.metric),
+      idCol, vecCol, entrySeeds = Some(cur))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Distance, Metric}
+import graft.graphops.{AllNeighbors, CagraOptimize, GraphSearch, Vamana}
+import graft.index.Hnsw
+import graft.ops.BruteForceKnn
+
+/** Vamana build (alpha-RNG prune), CAGRA-style graph search, and the HNSW
+  * hierarchy — reference discipline: degree caps, prune-property
+  * soundness, recall floors vs exact search (vamana.hpp:59-82,
+  * cagra.hpp:269-355, hnsw.hpp:43-65). */
+class GraphIndexSuite extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val queries = emb.filter(col("id") % 50 === 0)
+    .select(col("id").as("qid"), col("vec").as("qvec"))
+
+  private def recallVsExact(got: DataFrame, k: Int): Double = {
+    val exact = BruteForceKnn.knnJoin(emb, queries, k, Metric.L2, "id", "vec")
+      .select(col("qid"), col("nbr_id"))
+    got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / exact.count()
+  }
+
+  test("vamana: degree cap and alpha-RNG prune property hold") {
+    val params = Vamana.Params(graphDegree = 12, visitedSize = 32, alpha = 1.2)
+    val g = Vamana.build(emb, params, "id", "vec").cache()
+    val maxDeg = g.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 12)
+    // prune property: for every kept edge (p, c), no other kept neighbor w
+    // of p (closer to p than c) satisfies alpha*d(w,c) <= d(p,c)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    val fn = Distance.fn(Metric.L2Sqrt)
+    val bySrc = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    bySrc.values.foreach { edges =>
+      val sorted = edges.sortBy(e => (e._3, e._2))
+      for (i <- sorted.indices; j <- 0 until i) {
+        val (_, c, dc) = sorted(i)
+        val (_, w, _) = sorted(j)
+        assert(params.alpha * fn(vecs(w), vecs(c)) > dc,
+          s"edge to $c should have been pruned by kept neighbor $w")
+      }
+    }
+  }
+
+  test("vamana graph + graph search meets the recall floor") {
+    val g = Vamana.build(emb, Vamana.Params(graphDegree = 16, visitedSize = 32), "id", "vec")
+    val got = GraphSearch.search(g.select(col("src"), col("dst")), emb, queries, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
+    val r = recallVsExact(got, 10)
+    assert(r >= 0.9, s"recall $r")
+  }
+
+  test("cagra graph + graph search meets the recall floor") {
+    val knn = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec")
+    val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+    val got = GraphSearch.search(g.select(col("src"), col("dst")), emb, queries, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
+    val r = recallVsExact(got, 10)
+    assert(r >= 0.9, s"recall $r")
+  }
+
+  test("hnsw: level layout is geometric and search meets the recall floor") {
+    val levels = Hnsw.assignLevels(emb, Hnsw.Params(m = 16), "id")
+    val n = levels.count()
+    val upper = levels.filter(col("level") >= 1).count()
+    // P(level >= 1) = 1/M = 1/16; allow generous slack on 500 draws
+    assert(upper > n / 64 && upper < n / 4, s"upper-layer population $upper of $n")
+
+    val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec")
+    val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
+    assert(idx.maxLevel >= 1)
+    val got = Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec")
+    val r = recallVsExact(got, 10)
+    assert(r >= 0.9, s"recall $r")
+  }
+}

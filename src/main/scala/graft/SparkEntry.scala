@@ -381,6 +381,29 @@ object SparkEntry {
       |CAST(10 AS BIGINT) AS nonempty_clusters, true AS inertia_lt_total_ss
       |FROM embeddings""".stripMargin
 
+  /** Balanced k-means (the reference's IVF trainer): adjust_centers keeps
+    * every cluster above balanceRatio·(n/k) — invariants oracle. */
+  private def kmeansBalancedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val k = 16
+    val ratio = 0.25
+    val n = emb.count()
+    val model = graft.cluster.KMeans.fitBalanced(emb,
+      graft.cluster.KMeans.Params(k = k, maxIter = 25), ratio, "vec_id", "embedding")
+    val labeled = graft.cluster.KMeans.predict(emb, model.centroids, "embedding")
+    val minSize = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    labeled.agg(count(lit(1)).as("n_points"),
+        countDistinct(col("cluster")).as("nonempty_clusters"))
+      .select(col("n_points"), lit(k).as("k"), col("nonempty_clusters"),
+        lit(minSize >= ratio * n / k).as("min_size_ge_floor"))
+  }
+
+  private val kmeansBalancedOracle: String =
+    """SELECT count(*) AS n_points, CAST(16 AS INT) AS k,
+      |CAST(16 AS BIGINT) AS nonempty_clusters, true AS min_size_ge_floor
+      |FROM embeddings""".stripMargin
+
   private def ivfIndex(spark: SparkSession, dir: String): graft.index.IvfFlatIndex =
     graft.index.IvfFlatIndex.build(table(spark, dir, "embeddings"),
       graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
@@ -537,6 +560,46 @@ object SparkEntry {
         lit(recall >= 0.7).as("floor_met"))
   }
 
+  /** ScaNN (SOAR spill + 8-bit residual PQ) at full probes + reordering:
+    * the ADC top-100 always retains the true top-10 on this data, so the
+    * reordered result equals exact kNN — exact oracle. */
+  private def scannQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val idx = graft.index.ScannIndex.build(emb,
+      graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8),
+      "vec_id", "embedding")
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 100,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  /** ScaNN at partial probes with 4-bit codes — recall-floor report (the
+    * SOAR-spilled layout holds 0.6+ at 6/16 probes where unspilled IVF
+    * needs 8). */
+  private def scannRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val idx = graft.index.ScannIndex.build(emb,
+      graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 4),
+      "vec_id", "embedding")
+    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 6, kCoarse = 40,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(6).as("n_probes"),
+        lit(16).as("n_lists"), lit(0.6).as("recall_floor"),
+        lit(recall >= 0.6).as("floor_met"))
+  }
+
+  private val scannRecallOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(6 AS INT) AS n_probes,
+      |CAST(16 AS INT) AS n_lists, CAST(0.6 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
   /** IVF-SQ at full probes + refine: quantization loss fully recovered, so
     * the result equals exact kNN — oracle-able like tiered_search. */
   private def ivfSqQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -570,12 +633,15 @@ object SparkEntry {
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
+    "kmeans_balanced" -> (kmeansBalancedQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
     "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
     "ann_ivf_cosine_recall" -> (ivfCosineRecallQuery(_, _)),
     "ivf_sq_search_refine" -> (ivfSqQuery(_, _)),
     "ivf_rabitq_search_refine" -> (ivfRabitqQuery(_, _)),
     "ivf_rabitq_recall" -> (ivfRabitqRecallQuery(_, _)),
+    "scann_search_refine" -> (scannQuery(_, _)),
+    "scann_recall" -> (scannRecallQuery(_, _)),
     "scalar_quantize" -> (scalarQuantizeQuery(_, _)),
     "binary_quantize" -> (binaryQuantizeQuery(_, _)),
     "knn_hamming_packed" -> (hammingKnnQuery(_, _)),
@@ -605,12 +671,15 @@ object SparkEntry {
     "ivf_sq_search_refine" -> knnOracle(Metric.L2),
     "ivf_rabitq_search_refine" -> knnOracle(Metric.L2),
     "ivf_rabitq_recall" -> ivfRecallOracle,
+    "scann_search_refine" -> knnOracle(Metric.L2),
+    "scann_recall" -> scannRecallOracle,
     "topk_global" -> topkGlobalOracle,
     "topk_pergroup" -> topkPerGroupOracle,
     "scalar_quantize" -> scalarQuantizeOracle,
     "binary_quantize" -> binaryQuantizeOracle,
     "knn_hamming_packed" -> hammingKnnOracle,
     "kmeans_fit_predict" -> kmeansOracle,
+    "kmeans_balanced" -> kmeansBalancedOracle,
     "ivf_flat_recall" -> ivfRecallOracle,
     "ann_ivf_cosine_recall" -> ivfRecallOracle,
     "pq_transform" -> pqOracle,

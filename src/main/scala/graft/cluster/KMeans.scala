@@ -77,6 +77,64 @@ object KMeans {
     } finally data.unpersist()
   }
 
+  /** Balanced k-means — the reference's IVF trainer
+    * (`cuvs::cluster::kmeans_balanced`; raft `adjust_centers`): after each
+    * Lloyd update, clusters whose size fell below balanceRatio·(n/k) are
+    * re-seeded onto the farthest-from-center points of the LARGEST cluster
+    * (deterministic (dist desc, id) pick), splitting heavy cells and
+    * reviving starved ones — the IVF list-size equalizer. The adjustment
+    * is one distributed top-|small| per round; everything else is the
+    * plain fit loop.
+    */
+  def fitBalanced(df: DataFrame, params: Params, balanceRatio: Double = 0.25,
+      idCol: String = "id", vecCol: String = "vec"): Model = {
+    val data = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = data.select(size(col("_vec"))).head().getInt(0)
+      val n = data.count()
+      val floor = balanceRatio * n / params.k
+      val initRows = data
+        .orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
+        .limit(params.k)
+        .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+      var centroids = pack(initRows, dim, params.metric)
+      var it = 0
+      var moved = Double.MaxValue
+      while (it < params.maxIter && moved > params.tol) {
+        val (cl, d) = assignCols(centroids, col("_vec"))
+        val assigned = data.select(col("_id"), col("_vec"),
+          cl.as("cluster"), d.as("_d"))
+        val stats = assigned
+          .groupBy(col("cluster"))
+          .agg(VectorAgg.vectorAvg(col("_vec")).as("mean"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getSeq[Float](1).toArray, r.getLong(2))).toMap
+        val next = Array.tabulate(params.k) { c =>
+          stats.get(c).map(_._1).filter(_.nonEmpty).getOrElse(centroids.centroid(c))
+        }
+        val sizes = Array.tabulate(params.k)(c => stats.get(c).map(_._2).getOrElse(0L))
+        val small = sizes.indices.filter(sizes(_) < floor)
+        if (small.nonEmpty) {
+          val biggest = sizes.indices.maxBy(c => (sizes(c), c))
+          val donors = assigned.filter(col("cluster") === biggest)
+            .orderBy(col("_d").desc, col("_id"))
+            .limit(small.length)
+            .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+          small.zip(donors).foreach { case (c, v) => next(c) = v }
+          moved = Double.MaxValue // keep iterating after a reseed
+        } else {
+          moved = next.zipWithIndex.map { case (v, c) =>
+            Distance.l2Sqrt(v, centroids.centroid(c))
+          }.max
+        }
+        centroids = pack(next, dim, params.metric)
+        it += 1
+      }
+      Model(centroids, clusterCost(data, centroids, "_vec"), it)
+    } finally data.unpersist()
+  }
+
   /** Adds `cluster` (and `dist` to its centroid) — kmeans.hpp predict. */
   def predict(df: DataFrame, centroids: CentroidSet, vecCol: String = "vec"): DataFrame = {
     val (cl, d) = assignCols(centroids, col(vecCol))

@@ -1,0 +1,123 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.cluster.KMeans
+import graft.core.Metric
+import graft.expr.{CentroidResidual, CentroidSet, PqCodebooks}
+import graft.ops.{BruteForceKnn, Refine}
+import graft.prep.ProductQuantizer
+import org.apache.spark.sql.graft.{bridge => B}
+
+/** ScaNN-style index — `cuvs::neighbors::scann` (scann.hpp:40-76):
+  * k-means tree partitioning with SOAR spilling (soar_lambda), residual PQ
+  * (pq_bits 4 or 8), and exact reordering.
+  *
+  * SOAR (spilling with orthogonality-amplified residuals): every vector is
+  * stored in its primary leaf AND one secondary leaf chosen to minimize
+  *   d²(x,c) + λ·⟨r₁, x−c⟩²/‖r₁‖²   (r₁ = primary residual),
+  * i.e. the secondary center whose residual is most orthogonal to the
+  * primary one — if a query misses the primary leaf *along r₁*, the spill
+  * leaf covers it. Doubles list storage, halves probe misses.
+  *
+  * Spark shape: identical probe-broadcast ADC join as IVF-PQ; the spill
+  * only changes the build (a 2-candidate argmin, map-side) and adds a
+  * (qid,id) min-dist dedup before top-k. Reordering = the shared `refine`.
+  */
+class ScannIndex(
+    val centroids: CentroidSet,
+    val codebooks: PqCodebooks,
+    val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
+    val metric: Metric) extends Serializable {
+
+  private def residualCol(vec: Column, listId: Column): Column =
+    B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
+
+  /** ADC search over primary+spill lists, deduped per (query, id). */
+  def search(queries: DataFrame, k: Int, nProbes: Int,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val probes = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
+        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+      .select(col("qid"), col("_qvec"),
+        explode(col("_probes").getField("list_id")).as("list_id"))
+      .withColumn("_lut",
+        ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")), codebooks))
+      .select(col("qid"), col("list_id"), col("_lut"))
+    val pairs = lists
+      .join(broadcast(probes), "list_id")
+      .select(col("qid"), col("id").as("_nid"),
+        ProductQuantizer.adcCol(col("_lut"), col("pq_codes"), codebooks).as("dist"))
+      // a vector probed through both its primary and spill leaf keeps the
+      // better of its two residual-ADC estimates
+      .groupBy(col("qid"), col("_nid")).agg(min(col("dist")).as("dist"))
+    BruteForceKnn.topKPerQuery(pairs, k, Metric.L2)
+  }
+
+  /** ScaNN reordering: exact re-rank of the ADC top-kCoarse. */
+  def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
+      kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
+      .select(col("qid"), col("nbr_id").as("id"))
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+  }
+}
+
+object ScannIndex {
+
+  case class Params(nLeaves: Int = 1000, nIters: Int = 20, trainFraction: Double = 0.5,
+      soarLambda: Double = 1.0, soarCandidates: Int = 4,
+      pqDim: Int = 8, pqBits: Int = 4, seed: Long = 42)
+
+  def build(dataset: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): ScannIndex = {
+    val ivf = IvfFlatIndex.build(dataset,
+      IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed),
+      idCol, vecCol)
+    val cs = ivf.centroids
+
+    def res(vec: Column, listId: Column): Column =
+      B.column(CentroidResidual(B.expression(vec), B.expression(listId), cs))
+
+    // SOAR spill: among the next-nearest candidate leaves, pick the argmin
+    // of d² + λ·⟨r1, r_c⟩²/‖r1‖² (all map-side column arithmetic)
+    val d = dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        KMeans.nearestCol(cs, col(vecCol), params.soarCandidates + 1)
+          .getField("list_id").as("_cands"))
+      .withColumn("list_id", col("_cands").getItem(0))
+      .withColumn("_r1", res(col("vec"), col("list_id")))
+      .withColumn("_r1n2", aggregate(col("_r1"), lit(0.0),
+        (s, x) => s + x.cast("double") * x.cast("double")))
+    val spill = d
+      .select(col("id"), col("vec"), col("_r1"), col("_r1n2"),
+        explode(slice(col("_cands"), 2, params.soarCandidates)).as("cand"))
+      .withColumn("_rc", res(col("vec"), col("cand")))
+      .withColumn("_d2", aggregate(col("_rc"), lit(0.0),
+        (s, x) => s + x.cast("double") * x.cast("double")))
+      .withColumn("_dot", aggregate(
+        zip_with(col("_r1"), col("_rc"), (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (s, x) => s + x))
+      .withColumn("_loss", col("_d2") + when(col("_r1n2") > 0.0,
+        lit(params.soarLambda) * col("_dot") * col("_dot") / col("_r1n2")).otherwise(lit(0.0)))
+      .withColumn("_rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("_loss").asc, col("cand").asc)))
+      .filter(col("_rk") === 1)
+      .select(col("cand").as("list_id"), col("id"), col("vec"))
+    val assigned = d.select(col("list_id"), col("id"), col("vec"))
+      .unionByName(spill)
+
+    // residual PQ codebooks over all stored copies (primary + spill)
+    val withRes = assigned.withColumn("_res", res(col("vec"), col("list_id")))
+    val cb = ProductQuantizer.train(withRes,
+      ProductQuantizer.Params(params.pqDim, params.pqBits, seed = params.seed),
+      "id", "_res")
+    val lists = withRes
+      .select(col("list_id"), col("id"),
+        ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
+      .repartition(col("list_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new ScannIndex(cs, cb, lists, Metric.L2)
+  }
+}

@@ -20,15 +20,25 @@ object RabitqProbe {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2, "vec_id", "embedding")
       .select(col("qid"), col("nbr_id")).cache()
     val nq = q.count()
-    for (bits <- Seq(1, 3, 5); (probes, kc) <- Seq((8, 40), (16, 40), (16, 100))) {
-      val idx = IvfRabitqIndex.build(emb,
-        IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = bits), "vec_id", "embedding")
-      val est = idx.search(q, kc, probes).select(col("qid"), col("nbr_id"))
-        .intersect(exact).count().toDouble / (nq * 10)
-      val ref = idx.searchWithRefine(q, emb, 10, probes, kc, "vec_id", "embedding")
-        .select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / (nq * 10)
-      println(f"bits=$bits probes=$probes kCoarse=$kc estTop10InCoarse=$est%.3f refined=$ref%.3f")
-    }
+    if (args.length < 2 || args(1) == "rabitq")
+      for (bits <- Seq(1, 3, 5); (probes, kc) <- Seq((8, 40), (16, 40), (16, 100))) {
+        val idx = IvfRabitqIndex.build(emb,
+          IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = bits), "vec_id", "embedding")
+        val est = idx.search(q, kc, probes).select(col("qid"), col("nbr_id"))
+          .intersect(exact).count().toDouble / (nq * 10)
+        val ref = idx.searchWithRefine(q, emb, 10, probes, kc, "vec_id", "embedding")
+          .select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / (nq * 10)
+        println(f"bits=$bits probes=$probes kCoarse=$kc estTop10InCoarse=$est%.3f refined=$ref%.3f")
+      }
+    if (args.length < 2 || args(1) == "scann")
+      for (pqBits <- Seq(4, 8); (probes, kc) <- Seq((6, 40), (16, 60), (16, 100))) {
+        val idx = graft.index.ScannIndex.build(emb,
+          graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = pqBits),
+          "vec_id", "embedding")
+        val ref = idx.searchWithRefine(q, emb, 10, probes, kc, "vec_id", "embedding")
+          .select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / (nq * 10)
+        println(f"scann pqBits=$pqBits probes=$probes kCoarse=$kc refined=$ref%.3f")
+      }
     spark.stop()
   }
 }

@@ -75,6 +75,19 @@ class KMeansSuite extends SparkFunSuite {
     assert(math.abs(viaPredict - cost) / cost < 1e-9)
   }
 
+  test("balanced fit: no cluster starves below the balance floor") {
+    val k = 16
+    val ratio = 0.25
+    val n = emb.count()
+    val model = KMeans.fitBalanced(emb, KMeans.Params(k = k, maxIter = 25),
+      ratio, "vec_id", "embedding")
+    val sizes = KMeans.predict(emb, model.centroids, "embedding")
+      .groupBy(col("cluster")).count().collect().map(_.getLong(1))
+    assert(sizes.length == k, s"only ${sizes.length} nonempty clusters")
+    val minSize = sizes.min
+    assert(minSize >= ratio * n / k, s"min cluster size $minSize below floor")
+  }
+
   test("transform emits k positional distances, min matches predict dist") {
     val model = KMeans.fit(emb, KMeans.Params(k = 4, maxIter = 3), "vec_id", "embedding")
     val t = KMeans.transform(emb, model.centroids, "embedding")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.index.{IvfFlatIndex, ScannIndex}
+import graft.ops.BruteForceKnn
+
+/** ScaNN index: SOAR spilling + residual PQ + reordering (scann.hpp:40-76).
+  * Discipline: spill doubles storage, recall under partial probing beats
+  * the unspilled IVF layout; full probes + reorder is exact-capable. */
+class ScannSuite extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def recall(got: DataFrame): Double = {
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2, "vec_id", "embedding")
+      .select(col("qid"), col("nbr_id"))
+    got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / exact.count()
+  }
+
+  test("every vector is stored twice (primary + SOAR spill)") {
+    val idx = ScannIndex.build(emb,
+      ScannIndex.Params(nLeaves = 8, nIters = 10), "vec_id", "embedding")
+    val n = emb.count()
+    assert(idx.lists.count() == 2 * n)
+    // each id appears in exactly two distinct leaves
+    val per = idx.lists.groupBy(col("id"))
+      .agg(countDistinct(col("list_id")).as("leaves"))
+    assert(per.filter(col("leaves") =!= 2).count() == 0)
+  }
+
+  test("SOAR spilling beats the unspilled IVF layout under partial probing") {
+    val scann = ScannIndex.build(emb,
+      ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8), "vec_id", "embedding")
+    val ivf = IvfFlatIndex.build(emb,
+      IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
+    val rScann = recall(scann.searchWithRefine(queries, emb, 10, nProbes = 4,
+      kCoarse = 40, "vec_id", "embedding"))
+    val rIvf = recall(ivf.search(queries, 10, nProbes = 4))
+    assert(rScann >= rIvf, s"scann $rScann < ivf $rIvf at 4/16 probes")
+  }
+
+  test("full probes + reorder at generous kCoarse is exact on the fixture") {
+    val idx = ScannIndex.build(emb,
+      ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8), "vec_id", "embedding")
+    val got = idx.searchWithRefine(queries, emb, 10, nProbes = 16, kCoarse = 100,
+      "vec_id", "embedding")
+    assert(recall(got) == 1.0)
+  }
+}

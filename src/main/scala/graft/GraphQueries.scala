@@ -195,7 +195,7 @@ object GraphQueries {
     val knn = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
     val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
-      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
     val exact = BruteForceKnn.knnJoin(e, q, 10, Metric.L2, "id", "vec")
       .select(col("qid"), col("nbr_id"))
     val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /

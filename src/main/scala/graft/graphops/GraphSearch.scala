@@ -14,17 +14,17 @@ import graft.ops.BruteForceKnn
   * batch workloads IVF/brute top-k is the better Spark plan; this operator
   * closes the semantic surface and serves Vamana/HNSW/CAGRA graphs alike).
   *
-  * State per round: a beam DataFrame (qid, id, dist, expanded) capped at
-  * itopk rows per query, plus a visited set to stop re-scoring. Each round
-  * expands the searchWidth best unexpanded beam entries against the edge
-  * list, scores the new frontier (distance to the query vector), and
-  * re-top-ks the beam. Terminates when every beam entry is expanded (the
-  * reference's convergence criterion) or maxIterations. All state is
+  * State per round: a single beam DataFrame (qid, id, dist, expanded)
+  * capped at itopk rows per query. Each round expands the searchWidth best
+  * unexpanded beam entries against the edge list, scores the new frontier
+  * (distance to the query vector), and re-top-ks the beam — exactly one
+  * Spark job per round. Runs a fixed maxIterations rounds (a converged
+  * query's frontier is empty, so its late rounds are no-ops). All state is
   * O(queries · itopk) — the graph never shuffles, query state broadcasts.
   */
 object GraphSearch {
 
-  case class Params(itopk: Int = 40, searchWidth: Int = 4, maxIterations: Int = 12,
+  case class Params(itopk: Int = 40, searchWidth: Int = 4, maxIterations: Int = 10,
       nSeeds: Int = 8, seed: Long = 42, metric: Metric = Metric.L2)
 
   /** (qid, nbr_id, rank, dist) top-k per query via graph traversal.
@@ -41,9 +41,12 @@ object GraphSearch {
     val edges = graph.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    def score(cand: DataFrame): DataFrame = cand
-      .join(data, "id")
-      .join(q, "qid")
+    // per-query state is O(queries·itopk) — always the broadcast side.
+    // (localCheckpoint'ed frames report unknown stats, so without explicit
+    // hints every per-round join would plan as a full shuffle join.)
+    def score(cand: DataFrame): DataFrame = data
+      .join(broadcast(cand), "id")
+      .join(broadcast(q), "qid")
       .select(col("qid"), col("id"),
         graft.functions.vector_distance(params.metric, col("qvec"), col("vec")).as("dist"))
 
@@ -58,36 +61,45 @@ object GraphSearch {
     }.select(col("qid").cast("long").as("qid"), col("id").cast("long").as("id")).distinct()
 
     var beam = score(seeds).withColumn("expanded", lit(false)).localCheckpoint()
-    var visited = beam.select(col("qid"), col("id")).localCheckpoint()
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
-    var it = 0
-    var frontierSize = 1L
-    while (it < params.maxIterations && frontierSize > 0) {
-      val frontier = beam.filter(!col("expanded"))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= params.searchWidth)
-        .select(col("qid"), col("id"))
-      frontierSize = frontier.count()
-      if (frontierSize > 0) {
-        val newCand = frontier
-          .join(edges, frontier("id") === edges("src"))
+    // One Spark job per round (the eager localCheckpoint). No visited-set
+    // state: candidates already in the beam are anti-joined away, and a
+    // candidate worse than the itopk-th entry falls out in the re-top-k.
+    // A displaced node that gets re-proposed is merely re-scored; rounds
+    // are bounded by maxIterations, so no termination action is needed.
+    // AQE is suspended for the loop — its per-shuffle materialization adds
+    // latency on the tiny per-round state and has nothing to re-plan.
+    val spark = dataset.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // rank among unexpanded entries: one window serves both the frontier
+      // pick and the expanded-marking (no extra join against the frontier)
+      val wf = Window.partitionBy(col("qid"), col("expanded"))
+        .orderBy(col("dist").asc, col("id").asc)
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
+      var it = 0
+      while (it < params.maxIterations) {
+        val ranked = beam.withColumn("_rk", row_number().over(wf))
+        val frontier = ranked
+          .filter(!col("expanded") && col("_rk") <= params.searchWidth)
+          .select(col("qid"), col("id"))
+        val newCand = edges
+          .join(broadcast(frontier), frontier("id") === edges("src"))
           .select(col("qid"), col("dst").as("id")).distinct()
-          .join(visited, Seq("qid", "id"), "left_anti")
+          .join(broadcast(beam.select(col("qid"), col("id"))), Seq("qid", "id"), "left_anti")
         val scored = score(newCand).withColumn("expanded", lit(false))
-        visited = visited.unionByName(scored.select(col("qid"), col("id"))).localCheckpoint()
-        val marked = beam
-          .join(frontier.withColumn("_f", lit(true)), Seq("qid", "id"), "left")
+        val marked = ranked
           .select(col("qid"), col("id"), col("dist"),
-            (col("expanded") || coalesce(col("_f"), lit(false))).as("expanded"))
+            (col("expanded") || col("_rk") <= params.searchWidth).as("expanded"))
         beam = marked.unionByName(scored)
           .withColumn("_rk", row_number().over(w))
           .filter(col("_rk") <= params.itopk)
           .drop("_rk")
           .localCheckpoint()
+        it += 1
       }
-      it += 1
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     data.unpersist(); q.unpersist(); edges.unpersist()
     BruteForceKnn.topKPerQuery(
       beam.select(col("qid"), col("id").as("_nid"), col("dist")), k, params.metric)

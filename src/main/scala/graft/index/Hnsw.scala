@@ -81,7 +81,7 @@ object Hnsw {
       cur = GraphSearch.search(
           idx.edges.filter(col("level") === l).select(col("src"), col("dst")),
           data, q, 1,
-          GraphSearch.Params(itopk = 4, searchWidth = 1, maxIterations = 8,
+          GraphSearch.Params(itopk = 4, searchWidth = 1, maxIterations = 2,
             metric = idx.params.metric),
           idCol, vecCol, entrySeeds = Some(cur))
         .select(col("qid"), col("nbr_id").as("id"))
@@ -89,7 +89,7 @@ object Hnsw {
     GraphSearch.search(
       idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
       data, q, k,
-      GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 16,
+      GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
         metric = idx.params.metric),
       idCol, vecCol, entrySeeds = Some(cur))
   }

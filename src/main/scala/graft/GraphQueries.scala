@@ -48,7 +48,8 @@ object GraphQueries {
   private def nnDescentRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 2 === 0)
     val approx = NnDescent.build(e,
-      NnDescent.Params(k = 10, maxIterations = 6), "vec_id", "embedding")
+      NnDescent.Params(k = 10, maxIterations = 6, terminationThreshold = 0.0),
+      "vec_id", "embedding")
     val exact = AllNeighbors.exact(e, 10, Metric.L2, "vec_id", "embedding")
     val recall = AllNeighbors.graphRecall(approx, exact)
     e.agg(count(lit(1)).as("n_nodes"))

@@ -506,6 +506,32 @@ object SparkEntry {
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
 
+  /** IVF-PQ at realistic probes — recall-floor report (the raw ADC search
+    * rows are ivf_pq_search_refine). */
+  private def ivfPqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val idx = graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
+      "vec_id", "embedding")
+    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
+        lit(16).as("n_lists"), lit(0.6).as("recall_floor"),
+        lit(recall >= 0.6).as("floor_met"))
+  }
+
+  private val ivfPqRecallOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS n_probes,
+      |CAST(16 AS INT) AS n_lists, CAST(0.6 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
   /** Similarity-search scale path: IVF under cosine (brute-force cosine is
     * the baseline in knn_bruteforce_cosine). Recall-floor report. */
   private def ivfCosineRecallQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -648,6 +674,7 @@ object SparkEntry {
     "pq_transform" -> (pqQuery(_, _)),
     "pca_fit_transform" -> (pcaQuery(_, _)),
     "ivf_pq_search_refine" -> (ivfPqQuery(_, _)),
+    "ivf_pq_recall" -> (ivfPqRecallQuery(_, _)),
     "q1_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -681,6 +708,7 @@ object SparkEntry {
     "kmeans_fit_predict" -> kmeansOracle,
     "kmeans_balanced" -> kmeansBalancedOracle,
     "ivf_flat_recall" -> ivfRecallOracle,
+    "ivf_pq_recall" -> ivfPqRecallOracle,
     "ann_ivf_cosine_recall" -> ivfRecallOracle,
     "pq_transform" -> pqOracle,
     "pca_fit_transform" -> pcaOracle,

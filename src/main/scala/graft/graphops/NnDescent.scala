@@ -60,9 +60,13 @@ object NnDescent {
           params.k, params.metric)
         .select(col("qid").as("src"), col("nbr_id").as("dst"), col("dist"))
         .localCheckpoint()
-      val changed = merged.select(col("src"), col("dst"))
-        .exceptAll(graph.select(col("src"), col("dst"))).count()
-      updateRate = changed.toDouble / (n * params.k)
+      // terminationThreshold <= 0 opts out of the convergence check — one
+      // fewer action per round when the caller runs a fixed iteration count
+      if (params.terminationThreshold > 0) {
+        val changed = merged.select(col("src"), col("dst"))
+          .exceptAll(graph.select(col("src"), col("dst"))).count()
+        updateRate = changed.toDouble / (n * params.k)
+      }
       graph = merged
       it += 1
     }

@@ -288,6 +288,19 @@ object SparkEntry {
       |      ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rank FROM lineitem)
       |WHERE rank <= 5""".stripMargin
 
+  /** The declarative KnnJoinPlan Catalyst node end-to-end: the optimizer
+    * rule lowers it to the partial-top-k pipeline, so it takes the exact
+    * kNN oracle. Registers the rule idempotently on the session. */
+  private def knnJoinPlanQuery(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.ResolveKnnJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ResolveKnnJoin(spark)
+    graft.plans.KnnJoinPlan.knnJoin(table(spark, dir, "embeddings"),
+        embQueries(spark, dir), 10, Metric.L2Sqrt, "vec_id", "embedding")
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
   // ===== quantizers ====================================================
 
   private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -656,6 +669,7 @@ object SparkEntry {
     "range_eps_join" -> (rangeEpsQuery(_, _)),
     "refine" -> (refineQuery(_, _)),
     "knn_merge_parts" -> (knnMergeQuery(_, _)),
+    "knn_join_plan" -> (knnJoinPlanQuery(_, _)),
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
@@ -695,6 +709,7 @@ object SparkEntry {
     "range_eps_join" -> rangeEpsOracle,
     "refine" -> refineOracle,
     "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
+    "knn_join_plan" -> knnOracle(Metric.L2Sqrt),
     "ivf_sq_search_refine" -> knnOracle(Metric.L2),
     "ivf_rabitq_search_refine" -> knnOracle(Metric.L2),
     "ivf_rabitq_recall" -> ivfRecallOracle,

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.graft.{bridge => B}
+import graft.core.Metric
+import graft.ops.BruteForceKnn
+
+/** Declarative kNN join as a Catalyst node — the v2 optimizer step from
+  * the round-1 plan: users state WHAT (`knn_join(data, queries, k,
+  * metric)`), the optimizer picks HOW.
+  *
+  * `KnnJoinPlan` is a logical `BinaryNode` carrying only semantics
+  * (k, metric, column names) and a fixed output schema
+  * (qid, nbr_id, rank, dist). `ResolveKnnJoin` — installed through
+  * `SparkSessionExtensions` (GraftExtensions) — lowers it during
+  * optimization into the partial-top-k aggregation pipeline
+  * (BruteForceKnn: per-partition bounded-heap select_k, merge on qid;
+  * shuffle bytes O(q·k·partitions) regardless of data size, the
+  * reference's tiled select_k + knn_merge_parts shape). The rewrite
+  * re-aliases the produced attributes onto the node's declared exprIds so
+  * enclosing plans (filters, joins, projections over the kNN output)
+  * survive untouched — downstream operators compose with it like with any
+  * relational node, and Catalyst pushes its own optimizations around it.
+  */
+case class KnnJoinPlan(
+    left: LogicalPlan,  // data: (idCol, vecCol, ...)
+    right: LogicalPlan, // queries: (qidCol, qvecCol, ...)
+    k: Int,
+    metricName: String,
+    idCol: String, vecCol: String,
+    qidCol: String, qvecCol: String,
+    // output lives in the constructor so `copy()` during optimizer
+    // transforms PRESERVES the exprIds parents already reference —
+    // a fresh-`val` output would mint new ids on every tree rewrite
+    output: Seq[Attribute] = KnnJoinPlan.freshOutput()) extends BinaryNode {
+
+  /** The node consumes exactly (idCol, vecCol) / (qidCol, qvecCol) — this
+    * is what lets ColumnPruning drop every other child column THROUGH the
+    * node instead of pruning the children to nothing (the node carries no
+    * expressions, so the default references would be empty). */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output.filter(a => a.name == idCol || a.name == vecCol) ++
+      right.output.filter(a => a.name == qidCol || a.name == qvecCol))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): KnnJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Lowers KnnJoinPlan into the compositional physical shape. */
+case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case kj: KnnJoinPlan if kj.left.resolved && kj.right.resolved =>
+      val data = B.ofRows(spark, kj.left)
+      val queries = B.ofRows(spark, kj.right)
+        .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
+      val rewritten = BruteForceKnn.knnJoin(data, queries, kj.k,
+        Metric.fromName(kj.metricName), kj.idCol, kj.vecCol)
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"),
+          col("rank"), col("dist"))
+      val newPlan = B.optimizedPlanOf(rewritten)
+      // graft the rewrite under the node's declared exprIds
+      val aliased: Seq[NamedExpression] = newPlan.output.zip(kj.output).map {
+        case (produced, declared) =>
+          Alias(produced, declared.name)(exprId = declared.exprId)
+      }
+      Project(aliased, newPlan)
+  }
+}
+
+/** `SparkSessionExtensions` installer:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(session => ResolveKnnJoin(session))
+}
+
+/** Dataset-side entry: a DataFrame whose plan is the declarative node. */
+object KnnJoinPlan {
+  private[plans] def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("nbr_id", LongType, nullable = false)(),
+    AttributeReference("rank", IntegerType, nullable = false)(),
+    AttributeReference("dist", DoubleType, nullable = false)())
+
+  def knnJoin(data: DataFrame, queries: DataFrame, k: Int, metric: Metric,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val spark = data.sparkSession
+    B.ofRows(spark, KnnJoinPlan(B.planOf(data), B.planOf(queries), k, metric.name,
+      idCol, vecCol, qidCol, qvecCol))
+  }
+}

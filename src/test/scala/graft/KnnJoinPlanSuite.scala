@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.ops.BruteForceKnn
+import graft.plans.{KnnJoinPlan, ResolveKnnJoin}
+
+/** The declarative KnnJoin Catalyst node: the optimizer rule must lower it
+  * to the partial-top-k pipeline with results identical to the direct API,
+  * and enclosing operators (filters/projections over the node) must keep
+  * composing — the attribute re-aliasing contract. */
+class KnnJoinPlanSuite extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def ensureRule(): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveKnnJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
+
+  test("declarative node lowers to the same rows as the direct API") {
+    ensureRule()
+    val declared = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+      "vec_id", "embedding")
+    val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    assert(declared.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(declared).count() == 0)
+  }
+
+  test("operators compose over the node (filter + projection + agg)") {
+    ensureRule()
+    val out = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt, "vec_id", "embedding")
+      .filter(col("rank") <= 3)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"), max(col("dist")).as("worst"))
+    val rows = out.collect()
+    assert(rows.length == queries.count())
+    assert(rows.forall(_.getLong(1) == 3))
+  }
+
+  test("plan shows the partial-top-k aggregate, not a raw cross join sort") {
+    ensureRule()
+    val physical = KnnJoinPlan.knnJoin(emb, queries, 5, Metric.L2, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("topk") || physical.contains("TopK") ||
+      physical.contains("ObjectHashAggregate") || physical.contains("SortAggregate"),
+      s"unexpected physical plan:\n$physical")
+  }
+}

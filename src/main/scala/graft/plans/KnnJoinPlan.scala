@@ -53,18 +53,59 @@ case class KnnJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Lowers KnnJoinPlan into the compositional physical shape. */
+/** Planner-visible index registry: map a dataset's file location to a
+  * saved IVF layout the optimizer may route kNN joins through — the Spark
+  * analog of "an index exists on this table". Registering an index with
+  * partial probes is an explicit opt-in to approximate results (the
+  * reference's n_probes contract); refine against the raw relation keeps
+  * the output metric/rank contract exact over the probed candidates. */
+object GraftIndexCatalog {
+  case class Entry(indexPath: String, nProbes: Int, kCoarse: Int)
+  private val byPath = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  def register(dataPath: String, indexPath: String, nProbes: Int, kCoarse: Int = 0): Unit =
+    byPath.put(normalize(dataPath), Entry(indexPath, nProbes, kCoarse))
+  def unregister(dataPath: String): Unit = byPath.remove(normalize(dataPath))
+  def lookup(paths: Seq[String]): Option[Entry] =
+    paths.flatMap(p => byPath.get(normalize(p))).headOption
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+/** Lowers KnnJoinPlan into a physical route chosen by the planner:
+  * a registered IVF layout on the data relation -> probe-pruned index
+  * search + exact refine; otherwise the brute-force partial-top-k
+  * pipeline. */
 case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      l.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+  }.flatten
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case kj: KnnJoinPlan if kj.left.resolved && kj.right.resolved =>
       val data = B.ofRows(spark, kj.left)
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
-      val rewritten = BruteForceKnn.knnJoin(data, queries, kj.k,
-        Metric.fromName(kj.metricName), kj.idCol, kj.vecCol)
-        .select(col("qid").cast("long"), col("nbr_id").cast("long"),
-          col("rank"), col("dist"))
-      val newPlan = B.optimizedPlanOf(rewritten)
+      val metric = Metric.fromName(kj.metricName)
+      val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left)) match {
+        case Some(e) =>
+          val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
+          val kCoarse = if (e.kCoarse > 0) e.kCoarse else math.max(2 * kj.k, kj.k + 10)
+          val cand = idx.search(queries, kCoarse, e.nProbes)
+            .select(col("qid"), col("nbr_id").as("id"))
+          graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
+            kj.idCol, kj.vecCol)
+        case None =>
+          BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol)
+      }
+      val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),
+        col("rank"), col("dist"))
+      val newPlan = B.optimizedPlanOf(shaped)
       // graft the rewrite under the node's declared exprIds
       val aliased: Seq[NamedExpression] = newPlan.output.zip(kj.output).map {
         case (produced, declared) =>

@@ -41,6 +41,29 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(rows.forall(_.getLong(1) == 3))
   }
 
+  test("registered IVF layout reroutes the join through the index, exactly") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnroute").toString
+    val idx = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+    idx.save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      // full probes + refine == exact brute force, via the index route
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(routed.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(routed).count() == 0)
+      // the physical plan reads the saved index lists, not a cross join
+      val physical = routed.queryExecution.executedPlan.toString
+      assert(physical.contains("list_id"), s"expected index-route plan:\n$physical")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("plan shows the partial-top-k aggregate, not a raw cross join sort") {
     ensureRule()
     val physical = KnnJoinPlan.knnJoin(emb, queries, 5, Metric.L2, "vec_id", "embedding")

@@ -57,6 +57,134 @@ object Spectral {
       .select(col(idCol), col("spectral").cast("array<float>"))
   }
 
+  /** Distributed Lanczos spectral embedding — the scale path past the
+    * driver-side Jacobi limit (SURVEY.md §7.4(2)): the n×n Laplacian is
+    * never materialized anywhere; each Lanczos step is one distributed
+    * matvec over the weighted edge list plus two aggregations, and the
+    * only driver-side state is the (m+1)×(m+1) tridiagonal problem.
+    *
+    * Works on M = 2I − L_norm (spectrum in [0,2] flipped), so the LARGEST
+    * Ritz pairs of M are the bottom Laplacian eigenpairs the embedding
+    * needs. The Krylov basis lives as columns of one checkpointed
+    * DataFrame (id, q0..qm) — full reorthogonalization is a single
+    * aggregate of m running dot products, and the Ritz rotation is a
+    * map-side linear combination. Rounds: O(m) jobs, m = lanczosSteps.
+    */
+  def embeddingLanczos(df: DataFrame, params: Params, lanczosSteps: Int = 0,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val spark = df.sparkSession
+    val wanted = if (lanczosSteps > 0) lanczosSteps
+      else math.max(2 * params.nComponents + 2, params.nComponents + 6)
+    val m = math.min(wanted, (df.count() - 1).toInt.max(1))
+    val knn = AllNeighbors.exact(df, params.nNeighbors, params.metric, idCol, vecCol)
+      .select(col("src"), col("dst"))
+    val adj = knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+    // w_ij = 1/sqrt(d_i d_j): (Sv)_i = sum_j w_ij v_j; Mv = v + Sv
+    val edges = adj
+      .join(deg.select(col("id").as("src"), col("deg").as("_ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("_dd")), "dst")
+      .select(col("src"), col("dst"), (lit(1.0) / sqrt(col("_ds") * col("_dd"))).as("w"))
+      .localCheckpoint()
+
+    // deterministic unit start vector from the portable affine hash
+    val p31 = 2147483647L
+    val h = pmod(pmod(col("id") * lit(1000003L) + lit(12345L + params.seed), lit(p31))
+      * lit(1000003L) + lit(12345L + params.seed), lit(p31))
+    var basis = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("_r", h.cast("double") / lit(p31.toDouble) - lit(0.5))
+    val n0 = math.sqrt(basis.agg(sum(col("_r") * col("_r"))).head().getDouble(0))
+    basis = basis.withColumn("q0", col("_r") / lit(n0)).drop("_r").localCheckpoint()
+
+    val alphas = Array.ofDim[Double](m)
+    val betas = Array.ofDim[Double](m) // betas(k) links q_k and q_{k+1}
+    var steps = 0
+    var k = 0
+    var break = false
+    while (k < m && !break) {
+      val qk = s"q$k"
+      // matvec: w = q_k + S q_k
+      val sv = edges
+        .join(basis.select(col("id").as("dst"), col(qk).as("_v")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("w") * col("_v")).as("_sv"))
+      val withW = basis
+        .join(sv, Seq("id"), "left")
+        .withColumn("_w", col(qk) + coalesce(col("_sv"), lit(0.0)))
+        .drop("_sv")
+      // full reorthogonalization, done TWICE (CGS2): a single classical
+      // Gram-Schmidt pass loses orthogonality past ~20 steps and breeds
+      // ghost Ritz values; the second pass restores it to machine level.
+      // Each pass is one aggregate of all k+1 running dot products.
+      def orthoPass(frame: DataFrame, src: String, accumAlpha: Boolean): DataFrame = {
+        val dotCols = (0 to k).map(j => sum(col(src) * col(s"q$j")).as(s"d$j"))
+        val dots = frame.agg(dotCols.head, dotCols.tail: _*).head()
+        val coeffs = (0 to k).map(j => dots.getDouble(j))
+        if (accumAlpha) alphas(k) = coeffs(k)
+        frame.withColumn("_o", (0 to k).foldLeft(col(src)) { (acc, j) =>
+          acc - lit(coeffs(j)) * col(s"q$j")
+        })
+      }
+      val pass1 = orthoPass(withW, "_w", accumAlpha = true)
+        .withColumn("_w1", col("_o")).drop("_o").localCheckpoint()
+      val withO = orthoPass(pass1, "_w1", accumAlpha = false).drop("_w1")
+      val beta = math.sqrt(withO.agg(sum(col("_o") * col("_o"))).head().getDouble(0))
+      steps = k + 1
+      if (beta < 1e-12 || k == m - 1) break = true
+      else {
+        betas(k) = beta
+        basis = withO.withColumn(s"q${k + 1}", col("_o") / lit(beta))
+          .drop("_w", "_o").localCheckpoint()
+        k += 1
+      }
+    }
+    // driver-side tridiagonal eigenproblem (steps x steps)
+    val t = Array.fill(steps, steps)(0.0)
+    for (i <- 0 until steps) {
+      t(i)(i) = alphas(i)
+      if (i + 1 < steps) { t(i)(i + 1) = betas(i); t(i + 1)(i) = betas(i) }
+    }
+    val (tVals, tVecs) = Eigen.symEigen(t)
+    // largest Ritz values of M = bottom Laplacian pairs; order ascending L
+    val order = tVals.indices.sortBy(i => -tVals(i))
+    val chosen = (if (params.dropFirst) order.drop(1) else order).take(params.nComponents)
+    // Ritz vectors: u_c = sum_k tVecs(c)(k) q_k — map-side combination
+    val comps = chosen.map { c =>
+      (0 until steps).foldLeft(lit(0.0)) { (acc, j) =>
+        acc + lit(tVecs(c)(j)) * col(s"q$j")
+      }.cast("float")
+    }
+    basis.select(col("id").as(idCol), array(comps: _*).as("spectral"))
+  }
+
+  /** Bottom Laplacian eigenvalues per Lanczos (2 − Ritz values), ascending
+    * — for validation against the dense path. */
+  def lanczosEigenvalues(df: DataFrame, params: Params, lanczosSteps: Int = 0,
+      idCol: String = "id", vecCol: String = "vec"): Seq[Double] = {
+    val emb = embeddingLanczos(df, params, lanczosSteps, idCol, vecCol)
+    // Rayleigh quotients of the returned components under L = I - S
+    val knn = AllNeighbors.exact(df, params.nNeighbors, params.metric, idCol, vecCol)
+      .select(col("src"), col("dst"))
+    val adj = knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+    val edges = adj
+      .join(deg.select(col("id").as("src"), col("deg").as("_ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("_dd")), "dst")
+      .select(col("src"), col("dst"), (lit(1.0) / sqrt(col("_ds") * col("_dd"))).as("w"))
+    (0 until params.nComponents).map { c =>
+      val v = emb.select(col(idCol).as("id"),
+        element_at(col("spectral"), c + 1).cast("double").as("v"))
+      val sv = edges.join(v.select(col("id").as("dst"), col("v").as("_vd")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("w") * col("_vd")).as("sv"))
+      val joined = v.join(sv, Seq("id"), "left")
+        .select(col("v"), coalesce(col("sv"), lit(0.0)).as("sv"))
+      val r = joined.agg(sum(col("v") * (col("v") - col("sv"))).as("num"),
+        sum(col("v") * col("v")).as("den")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+  }
+
   /** Spectral clustering: embedding + k-means, returns (id, cluster).
     * Clusters on the k BOTTOM eigenvectors including the trivial one
     * (dropFirst=false): with c connected components the bottom c vectors

@@ -83,6 +83,34 @@ class GraphSuite extends SparkFunSuite {
     }
   }
 
+  test("lanczos spectral: bottom eigenvalues match the dense Laplacian") {
+    val params = Spectral.Params(nComponents = 3, nNeighbors = 10, dropFirst = false)
+    // naive dense oracle: build the normalized Laplacian of the same exact
+    // kNN graph on the driver and take its bottom eigenvalues
+    val knn = AllNeighbors.exact(small, 10, Metric.L2, "id", "vec")
+      .select(col("src"), col("dst"))
+    val adj = knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = small.select(col("id")).collect().map(_.getLong(0)).sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val deg = new Array[Double](n)
+    adj.foreach { case (s, _) => deg(idx(s)) += 1.0 }
+    val lap = Array.fill(n, n)(0.0)
+    for (i <- 0 until n) lap(i)(i) = 1.0
+    adj.foreach { case (s, d) =>
+      lap(idx(s))(idx(d)) = -1.0 / math.sqrt(deg(idx(s)) * deg(idx(d))) }
+    val (vals, _) = graft.core.Eigen.symEigen(lap)
+    val dense = vals.sorted.take(3)
+
+    val ritz = Spectral.lanczosEigenvalues(small, params, lanczosSteps = 30, "id", "vec")
+    ritz.zip(dense).zipWithIndex.foreach { case ((l, d), i) =>
+      // extreme pairs converge geometrically; the float32 embedding cast
+      // bounds the achievable Rayleigh accuracy around 1e-5
+      assert(math.abs(l - d) < 5e-4, s"eigenvalue $i: lanczos $l vs dense $d")
+    }
+  }
+
   test("spectral clustering separates two far-apart groups") {
     val shifted = small.select((col("id") + 10000).as("id"),
       org.apache.spark.sql.functions.transform(col("vec"), x => x + 100.0f).as("vec"))

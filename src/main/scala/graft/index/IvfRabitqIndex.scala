@@ -73,6 +73,19 @@ class IvfRabitqIndex(
       .select(col("qid"), col("nbr_id").as("id"))
     Refine.refine(cand, dataset, queries, k, Metric.L2, idCol, vecCol, qidCol, qvecCol)
   }
+
+  /** Persist: coded lists (partitioned for DPP), centroid sidecar, and the
+    * rotation matrix — the ivf_rabitq serialize surface as Parquet. */
+  def save(path: String): Unit = {
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/rabitq_lists")
+    val spark = lists.sparkSession
+    IvfFlatIndex.saveCentroids(spark, path, centroids, Metric.L2)
+    import spark.implicits._
+    rotation.flat.grouped(rotation.cols).zipWithIndex.toSeq
+      .map { case (row, i) => (i, row.toSeq, bitsPerDim) }
+      .toDF("r", "row", "bits_per_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+  }
 }
 
 object IvfRabitqIndex {
@@ -108,6 +121,19 @@ object IvfRabitqIndex {
       i += 1
     }
     ProjectionMatrix(rows.flatten, dim, dim, Array.emptyDoubleArray)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfRabitqIndex = {
+    val (centroids, _) = IvfFlatIndex.loadCentroids(spark, path)
+    val rot = spark.read.parquet(s"$path/rotation").orderBy("r").collect()
+    val dim = rot.length
+    val flat = new Array[Double](dim * dim)
+    rot.foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("row")).toArray
+      System.arraycopy(v, 0, flat, r.getAs[Int]("r") * dim, dim)
+    }
+    new IvfRabitqIndex(centroids, ProjectionMatrix(flat, dim, dim, Array.emptyDoubleArray),
+      spark.read.parquet(s"$path/rabitq_lists"), rot.head.getAs[Int]("bits_per_dim"))
   }
 
   def build(dataset: DataFrame, params: Params,

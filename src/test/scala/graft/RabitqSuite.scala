@@ -52,6 +52,17 @@ class RabitqSuite extends SparkFunSuite {
     assert(recallVsExact(got, 10) == 1.0)
   }
 
+  test("save/load roundtrip searches identically") {
+    val idx = IvfRabitqIndex.build(emb,
+      IvfRabitqIndex.Params(nLists = 8, nIters = 5, bitsPerDim = 3), "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("rabitq").toString
+    idx.save(path)
+    val loaded = IvfRabitqIndex.load(spark, path)
+    val a = idx.search(queries, 10, nProbes = 8).collect().toSet
+    val b = loaded.search(queries, 10, nProbes = 8).collect().toSet
+    assert(a == b)
+  }
+
   test("more bits per dim -> estimator-only recall does not degrade") {
     def estimatorRecall(bits: Int): Double = {
       val idx = IvfRabitqIndex.build(emb,

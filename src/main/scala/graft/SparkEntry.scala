@@ -426,6 +426,24 @@ object SparkEntry {
       .search(embQueries(spark, dir), 10, nProbes = 8)
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
 
+  /** Filtered IVF search (cuvs::neighbors::filtering on the IVF path):
+    * the deny predicate pushes into the list scan; at full probes the
+    * result equals exact kNN over the allowed subset — exact oracle. */
+  private def ivfFilteredQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir)
+      .filtered(col("id") % 3 =!= 0)
+      .search(embQueries(spark, dir), 10, nProbes = 16)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+
+  private val ivfFilteredOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, ${O.l2("q.qvec", "e.embedding")} AS dist
+       |      FROM q CROSS JOIN embeddings e WHERE e.vec_id % 3 <> 0),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10
+       |""".stripMargin
+
   /** IVF recall-floor report (reference discipline: min_recall scales with
     * n_probes/n_lists — BASELINE.md). Floor + pass hash-match the oracle;
     * counts come from the data. Raw results are ivf_flat_search. */
@@ -675,6 +693,7 @@ object SparkEntry {
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
     "kmeans_balanced" -> (kmeansBalancedQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
+    "ivf_filtered_search" -> (ivfFilteredQuery(_, _)),
     "ivf_flat_recall" -> (ivfRecallQuery(_, _)),
     "ann_ivf_cosine_recall" -> (ivfCosineRecallQuery(_, _)),
     "ivf_sq_search_refine" -> (ivfSqQuery(_, _)),
@@ -723,6 +742,7 @@ object SparkEntry {
     "kmeans_fit_predict" -> kmeansOracle,
     "kmeans_balanced" -> kmeansBalancedOracle,
     "ivf_flat_recall" -> ivfRecallOracle,
+    "ivf_filtered_search" -> ivfFilteredOracle,
     "ivf_pq_recall" -> ivfPqRecallOracle,
     "ann_ivf_cosine_recall" -> ivfRecallOracle,
     "pq_transform" -> pqOracle,

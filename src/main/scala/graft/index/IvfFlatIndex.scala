@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.cluster.KMeans
@@ -46,6 +46,14 @@ class IvfFlatIndex(
         graft.functions.vector_distance(metric, col("_qvec"), col("vec")).as("dist"))
     BruteForceKnn.topKPerQuery(pairs, k, metric)
   }
+
+  /** Pre-filtered view of the index (`cuvs::neighbors::filtering` on the
+    * IVF path): the predicate applies to the list rows (id/vec), so it
+    * pushes into the list scan — deny-listed rows are never scored. The
+    * cell layout and centroids are untouched; at full probes the filtered
+    * search equals exact kNN over the allowed subset. */
+  def filtered(predicate: Column): IvfFlatIndex =
+    new IvfFlatIndex(centroids, lists.filter(predicate), metric)
 
   /** Append new vectors to existing cells (centers fixed) — ivf extend. */
   def extend(newData: DataFrame, idCol: String = "id", vecCol: String = "vec"): IvfFlatIndex = {

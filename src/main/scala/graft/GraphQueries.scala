@@ -197,9 +197,12 @@ object GraphQueries {
     val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
-    // exact top-10 ground truth is a prefix of the already-computed 16-NN
-    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 10)
+    // Self-inclusive exact top-10 ground truth: queries are dataset rows, so
+    // the search legitimately returns the query itself at dist 0; truth is
+    // {self} ∪ top-9 of the already-computed (self-exclusive) 16-NN graph.
+    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
       .select(col("src").as("qid"), col("dst").as("nbr_id"))
+      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
     val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
@@ -231,9 +234,10 @@ object GraphQueries {
     val base = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     val idx = Hnsw.fromGraph(base, e, Hnsw.Params(m = 16), "id", "vec")
     val got = Hnsw.search(idx, e, q, 10, ef = 40, "id", "vec")
-    // exact top-10 ground truth is a prefix of the already-computed 16-NN
-    val exact = base.filter(col("src") % 20 === 0 && col("rank") <= 10)
+    // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
+    val exact = base.filter(col("src") % 20 === 0 && col("rank") <= 9)
       .select(col("src").as("qid"), col("dst").as("nbr_id"))
+      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
     val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))

@@ -131,7 +131,34 @@ object KMeans {
         centroids = pack(next, dim, params.metric)
         it += 1
       }
-      Model(centroids, clusterCost(data, centroids, "_vec"), it)
+      // Terminal floor guarantee: the loop above can exit right after a
+      // reseed — or after the Lloyd re-center that follows one — with a
+      // cluster still below the floor. Finish with adjust-only rounds
+      // (reseed WITHOUT re-centering, which cannot re-starve a cluster)
+      // until every cluster meets the floor, bounded.
+      var extra = 0
+      var settled = false
+      while (!settled && extra < 10) {
+        val (cl, d) = assignCols(centroids, col("_vec"))
+        val assigned = data.select(col("_id"), col("_vec"), cl.as("cluster"), d.as("_d"))
+        val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val sizes = Array.tabulate(params.k)(c => counts.getOrElse(c, 0L))
+        val small = sizes.indices.filter(sizes(_) < floor)
+        if (small.isEmpty) settled = true
+        else {
+          val biggest = sizes.indices.maxBy(c => (sizes(c), c))
+          val donors = assigned.filter(col("cluster") === biggest)
+            .orderBy(col("_d").desc, col("_id"))
+            .limit(small.length)
+            .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+          val next = Array.tabulate(params.k)(centroids.centroid)
+          small.zip(donors).foreach { case (c, v) => next(c) = v }
+          centroids = pack(next, dim, params.metric)
+          extra += 1
+        }
+      }
+      Model(centroids, clusterCost(data, centroids, "_vec"), it + extra)
     } finally data.unpersist()
   }
 

@@ -11,7 +11,10 @@ import graft.ops.{BruteForceKnn, Refine}
 
 /** IVF-RaBitQ — IVF lists carrying RaBitQ-coded residuals
   * (`cuvs::neighbors::ivf_rabitq`, ivf_rabitq.hpp:37-110: n_lists,
-  * bits_per_dim ∈ [1,9] = 1 sign bit + extended magnitude bits).
+  * bits_per_dim = 1 sign bit + extended magnitude bits). This impl
+  * supports bits_per_dim ∈ [1,8]: magnitudes are stored as signed bytes
+  * (tinyint), which hold at most 2⁷ = 128 levels; the reference's 9-bit
+  * top end would need 256 levels (smallint storage).
   *
   * Spark shape: identical probe-broadcast / list-equi-join skeleton as
   * IVF-Flat; the list rows store only the packed sign code (+ optional
@@ -160,13 +163,16 @@ object IvfRabitqIndex {
       if (params.bitsPerDim <= 1) base.drop("_u")
       else {
         val levels = 1 << (params.bitsPerDim - 1)
-        // per-vector magnitude scale: û_i = sign·(mag+0.5)·mscale
+        // per-vector magnitude scale: û_i = sign·(mag+0.5)·mscale. A zero
+        // residual (vector exactly at its centroid) gets mscale=0 so the
+        // decode yields exactly 0 — not ±0.5 — keeping the estimate unbiased.
         base
           .withColumn("_m", array_max(transform(col("_u"), x => abs(x.cast("double")))))
-          .withColumn("mscale", when(col("_m") > 0.0, col("_m") / levels).otherwise(lit(1.0)))
+          .withColumn("mscale", when(col("_m") > 0.0, col("_m") / levels).otherwise(lit(0.0)))
           .withColumn("mags", transform(col("_u"), x =>
-            least(lit(levels - 1),
-              floor(abs(x.cast("double")) / col("mscale")).cast("int")).cast("tinyint")))
+            when(col("mscale") > 0.0,
+              least(lit(levels - 1), floor(abs(x.cast("double")) / col("mscale")).cast("int")))
+              .otherwise(lit(0)).cast("tinyint")))
           .drop("_u", "_m")
       }
     new IvfRabitqIndex(ivf.centroids, p,

@@ -77,6 +77,10 @@ object GraftIndexCatalog {
   * pipeline. */
 case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Same candidate ranking under both metrics (monotone transforms). */
+  private def rankCompatible(a: Metric, b: Metric): Boolean =
+    a == b || Set(a, b).subsetOf(Set[Metric](Metric.L2, Metric.L2Sqrt))
+
   private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
     case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       l.relation match {
@@ -92,15 +96,23 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
       val metric = Metric.fromName(kj.metricName)
-      val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left)) match {
-        case Some(e) =>
-          val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
+      val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
+          .map(e => (e, graft.index.IvfFlatIndex.load(spark, e.indexPath)))
+          .filter { case (_, idx) => rankCompatible(idx.metric, metric) } match {
+        // The index route is only sound when the saved index ranks
+        // candidates the way the node's declared metric would — candidates
+        // are generated with the index's own metric, and refine re-ranks
+        // only within them. L2 and L2Sqrt are rank-equivalent (sqrt is
+        // monotone); any other mismatch (e.g. a Cosine knn_join over an
+        // L2-built index) falls back to the exact brute-force route
+        // instead of silently degrading results.
+        case Some((e, idx)) =>
           val kCoarse = if (e.kCoarse > 0) e.kCoarse else math.max(2 * kj.k, kj.k + 10)
           val cand = idx.search(queries, kCoarse, e.nProbes)
             .select(col("qid"), col("nbr_id").as("id"))
           graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
             kj.idCol, kj.vecCol)
-        case None =>
+        case _ =>
           BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol)
       }
       val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),

@@ -41,6 +41,18 @@ object GraphSearch {
     val edges = graph.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Cost-based route (see LocalKernel): a graph small enough to broadcast
+    // runs the whole traversal in one pass instead of maxIterations jobs.
+    // Both routes return the same rows — LocalBeam mirrors this loop
+    // round-for-round.
+    val sparkS = dataset.sparkSession
+    if (LocalKernel.enabled(sparkS) &&
+        edges.count() <= LocalKernel.maxEdges(sparkS) &&
+        data.count() <= LocalKernel.maxVectors(sparkS)) {
+      try return searchLocal(data, q, edges, k, params, entrySeeds)
+      finally { data.unpersist(); q.unpersist(); edges.unpersist() }
+    }
+
     // per-query state is O(queries·itopk) — always the broadcast side.
     // (localCheckpoint'ed frames report unknown stats, so without explicit
     // hints every per-round join would plan as a full shuffle join.)
@@ -103,5 +115,47 @@ object GraphSearch {
     data.unpersist(); q.unpersist(); edges.unpersist()
     BruteForceKnn.topKPerQuery(
       beam.select(col("qid"), col("id").as("_nid"), col("dist")), k, params.metric)
+  }
+
+  /** Broadcast route: graph + vectors collected once and broadcast; the
+    * query side streams through a single mapPartitions (never collected, so
+    * the QUERY set may be arbitrarily large). Row-identical to the
+    * iterative loop — LocalBeam documents the mirrored semantics. */
+  private def searchLocal(data: DataFrame, q: DataFrame, edges: DataFrame, k: Int,
+      params: Params, entrySeeds: Option[DataFrame]): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val vecs = new java.util.HashMap[Long, Array[Float]]()
+    data.as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }
+    val adj = LocalBeam.buildAdj(edges.as[(Long, Long)].collect())
+    val bcVecs = spark.sparkContext.broadcast(vecs)
+    val bcAdj = spark.sparkContext.broadcast(adj)
+    val metric = params.metric
+    val (itopk, sw, iters) = (params.itopk, params.searchWidth, params.maxIterations)
+    val minClose = Metric.isMinClose(metric)
+
+    val seeded: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[Long])] =
+      entrySeeds match {
+        case Some(es) =>
+          // per-query seed lists ride the query rows (same join the
+          // distributed route's score() performs)
+          val s = es.select(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
+            .distinct()
+            .groupBy(col("qid")).agg(collect_list(col("id")).as("_seeds"))
+          q.join(s, "qid").select(col("qid"), col("qvec"), col("_seeds"))
+            .as[(Long, Array[Float], Array[Long])]
+        case None =>
+          // shared pseudo-random entry points — same tiny global pick
+          val picks = data.select(col("id"))
+            .orderBy(xxhash64(col("id"), lit(params.seed)), col("id"))
+            .limit(params.nSeeds).as[Long].collect()
+          q.as[(Long, Array[Float])].map { case (qid, qv) => (qid, qv, picks) }
+      }
+
+    seeded.flatMap { case (qid, qvec, seeds) =>
+      val beam = LocalBeam.run(qvec, seeds, bcAdj.value, bcVecs.value,
+        graft.core.Distance.fn(metric), itopk, sw, iters)
+      LocalBeam.topK(beam, k, minClose).map { case (id, rank, dist) => (qid, id, rank, dist) }
+    }.toDF("qid", "nbr_id", "rank", "dist")
   }
 }

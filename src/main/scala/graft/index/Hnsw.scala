@@ -76,6 +76,18 @@ object Hnsw {
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+
+    // Cost-based route (graft.graphops.LocalKernel): when the whole
+    // hierarchy fits under the broadcast threshold, run descent + base beam
+    // for all levels in ONE pass over the query side instead of one
+    // GraphSearch job-loop per level. Row-identical to the per-level loop
+    // below (LocalBeam mirrors GraphSearch round-for-round).
+    val spark = data.sparkSession
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        idx.edges.count() <= graft.graphops.LocalKernel.maxEdges(spark) &&
+        data.count() <= graft.graphops.LocalKernel.maxVectors(spark))
+      return searchLocal(idx, data, q, k, ef, idCol, vecCol)
+
     var cur = q.select(col("qid"), lit(idx.entryPoint).as("id"))
     for (l <- idx.maxLevel to 1 by -1) {
       cur = GraphSearch.search(
@@ -92,5 +104,48 @@ object Hnsw {
       GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
         metric = idx.params.metric),
       idCol, vecCol, entrySeeds = Some(cur))
+  }
+
+  /** One-pass broadcast search: per-level adjacency + vectors broadcast
+    * once; every query does its full greedy descent (itopk=4, width=1,
+    * 2 rounds per upper layer — the hnswlib ef=1 descent) and base-layer
+    * ef-beam (width=4, 10 rounds) inside a single mapPartitions. */
+  private def searchLocal(idx: Index, data: DataFrame, q: DataFrame, k: Int, ef: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.graphops.LocalBeam
+    val spark = data.sparkSession
+    import spark.implicits._
+    val vecs = new java.util.HashMap[Long, Array[Float]]()
+    data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }
+    val levelAdj: Map[Int, java.util.HashMap[Long, Array[Long]]] =
+      idx.edges.select(col("level").cast("int"), col("src").cast("long"), col("dst").cast("long"))
+        .as[(Int, Long, Long)].collect()
+        .groupBy(_._1)
+        .map { case (l, es) => l -> LocalBeam.buildAdj(es.map(e => (e._2, e._3))) }
+    val bcVecs = spark.sparkContext.broadcast(vecs)
+    val bcAdj = spark.sparkContext.broadcast(levelAdj)
+    val metric = idx.params.metric
+    val minClose = graft.core.Metric.isMinClose(metric)
+    val (maxLevel, entry) = (idx.maxLevel, idx.entryPoint)
+
+    q.as[(Long, Array[Float])].flatMap { case (qid, qvec) =>
+      val distFn = graft.core.Distance.fn(metric)
+      val adj = bcAdj.value; val vs = bcVecs.value
+      var cur = entry
+      var l = maxLevel
+      while (l >= 1) {
+        adj.get(l).foreach { a =>
+          val beam = LocalBeam.run(qvec, Array(cur), a, vs, distFn,
+            itopk = 4, searchWidth = 1, maxIterations = 2)
+          LocalBeam.topK(beam, 1, minClose).headOption.foreach { case (id, _, _) => cur = id }
+        }
+        l -= 1
+      }
+      val base = adj.getOrElse(0, new java.util.HashMap[Long, Array[Long]]())
+      val beam = LocalBeam.run(qvec, Array(cur), base, vs, distFn,
+        itopk = ef, searchWidth = 4, maxIterations = 10)
+      LocalBeam.topK(beam, k, minClose).map { case (id, rank, dist) => (qid, id, rank, dist) }
+    }.toDF("qid", "nbr_id", "rank", "dist")
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.graphops.{AllNeighbors, CagraOptimize, GraphSearch}
+import graft.index.Hnsw
+
+/** The cost-based kernel routes (LocalKernel/LocalBeam) must be
+  * row-identical to the distributed loops they replace — same beams, same
+  * tie-breaks, same distances bit-for-bit. These tests run each operator
+  * through BOTH routes (toggling spark.graft.localKernel.enabled) and
+  * assert exact set equality. */
+class LocalKernelSuite extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val queries = emb.filter(col("id") % 50 === 0)
+    .select(col("id").as("qid"), col("vec").as("qvec"))
+
+  private def bothRoutes(run: => DataFrame): (Array[String], Array[String]) = {
+    def rows(df: DataFrame): Array[String] =
+      df.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.localKernel.enabled", "true")
+    val local = rows(run)
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val dist =
+      try rows(run)
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    (local, dist)
+  }
+
+  test("graph search: broadcast route == iterative route, row for row") {
+    val knn = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+      .localCheckpoint()
+    val (local, dist) = bothRoutes {
+      GraphSearch.search(g.select(col("src"), col("dst")), emb, queries, 10,
+        GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 8), "id", "vec")
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
+  test("hnsw search: one-pass route == per-level route, row for row") {
+    val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
+    val (local, dist) = bothRoutes {
+      Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec")
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+}

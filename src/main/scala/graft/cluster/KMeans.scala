@@ -54,6 +54,20 @@ object KMeans {
         .orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
         .limit(params.k)
         .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+
+      // Cost-based route (graft.graphops.LocalKernel): Lloyd's loop is
+      // k·dim driver-side state and two jobs per iteration — on a trainset
+      // small enough to collect, the iterations are pure job-scheduling
+      // overhead. Same init (the Spark-computed hash pick above), same
+      // strict-argmin assignment, same double-sum/mean update, same
+      // tol/maxIter termination; the distributed loop below is the
+      // at-scale path (the reference trains on a sampled fraction for the
+      // same reason — kmeans.hpp trainset_fraction).
+      val sparkS = df.sparkSession
+      if (graft.graphops.LocalKernel.enabled(sparkS) &&
+          data.count() <= graft.graphops.LocalKernel.maxVectors(sparkS))
+        return fitLocal(data, initRows, dim, params)
+
       var centroids = pack(initRows, dim, params.metric)
       var it = 0
       var moved = Double.MaxValue
@@ -77,6 +91,82 @@ object KMeans {
     } finally data.unpersist()
   }
 
+  /** In-memory Lloyd over the collected trainset — the LocalKernel twin of
+    * the distributed loop in fit(), sharing its Spark-computed init.
+    * Vectors are summed in id order (a canonical order; the distributed
+    * aggregation sums in partition order — same values up to fp
+    * associativity). */
+  private def fitLocal(data: DataFrame, initRows: Array[Array[Float]], dim: Int,
+      params: Params): Model = {
+    val rows = collectById(data).map(_._2)
+    val distFn = Distance.fn(params.metric)
+    val minClose = Metric.isMinClose(params.metric)
+    var cents = initRows.map(_.clone())
+    var it = 0
+    var moved = Double.MaxValue
+    val assign = new Array[Int](rows.length)
+    val dists = new Array[Double](rows.length)
+    while (it < params.maxIter && moved > params.tol) {
+      assignLocal(rows, cents, distFn, minClose, assign, dists)
+      val next = meansLocal(rows, assign, cents, dim, params.k)
+      moved = next.zipWithIndex.map { case (v, c) => Distance.l2Sqrt(v, cents(c)) }.max
+      cents = next
+      it += 1
+    }
+    assignLocal(rows, cents, distFn, minClose, assign, dists)
+    Model(pack(cents, dim, params.metric), dists.sum, it)
+  }
+
+  /** (id-sorted) collected trainset. */
+  private def collectById(data: DataFrame): Array[(Long, Array[Float])] =
+    data.select(col("_id").cast("long"), col("_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Strict-argmin assignment — CentroidOps.nearest p=1 semantics (first
+    * index wins ties, IP flips direction). */
+  private def assignLocal(rows: Array[Array[Float]], cents: Array[Array[Float]],
+      distFn: (Array[Float], Array[Float]) => Double, minClose: Boolean,
+      assign: Array[Int], dists: Array[Double]): Unit = {
+    var i = 0
+    while (i < rows.length) {
+      var best = 0
+      var bestD = distFn(rows(i), cents(0))
+      var c = 1
+      while (c < cents.length) {
+        val d = distFn(rows(i), cents(c))
+        if (if (minClose) d < bestD else d > bestD) { best = c; bestD = d }
+        c += 1
+      }
+      assign(i) = best; dists(i) = bestD
+      i += 1
+    }
+  }
+
+  /** Per-cluster double-sum mean (VectorAvgAgg semantics); empty clusters
+    * keep their previous centroid. */
+  private def meansLocal(rows: Array[Array[Float]], assign: Array[Int],
+      prev: Array[Array[Float]], dim: Int, k: Int): Array[Array[Float]] = {
+    val sums = Array.fill(k)(new Array[Double](dim))
+    val counts = new Array[Long](k)
+    var i = 0
+    while (i < rows.length) {
+      val c = assign(i); val v = rows(i)
+      var j = 0
+      while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      counts(c) += 1
+      i += 1
+    }
+    Array.tabulate(k) { c =>
+      if (counts(c) == 0) prev(c)
+      else { val out = new Array[Float](dim)
+        var j = 0
+        while (j < dim) { out(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        out }
+    }
+  }
+
   /** Balanced k-means — the reference's IVF trainer
     * (`cuvs::cluster::kmeans_balanced`; raft `adjust_centers`): after each
     * Lloyd update, clusters whose size fell below balanceRatio·(n/k) are
@@ -98,6 +188,14 @@ object KMeans {
         .orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
         .limit(params.k)
         .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+
+      // LocalKernel route — same economics and mirrored semantics as
+      // fitLocal, plus the reseed/adjust logic (see fitBalancedLocal).
+      val sparkS = df.sparkSession
+      if (graft.graphops.LocalKernel.enabled(sparkS) &&
+          n <= graft.graphops.LocalKernel.maxVectors(sparkS))
+        return fitBalancedLocal(data, initRows, dim, params, floor)
+
       var centroids = pack(initRows, dim, params.metric)
       var it = 0
       var moved = Double.MaxValue
@@ -160,6 +258,64 @@ object KMeans {
       }
       Model(centroids, clusterCost(data, centroids, "_vec"), it + extra)
     } finally data.unpersist()
+  }
+
+  /** In-memory twin of fitBalanced's distributed loop: Lloyd + the
+    * adjust_centers reseed (small clusters re-seeded onto the farthest
+    * points of the largest cluster, (dist desc, id asc) pick), then the
+    * terminal adjust-only rounds that guarantee the floor at return. */
+  private def fitBalancedLocal(data: DataFrame, initRows: Array[Array[Float]], dim: Int,
+      params: Params, floor: Double): Model = {
+    val rows = collectById(data)
+    val vecs = rows.map(_._2)
+    val distFn = Distance.fn(params.metric)
+    val minClose = Metric.isMinClose(params.metric)
+    val assign = new Array[Int](rows.length)
+    val dists = new Array[Double](rows.length)
+
+    def sizesOf(): Array[Long] = {
+      val s = new Array[Long](params.k)
+      assign.foreach(c => s(c) += 1)
+      s
+    }
+    def donorsOf(sizes: Array[Long], nDonors: Int): Array[Array[Float]] = {
+      val biggest = sizes.indices.maxBy(c => (sizes(c), c))
+      rows.indices.filter(assign(_) == biggest)
+        .sortBy(i => (-dists(i), rows(i)._1))
+        .take(nDonors).map(i => vecs(i)).toArray
+    }
+
+    var cents = initRows.map(_.clone())
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < params.maxIter && moved > params.tol) {
+      assignLocal(vecs, cents, distFn, minClose, assign, dists)
+      val next = meansLocal(vecs, assign, cents, dim, params.k)
+      val sizes = sizesOf()
+      val small = sizes.indices.filter(sizes(_) < floor)
+      if (small.nonEmpty) {
+        small.zip(donorsOf(sizes, small.length)).foreach { case (c, v) => next(c) = v.clone() }
+        moved = Double.MaxValue
+      } else {
+        moved = next.zipWithIndex.map { case (v, c) => Distance.l2Sqrt(v, cents(c)) }.max
+      }
+      cents = next
+      it += 1
+    }
+    var extra = 0
+    var settled = false
+    while (!settled && extra < 10) {
+      assignLocal(vecs, cents, distFn, minClose, assign, dists)
+      val sizes = sizesOf()
+      val small = sizes.indices.filter(sizes(_) < floor)
+      if (small.isEmpty) settled = true
+      else {
+        small.zip(donorsOf(sizes, small.length)).foreach { case (c, v) => cents(c) = v.clone() }
+        extra += 1
+      }
+    }
+    assignLocal(vecs, cents, distFn, minClose, assign, dists)
+    Model(pack(cents, dim, params.metric), dists.sum, it + extra)
   }
 
   /** Adds `cluster` (and `dist` to its centroid) — kmeans.hpp predict. */

@@ -47,6 +47,19 @@ object ProductQuantizer {
       var books = new Array[Float](params.pqDim * nCenters * subLen)
       for (c <- initRows.indices; s <- 0 until params.pqDim)
         System.arraycopy(initRows(c), s * subLen, books, (s * nCenters + c) * subLen, subLen)
+
+      // Cost-based route (graft.graphops.LocalKernel): the per-iteration
+      // state is the codebooks (pqDim·2^bits·subLen floats) — on a
+      // collectable trainset the fused-update jobs are pure scheduling
+      // overhead. Same init, same strict-argmin encode (PqOps.encode
+      // semantics), same double-sum subvector means, same
+      // keep-on-empty-cell rule; the distributed loop remains the
+      // at-scale path.
+      val sparkS = df.sparkSession
+      if (graft.graphops.LocalKernel.enabled(sparkS) &&
+          data.count() <= graft.graphops.LocalKernel.maxVectors(sparkS))
+        return trainLocal(data, books, params, nCenters, subLen)
+
       for (_ <- 1 to params.kmeansIters) {
         val cb = PqCodebooks(books, params.pqDim, nCenters, subLen)
         val updated = data
@@ -66,6 +79,57 @@ object ProductQuantizer {
       }
       PqCodebooks(books, params.pqDim, nCenters, subLen)
     } finally data.unpersist()
+  }
+
+  /** In-memory twin of the fused distributed update loop, id-sorted
+    * summation order. */
+  private def trainLocal(data: DataFrame, init: Array[Float], params: Params,
+      nCenters: Int, subLen: Int): PqCodebooks = {
+    val rows = data.select(col("_id").cast("long"), col("_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    var books = init
+    for (_ <- 1 to params.kmeansIters) {
+      val sums = new Array[Double](params.pqDim * nCenters * subLen)
+      val counts = new Array[Long](params.pqDim * nCenters)
+      rows.foreach { v =>
+        var s = 0
+        while (s < params.pqDim) {
+          // PqOps.encode: strict-argmin squared L2, first center wins ties
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < nCenters) {
+            val off = (s * nCenters + c) * subLen
+            var d = 0.0; var j = 0
+            while (j < subLen) {
+              val t = v(s * subLen + j).toDouble - books(off + j)
+              d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val cell = s * nCenters + best
+          var j = 0
+          while (j < subLen) { sums(cell * subLen + j) += v(s * subLen + j); j += 1 }
+          counts(cell) += 1
+          s += 1
+        }
+      }
+      val next = books.clone()
+      var cell = 0
+      while (cell < counts.length) {
+        if (counts(cell) > 0) {
+          var j = 0
+          while (j < subLen) {
+            next(cell * subLen + j) = (sums(cell * subLen + j) / counts(cell)).toFloat
+            j += 1
+          }
+        }
+        cell += 1
+      }
+      books = next
+    }
+    PqCodebooks(books, params.pqDim, nCenters, subLen)
   }
 
   def encodeCol(vec: Column, cb: PqCodebooks): Column =

@@ -19,6 +19,36 @@ object Components {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIterations: Int = 20): DataFrame = {
+    // Cost-based route (LocalKernel): min-label propagation converges to
+    // component = smallest reachable id; on a collectable edge list a
+    // driver-side union-find (roots pinned to the minimum id) produces the
+    // same fixpoint in one pass instead of O(diameter) join rounds.
+    val sparkL = vertices.sparkSession
+    if (LocalKernel.enabled(sparkL)) {
+      val vs = vertices.select(col(idCol).cast("long").as("id"))
+      val es = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      if (vs.count() <= LocalKernel.maxVectors(sparkL) &&
+          es.count() <= LocalKernel.maxEdges(sparkL)) {
+        val ids = vs.collect().map(_.getLong(0))
+        val parent = scala.collection.mutable.Map(ids.map(v => v -> v): _*)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        es.collect().foreach { r =>
+          val (x, y) = (r.getLong(0), r.getLong(1))
+          // edges touching unknown ids are ignored, as the join route does
+          if (parent.contains(x) && parent.contains(y)) {
+            val (a, b) = (find(x), find(y))
+            if (a != b) parent(math.max(a, b)) = math.min(a, b)
+          }
+        }
+        return sparkL.createDataFrame(ids.toSeq.map(v => (v, find(v))))
+          .toDF("id", "component")
+      }
+    }
+
     val und = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .unionByName(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct().localCheckpoint()
@@ -55,6 +85,47 @@ object Components {
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
+    // Cost-based route (LocalKernel): the per-round work is a per-component
+    // min-edge pick — on a collectable edge list the same rounds run in
+    // memory (same (dist, src, dst) proposal ordering, same union order),
+    // producing the identical MST edge sequence without per-round jobs.
+    val sparkL = vertices.sparkSession
+    if (LocalKernel.enabled(sparkL)) {
+      val eCheap = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("dist").cast("double"))
+      if (eCheap.count() <= LocalKernel.maxEdges(sparkL)) {
+        val all = eCheap.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .filter(t => parent.contains(t._1) && parent.contains(t._2))
+        val mstL = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var rounds = 0
+        var merged = 1
+        while (merged > 0 && rounds < maxRounds) {
+          val best = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+          all.foreach { case t @ (s, d, w) =>
+            val cs = find(s)
+            if (cs != find(d)) {
+              val cur = best.get(cs)
+              if (cur.isEmpty || {
+                    val (s0, d0, w0) = cur.get
+                    w < w0 || (w == w0 && (s < s0 || (s == s0 && d < d0)))
+                  }) best(cs) = t
+            }
+          }
+          merged = 0
+          best.values.toSeq.sortBy(t => (t._3, t._1, t._2)).foreach { case (s, d, w) =>
+            val (a, b) = (find(s), find(d))
+            if (a != b) {
+              parent(math.max(a, b)) = math.min(a, b)
+              mstL += ((s, d, w))
+              merged += 1
+            }
+          }
+          rounds += 1
+        }
+        return mstL.toSeq
+      }
+    }
+
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"), col("dist"))
       .localCheckpoint()
     val mst = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{Metric, TopK}
+import graft.core.{Metric, TopK, TopKBuf}
 import graft.functions.vector_distance
 
 /** Exact k-nearest-neighbor search as a relational plan.
@@ -33,10 +33,55 @@ object BruteForceKnn {
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val d = dataset.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
-    val pairs = d.crossJoin(broadcast(q))
-      .select(col("qid"), col("_nid"),
-        vector_distance(metric, col("_qvec"), col("_nvec")).as("dist"))
-    topKPerQuery(pairs, k, metric)
+
+    // Fused select_k kernel (graft.graphops.LocalKernel): when the query
+    // side fits in memory — the same bound the broadcast below implies —
+    // replace the crossJoin + per-row aggregator with one mapPartitions
+    // over the (streaming, never collected) dataset side that maintains a
+    // TopKBuf per query row and emits only parts·|Q|·k candidates into the
+    // same final merge. Top-k merge is associative under the (dist, id)
+    // order (TopKSuite), so the result is identical to the single-pass
+    // plan; the per-row UDAF encode/decode overhead on |D|·|Q| rows is
+    // what disappears. This is the reference's per-tile select_k +
+    // knn_merge_parts, hand-fused.
+    val spark = dataset.sparkSession
+    val qCount = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    val pairs =
+      if (graft.graphops.LocalKernel.enabled(spark) &&
+          qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        import spark.implicits._
+        val qArr = q.as[(Long, Array[Float])].collect()
+        val bcQ = spark.sparkContext.broadcast(qArr)
+        val distFn = graft.core.Distance.fn(metric)
+        val minClose = Metric.isMinClose(metric)
+        // a small scan can arrive in fewer partitions than cores; spreading
+        // it keeps the kernel parallel. At scale partitions >> cores and
+        // this is a no-op (no shuffle of a large dataset).
+        val cores = spark.sparkContext.defaultParallelism
+        val dIn = if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
+        dIn.as[(Long, Array[Float])].mapPartitions { rows =>
+          val qs = bcQ.value
+          val bufs = qs.map(_ => TopKBuf(k, minClose, new Array[Double](k), new Array[Long](k), 0))
+          rows.foreach { case (nid, nvec) =>
+            var i = 0
+            while (i < qs.length) {
+              bufs(i).insert(distFn(qs(i)._2, nvec), nid)
+              i += 1
+            }
+          }
+          bufs.iterator.zipWithIndex.flatMap { case (buf, i) =>
+            val qid = qs(i)._1
+            (0 until buf.size).iterator.map(j => (qid, buf.ids(j), buf.dists(j)))
+          }
+        }.toDF("qid", "_nid", "dist")
+      } else {
+        d.crossJoin(broadcast(q))
+          .select(col("qid"), col("_nid"),
+            vector_distance(metric, col("_qvec"), col("_nvec")).as("dist"))
+      }
+    val res = topKPerQuery(pairs, k, metric)
+    q.unpersist()
+    res
   }
 
   /** Per-query top-k epilogue over a (qid, _nid, dist) pair stream —

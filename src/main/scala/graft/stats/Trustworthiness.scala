@@ -41,20 +41,57 @@ object Trustworthiness {
       .join(o.select(col("id").as("qid"), col("vec").as("_qvec")), "qid")
       .join(o.select(col("id").as("nbr_id"), col("vec").as("_jvec")), "nbr_id")
       .select(col("qid"), col("nbr_id"),
-        graft.functions.vector_distance(metric, col("_qvec"), col("_jvec")).as("_dqj"),
-        col("_qvec"))
-    val db = graft.functions.vector_distance(metric, col("_qvec"), col("vec"))
-    val closer = if (Metric.isMinClose(metric))
-      db < col("_dqj") || (db === col("_dqj") && col("id") < col("nbr_id"))
-    else
-      db > col("_dqj") || (db === col("_dqj") && col("id") < col("nbr_id"))
-    val oranks = o.crossJoin(broadcast(pairs))
-      .filter(col("id") =!= col("qid"))
-      .groupBy(col("qid"), col("nbr_id"))
-      .agg((sum(when(closer, 1L).otherwise(0L)) + 1L).as("orank"))
-    val penalty = oranks
-      .select(greatest(col("orank") - k, lit(0L)).as("p"))
-      .agg(coalesce(sum(col("p")), lit(0L))).head().getLong(0)
+        graft.functions.vector_distance(metric, col("_qvec"), col("_jvec")).as("_dqj"))
+    // The n·k thresholds broadcast (same bound as the query side of any
+    // brute-force search); the dataset side STREAMS through one
+    // mapPartitions with per-partition count accumulators — each (q, b)
+    // distance evaluated once, no row explosion, and the only shuffled
+    // data is the per-partition count matrix (n·k longs).
+    val spark = orig.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float], Array[(Long, Double)])] = pairs
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("nbr_id").as("_1"), col("_dqj").as("_2"))).as("_nbrs"))
+      .join(o.select(col("id").as("qid"), col("vec").as("_qvec")), "qid")
+      .select(col("qid"), col("_qvec"), col("_nbrs"))
+      .as[(Long, Array[Float], Array[(Long, Double)])]
+      .collect()
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val distFn = graft.core.Distance.fn(metric)
+    val minClose = Metric.isMinClose(metric)
+    // spread the streamed side over the cluster — the file scan may arrive
+    // in one partition at small scale, which would serialize the kernel
+    val nParts = spark.sparkContext.defaultParallelism
+    val partCounts = o.repartition(nParts).as[(Long, Array[Float])].mapPartitions { it =>
+      val queries = bcQ.value
+      val acc = queries.map(q => new Array[Long](q._3.length))
+      it.foreach { case (bid, bvec) =>
+        var qi = 0
+        while (qi < queries.length) {
+          val (qid, qvec, nbrs) = queries(qi)
+          if (bid != qid) {
+            val d = distFn(qvec, bvec)
+            var ni = 0
+            while (ni < nbrs.length) {
+              val (jid, dqj) = nbrs(ni)
+              val closer =
+                if (minClose) d < dqj || (d == dqj && bid < jid)
+                else d > dqj || (d == dqj && bid < jid)
+              if (closer) acc(qi)(ni) += 1
+              ni += 1
+            }
+          }
+          qi += 1
+        }
+      }
+      acc.iterator.zipWithIndex.flatMap { case (row, qi) =>
+        row.iterator.zipWithIndex.collect { case (c, ni) if c > 0 => (qi, ni, c) }
+      }
+    }.collect()
+    val total = qs.map(q => new Array[Long](q._3.length))
+    partCounts.foreach { case (qi, ni, c) => total(qi)(ni) += c }
+    // orank = closer-count + 1; penalty = sum of (orank - k)+
+    val penalty = total.flatMap(_.iterator.map(c => math.max(c + 1 - k, 0L))).sum
     1.0 - 2.0 * penalty / (n.toDouble * k * (2.0 * n - 3.0 * k - 1.0))
   }
 }

@@ -42,6 +42,17 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("brute-force kNN: fused select_k kernel == crossJoin+aggregator, row for row") {
+    import graft.ops.BruteForceKnn
+    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.InnerProduct)) {
+      val (local, dist) = bothRoutes {
+        BruteForceKnn.knnJoin(emb, queries, 10, metric, "id", "vec")
+      }
+      assert(local.length > 0, s"$metric")
+      assert(local.sameElements(dist), s"$metric")
+    }
+  }
+
   test("hnsw search: one-pass route == per-level route, row for row") {
     val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")

@@ -15,8 +15,13 @@ class PlanSuite extends SparkFunSuite {
     .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
   test("brute-force kNN: queries broadcast, partial top-k before the shuffle") {
-    val plan = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2, "vec_id", "embedding")
-      .queryExecution.executedPlan.toString
+    // pin the at-scale route: the fused select_k kernel (LocalKernel) is
+    // plan-shape-checked separately in LocalKernelSuite
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val plan =
+      try BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2, "vec_id", "embedding")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
     // query side broadcasts — the dataset side must never shuffle wholesale
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"no broadcast in plan:\n$plan")

@@ -203,7 +203,7 @@ object GraphQueries {
     val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
       .select(col("src").as("qid"), col("dst").as("nbr_id"))
       .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
-    val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
+    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"),
@@ -238,7 +238,7 @@ object GraphQueries {
     val exact = base.filter(col("src") % 20 === 0 && col("rank") <= 9)
       .select(col("src").as("qid"), col("dst").as("nbr_id"))
       .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
-    val recall = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
+    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("ef"),

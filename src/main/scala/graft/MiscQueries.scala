@@ -17,19 +17,40 @@ object MiscQueries {
   private val tokenDimSql =
     "CAST((ascii(substr(t, 1, 1)) * 961 + ascii(substr(t, 2, 1)) * 31 + ascii(substr(t, 3, 1)) + len(t) * 7) % 256 AS INT)"
 
-  private def sparseVecs(spark: SparkSession, dir: String): DataFrame =
+  /** TF vectors per document, computed row-local (no shuffle): a doc's
+    * tokens live in its own row, so the explode + groupBy(id, dim) +
+    * collect_list shape — two full shuffles of the token stream — is pure
+    * overhead at any scale. Hash formula identical to `tokenDimSql`. */
+  private def sparseVecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     SparkEntry.table(spark, dir, "documents")
-      .select(col("doc_id").as("id"),
-        explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)")).as("t"))
-      .select(col("id"),
-        expr("CAST((ascii(substr(t, 1, 1)) * 961 + ascii(substr(t, 2, 1)) * 31 + ascii(substr(t, 3, 1)) + length(t) * 7) % 256 AS INT)").as("dim"))
-      .groupBy(col("id"), col("dim")).agg(count(lit(1)).cast("float").as("v"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("v")))).as("z"))
-      .select(col("id"), col("z.dim").as("indices"), col("z.v").as("values"))
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new java.util.TreeMap[Int, Int]()
+        text.toLowerCase(java.util.Locale.ROOT).split(' ').foreach { t =>
+          if (t.nonEmpty) {
+            val c1 = t.charAt(0).toInt
+            val c2 = if (t.length > 1) t.charAt(1).toInt else 0
+            val c3 = if (t.length > 2) t.charAt(2).toInt else 0
+            val dim = (c1 * 961 + c2 * 31 + c3 + t.length * 7) % 256
+            counts.merge(dim, 1, (a, b) => a + b)
+          }
+        }
+        val idx = new Array[Int](counts.size)
+        val vs = new Array[Float](counts.size)
+        var i = 0
+        counts.forEach { (d, c) => idx(i) = d; vs(i) = c.toFloat; i += 1 }
+        (id, idx, vs)
+      }
+      .toDF("id", "indices", "values")
+  }
 
   private def sparseKnnQuery(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = sparseVecs(spark, dir)
+    // materialize the TF derivation once — both the dataset side and the
+    // filtered query side read it (otherwise the explode + two groupBys
+    // run twice)
+    val vecs = sparseVecs(spark, dir).localCheckpoint()
     val q = vecs.filter(col("id") % 20 === 0)
       .select(col("id").as("qid"), col("indices").as("qindices"), col("values").as("qvalues"))
     SparseKnn.knnJoin(vecs, q, 10, Metric.Cosine)

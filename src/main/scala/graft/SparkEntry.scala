@@ -455,7 +455,7 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
         lit(16).as("n_lists"), lit(0.7).as("recall_floor"),
@@ -551,7 +551,7 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
         lit(16).as("n_lists"), lit(0.6).as("recall_floor"),
@@ -575,7 +575,7 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.Cosine,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
         lit(16).as("n_lists"), lit(0.7).as("recall_floor"),
@@ -610,7 +610,7 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
         lit(16).as("n_lists"), lit(0.7).as("recall_floor"),
@@ -645,7 +645,7 @@ object SparkEntry {
     val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val recall = approx.intersect(exact).count().toDouble / (q.count() * 10)
+    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(6).as("n_probes"),
         lit(16).as("n_lists"), lit(0.6).as("recall_floor"),

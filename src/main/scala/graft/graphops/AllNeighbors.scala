@@ -35,13 +35,48 @@ object AllNeighbors {
       .select(col("id"), col("vec"),
         explode(KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)
           .getField("list_id")).as("cell"))
-    val pairs = assigned.as("a")
-      .join(assigned.as("b"), "cell")
-      .filter(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("_nid"),
-        graft.functions.vector_distance(params.metric, col("a.vec"), col("b.vec")).as("dist"))
+    // Local exact kNN per cell (the reference's per-batch local graph,
+    // all_neighbors.hpp:29-95): each cell's rows land on one task via
+    // groupByKey — the same per-cell materialization the within-cell hash
+    // join implies — and a fused select_k kernel emits only k candidates
+    // per (node, cell) into the global merge. The alternative (self-join on
+    // cell + distinct + aggregate) shuffles the full within-cell cross
+    // product; this shuffles |rows|·overlap·k. Cell size is bounded by
+    // choosing nClusters ~ n/targetCellSize — the reference's own contract.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val distFn = graft.core.Distance.fn(params.metric)
+    val minClose = Metric.isMinClose(params.metric)
+    val symmetric = params.metric != Metric.KLDivergence
+    val k = params.k
+    val localKnn = assigned
+      .select(col("cell"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val m = rows.length
+        val bufs = Array.fill(m)(graft.core.TopKBuf(k, minClose,
+          new Array[Double](k), new Array[Long](k), 0))
+        var i = 0
+        while (i < m) {
+          val vi = rows(i)._3
+          var j = i + 1
+          while (j < m) {
+            val d = distFn(vi, rows(j)._3)
+            bufs(i).insert(d, rows(j)._2)
+            bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
+            j += 1
+          }
+          i += 1
+        }
+        bufs.iterator.zipWithIndex.flatMap { case (buf, i) =>
+          (0 until buf.size).iterator.map(j => (rows(i)._2, buf.ids(j), buf.dists(j)))
+        }
+      }
+      .toDF("qid", "_nid", "dist")
       .distinct() // a pair can co-occur in up to overlapFactor shared cells
-    val res = BruteForceKnn.topKPerQuery(pairs, params.k, params.metric)
+    val res = BruteForceKnn.topKPerQuery(localKnn, params.k, params.metric)
       .select(col("qid").as("src"), col("nbr_id").as("dst"), col("dist"), col("rank"))
     data.unpersist()
     res
@@ -60,9 +95,7 @@ object AllNeighbors {
   }
 
   /** Recall of an approximate kNN graph vs the exact one. */
-  def graphRecall(approx: DataFrame, exact: DataFrame): Double = {
-    val a = approx.select(col("src"), col("dst"))
-    val e = exact.select(col("src"), col("dst"))
-    a.intersect(e).count().toDouble / e.count()
-  }
+  def graphRecall(approx: DataFrame, exact: DataFrame): Double =
+    graft.core.Recall.vsExact(
+      approx.select(col("src"), col("dst")), exact.select(col("src"), col("dst")))
 }

@@ -45,38 +45,68 @@ object Vamana {
     out
   }
 
-  /** Greedy alpha-RNG prune per source node (DiskANN RobustPrune). */
+  /** Greedy alpha-RNG prune per source node (DiskANN RobustPrune).
+    *
+    * Cost-based route (graft.graphops.LocalKernel): when the vector table
+    * fits under the broadcast threshold, ship it once as a map and shuffle
+    * only the bare (src, dst, dist) edges into the per-node groups —
+    * instead of joining a dim-wide vector onto every candidate edge and
+    * shuffling visited_size·dim floats per node. Above the threshold the
+    * join route runs unchanged (the at-scale plan).
+    */
   private[graphops] def robustPrune(edges: DataFrame, data: DataFrame,
       params: Params): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val distFn = Distance.fn(params.metric)
     val (degree, alpha) = (params.graphDegree, params.alpha)
-    edges
-      .join(data.select(col("id").as("dst"), col("vec").as("dvec")), "dst")
-      .select(col("src"), col("dst"), col("dist"), col("dvec"))
-      .as[(Long, Long, Double, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (src, it) =>
-        val cand = it.toArray.sortBy(t => (t._3, t._2))
-        val removed = new Array[Boolean](cand.length)
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-        var i = 0
-        while (i < cand.length && kept.length < degree) {
-          if (!removed(i)) {
-            val (dst, _, dist, dvec) = (cand(i)._2, 0, cand(i)._3, cand(i)._4)
-            kept += ((dst, dist))
-            var j = i + 1
-            while (j < cand.length) {
-              if (!removed(j) && alpha * distFn(dvec, cand(j)._4) <= cand(j)._3)
-                removed(j) = true
-              j += 1
-            }
+
+    def pruneGroup(src: Long, cand: Array[(Long, Double, Array[Float])]):
+        Iterator[(Long, Long, Double, Int)] = {
+      val removed = new Array[Boolean](cand.length)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var i = 0
+      while (i < cand.length && kept.length < degree) {
+        if (!removed(i)) {
+          val (dst, dist, dvec) = cand(i)
+          kept += ((dst, dist))
+          var j = i + 1
+          while (j < cand.length) {
+            if (!removed(j) && alpha * distFn(dvec, cand(j)._3) <= cand(j)._2)
+              removed(j) = true
+            j += 1
           }
-          i += 1
         }
-        kept.zipWithIndex.map { case ((dst, dist), rk) => (src, dst, dist, rk + 1) }
+        i += 1
       }
-      .toDF("src", "dst", "dist", "rank")
+      kept.iterator.zipWithIndex.map { case ((dst, dist), rk) => (src, dst, dist, rk + 1) }
+    }
+
+    if (LocalKernel.enabled(spark) && data.count() <= LocalKernel.maxVectors(spark)) {
+      val vecs = new java.util.HashMap[Long, Array[Float]]()
+      data.select(col("id").cast("long"), col("vec"))
+        .as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }
+      val bcVecs = spark.sparkContext.broadcast(vecs)
+      edges.select(col("src").cast("long"), col("dst").cast("long"), col("dist").cast("double"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (src, it) =>
+          val vs = bcVecs.value
+          val cand = it.toArray.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3, vs.get(t._2)))
+          pruneGroup(src, cand)
+        }
+        .toDF("src", "dst", "dist", "rank")
+    } else {
+      edges
+        .join(data.select(col("id").as("dst"), col("vec").as("dvec")), "dst")
+        .select(col("src"), col("dst"), col("dist"), col("dvec"))
+        .as[(Long, Long, Double, Array[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (src, it) =>
+          val cand = it.toArray.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3, t._4))
+          pruneGroup(src, cand)
+        }
+        .toDF("src", "dst", "dist", "rank")
+    }
   }
 }

@@ -42,6 +42,30 @@ object SparseKnn {
       qidCol: String = "qid", qidxCol: String = "qindices", qvalCol: String = "qvalues"): DataFrame = {
     require(metric == Metric.L2 || metric == Metric.Cosine,
       s"sparse kNN supports L2 / Cosine, got $metric")
+
+    // Fused select_k kernel (graft.graphops.LocalKernel): when the query
+    // side fits in memory, broadcast it as an inverted index
+    // (dim -> (query slot, value)) and stream the dataset rows through one
+    // mapPartitions that accumulates per-row dot products against every
+    // query via dim lookups and keeps a TopKBuf per query — the sparse twin
+    // of BruteForceKnn's fused kernel (reference: detail/sparse_knn.cuh
+    // batches). Only parts·|Q|·k candidates reach the final merge, instead
+    // of the full exploded (qid, id) co-occurrence stream through a hash
+    // aggregate. Distances are computed for EVERY (query, row) pair
+    // (zero-overlap pairs via dot = 0), so the zero-overlap fallback is
+    // exact here even under negative values.
+    val spark = dataset.sparkSession
+    val qk = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qidxCol).as("qindices"), col(qvalCol).as("qvalues"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qCount = qk.count()
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      try return knnJoinLocal(dataset, qk, k, metric, idCol, idxCol, valCol)
+      finally qk.unpersist()
+    }
+    qk.unpersist()
+
     val dnz = nonzeros(dataset, idCol, idxCol, valCol)
     val qnzRaw = nonzeros(queries, qidCol, qidxCol, qvalCol)
     val qnz = qnzRaw.withColumnsRenamed(Map("id" -> "qid", "v" -> "qv"))
@@ -67,6 +91,96 @@ object SparseKnn {
       .join(dots.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
     val pairs = overlap.unionByName(fallback)
       .select(col("qid"), col("id").as("_nid"), col("dist"))
+    BruteForceKnn.topKPerQuery(pairs, k, metric)
+  }
+
+  /** Broadcast-queries kernel: one pass over the (streaming, never
+    * collected) dataset side; per-row dots via the query inverted index,
+    * expanded-form distance for every query, per-query bounded heaps. */
+  private def knnJoinLocal(dataset: DataFrame, qk: DataFrame, k: Int, metric: Metric,
+      idCol: String, idxCol: String, valCol: String): DataFrame = {
+    val spark = dataset.sparkSession
+    import spark.implicits._
+    val qArr = qk.as[(Long, Array[Int], Array[Float])].collect()
+    val nQ = qArr.length
+    val qids = qArr.map(_._1)
+    val qnorm2 = new Array[Double](nQ)
+    // dim -> packed (query slot, value) posting lists
+    val postTmp = new java.util.HashMap[Int, (scala.collection.mutable.ArrayBuffer[Int],
+      scala.collection.mutable.ArrayBuffer[Double])]()
+    var qi = 0
+    while (qi < nQ) {
+      val (_, idxs, vals) = qArr(qi)
+      var j = 0
+      while (j < idxs.length) {
+        val v = vals(j).toDouble
+        qnorm2(qi) += v * v
+        var p = postTmp.get(idxs(j))
+        if (p == null) {
+          p = (new scala.collection.mutable.ArrayBuffer[Int](),
+            new scala.collection.mutable.ArrayBuffer[Double]())
+          postTmp.put(idxs(j), p)
+        }
+        p._1 += qi; p._2 += v
+        j += 1
+      }
+      qi += 1
+    }
+    val posting = new java.util.HashMap[Int, (Array[Int], Array[Double])](postTmp.size * 2)
+    postTmp.forEach((d, p) => posting.put(d, (p._1.toArray, p._2.toArray)))
+    val bcPost = spark.sparkContext.broadcast(posting)
+    val bcQn = spark.sparkContext.broadcast(qnorm2)
+    val bcQids = spark.sparkContext.broadcast(qids)
+    val minClose = Metric.isMinClose(metric)
+    val isL2 = metric == Metric.L2
+    val d = dataset.select(col(idCol).cast("long").as("id"),
+      col(idxCol).cast("array<int>").as("indices"), col(valCol).cast("array<float>").as("values"))
+    val cores = spark.sparkContext.defaultParallelism
+    val dIn = if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
+    val pairs = dIn.as[(Long, Array[Int], Array[Float])].mapPartitions { rows =>
+      val post = bcPost.value; val qn = bcQn.value; val ids = bcQids.value
+      val n = ids.length
+      val bufs = Array.fill(n)(graft.core.TopKBuf(k, minClose,
+        new Array[Double](k), new Array[Long](k), 0))
+      val dots = new Array[Double](n)
+      val touched = new Array[Int](n)
+      rows.foreach { case (rid, idxs, vals) =>
+        var nTouched = 0
+        var norm2 = 0.0
+        var j = 0
+        while (j < idxs.length) {
+          val v = vals(j).toDouble
+          norm2 += v * v
+          val p = post.get(idxs(j))
+          if (p != null) {
+            val slots = p._1; val qvs = p._2
+            var t = 0
+            while (t < slots.length) {
+              val s = slots(t)
+              if (dots(s) == 0.0) { touched(nTouched) = s; nTouched += 1 }
+              dots(s) += qvs(t) * v
+              t += 1
+            }
+          }
+          j += 1
+        }
+        var s = 0
+        while (s < n) {
+          val dot = dots(s)
+          val dist =
+            if (isL2) qn(s) + norm2 - 2.0 * dot
+            else if (qn(s) == 0.0 || norm2 == 0.0) 1.0
+            else 1.0 - dot / math.sqrt(qn(s) * norm2)
+          bufs(s).insert(dist, rid)
+          s += 1
+        }
+        var t = 0
+        while (t < nTouched) { dots(touched(t)) = 0.0; t += 1 }
+      }
+      bufs.iterator.zipWithIndex.flatMap { case (buf, i) =>
+        (0 until buf.size).iterator.map(j => (ids(i), buf.ids(j), buf.dists(j)))
+      }
+    }.toDF("qid", "_nid", "dist")
     BruteForceKnn.topKPerQuery(pairs, k, metric)
   }
 

@@ -17,6 +17,15 @@ object GraphQueries {
   private val l2 = (a: String, b: String) =>
     s"sqrt(list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2)))"
 
+  /** Exact 16-NN graph over all embeddings — the shared base graph for the
+    * CAGRA and HNSW search pipelines (built once per dataset, like the
+    * reference's build/search split). */
+  private def exact16Graph(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"exact16:$dir") {
+      val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    }
+
   // ===== all_neighbors / nn_descent (approximate; recall reported) ======
 
   private def allNeighborsQuery(spark: SparkSession, dir: String): DataFrame =
@@ -193,7 +202,7 @@ object GraphQueries {
   private def cagraSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val knn = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val knn = exact16Graph(spark, dir)
     val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
@@ -231,7 +240,7 @@ object GraphQueries {
   private def hnswSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val base = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val base = exact16Graph(spark, dir)
     val idx = Hnsw.fromGraph(base, e, Hnsw.Params(m = 16), "id", "vec")
     val got = Hnsw.search(idx, e, q, 10, ef = 40, "id", "vec")
     // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).

@@ -19,6 +19,26 @@ object SparkEntry {
   private[graft] def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-scoped memo for built artifacts shared across queries — the
+    * reference's own build/search split (an index is built once and
+    * searched many times; ground truth is computed once per dataset).
+    * Keyed by session so a restarted SparkSession never sees another
+    * session's DataFrames. */
+  private val artifactMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[graft] def memoize[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
+    artifactMemo.computeIfAbsent(s"${System.identityHashCode(spark)}:$key",
+      _ => f).asInstanceOf[T]
+
+  /** Exact top-10 L2 ground truth over the standard query workload —
+    * shared by every L2 recall report. */
+  private def exactL2Truth(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"exactL2:$dir") {
+      BruteForceKnn.knnJoin(table(spark, dir, "embeddings"), embQueries(spark, dir),
+          10, Metric.L2, idCol = "vec_id", vecCol = "embedding")
+        .select(col("qid"), col("nbr_id"))
+        .localCheckpoint()
+    }
+
   /** Default query workload: every 20th embedding vector. */
   private def embQueries(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -418,8 +438,10 @@ object SparkEntry {
       |FROM embeddings""".stripMargin
 
   private def ivfIndex(spark: SparkSession, dir: String): graft.index.IvfFlatIndex =
-    graft.index.IvfFlatIndex.build(table(spark, dir, "embeddings"),
-      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
+    memoize(spark, s"ivf_l2:$dir") {
+      graft.index.IvfFlatIndex.build(table(spark, dir, "embeddings"),
+        graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
+    }
 
   private def ivfSearchQuery(spark: SparkSession, dir: String): DataFrame =
     ivfIndex(spark, dir)
@@ -452,9 +474,7 @@ object SparkEntry {
     val q = embQueries(spark, dir)
     val approx = ivfIndex(spark, dir).search(q, 10, nProbes = 8)
       .select(col("qid"), col("nbr_id"))
-    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
+    val exact = exactL2Truth(spark, dir)
     val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
@@ -529,9 +549,9 @@ object SparkEntry {
 
   private def ivfPqQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val idx = graft.index.IvfPqIndex.build(emb,
+    val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
-      "vec_id", "embedding")
+      "vec_id", "embedding") }
     idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 4, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
@@ -542,15 +562,13 @@ object SparkEntry {
   private def ivfPqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
-    val idx = graft.index.IvfPqIndex.build(emb,
+    val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
-      "vec_id", "embedding")
+      "vec_id", "embedding") }
     val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
+    val exact = exactL2Truth(spark, dir)
     val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
@@ -588,9 +606,9 @@ object SparkEntry {
     * equals exact kNN and takes the same oracle as ivf_sq_search_refine. */
   private def ivfRabitqQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val idx = graft.index.IvfRabitqIndex.build(emb,
+    val idx = memoize(spark, s"ivfrabitq:$dir") { graft.index.IvfRabitqIndex.build(emb,
       graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
-      "vec_id", "embedding")
+      "vec_id", "embedding") }
     idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
@@ -601,15 +619,13 @@ object SparkEntry {
   private def ivfRabitqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
-    val idx = graft.index.IvfRabitqIndex.build(emb,
+    val idx = memoize(spark, s"ivfrabitq:$dir") { graft.index.IvfRabitqIndex.build(emb,
       graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
-      "vec_id", "embedding")
+      "vec_id", "embedding") }
     val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
+    val exact = exactL2Truth(spark, dir)
     val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
@@ -642,9 +658,7 @@ object SparkEntry {
     val approx = idx.searchWithRefine(q, emb, 10, nProbes = 6, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
-    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
+    val exact = exactL2Truth(spark, dir)
     val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(6).as("n_probes"),

@@ -37,24 +37,34 @@ object Multimodal {
   def payloadBytes(payload: Column): Column = length(payload)
 
   /** Shannon entropy (nats) of the payload's byte distribution — a cheap
-    * corruption / compressibility signal. Pure SQL: explode byte positions
-    * via sequence, count frequencies with aggregate-free groupBy upstream
-    * is avoided by the closed form over the 256-bin histogram. */
+    * corruption / compressibility signal. Row-local kernel: a payload's
+    * histogram needs only its own row, so exploding every byte into the
+    * shuffle (the groupBy(id, byte) shape) is pure overhead at any scale.
+    * Char semantics match `ascii(substr(payload::string, i, 1))` — the
+    * payload is decoded as UTF-8 and counted per character — so the DuckDB
+    * oracle replays identically. Accumulation runs in ascending char order
+    * (deterministic; differences vs any other order are below the 4dp
+    * rounding every consumer applies). */
   def byteEntropy(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val bytes = df.select(col(idCol), explode(
-        transform(sequence(lit(1), length(col(payloadCol))),
-          i => substring_pos(col(payloadCol), i))).as("b"))
-    val freq = bytes.groupBy(col(idCol), col("b")).count()
-    val tot = freq.groupBy(col(idCol)).agg(sum(col("count")).as("n"))
-    freq.join(tot, idCol)
-      .select(col(idCol),
-        (col("count") / col("n")).as("p"))
-      .groupBy(col(idCol))
-      .agg((-sum(col("p") * log(col("p")))).as("entropy"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        if (s.isEmpty) None // empty payloads had no histogram rows before
+        else {
+          val counts = new java.util.TreeMap[Int, Int]()
+          var i = 0
+          while (i < s.length) { counts.merge(s.charAt(i).toInt, 1, (a, b) => a + b); i += 1 }
+          val n = s.length.toDouble
+          var ent = 0.0
+          counts.forEach { (_, c) => val p = c / n; ent -= p * math.log(p) }
+          Some((id, ent))
+        }
+      }
+      .toDF(idCol, "entropy")
   }
-
-  private def substring_pos(payload: Column, i: Column): Column =
-    ascii(payload.cast("string").substr(i, lit(1)))
 
   /** Evenly-strided fixed-size frame samples of the payload — the
     * frame-sample operator (video/audio windowing): n frames of
@@ -72,18 +82,28 @@ object Multimodal {
     substring(concat(payload.cast("string"), payload.cast("string")), 1, outBytes)
 
   /** DETERMINISTIC FAKE of decode + feature extraction: split the payload
-    * into `dim` contiguous chunks and map each chunk's byte-code sum into
+    * into `dim` contiguous chunks and map each chunk's char-code sum into
     * [0, 1). Stands in for a real image/audio model embedding (see class
-    * doc); everything downstream treats it as a real embedding column. */
+    * doc); everything downstream treats it as a real embedding column.
+    * A JVM function rather than a SQL expression tree: the real decoder
+    * slot is exactly this shape (bytes in, floats out, row-local), and the
+    * SQL form materialized a per-char array per row. Chunk arithmetic is
+    * identical to the previous expression (chunkLen = max(len/dim, 1),
+    * chunk c = chars [c·chunkLen, c·chunkLen + chunkLen), sum % 1000 /
+    * 1000) over the UTF-8-decoded chars, so the oracle replays it. */
   def fakeEmbedding(payload: Column, dim: Int = 16): Column = {
-    val s = payload.cast("string")
-    // one pass over the bytes, then O(1) slices per chunk
-    val codes = transform(split(s, ""), ch => coalesce(ascii(ch).cast("long"), lit(0L)))
-    transform(sequence(lit(0), lit(dim - 1)), c => {
-      val chunkLen = greatest(floor(length(s) / dim).cast("int"), lit(1))
-      val chunk = slice(codes, c * chunkLen + 1, chunkLen)
-      ((aggregate(chunk, lit(0L), (acc, x) => acc + x) % 1000)
-        .cast("double") / 1000.0).cast("float")
-    })
+    val f = udf { bytes: Array[Byte] =>
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val n = s.length
+      val chunkLen = math.max(n / dim, 1)
+      Array.tabulate(dim) { c =>
+        var sum = 0L
+        var i = c * chunkLen
+        val end = math.min(i + chunkLen, n)
+        while (i < end) { sum += s.charAt(i).toInt; i += 1 }
+        ((sum % 1000).toDouble / 1000.0).toFloat
+      }
+    }
+    f(payload.cast("binary"))
   }
 }

@@ -638,9 +638,9 @@ object SparkEntry {
     * reordered result equals exact kNN — exact oracle. */
   private def scannQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val idx = graft.index.ScannIndex.build(emb,
+    val idx = memoize(spark, s"scann8:$dir") { graft.index.ScannIndex.build(emb,
       graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8),
-      "vec_id", "embedding")
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 100,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
@@ -652,9 +652,9 @@ object SparkEntry {
   private def scannRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
-    val idx = graft.index.ScannIndex.build(emb,
+    val idx = memoize(spark, s"scann4:$dir") { graft.index.ScannIndex.build(emb,
       graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 4),
-      "vec_id", "embedding")
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     val approx = idx.searchWithRefine(q, emb, 10, nProbes = 6, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))

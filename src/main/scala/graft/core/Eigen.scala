@@ -16,36 +16,59 @@ object Eigen {
 
     def off(): Double = {
       var s = 0.0
-      for (i <- 0 until n; j <- i + 1 until n) s += m(i)(j) * m(i)(j)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        val mi = m(i)
+        while (j < n) { s += mi(j) * mi(j); j += 1 }
+        i += 1
+      }
       s
     }
 
     var sweep = 0
     while (sweep < maxSweeps && off() > tol) {
-      for (p <- 0 until n; q <- p + 1 until n if math.abs(m(p)(q)) > 1e-300) {
-        val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
-        // sign(0) must be +1 here: equal diagonal entries need the full
-        // 45-degree rotation, not a no-op
-        val t = (if (theta >= 0) 1.0 else -1.0) /
-          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
-        val c = 1.0 / math.sqrt(t * t + 1.0)
-        val s = t * c
-        // rotate rows/cols p,q of m
-        for (i <- 0 until n) {
-          val mip = m(i)(p); val miq = m(i)(q)
-          m(i)(p) = c * mip - s * miq
-          m(i)(q) = s * mip + c * miq
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(m(p)(q)) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+            // sign(0) must be +1 here: equal diagonal entries need the full
+            // 45-degree rotation, not a no-op
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            // rotate rows/cols p,q of m
+            var i = 0
+            while (i < n) {
+              val mi = m(i)
+              val mip = mi(p); val miq = mi(q)
+              mi(p) = c * mip - s * miq
+              mi(q) = s * mip + c * miq
+              i += 1
+            }
+            val mp = m(p); val mq = m(q)
+            i = 0
+            while (i < n) {
+              val mpi = mp(i); val mqi = mq(i)
+              mp(i) = c * mpi - s * mqi
+              mq(i) = s * mpi + c * mqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vi = v(i)
+              val vip = vi(p); val viq = vi(q)
+              vi(p) = c * vip - s * viq
+              vi(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
         }
-        for (i <- 0 until n) {
-          val mpi = m(p)(i); val mqi = m(q)(i)
-          m(p)(i) = c * mpi - s * mqi
-          m(q)(i) = s * mpi + c * mqi
-        }
-        for (i <- 0 until n) {
-          val vip = v(i)(p); val viq = v(i)(q)
-          v(i)(p) = c * vip - s * viq
-          v(i)(q) = s * vip + c * viq
-        }
+        p += 1
       }
       sweep += 1
     }

@@ -22,7 +22,14 @@ object Spectral {
       normLaplacian: Boolean = true, dropFirst: Boolean = true,
       seed: Long = 42, metric: Metric = Metric.L2)
 
-  /** (id, embedding array<float>) spectral embedding of the kNN graph. */
+  /** (id, embedding array<float>) spectral embedding of the kNN graph.
+    *
+    * The eigensolve is driver-side (the reference also host-solves the
+    * analogous steps — SURVEY.md §7.4(2)); for small graphs it is a dense
+    * Jacobi, past that a sparse Lanczos on M = 2I − L (O(nnz·steps)
+    * instead of the Jacobi's O(n³·sweeps)) — the in-memory twin of
+    * [[embeddingLanczos]], which remains the fully distributed path when
+    * even the edge list outgrows the driver. */
   def embedding(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val knn = AllNeighbors.exact(df, params.nNeighbors, params.metric, idCol, vecCol)
@@ -35,26 +42,112 @@ object Spectral {
     val n = ids.length
     val deg = new Array[Double](n)
     adj.foreach { case (s, _) => deg(idx(s)) += 1.0 }
-    val lap = Array.fill(n, n)(0.0)
-    if (params.normLaplacian) {
-      for (i <- 0 until n) lap(i)(i) = 1.0
-      adj.foreach { case (s, d) =>
-        val (i, j) = (idx(s), idx(d))
-        lap(i)(j) = -1.0 / math.sqrt(deg(i) * deg(j))
-      }
-    } else {
-      for (i <- 0 until n) lap(i)(i) = deg(i)
-      adj.foreach { case (s, d) => lap(idx(s))(idx(d)) = -1.0 }
-    }
-    val (vals, vecs) = Eigen.symEigen(lap)
-    // bottom eigenvectors (Jacobi returns desc -> take from the end)
-    val order = vals.indices.sortBy(vals(_))
-    val chosen = (if (params.dropFirst) order.drop(1) else order).take(params.nComponents)
-    val emb = Array.tabulate(n)(i => chosen.map(c => vecs(c)(i).toFloat).toArray)
+    val emb: Array[Array[Float]] =
+      if (n <= 64 || !params.normLaplacian) {
+        val lap = Array.fill(n, n)(0.0)
+        if (params.normLaplacian) {
+          for (i <- 0 until n) lap(i)(i) = 1.0
+          adj.foreach { case (s, d) =>
+            val (i, j) = (idx(s), idx(d))
+            lap(i)(j) = -1.0 / math.sqrt(deg(i) * deg(j))
+          }
+        } else {
+          for (i <- 0 until n) lap(i)(i) = deg(i)
+          adj.foreach { case (s, d) => lap(idx(s))(idx(d)) = -1.0 }
+        }
+        val (vals, vecs) = Eigen.symEigen(lap)
+        // bottom eigenvectors (Jacobi returns desc -> take from the end)
+        val order = vals.indices.sortBy(vals(_))
+        val chosen = (if (params.dropFirst) order.drop(1) else order).take(params.nComponents)
+        Array.tabulate(n)(i => chosen.map(c => vecs(c)(i).toFloat).toArray)
+      } else
+        localLanczosBottom(adj.map(t => (idx(t._1), idx(t._2))), deg, ids, params)
     val spark = df.sparkSession
     spark.createDataFrame(ids.zip(emb).toSeq.map { case (id, v) => (id, v.toSeq) })
       .toDF(idCol, "spectral")
       .select(col(idCol), col("spectral").cast("array<float>"))
+  }
+
+  /** In-memory block subspace iteration for the bottom eigenvectors of the
+    * normalized Laplacian: iterates a (nComponents+4)-wide block under
+    * M = 2I − L (dominant pairs of M = bottom of L), with modified
+    * Gram-Schmidt re-orthonormalization each step and a final Rayleigh-Ritz
+    * rotation. A BLOCK method on purpose: the bottom Laplacian eigenvalue
+    * has multiplicity = #connected components, and a single-vector Krylov
+    * sweep cannot recover a degenerate eigenspace (it sees only the start
+    * vector's one projection onto it) — the component indicators that
+    * spectral clustering needs would be lost. O(iters·(nnz·b + n·b²)). */
+  private def localLanczosBottom(edges: Array[(Int, Int)], deg: Array[Double],
+      ids: Array[Long], params: Params): Array[Array[Float]] = {
+    val n = ids.length
+    val srcIdx = edges.map(_._1)
+    val dstIdx = edges.map(_._2)
+    val w = Array.tabulate(edges.length)(e =>
+      1.0 / math.sqrt(deg(srcIdx(e)) * deg(dstIdx(e))))
+    // Mv = v + Sv (M = 2I − (I − S))
+    def matvec(v: Array[Double]): Array[Double] = {
+      val out = v.clone()
+      var e = 0
+      while (e < srcIdx.length) { out(srcIdx(e)) += w(e) * v(dstIdx(e)); e += 1 }
+      out
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val b = math.min(n, params.nComponents + 4)
+    // deterministic start block from the portable affine hash (per column)
+    val p31 = 2147483647L
+    var x = Array.tabulate(b) { c =>
+      Array.tabulate(n) { i =>
+        val h1 = math.floorMod(ids(i) * 1000003L + 12345L + params.seed + 7919L * c, p31)
+        val h2 = math.floorMod(h1 * 1000003L + 12345L + params.seed, p31)
+        h2.toDouble / p31.toDouble - 0.5
+      }
+    }
+    def orthonormalize(m0: Array[Array[Double]]): Unit = {
+      var c = 0
+      while (c < m0.length) {
+        var j = 0
+        while (j < c) {
+          val d = dot(m0(c), m0(j))
+          var i = 0
+          while (i < n) { m0(c)(i) -= d * m0(j)(i); i += 1 }
+          j += 1
+        }
+        val nrm = math.sqrt(dot(m0(c), m0(c)))
+        if (nrm > 1e-300) { var i = 0; while (i < n) { m0(c)(i) /= nrm; i += 1 } }
+        c += 1
+      }
+    }
+    orthonormalize(x)
+    val iters = 120
+    var it = 0
+    while (it < iters) {
+      x = x.map(matvec)
+      orthonormalize(x)
+      it += 1
+    }
+    // Rayleigh-Ritz: rotate the converged subspace into eigenvector
+    // directions of the projected b×b problem
+    val mx = x.map(matvec)
+    val t = Array.tabulate(b, b)((i, j) => dot(x(i), mx(j)))
+    // symmetrize projection roundoff
+    for (i <- 0 until b; j <- i + 1 until b) {
+      val v = (t(i)(j) + t(j)(i)) / 2.0; t(i)(j) = v; t(j)(i) = v
+    }
+    val (tVals, tVecs) = Eigen.symEigen(t)
+    // largest Ritz values of M = bottom Laplacian pairs
+    val order = tVals.indices.sortBy(i => -tVals(i))
+    val chosen = (if (params.dropFirst) order.drop(1) else order).take(params.nComponents)
+    Array.tabulate(n) { i =>
+      chosen.map { c =>
+        var s = 0.0; var j = 0
+        while (j < b) { s += tVecs(c)(j) * x(j)(i); j += 1 }
+        s.toFloat
+      }.toArray
+    }
   }
 
   /** Distributed Lanczos spectral embedding — the scale path past the

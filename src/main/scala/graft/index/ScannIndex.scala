@@ -72,17 +72,21 @@ object ScannIndex {
       pqDim: Int = 8, pqBits: Int = 4, seed: Long = 42)
 
   def build(dataset: DataFrame, params: Params,
-      idCol: String = "id", vecCol: String = "vec"): ScannIndex = {
-    val ivf = IvfFlatIndex.build(dataset,
+      idCol: String = "id", vecCol: String = "vec",
+      base: Option[IvfFlatIndex] = None): ScannIndex = {
+    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
       IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed),
-      idCol, vecCol)
+      idCol, vecCol))
     val cs = ivf.centroids
 
     def res(vec: Column, listId: Column): Column =
       B.column(CentroidResidual(B.expression(vec), B.expression(listId), cs))
 
     // SOAR spill: among the next-nearest candidate leaves, pick the argmin
-    // of d² + λ·⟨r1, r_c⟩²/‖r1‖² (all map-side column arithmetic)
+    // of d² + λ·⟨r1, r_c⟩²/‖r1‖². Entirely map-side: the per-candidate loss
+    // is an array transform over the (few) candidate leaves and the argmin
+    // is the head of a lexicographic (loss, cand) sort — no explode, no
+    // per-id window shuffle.
     val d = dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         KMeans.nearestCol(cs, col(vecCol), params.soarCandidates + 1)
           .getField("list_id").as("_cands"))
@@ -90,21 +94,19 @@ object ScannIndex {
       .withColumn("_r1", res(col("vec"), col("list_id")))
       .withColumn("_r1n2", aggregate(col("_r1"), lit(0.0),
         (s, x) => s + x.cast("double") * x.cast("double")))
+    val spillPick = sort_array(
+      transform(slice(col("_cands"), 2, params.soarCandidates), c => {
+        val rc = res(col("vec"), c)
+        val d2 = aggregate(rc, lit(0.0), (s, x) => s + x.cast("double") * x.cast("double"))
+        val dot = aggregate(
+          zip_with(col("_r1"), rc, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (s, x) => s + x)
+        val loss = d2 + when(col("_r1n2") > 0.0,
+          lit(params.soarLambda) * dot * dot / col("_r1n2")).otherwise(lit(0.0))
+        struct(loss.as("loss"), c.as("cand"))
+      })).getItem(0).getField("cand")
     val spill = d
-      .select(col("id"), col("vec"), col("_r1"), col("_r1n2"),
-        explode(slice(col("_cands"), 2, params.soarCandidates)).as("cand"))
-      .withColumn("_rc", res(col("vec"), col("cand")))
-      .withColumn("_d2", aggregate(col("_rc"), lit(0.0),
-        (s, x) => s + x.cast("double") * x.cast("double")))
-      .withColumn("_dot", aggregate(
-        zip_with(col("_r1"), col("_rc"), (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (s, x) => s + x))
-      .withColumn("_loss", col("_d2") + when(col("_r1n2") > 0.0,
-        lit(params.soarLambda) * col("_dot") * col("_dot") / col("_r1n2")).otherwise(lit(0.0)))
-      .withColumn("_rk", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("_loss").asc, col("cand").asc)))
-      .filter(col("_rk") === 1)
-      .select(col("cand").as("list_id"), col("id"), col("vec"))
+      .select(spillPick.as("list_id"), col("id"), col("vec"))
     val assigned = d.select(col("list_id"), col("id"), col("vec"))
       .unionByName(spill)
 

@@ -197,8 +197,52 @@ object MiscQueries {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ===== flat binary vector files (§2.1 bench dataset readers) ==========
+
+  /** Roundtrip embeddings through the reference's .fbin format (write in
+    * vec_id order, parallel byte-range read back) — ids are row positions,
+    * which equal vec_id on the dense 0..n-1 fixture, so the per-row
+    * checksum hash-matches the parquet-based oracle exactly. */
+  private def fbinRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = SparkEntry.memoize(spark, s"fbin:$dir") {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.fbin"
+      graft.sources.VectorFiles.write(
+        SparkEntry.table(spark, dir, "embeddings"), p, "vec_id", "embedding")
+      p
+    }
+    graft.sources.VectorFiles.read(spark, path)
+      .select(col("id"), size(col("vec")).as("dim"),
+        round(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+          .as("checksum"))
+  }
+
+  private val fbinRoundtripOracle: String =
+    """SELECT vec_id AS id, CAST(len(embedding) AS INT) AS dim,
+      |round(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE))), 4) AS checksum
+      |FROM embeddings""".stripMargin
+
+  // ===== precomputed-distance kNN (Metric::Precomputed) =================
+
+  /** select_k over a caller-supplied distance table (distance.hpp:64
+    * Precomputed): distances land in a plain (qid, id, dist) DataFrame
+    * first, then only the top-k runs — identical output to computing the
+    * metric inline. */
+  private def knnPrecomputedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = SparkEntry.table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dists = e.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("id"),
+        graft.functions.vector_distance(Metric.L2Sqrt, col("qvec"), col("embedding"))
+          .as("dist"))
+    graft.ops.BruteForceKnn.knnFromDistances(dists, 10)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (eventsWindowQuery(_, _)),
+    "fbin_roundtrip" -> (fbinRoundtripQuery(_, _)),
+    "knn_precomputed" -> (knnPrecomputedQuery(_, _)),
     "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
     "tiered_search" -> (tieredQuery(_, _)),
     "multimodal_stats" -> (multimodalStatsQuery(_, _)),
@@ -206,8 +250,19 @@ object MiscQueries {
     "multimodal_embed_knn" -> (mediaEmbedKnnQuery(_, _)),
   )
 
+  private val knnPrecomputedOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+      |d AS (SELECT q.qid, e.vec_id AS id,
+      |      sqrt(list_sum(list_transform(list_zip(q.qvec, e.embedding), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2))) AS dist
+      |      FROM q CROSS JOIN embeddings e),
+      |r AS (SELECT qid, id, dist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+      |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> eventsWindowOracle,
+    "fbin_roundtrip" -> fbinRoundtripOracle,
+    "knn_precomputed" -> knnPrecomputedOracle,
     "sparse_knn_cosine" -> sparseKnnOracle,
     "tiered_search" -> tieredOracle,
     "multimodal_stats" -> multimodalStatsOracle,

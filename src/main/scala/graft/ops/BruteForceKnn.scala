@@ -84,6 +84,17 @@ object BruteForceKnn {
     res
   }
 
+  /** kNN over PRECOMPUTED distances — `Metric::Precomputed`
+    * (distance.hpp:64): the caller supplies the (qid, id, dist) table
+    * (any source: a distance matrix, a cross-encoder score, an external
+    * system) and only the per-query select_k runs. */
+  def knnFromDistances(pairs: DataFrame, k: Int, minClose: Boolean = true,
+      qidCol: String = "qid", idCol: String = "id", distCol: String = "dist"): DataFrame =
+    topKPerQuery(
+      pairs.select(col(qidCol).cast("long").as("qid"), col(idCol).cast("long").as("_nid"),
+        col(distCol).cast("double").as("dist")),
+      k, if (minClose) Metric.L2 else Metric.InnerProduct)
+
   /** Per-query top-k epilogue over a (qid, _nid, dist) pair stream —
     * the universal `select_k` (selection/select_k.hpp:22-190). */
   private[graft] def topKPerQuery(pairs: DataFrame, k: Int, metric: Metric): DataFrame =

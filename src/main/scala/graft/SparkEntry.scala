@@ -394,6 +394,45 @@ object SparkEntry {
     * clusters non-empty, and inertia below the k=1 bound (total SS around
     * the global mean) — a genuine Lloyd guarantee. Exact-assignment parity
     * vs naive Lloyd is covered by KMeansSuite. */
+  /** k-means `transform` (distances to ALL centroids, kmeans.hpp:1497) and
+    * `cluster_cost` (kmeans.hpp:1537) over a FIXED centroid set — the first
+    * 4 vectors, no training — so every output is exactly SQL-replayable. */
+  private def kmeansTransformQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+    val cs = graft.expr.CentroidSet(cents.flatten, cents.length, cents.head.length,
+      Metric.L2.name)
+    val cost = graft.cluster.KMeans.clusterCost(emb, cs, "embedding")
+    graft.cluster.KMeans.predict(
+        graft.cluster.KMeans.transform(emb, cs, "embedding"), cs, "embedding")
+      .select(col("vec_id").as("id"),
+        round(element_at(col("dists"), 1), 4).as("d0"),
+        round(element_at(col("dists"), 2), 4).as("d1"),
+        round(element_at(col("dists"), 3), 4).as("d2"),
+        round(element_at(col("dists"), 4), 4).as("d3"),
+        col("cluster").cast("int").as("cluster"),
+        round(lit(cost), 2).as("cost"))
+  }
+
+  private val kmeansTransformOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+       |d AS (SELECT e.vec_id AS id, c.cid, ${O.l2("e.embedding", "c.cvec")} AS dist
+       |      FROM embeddings e CROSS JOIN c),
+       |piv AS (SELECT id,
+       |      round(max(CASE WHEN cid = 0 THEN dist END), 4) AS d0,
+       |      round(max(CASE WHEN cid = 1 THEN dist END), 4) AS d1,
+       |      round(max(CASE WHEN cid = 2 THEN dist END), 4) AS d2,
+       |      round(max(CASE WHEN cid = 3 THEN dist END), 4) AS d3
+       |      FROM d GROUP BY id),
+       |best AS (SELECT id, CAST(cid AS INT) AS cluster, dist FROM (
+       |      SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+       |      FROM d) WHERE rk = 1),
+       |tot AS (SELECT round(sum(dist), 2) AS cost FROM best)
+       |SELECT piv.id, piv.d0, piv.d1, piv.d2, piv.d3, best.cluster, tot.cost
+       |FROM piv JOIN best ON piv.id = best.id CROSS JOIN tot""".stripMargin
+
   private def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val (model, labeled) = graft.cluster.KMeans.fitPredict(emb,
@@ -705,6 +744,7 @@ object SparkEntry {
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
+    "kmeans_transform_cost" -> (kmeansTransformQuery(_, _)),
     "kmeans_balanced" -> (kmeansBalancedQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
     "ivf_filtered_search" -> (ivfFilteredQuery(_, _)),
@@ -754,6 +794,7 @@ object SparkEntry {
     "binary_quantize" -> binaryQuantizeOracle,
     "knn_hamming_packed" -> hammingKnnOracle,
     "kmeans_fit_predict" -> kmeansOracle,
+    "kmeans_transform_cost" -> kmeansTransformOracle,
     "kmeans_balanced" -> kmeansBalancedOracle,
     "ivf_flat_recall" -> ivfRecallOracle,
     "ivf_filtered_search" -> ivfFilteredOracle,

@@ -45,16 +45,61 @@ object Hnsw {
       floor(-log(u) / lit(math.log(params.m.toDouble))).cast("int").as("level"))
   }
 
-  /** Build the hierarchy over a supplied base-layer graph. */
+  /** Build the hierarchy over a supplied base-layer graph.
+    *
+    * Cost-based route (graft.graphops.LocalKernel): upper layers shrink at
+    * 1/M per level, so when the vector table fits under the broadcast
+    * threshold the whole hierarchy above layer 0 is computed from ONE
+    * collect (per-level exact M-NN in memory, same (dist, id) ordering as
+    * AllNeighbors.exact) instead of a multi-job kNN per level. Above the
+    * threshold the per-level distributed builds run unchanged — and even
+    * at 100 TB the layers ≥ 1 hold n/M + n/M² + … rows, so only layer 1
+    * may genuinely need the distributed path. */
   def fromGraph(baseGraph: DataFrame, data: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): Index = {
+    val spark = data.sparkSession
     val d = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val levels = assignLevels(d, params).persist(StorageLevel.MEMORY_AND_DISK)
-    val maxLevel = levels.agg(max(col("level"))).head().getInt(0)
     val base = baseGraph
       .select(lit(0).as("level"), col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("dist"), col("rank"))
+
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        d.count() <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      import spark.implicits._
+      val rows = d.as[(Long, Array[Float])].collect()
+      def levelOf(id: Long): Int = {
+        def affine(x: Long) = math.floorMod(x * 1000003L + 12345L + params.seed, P31)
+        val u = (affine(affine(id)).toDouble + 0.5) / P31.toDouble
+        math.floor(-math.log(u) / math.log(params.m.toDouble)).toInt
+      }
+      val lvl = rows.map(r => levelOf(r._1))
+      val maxLevel = if (lvl.isEmpty) 0 else lvl.max
+      val distFn = graft.core.Distance.fn(params.metric)
+      val minClose = graft.core.Metric.isMinClose(params.metric)
+      val upperRows = (1 to maxLevel).flatMap { l =>
+        val members = rows.indices.filter(i => lvl(i) >= l).map(rows).toArray
+        val k = math.min(params.m, (members.length - 1).max(1))
+        members.flatMap { case (id, vec) =>
+          val buf = graft.core.TopKBuf(k, minClose, new Array[Double](k), new Array[Long](k), 0)
+          members.foreach { case (oid, ovec) =>
+            if (oid != id) buf.insert(distFn(vec, ovec), oid)
+          }
+          buf.result().zipWithIndex.map { case (nb, rk) =>
+            (l, id, nb.id, nb.dist, rk + 1)
+          }
+        }
+      }
+      val uppers = spark.createDataFrame(upperRows)
+        .toDF("level", "src", "dst", "dist", "rank")
+      val edges = base.unionByName(uppers).persist(StorageLevel.MEMORY_AND_DISK)
+      val entry = rows.indices.filter(i => lvl(i) >= maxLevel).map(i => rows(i)._1).min
+      d.unpersist()
+      return Index(levels, edges, maxLevel, entry, params)
+    }
+
+    val maxLevel = levels.agg(max(col("level"))).head().getInt(0)
     val uppers = (1 to maxLevel).map { l =>
       val members = d.join(levels.filter(col("level") >= l), "id")
       graft.graphops.AllNeighbors

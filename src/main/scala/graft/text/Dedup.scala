@@ -66,17 +66,55 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Distinct-shingle base-31 hashes of one document, computed row-local —
+    * identical to shingleDf + shingleHash (distinct is over the SHINGLE
+    * strings; two distinct shingles colliding to one hash value stay two
+    * entries, exactly as the exploded form). Empty when the text is
+    * shorter than n (such docs have no signature rows in either form). */
+  private def localShingleHashes(text: String, n: Int): Array[Long] = {
+    val seen = new java.util.HashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i + n <= text.length) {
+      val sh = text.substring(i, i + n)
+      if (seen.add(sh)) {
+        var h = 0L
+        var k = 0
+        while (k < n) { h = h * 31 + sh.charAt(k).toInt; k += 1 }
+        out += h
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** MinHash signatures: mh_j = min over shingles of (A_j*h + B_j) mod P,
-    * A_j = 2j+1, B_j = j^2+7 (deterministic affine family), P = 2^31-1. */
+    * A_j = 2j+1, B_j = j^2+7 (deterministic affine family), P = 2^31-1.
+    * Row-local kernel: a doc's shingle set needs only its own row, so the
+    * explode + 16-way min aggregate — a full shuffle of the shingle
+    * stream — is pure overhead at any scale. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, numHashes: Int = 16): DataFrame = {
     val P = 2147483647L
-    val sh = shingleDf(df, idCol, textCol, n)
-      .withColumn("h", shingleHash(col("shingle"), n))
-    val aggs = (0 until numHashes).map { j =>
-      min((col("h") * (2 * j + 1) + (j.toLong * j + 7)) % P).as(s"mh$j")
-    }
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = localShingleHashes(text, n)
+        if (hs.isEmpty) None
+        else Some((id, Array.tabulate(numHashes) { j =>
+          var mn = Long.MaxValue
+          hs.foreach { h =>
+            val v = (h * (2 * j + 1) + (j.toLong * j + 7)) % P
+            if (v < mn) mn = v
+          }
+          mn
+        }))
+      }
+      .toDF("id", "sig")
+      .select(col("id") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** LSH band-bucket candidates + exact Jaccard verify: banding the
@@ -112,19 +150,34 @@ object Dedup {
 
   /** 32-bit SimHash over distinct shingles: rehash h2 = (1000003*h + 12345)
     * mod 2^31-1; bit b of the sketch = sign of sum over shingles of
-    * (bit b of h2 ? +1 : -1). */
+    * (bit b of h2 ? +1 : -1). Row-local kernel like minhashSignatures —
+    * the bit-sum needs only the doc's own shingle set. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val P = 2147483647L
-    val sh = shingleDf(df, idCol, textCol, n)
-      .withColumn("h2", (shingleHash(col("shingle"), n) * 1000003L + 12345L) % P)
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("h2"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    sh.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until 32).map(b =>
-          when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = localShingleHashes(text, n)
+        if (hs.isEmpty) None
+        else {
+          val bitSums = new Array[Int](32)
+          hs.foreach { h =>
+            val h2 = (h * 1000003L + 12345L) % P
+            var b = 0
+            while (b < 32) {
+              bitSums(b) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+              b += 1
+            }
+          }
+          var sk = 0L
+          var b = 0
+          while (b < 32) { if (bitSums(b) > 0) sk |= (1L << b); b += 1 }
+          Some((id, sk))
+        }
+      }
+      .toDF("id", "simhash")
   }
 
   /** SimHash near-dup pairs: hamming(simhash) <= maxHamming, a < b. */

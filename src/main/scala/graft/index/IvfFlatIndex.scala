@@ -36,14 +36,110 @@ class IvfFlatIndex(
     * nProbes lists per query. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val probes = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
-        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+
+    // Fused probe+select_k kernel (graft.graphops.LocalKernel): the probe
+    // set is per-query state — always the broadcast side — so when the
+    // QUERY table fits in memory the whole search is one pass over the
+    // (streaming, never collected) lists: each list row scores only the
+    // queries that probed its list (an inverted probe index), into
+    // per-query TopKBufs. Identical rows to the join plan below — same
+    // distance kernel, same (dist, id) merge order. At scale the
+    // partition-pruned join runs unchanged.
+    val spark = queries.sparkSession
+    val qCount = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      try return searchLocal(q, k, nProbes)
+      finally q.unpersist()
+    }
+    q.unpersist()
+
+    val probes = q
+      .select(col("qid"), col("qvec").as("_qvec"),
+        KMeans.nearestCol(centroids, col("qvec"), nProbes).as("_probes"))
       .select(col("qid"), col("_qvec"), explode(col("_probes").getField("list_id")).as("list_id"))
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
         graft.functions.vector_distance(metric, col("_qvec"), col("vec")).as("dist"))
+    BruteForceKnn.topKPerQuery(pairs, k, metric)
+  }
+
+  /** Broadcast-queries kernel: probe selection runs driver-side over the
+    * (always in-memory) centroid set, then one mapPartitions over the list
+    * rows with an inverted (list_id -> probing queries) index. */
+  private def searchLocal(q: DataFrame, k: Int, nProbes: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val qArr = q.as[(Long, Array[Float])].collect()
+    val cs = centroids
+    val distFn = graft.core.Distance.fn(metric)
+    val minClose = graft.core.Metric.isMinClose(metric)
+    // per-query probe set via the same (dist, list_id) coarse select_k the
+    // expression route uses
+    val byList = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+    qArr.zipWithIndex.foreach { case ((_, qvec), qi) =>
+      val buf = graft.core.TopKBuf(nProbes, minClose,
+        new Array[Double](nProbes), new Array[Long](nProbes), 0)
+      var l = 0
+      while (l < cs.k) {
+        buf.insert(distFn(qvec, cs.centroid(l)), l.toLong)
+        l += 1
+      }
+      (0 until buf.size).foreach { j =>
+        val lid = buf.ids(j).toInt
+        var b = byList.get(lid)
+        if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](); byList.put(lid, b) }
+        b += qi
+      }
+    }
+    val probeIdx = new java.util.HashMap[Int, Array[Int]](byList.size * 2)
+    byList.forEach((l, b) => probeIdx.put(l, b.toArray))
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val bcProbes = spark.sparkContext.broadcast(probeIdx)
+    val kk = k
+    val met = metric
+    // static partition pruning: the probed list set is known at plan time,
+    // so unprobed list partitions of a saved index are never READ (the
+    // kernel twin of the join route's dynamic partition pruning)
+    val probedLids = {
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      probeIdx.forEach((l, _) => b += l)
+      b.toSeq
+    }
+    val pairs = lists
+      .filter(col("list_id").isInCollection(probedLids))
+      .select(col("list_id").cast("int"), col("id").cast("long"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { rows =>
+        val qs = bcQ.value; val pi = bcProbes.value
+        val fn = graft.core.Distance.fn(met)
+        val mc = graft.core.Metric.isMinClose(met)
+        val bufs = new java.util.HashMap[Int, graft.core.TopKBuf]()
+        rows.foreach { case (lid, nid, nvec) =>
+          val probing = pi.get(lid)
+          if (probing != null) {
+            var t = 0
+            while (t < probing.length) {
+              val qi = probing(t)
+              var buf = bufs.get(qi)
+              if (buf == null) {
+                buf = graft.core.TopKBuf(kk, mc, new Array[Double](kk), new Array[Long](kk), 0)
+                bufs.put(qi, buf)
+              }
+              buf.insert(fn(qs(qi)._2, nvec), nid)
+              t += 1
+            }
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        bufs.forEach { (qi, buf) =>
+          (0 until buf.size).foreach(j => out += ((qs(qi)._1, buf.ids(j), buf.dists(j))))
+        }
+        out.iterator
+      }
+      .toDF("qid", "_nid", "dist")
     BruteForceKnn.topKPerQuery(pairs, k, metric)
   }
 

@@ -52,10 +52,13 @@ class PlanSuite extends SparkFunSuite {
     val loaded = IvfFlatIndex.load(spark, dir)
     val df = loaded.search(queries, 5, nProbes = 2)
     val plan = df.queryExecution.executedPlan.toString
-    // the lists scan is partitioned by list_id and joined via broadcast ->
-    // dynamic partition pruning subquery on the partition column
+    // the lists scan is partitioned by list_id and pruned either statically
+    // (kernel route: the probed set is known at plan time -> IN filter on
+    // the partition column) or dynamically (join route: DPP subquery)
+    val staticPruned = "PartitionFilters: \\[[^\\]]*list_id[^\\]]*IN".r
+      .findFirstIn(plan).isDefined
     assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning") ||
-      plan.contains("PartitionFilters: [isnotnull(list_id"),
+      plan.contains("PartitionFilters: [isnotnull(list_id") || staticPruned,
       s"no partition pruning on list_id:\n$plan")
     assert(df.count() == queries.count() * 5)
   }

@@ -78,14 +78,23 @@ object SparseKnn {
     val overlap = dots
       .join(broadcast(qn), "qid").join(dn, "id")
       .select(col("qid"), col("id"), distExpr(metric).as("dist"))
-      .localCheckpoint() // read 3x below (top-k, fallback guard, anti-join)
-    // zero-overlap fallback: every (query, row) at dot = 0 — only needed
-    // when a query overlaps fewer than k rows; cheap guard at small k
-    val needFallback = qn.select(col("qid"))
-      .join(overlap.groupBy(col("qid")).count(), Seq("qid"), "left")
-      .filter(coalesce(col("count"), lit(0L)) < k).select(col("qid"))
-    val fallback = broadcast(needFallback.join(qn, "qid"))
-      .crossJoin(dn)
+      .localCheckpoint() // read twice below (top-k union, anti-join)
+    // Zero-overlap fallback: a row sharing no dimension scores dot = 0, so
+    // its distance ranks by (norm2, id) under L2 and (1.0 -> id) under
+    // cosine. For NONNEGATIVE values (TF/counts — the sparse norm) any
+    // zero-overlap row that can enter a true top-k must then be among the
+    // global k best under that ranking, so ONE tiny global top-k unioned
+    // for every query makes the route exact — including when a query
+    // overlaps more than k rows but a small-norm disjoint row still beats
+    // its k-th overlap (a case a "fewer-than-k overlaps" guard misses).
+    // Signed values route through the broadcast kernel (all-pairs, exact).
+    val gfOrd: Seq[org.apache.spark.sql.Column] = metric match {
+      case Metric.L2 => Seq(col("norm2").asc, col("id").asc)
+      case _ => Seq(col("id").asc)
+    }
+    val globalFallback = dn.orderBy(gfOrd: _*).limit(k)
+    val fallback = broadcast(qn)
+      .crossJoin(broadcast(globalFallback))
       .withColumn("dot", lit(0.0))
       .select(col("qid"), col("id"), distExpr(metric).as("dist"))
       .join(dots.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")

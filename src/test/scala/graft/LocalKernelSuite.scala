@@ -62,4 +62,45 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.length > 0)
     assert(local.sameElements(dist))
   }
+
+  test("hnsw build: broadcast hierarchy == per-level distributed build") {
+    val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val (local, dist) = bothRoutes {
+      Hnsw.fromGraph(base, emb, Hnsw.Params(m = 8), "id", "vec").edges
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
+  test("ivf search: fused probe kernel == partition-pruned join, row for row") {
+    val idx = graft.index.IvfFlatIndex.build(
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+    val (local, dist) = bothRoutes {
+      idx.search(queries, 10, nProbes = 3)
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
+  test("sparse kNN: broadcast-queries kernel == inverted-index join") {
+    import graft.ops.SparseKnn
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+    import org.apache.spark.sql.functions.{array, lit}
+    val vecs = docs.select(col("doc_id").as("id"),
+      expr("transform(sequence(0, 9), i -> CAST((ascii(substr(text, i * 7 + 1, 1)) % 29) AS INT))").as("rawdims"),
+      expr("transform(sequence(0, 9), i -> CAST(ascii(substr(text, i * 3 + 1, 1)) AS FLOAT))").as("rawvals"))
+      .select(col("id"),
+        expr("array_distinct(rawdims)").as("indices"),
+        expr("slice(rawvals, 1, size(array_distinct(rawdims)))").as("values"))
+    val q = vecs.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("indices").as("qindices"), col("values").as("qvalues"))
+    for (metric <- Seq(Metric.L2, Metric.Cosine)) {
+      val (local, dist) = bothRoutes {
+        SparseKnn.knnJoin(vecs, q, 5, metric)
+      }
+      assert(local.length > 0, s"$metric")
+      assert(local.sameElements(dist), s"$metric")
+    }
+  }
 }

@@ -590,7 +590,7 @@ object SparkEntry {
     val emb = table(spark, dir, "embeddings")
     val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
-      "vec_id", "embedding") }
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 4, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
@@ -603,7 +603,7 @@ object SparkEntry {
     val q = embQueries(spark, dir)
     val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
-      "vec_id", "embedding") }
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
@@ -647,7 +647,7 @@ object SparkEntry {
     val emb = table(spark, dir, "embeddings")
     val idx = memoize(spark, s"ivfrabitq:$dir") { graft.index.IvfRabitqIndex.build(emb,
       graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
-      "vec_id", "embedding") }
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
@@ -660,7 +660,7 @@ object SparkEntry {
     val q = embQueries(spark, dir)
     val idx = memoize(spark, s"ivfrabitq:$dir") { graft.index.IvfRabitqIndex.build(emb,
       graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
-      "vec_id", "embedding") }
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
@@ -716,7 +716,7 @@ object SparkEntry {
     val emb = table(spark, dir, "embeddings")
     val idx = graft.index.IvfSqIndex.build(emb,
       graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), idCol = "vec_id",
-      vecCol = "embedding")
+      vecCol = "embedding", base = Some(ivfIndex(spark, dir)))
     idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 30,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))

@@ -104,11 +104,12 @@ object IvfPqIndex {
   }
 
   def build(dataset: DataFrame, params: Params,
-      idCol: String = "id", vecCol: String = "vec"): IvfPqIndex = {
-    // coarse quantizer = IVF-Flat build machinery
-    val ivf = IvfFlatIndex.build(dataset,
+      idCol: String = "id", vecCol: String = "vec",
+      base: Option[IvfFlatIndex] = None): IvfPqIndex = {
+    // coarse quantizer = IVF-Flat build machinery (or a caller-shared one)
+    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, params.metric), idCol, vecCol)
+        params.seed, params.metric), idCol, vecCol))
     // residuals vs assigned cell center, then PQ codebooks on them
     val withRes = ivf.lists.withColumn("_res",
       B.column(CentroidResidual(B.expression(col("vec")), B.expression(col("list_id")),

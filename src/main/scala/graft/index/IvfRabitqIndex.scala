@@ -140,19 +140,20 @@ object IvfRabitqIndex {
   }
 
   def build(dataset: DataFrame, params: Params,
-      idCol: String = "id", vecCol: String = "vec"): IvfRabitqIndex = {
+      idCol: String = "id", vecCol: String = "vec",
+      base: Option[IvfFlatIndex] = None): IvfRabitqIndex = {
     require(params.bitsPerDim >= 1 && params.bitsPerDim <= 8,
       s"bits_per_dim in [1,8], got ${params.bitsPerDim}")
-    val ivf = IvfFlatIndex.build(dataset,
+    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction, params.seed),
-      idCol, vecCol)
+      idCol, vecCol))
     val dim = ivf.centroids.dim
     val p = randomRotation(dim, params.seed)
     val zeroThresh = BitThresholds(Array.fill(dim)(0.0))
 
     val rotated = ivf.lists
       .withColumn("_u", rotate(residual(col("vec"), col("list_id"), ivf.centroids), p))
-    val base = rotated.select(
+    val signCols = rotated.select(
       col("list_id"), col("id"),
       B.column(BinaryQuantize(B.expression(col("_u")), zeroThresh)).as("code"),
       aggregate(col("_u"), lit(0.0),
@@ -160,13 +161,13 @@ object IvfRabitqIndex {
       aggregate(col("_u"), lit(0.0), (s, x) => s + abs(x.cast("double"))).as("sum_abs"),
       col("_u"))
     val coded =
-      if (params.bitsPerDim <= 1) base.drop("_u")
+      if (params.bitsPerDim <= 1) signCols.drop("_u")
       else {
         val levels = 1 << (params.bitsPerDim - 1)
         // per-vector magnitude scale: û_i = sign·(mag+0.5)·mscale. A zero
         // residual (vector exactly at its centroid) gets mscale=0 so the
         // decode yields exactly 0 — not ±0.5 — keeping the estimate unbiased.
-        base
+        signCols
           .withColumn("_m", array_max(transform(col("_u"), x => abs(x.cast("double")))))
           .withColumn("mscale", when(col("_m") > 0.0, col("_m") / levels).otherwise(lit(0.0)))
           .withColumn("mags", transform(col("_u"), x =>

@@ -48,9 +48,10 @@ class IvfSqIndex(
 
 object IvfSqIndex {
   def build(dataset: DataFrame, params: IvfFlatIndex.Params, quantile: Double = 0.99,
-      idCol: String = "id", vecCol: String = "vec"): IvfSqIndex = {
+      idCol: String = "id", vecCol: String = "vec",
+      base: Option[IvfFlatIndex] = None): IvfSqIndex = {
     val sq = ScalarQuantizer.train(dataset, vecCol, quantile)
-    val ivf = IvfFlatIndex.build(dataset, params, idCol, vecCol)
+    val ivf = base.getOrElse(IvfFlatIndex.build(dataset, params, idCol, vecCol))
     val lists = ivf.lists
       .select(col("list_id"), col("id"),
         ScalarQuantizer.transformCol(col("vec"), sq).as("codes"))

@@ -41,6 +41,21 @@ class IvfPqIndex(
     * squared L2. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // Fused ADC kernel (AdcKernel doc): one pass over the streaming coded
+    // lists when the query side fits in memory; bufK = k because each id
+    // lives in exactly one list. Identical rows to the join route.
+    val spark = queries.sparkSession
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qCount = q.count()
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      try return BruteForceKnn.topKPerQuery(
+        AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, k, "pq_codes"),
+        k, Metric.L2)
+      finally q.unpersist()
+    }
+    q.unpersist()
     val probes = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
         KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))

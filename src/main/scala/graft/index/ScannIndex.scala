@@ -37,6 +37,21 @@ class ScannIndex(
   /** ADC search over primary+spill lists, deduped per (query, id). */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // Fused ADC kernel (AdcKernel doc): bufK = 2k because SOAR stores ≤ 2
+    // copies per id, then the same (qid, id) min-dedup as the join route.
+    val spark = queries.sparkSession
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qCount = q.count()
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      try return BruteForceKnn.topKPerQuery(
+        AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, 2 * k, "pq_codes")
+          .groupBy(col("qid"), col("_nid")).agg(min(col("dist")).as("dist")),
+        k, Metric.L2)
+      finally q.unpersist()
+    }
+    q.unpersist()
     val probes = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
         KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))

@@ -83,6 +83,30 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("ivf-pq search: fused ADC kernel == probe join, row for row") {
+    val idx = graft.index.IvfPqIndex.build(
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 6),
+      "vec_id", "embedding")
+    val (local, dist) = bothRoutes {
+      idx.search(queries, 10, nProbes = 3)
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
+  test("scann search: fused ADC kernel (2k bufs + dedup) == probe join") {
+    val idx = graft.index.ScannIndex.build(
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      graft.index.ScannIndex.Params(nLeaves = 8, nIters = 5, pqBits = 8),
+      "vec_id", "embedding")
+    val (local, dist) = bothRoutes {
+      idx.search(queries, 10, nProbes = 4)
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
   test("sparse kNN: broadcast-queries kernel == inverted-index join") {
     import graft.ops.SparseKnn
     val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")

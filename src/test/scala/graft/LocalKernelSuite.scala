@@ -83,6 +83,18 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("ivf-sq search: fused decode kernel == probe join, row for row") {
+    val idx = graft.index.IvfSqIndex.build(
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), idCol = "vec_id",
+      vecCol = "embedding")
+    val (local, dist) = bothRoutes {
+      idx.search(queries, 10, nProbes = 3)
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
   test("ivf-pq search: fused ADC kernel == probe join, row for row") {
     val idx = graft.index.IvfPqIndex.build(
       emb.select(col("id").as("vec_id"), col("vec").as("embedding")),

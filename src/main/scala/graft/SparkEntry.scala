@@ -47,10 +47,21 @@ object SparkEntry {
 
   private def knnQuery(metric: Metric, k: Int = 10)(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    BruteForceKnn.knnJoin(emb, embQueries(spark, dir), k, metric,
+    val base =
+      if (metric == Metric.Cosine && k == 10) exactCosineKnn(spark, dir)
+      else BruteForceKnn.knnJoin(emb, embQueries(spark, dir), k, metric,
         idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+    base.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
+
+  /** Exact top-10 cosine kNN over the standard workload — shared by the
+    * brute-force query and the cosine-IVF recall report. */
+  private def exactCosineKnn(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"exactCos:$dir") {
+      BruteForceKnn.knnJoin(table(spark, dir, "embeddings"), embQueries(spark, dir),
+          10, Metric.Cosine, idCol = "vec_id", vecCol = "embedding")
+        .localCheckpoint()
+    }
 
   // ===== DuckDB oracle SQL builders ====================================
   // Distance expressions over two DuckDB list columns, double arithmetic,
@@ -629,9 +640,7 @@ object SparkEntry {
       graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10, metric = Metric.Cosine),
       "vec_id", "embedding")
     val approx = idx.search(q, 10, nProbes = 8).select(col("qid"), col("nbr_id"))
-    val exact = BruteForceKnn.knnJoin(emb, q, 10, Metric.Cosine,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
+    val exact = exactCosineKnn(spark, dir).select(col("qid"), col("nbr_id"))
     val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),

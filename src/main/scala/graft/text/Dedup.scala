@@ -39,10 +39,37 @@ object Dedup {
       ascii(substring(sh, k + 1, 1)).cast("long") * math.pow(31, n - 1 - k).toLong)
       .reduce(_ + _)
 
+  /** Distinct shingle set of one document, row-local (insertion order). */
+  private def localShingles(text: String, n: Int): Array[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= text.length) { seen.add(text.substring(i, i + n)); i += 1 }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** All pairs (a < b) with n-gram Jaccard >= minJaccard, via the
-    * inverted-index join (never a cross product). */
+    * inverted-index join (never a cross product).
+    *
+    * Cost-based route (graft.graphops.LocalKernel): when the corpus'
+    * shingle inventory fits in a broadcast, the inverted index is built
+    * once in memory and each task sweeps the posting lists of its share of
+    * documents — the co-occurrence counting is identical (distinct shingle
+    * STRINGS, same df cut), but no (shingle, doc) rows ever shuffle.
+    * Above the gate the equi-join + count aggregate runs unchanged. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minJaccard: Double = 0.5, maxDfFrac: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocsL = docs.count()
+    val totalShingles = docs.select(
+      sum(greatest(length(col("text")) - (n - 1), lit(0)))).head().getLong(0)
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        totalShingles <= graft.graphops.LocalKernel.maxEdges(spark)) {
+      try return jaccardPairsLocal(docs, n, minJaccard, maxDfFrac, nDocsL)
+      finally docs.unpersist()
+    }
+    docs.unpersist()
     val nDocs = df.count()
     val sh = shingleDf(df, idCol, textCol, n)
     val filtered =
@@ -86,6 +113,65 @@ object Dedup {
       i += 1
     }
     out.toArray
+  }
+
+  /** Broadcast-posting kernel: each task owns a slice of documents and
+    * sweeps the posting lists of its docs' shingles (b > a only), so every
+    * co-occurring pair is counted exactly once. */
+  private def jaccardPairsLocal(docs: DataFrame, n: Int, minJaccard: Double,
+      maxDfFrac: Double, nDocs: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val all = docs.as[(Long, String)].collect().sortBy(_._1)
+    val rawSets = all.map { case (_, text) => localShingles(text, n) }
+    // document-frequency cut (same semantics as the join route's keep set)
+    val dfCount = new java.util.HashMap[String, Int]()
+    rawSets.foreach(_.foreach(s => dfCount.merge(s, 1, (a, b) => a + b)))
+    val maxDf = maxDfFrac * nDocs
+    val sets =
+      if (maxDfFrac >= 1.0) rawSets
+      else rawSets.map(_.filter(s => dfCount.get(s) <= maxDf))
+    val ids = all.map(_._1)
+    val sizes = sets.map(_.length)
+    val posting = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    sets.zipWithIndex.foreach { case (ss, di) =>
+      ss.foreach { s =>
+        var b = posting.get(s)
+        if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](); posting.put(s, b) }
+        b += di // ascending doc index by construction
+      }
+    }
+    val post = new java.util.HashMap[String, Array[Int]](posting.size * 2)
+    posting.forEach((s, b) => post.put(s, b.toArray))
+    val bcSets = spark.sparkContext.broadcast(sets)
+    val bcPost = spark.sparkContext.broadcast(post)
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcSizes = spark.sparkContext.broadcast(sizes)
+    val minJ = minJaccard
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, all.length))
+    spark.range(0, all.length, 1, parts).as[Long].mapPartitions { it =>
+      val ss = bcSets.value; val pt = bcPost.value
+      val idArr = bcIds.value; val sz = bcSizes.value
+      val counts = new java.util.HashMap[Int, Int]()
+      it.flatMap { aL =>
+        val a = aL.toInt
+        counts.clear()
+        ss(a).foreach { s =>
+          val pl = pt.get(s)
+          if (pl != null) {
+            var t = pl.length - 1
+            // posting lists ascend; only partners AFTER a
+            while (t >= 0 && pl(t) > a) { counts.merge(pl(t), 1, (x, y) => x + y); t -= 1 }
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        counts.forEach { (b, inter) =>
+          val j = inter.toDouble / (sz(a) + sz(b) - inter).toDouble
+          if (j >= minJ) out += ((idArr(a), idArr(b), j))
+        }
+        out.iterator
+      }
+    }.toDF("a", "b", "jaccard")
   }
 
   /** MinHash signatures: mh_j = min over shingles of (A_j*h + B_j) mod P,
@@ -133,10 +219,40 @@ object Dedup {
     val cands = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    // verify candidates with exact shingle Jaccard
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Verify candidates with exact shingle Jaccard. LSH guarantees the
+    // candidate set is small, so when it fits in memory the shingle sets of
+    // ONLY the involved documents broadcast and each pair verifies locally
+    // — no re-explode of the corpus shingle stream. The join route remains
+    // for candidate sets past the gate.
+    val spark = df.sparkSession
+    val nCands = cands.count()
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        nCands <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      import spark.implicits._
+      val candArr = cands.as[(Long, Long)].collect()
+      cands.unpersist()
+      val needed = candArr.flatMap(p => Seq(p._1, p._2)).toSet
+      val sets = new java.util.HashMap[Long, Array[String]]()
+      df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+        .filter(col("id").isInCollection(needed.toSeq))
+        .as[(Long, String)].collect()
+        .foreach { case (id, text) => sets.put(id, localShingles(text, n)) }
+      val verified = candArr.flatMap { case (a, b) =>
+        val sa = sets.get(a); val sb = sets.get(b)
+        val sbSet = new java.util.HashSet[String](java.util.Arrays.asList(sb: _*))
+        var inter = 0
+        sa.foreach(s => if (sbSet.contains(s)) inter += 1)
+        val j = inter.toDouble / (sa.length + sb.length - inter).toDouble
+        if (j >= minJaccard) Some((a, b, j)) else None
+      }
+      return spark.createDataFrame(verified.toIndexedSeq).toDF("a", "b", "jaccard")
+    }
+
     val sh = shingleDf(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    cands
+    val res = cands
       .join(sh.select(col("id").as("a"), col("shingle")), "a")
       .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
@@ -146,6 +262,8 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    cands.unpersist()
+    res
   }
 
   /** 32-bit SimHash over distinct shingles: rehash h2 = (1000003*h + 12345)

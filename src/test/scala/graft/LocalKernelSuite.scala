@@ -119,6 +119,30 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("jaccard pairs + minhash verify: posting kernel == inverted join") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+    val corpus = docs.unionByName(docs.select((col("id") + 5000).as("id"),
+      expr("substr(text, 1, CAST(floor(length(text) * 4 / 5) AS INT))").as("text")))
+    import graft.text.Dedup
+    for (frac <- Seq(1.0, 0.2)) {
+      val (local, dist) = bothRoutes {
+        Dedup.jaccardPairs(corpus, "id", "text", n = 8, minJaccard = 0.3, maxDfFrac = frac)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("j"))
+      }
+      assert(local.length > 0, s"frac=$frac")
+      assert(local.sameElements(dist), s"frac=$frac")
+    }
+    val (local, dist) = bothRoutes {
+      Dedup.minhashLshPairs(corpus, "id", "text", n = 8, numHashes = 16,
+          bandRows = 4, minJaccard = 0.3)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("j"))
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
   test("sparse kNN: broadcast-queries kernel == inverted-index join") {
     import graft.ops.SparseKnn
     val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")

@@ -107,6 +107,20 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("rabitq search: fused estimator kernel == probe join (1 and 3 bits)") {
+    for (bits <- Seq(1, 3)) {
+      val idx = graft.index.IvfRabitqIndex.build(
+        emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+        graft.index.IvfRabitqIndex.Params(nLists = 8, nIters = 5, bitsPerDim = bits),
+        "vec_id", "embedding")
+      val (local, dist) = bothRoutes {
+        idx.search(queries, 20, nProbes = 3)
+      }
+      assert(local.length > 0, s"bits=$bits")
+      assert(local.sameElements(dist), s"bits=$bits")
+    }
+  }
+
   test("scann search: fused ADC kernel (2k bufs + dedup) == probe join") {
     val idx = graft.index.ScannIndex.build(
       emb.select(col("id").as("vec_id"), col("vec").as("embedding")),

@@ -27,12 +27,18 @@ object Vamana {
   case class Params(graphDegree: Int = 32, visitedSize: Int = 64, alpha: Double = 1.2,
       metric: Metric = Metric.L2Sqrt)
 
-  /** Robust-pruned edge list (src, dst, dist, rank). */
+  /** Robust-pruned edge list (src, dst, dist, rank).
+    *
+    * `candidates` (src, dst, dist) overrides the per-node candidate pool —
+    * at scale pass an [[AllNeighbors.build]] graph (cell-bounded) instead
+    * of letting this default to the exact L-NN self-join. */
   def build(df: DataFrame, params: Params,
-      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec",
+      candidates: Option[DataFrame] = None): DataFrame = {
     val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = AllNeighbors.exact(data, params.visitedSize, params.metric, "id", "vec")
+    val cand = candidates
+      .getOrElse(AllNeighbors.exact(data, params.visitedSize, params.metric, "id", "vec"))
       .select(col("src"), col("dst"), col("dist"))
     val pruned = robustPrune(cand, data, params)
     // reverse-edge augmentation, then re-cap the degree with a second prune

@@ -299,12 +299,32 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming(simhash) <= maxHamming, a < b. */
-  def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame =
-    sketches.as("x").select(col("id").as("a"), col("simhash").as("ha"))
-      .crossJoin(sketches.as("y").select(col("id").as("b"), col("simhash").as("hb")))
-      .filter(col("a") < col("b"))
+  def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
+    // Pigeonhole banding instead of a cross join: the 32-bit sketch splits
+    // into maxHamming+1 bit bands; a pair within the hamming budget cannot
+    // differ in every band, so candidates = pairs agreeing on >= 1 band
+    // (an equi-join on (band, key)), then the exact hamming verify. Output
+    // is IDENTICAL to the all-pairs filter — the banding is lossless — but
+    // the shuffle carries (band, key, id) rows instead of n²/2 pairs.
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming in [0, 32) for a 32-bit sketch, got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = (32 + nBands - 1) / nBands
+    val bands = (0 until nBands).flatMap { i =>
+      val lo = i * width
+      val w = math.min(width, 32 - lo)
+      if (w <= 0) None
+      else Some(sketches.select(col("id"), col("simhash"), lit(i).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bkey")))
+    }.reduce(_ unionByName _)
+    bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("x.simhash").as("ha"),
+        col("y.id").as("b"), col("y.simhash").as("hb"))
+      .distinct()
       .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
 
   /** Embedding-space near-duplicates: cosine distance < eps, a < b —
     * the eps range join specialized to dedup. */

@@ -327,10 +327,58 @@ object Dedup {
   }
 
   /** Embedding-space near-duplicates: cosine distance < eps, a < b —
-    * the eps range join specialized to dedup. */
+    * the eps range join specialized to dedup.
+    *
+    * Scale route (past `spark.graft.nearDup.crossJoinMax` rows, eps <= 1):
+    * cosine distance maps onto chord distance over l2-normalized vectors
+    * (‖u−v‖² = 2·cosdist), so the ball-cover ε-join prunes candidates by
+    * the triangle inequality — with a small relative margin on the chord
+    * radius to absorb normalization rounding — and the exact cosine
+    * expression verifies each candidate, keeping output identical to the
+    * all-pairs filter. Below the gate (or eps > 1, where zero-norm rows
+    * can pair at dist exactly 1) the plain range join runs. */
   def embeddingNearDup(df: DataFrame, eps: Double,
-      idCol: String = "id", vecCol: String = "vec"): DataFrame =
-    graft.ops.PairwiseDistance.epsNeighborhood(
-        df, df, eps, graft.core.Metric.Cosine, idCol, vecCol, idCol, vecCol)
-      .filter(col("aid") < col("bid"))
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val spark = df.sparkSession
+    val crossMax = spark.conf.get("spark.graft.nearDup.crossJoinMax", "20000").toLong
+    if (eps <= 1.0 && df.count() > crossMax)
+      embeddingNearDupPruned(df, eps, idCol, vecCol)
+    else
+      graft.ops.PairwiseDistance.epsNeighborhood(
+          df, df, eps, graft.core.Metric.Cosine, idCol, vecCol, idCol, vecCol)
+        .filter(col("aid") < col("bid"))
+  }
+
+  /** Ball-cover-pruned route (see embeddingNearDup doc). */
+  private[graft] def embeddingNearDupPruned(df: DataFrame, eps: Double,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.ops.BallCover
+    val d = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // zero-norm rows sit at cosine dist exactly 1.0 from everything — they
+    // cannot enter any eps <= 1 result, so they drop out of the index
+    val unit = d
+      .withColumn("_n", sqrt(aggregate(col("vec"), lit(0.0),
+        (s, x) => s + x.cast("double") * x.cast("double"))))
+      .filter(col("_n") > 0.0)
+      .select(col("id"), transform(col("vec"),
+        x => (x.cast("double") / col("_n")).cast("float")).as("uvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = unit.count()
+    val idx = BallCover.build(unit, math.max(2, math.sqrt(nRows.toDouble).toInt),
+      idCol = "id", vecCol = "uvec")
+    val chordEps = math.sqrt(2.0 * eps) * (1.0 + 1e-6)
+    val cand = BallCover.epsNeighbors(idx,
+        unit.select(col("id").as("qid"), col("uvec").as("qvec")), chordEps)
+      .filter(col("qid") < col("id"))
+      .select(col("qid").as("aid"), col("id").as("bid"))
+    val res = cand
+      .join(d.select(col("id").as("aid"), col("vec").as("_avec")), "aid")
+      .join(d.select(col("id").as("bid"), col("vec").as("_bvec")), "bid")
+      .select(col("aid"), col("bid"),
+        graft.functions.vector_distance(graft.core.Metric.Cosine,
+          col("_avec"), col("_bvec")).as("dist"))
+      .filter(col("dist") < eps)
+    unit.unpersist()
+    res
+  }
 }

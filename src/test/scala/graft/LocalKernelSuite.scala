@@ -133,6 +133,22 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("embedding near-dup: ball-cover-pruned route == all-pairs range join") {
+    import graft.text.Dedup
+    val corpus = emb.unionByName(
+      emb.select((col("id") + 10000).as("id"),
+        org.apache.spark.sql.functions.transform(col("vec"), x => x * 1.001f).as("vec")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("aid"), col("bid"), round(col("dist"), 6).as("d"))
+      .collect().map(_.toString).sorted
+    val pruned = rows(Dedup.embeddingNearDupPruned(corpus, 0.3, "id", "vec"))
+    val cross = rows(graft.ops.PairwiseDistance.epsNeighborhood(
+        corpus, corpus, 0.3, Metric.Cosine, "id", "vec", "id", "vec")
+      .filter(col("aid") < col("bid")))
+    assert(pruned.length > 0)
+    assert(pruned.sameElements(cross))
+  }
+
   test("jaccard pairs + minhash verify: posting kernel == inverted join") {
     val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
       .filter(col("doc_id") % 3 === 0)

@@ -62,7 +62,9 @@ case class KnnJoinPlan(
 object GraftIndexCatalog {
   case class Entry(indexPath: String, nProbes: Int, kCoarse: Int)
   private val byPath = scala.collection.concurrent.TrieMap.empty[String, Entry]
-  def register(dataPath: String, indexPath: String, nProbes: Int, kCoarse: Int = 0): Unit =
+  /** nProbes = 0 opts into cost-based probe selection: the planner derives
+    * the probe count from the index statistics at rewrite time. */
+  def register(dataPath: String, indexPath: String, nProbes: Int = 0, kCoarse: Int = 0): Unit =
     byPath.put(normalize(dataPath), Entry(indexPath, nProbes, kCoarse))
   def unregister(dataPath: String): Unit = byPath.remove(normalize(dataPath))
   def lookup(paths: Seq[String]): Option[Entry] =
@@ -108,7 +110,26 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         // instead of silently degrading results.
         case Some((e, idx)) =>
           val kCoarse = if (e.kCoarse > 0) e.kCoarse else math.max(2 * kj.k, kj.k + 10)
-          val cand = idx.search(queries, kCoarse, e.nProbes)
+          // Cost-based probe selection (nProbes = 0 = auto). The recall
+          // floor tracks the probe fraction (the reference's min_recall ~
+          // f(n_probes/n_lists) discipline, ann_ivf_flat.cuh:102), so auto
+          // mode is recall-first: probe `autoProbeFraction` of the lists
+          // (default half — still 2x cheaper than brute force, safe without
+          // a stated recall contract; an explicit nProbes is the perf
+          // opt-in), raised if needed so the expected scanned rows cover
+          // kCoarse three times over (E[rows/list] = n/nLists), capped at
+          // a full scan.
+          val nLists = idx.centroids.k
+          val nProbes =
+            if (e.nProbes > 0) e.nProbes
+            else {
+              val frac = spark.conf.get("spark.graft.knnJoin.autoProbeFraction", "0.5").toDouble
+              val n = math.max(idx.lists.count(), 1L)
+              val coverK = math.ceil(3.0 * kCoarse * nLists / n.toDouble).toInt
+              val fracProbes = math.max(1, math.ceil(nLists * frac).toInt)
+              math.min(nLists, math.max(coverK, fracProbes))
+            }
+          val cand = idx.search(queries, kCoarse, nProbes)
             .select(col("qid"), col("nbr_id").as("id"))
           graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
             kj.idCol, kj.vecCol)

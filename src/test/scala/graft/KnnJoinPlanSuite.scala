@@ -64,6 +64,28 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("cost-based probe selection (nProbes = 0) picks a sound probe count") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnauto").toString
+    val idx = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+    idx.save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath) // nProbes = 0 = auto
+    try {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding").select(col("qid"), col("nbr_id"))
+      val matched = routed.select(col("qid"), col("nbr_id")).intersect(exact).count()
+      val recall = matched.toDouble / exact.count()
+      // fixture: nLists=8, auto fraction 0.5 -> 4 probes; recall must clear
+      // the probe-fraction floor comfortably on the fixed fixture
+      assert(routed.count() == queries.count() * 10)
+      assert(recall >= 0.6, s"auto-probe recall $recall")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("plan shows the partial-top-k aggregate, not a raw cross join sort") {
     ensureRule()
     val physical = KnnJoinPlan.knnJoin(emb, queries, 5, Metric.L2, "vec_id", "embedding")

@@ -657,7 +657,12 @@ object SparkEntry {
     val idx = memoize(spark, s"ivfrabitq:$dir") { graft.index.IvfRabitqIndex.build(emb,
       graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
       "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
-    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 40,
+    // kCoarse scales with n: the exactness claim (coarse estimate retains
+    // the true top-10 within kCoarse) needs margin over the estimator's
+    // worst observed displacement (measured 26-67 across the sf fixtures;
+    // 3-bit codes over near-empty lists are the noisy end)
+    val kCoarse = math.max(80L, emb.count() / 10).toInt
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = kCoarse,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }

@@ -694,7 +694,10 @@ object SparkEntry {
     val idx = memoize(spark, s"scann8:$dir") { graft.index.ScannIndex.build(emb,
       graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8),
       "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
-    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = 100,
+    // reorder depth scales with n — margin over the worst measured ADC
+    // displacement of a true top-10 neighbor (82-268 across fixtures)
+    val kCoarse = math.max(150L, emb.count() / 5).toInt
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = kCoarse,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }

@@ -702,16 +702,19 @@ object SparkEntry {
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
 
-  /** ScaNN at partial probes with 4-bit codes — recall-floor report (the
-    * SOAR-spilled layout holds 0.6+ at 6/16 probes where unspilled IVF
-    * needs 8). */
+  /** ScaNN at partial probes with 4-bit codes — recall-floor report. The
+    * 4-bit ADC estimate is noisy, so recall is governed by the reorder
+    * depth, not the probe count (measured at 6/16 probes: 0.50 at
+    * kCoarse=40 vs 0.81 at kCoarse=n/10 on the sf0.1 fixture); like
+    * scannQuery, the depth scales with n. */
   private def scannRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
     val idx = memoize(spark, s"scann4:$dir") { graft.index.ScannIndex.build(emb,
       graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 4),
       "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
-    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 6, kCoarse = 40,
+    val kCoarse = math.max(60L, emb.count() / 10).toInt
+    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 6, kCoarse = kCoarse,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
     val exact = exactL2Truth(spark, dir)

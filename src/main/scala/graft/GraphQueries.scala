@@ -28,10 +28,17 @@ object GraphQueries {
 
   // ===== all_neighbors / nn_descent (approximate; recall reported) ======
 
+  /** The degree-10 all_neighbors graph — built once, shared between the
+    * raw-graph query and its recall report. */
+  private def approx10Graph(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"allnbr10:$dir") {
+      AllNeighbors.build(emb(spark, dir),
+          AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
+          "vec_id", "embedding").localCheckpoint()
+    }
+
   private def allNeighborsQuery(spark: SparkSession, dir: String): DataFrame =
-    AllNeighbors.build(emb(spark, dir),
-        AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
-        "vec_id", "embedding")
+    approx10Graph(spark, dir)
       .select(col("src"), col("dst"), col("rank"), round(col("dist"), 4).as("dist"))
 
   /** Recall-floor report in the reference's unit-test discipline
@@ -40,10 +47,11 @@ object GraphQueries {
     * The raw graph itself is the all_neighbors_graph query. */
   private def allNeighborsRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val approx = AllNeighbors.build(e,
-      AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
-      "vec_id", "embedding")
-    val exact = AllNeighbors.exact(e, 10, Metric.L2, "vec_id", "embedding")
+    val approx = approx10Graph(spark, dir)
+    // L2 and L2Sqrt rank identically, so the exact 10-NN edge set is the
+    // shared 16-NN graph truncated to rank <= 10 (graphRecall compares
+    // (src, dst) pairs only)
+    val exact = exact16Graph(spark, dir).filter(col("rank") <= 10)
     val recall = AllNeighbors.graphRecall(approx, exact)
     e.agg(count(lit(1)).as("n_nodes"))
       .select(col("n_nodes"), lit(10).as("k"),
@@ -54,11 +62,16 @@ object GraphQueries {
     """SELECT count(*) AS n_nodes, CAST(10 AS INT) AS k,
       |CAST(0.65 AS DOUBLE) AS recall_floor, true AS floor_met FROM embeddings""".stripMargin
 
+  /** NN-descent at the reference's intermediate-degree discipline
+    * (cagra.hpp:149-153: intermediate_graph_degree = 2x graph_degree):
+    * refine at degree 20, truncate to the top-10 — a degree-10 build
+    * plateaus near 0.75 recall on the sf0.1 fixture, the 2x build holds
+    * 0.97+ at both fixtures. */
   private def nnDescentRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 2 === 0)
     val approx = NnDescent.build(e,
-      NnDescent.Params(k = 10, maxIterations = 6, terminationThreshold = 0.0),
-      "vec_id", "embedding")
+      NnDescent.Params(k = 20, maxIterations = 6, terminationThreshold = 0.0),
+      "vec_id", "embedding").filter(col("rank") <= 10)
     val exact = AllNeighbors.exact(e, 10, Metric.L2, "vec_id", "embedding")
     val recall = AllNeighbors.graphRecall(approx, exact)
     e.agg(count(lit(1)).as("n_nodes"))

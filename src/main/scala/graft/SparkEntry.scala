@@ -608,14 +608,18 @@ object SparkEntry {
   }
 
   /** IVF-PQ at realistic probes — recall-floor report (the raw ADC search
-    * rows are ivf_pq_search_refine). */
+    * rows are ivf_pq_search_refine). Like the ScaNN queries, the 6-bit ADC
+    * estimate drives recall through the reorder depth, so kCoarse scales
+    * with n (measured at 8/16 probes on sf0.1: 0.60 at kCoarse=40 vs 0.80
+    * at n/10). */
   private def ivfPqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
     val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
       "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
-    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = 40,
+    val kCoarse = math.max(60L, emb.count() / 10).toInt
+    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kCoarse,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"))
     val exact = exactL2Truth(spark, dir)

@@ -70,7 +70,7 @@ object GraphQueries {
   private def nnDescentRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 2 === 0)
     val approx = NnDescent.build(e,
-      NnDescent.Params(k = 20, maxIterations = 6, terminationThreshold = 0.0),
+      NnDescent.Params(k = 20, maxIterations = 4, terminationThreshold = 0.0),
       "vec_id", "embedding").filter(col("rank") <= 10)
     val exact = AllNeighbors.exact(e, 10, Metric.L2, "vec_id", "embedding")
     val recall = AllNeighbors.graphRecall(approx, exact)
@@ -160,6 +160,37 @@ object GraphQueries {
        |      SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d)
        |      WHERE rk <= 15),
        |cut AS (SELECT src, dst FROM e WHERE dist < 1.2),
+       |und AS (SELECT src AS a, dst AS b FROM cut
+       |      UNION SELECT dst, src FROM cut UNION SELECT id, id FROM x),
+       |reach AS (SELECT a, b FROM und
+       |      UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a""".stripMargin
+
+  /** Mutual-reachability single linkage (HDBSCAN distance,
+    * agglomerative.hpp:121-151) cut at a fixed threshold over the exact
+    * 15-NN graph — same MST cut property as single_linkage, so the labels
+    * equal connected components of the MR-thresholded graph and the whole
+    * pipeline (core distances + re-weighting + Borůvka MST) is verified by
+    * an exact recursive-CTE oracle. */
+  private def mutualReachabilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val knn = AllNeighbors.exact(e, 15, Metric.L2Sqrt, "id", "vec")
+    Components.mutualReachabilityCut(e, knn.select(col("src"), col("dst"), col("dist"), col("rank")),
+      minPts = 5, threshold = 1.25, "id")
+  }
+
+  private val mutualReachabilityOracle: String =
+    s"""WITH RECURSIVE x AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 5 = 0),
+       |d AS (SELECT a.id AS src, b.id AS dst, ${l2("a.vec", "b.vec")} AS dist
+       |      FROM x a JOIN x b ON a.id <> b.id),
+       |e AS (SELECT src, dst, dist, rk FROM (
+       |      SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d)
+       |      WHERE rk <= 15),
+       |core AS (SELECT src AS id, dist AS core FROM e WHERE rk = 5),
+       |mr AS (SELECT e.src, e.dst, greatest(e.dist, ca.core, cb.core) AS dist
+       |      FROM e JOIN core ca ON e.src = ca.id JOIN core cb ON e.dst = cb.id),
+       |cut AS (SELECT src, dst FROM mr WHERE dist < 1.25),
        |und AS (SELECT src AS a, dst AS b FROM cut
        |      UNION SELECT dst, src FROM cut UNION SELECT id, id FROM x),
        |reach AS (SELECT a, b FROM und
@@ -279,6 +310,7 @@ object GraphQueries {
     "cagra_optimize" -> (cagraOptimizeQuery(_, _)),
     "connected_components" -> (componentsQuery(_, _)),
     "single_linkage" -> (singleLinkageQuery(_, _)),
+    "mutual_reachability" -> (mutualReachabilityQuery(_, _)),
     "spectral_clustering" -> (spectralQuery(_, _)),
     "vamana_build" -> (vamanaQuery(_, _)),
     "cagra_search_recall" -> (cagraSearchQuery(_, _)),
@@ -292,6 +324,7 @@ object GraphQueries {
     "all_neighbors_recall" -> allNeighborsRecallOracle,
     "nn_descent_recall" -> nnDescentRecallOracle,
     "single_linkage" -> singleLinkageOracle,
+    "mutual_reachability" -> mutualReachabilityOracle,
     "spectral_clustering" -> spectralOracle,
     "vamana_build" -> vamanaOracle,
     "cagra_search_recall" -> cagraSearchOracle,

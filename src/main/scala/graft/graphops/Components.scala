@@ -178,6 +178,34 @@ object Components {
     labelsFromKeptEdges(vertices, mst.filter(_._3 < threshold), idCol)
   }
 
+  /** Mutual-reachability re-weighting of a kNN edge list — the HDBSCAN
+    * distance of `cuvs::cluster::agglomerative`
+    * (agglomerative.hpp:121-151 mutual_reachability_params;
+    * detail/reachability.cuh): core_minPts(x) = distance to x's minPts-th
+    * nearest other point, MR(a,b) = max(core(a), core(b), d(a,b)).
+    * `knn` must be a self-exclusive (src, dst, dist, rank) graph with
+    * k >= minPts. Two equi-joins against the O(n) core table — the core
+    * side re-uses the kNN graph's own rank column, no extra distance pass;
+    * at scale both joins shuffle on the id key the graph is already
+    * grouped by. */
+  def mutualReachability(knn: DataFrame, minPts: Int): DataFrame = {
+    val core = knn.filter(col("rank") === minPts)
+      .select(col("src").as("_cid"), col("dist").as("_core"))
+    knn.select(col("src"), col("dst"), col("dist"))
+      .join(core.select(col("_cid").as("src"), col("_core").as("_ca")), "src")
+      .join(core.select(col("_cid").as("dst"), col("_core").as("_cb")), "dst")
+      .select(col("src"), col("dst"),
+        greatest(col("dist"), col("_ca"), col("_cb")).as("dist"))
+  }
+
+  /** Single-linkage cut over mutual-reachability weights — HDBSCAN's flat
+    * extraction at a fixed lambda. Same MST cut property as
+    * singleLinkageCut, so equally oracle-able as connected components of
+    * the MR-thresholded graph. */
+  def mutualReachabilityCut(vertices: DataFrame, knn: DataFrame, minPts: Int,
+      threshold: Double, idCol: String = "id"): DataFrame =
+    singleLinkageCut(vertices, mutualReachability(knn, minPts), threshold, idCol)
+
   private def labelsFromKeptEdges(vertices: DataFrame, keep: Seq[(Long, Long, Double)],
       idCol: String): DataFrame = {
     val spark = vertices.sparkSession

@@ -38,12 +38,13 @@ object RecallSweep {
 
     val e2 = emb.filter(col("vec_id") % 2 === 0)
     val exact2 = AllNeighbors.exact(e2, 10, Metric.L2, "vec_id", "embedding")
-    for (bk <- Seq(15, 20, 24); it <- Seq(6, 10)) {
+    for (it <- Seq(3, 4, 5, 6)) {
+      val t0 = System.nanoTime()
       val g = NnDescent.build(e2,
-        NnDescent.Params(k = bk, maxIterations = it, terminationThreshold = 0.0),
+        NnDescent.Params(k = 20, maxIterations = it, terminationThreshold = 0.0),
         "vec_id", "embedding")
       val r = AllNeighbors.graphRecall(g.filter(col("rank") <= 10), exact2)
-      println(f"  nndescent buildK=$bk iters=$it top10-recall=$r%.3f")
+      println(f"  nndescent buildK=20 iters=$it top10-recall=$r%.3f t=${(System.nanoTime()-t0)/1e9}%.2f")
     }
     spark.stop()
   }

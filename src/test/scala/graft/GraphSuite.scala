@@ -83,6 +83,41 @@ class GraphSuite extends SparkFunSuite {
     }
   }
 
+  test("mutual reachability: MR weights and cut match a naive driver-side oracle") {
+    val pts = small.limit(40).localCheckpoint()
+    val knn = AllNeighbors.exact(pts, 12, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val minPts = 4
+    val mr = Components.mutualReachability(knn, minPts)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive: core = dist to minPts-th nearest other point, MR = max of the three
+    val data = pts.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecOf = data.toMap
+    val ids = data.map(_._1)
+    def dst(a: Long, b: Long) = graft.core.Distance.l2Sqrt(vecOf(a), vecOf(b))
+    val core = ids.map(a =>
+      a -> ids.filter(_ != a).map(b => dst(a, b)).sorted.apply(minPts - 1)).toMap
+    val knnEdges = knn.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mr.size == knnEdges.length)
+    knnEdges.foreach { case (a, b, d) =>
+      val want = math.max(d, math.max(core(a), core(b)))
+      assert(math.abs(mr((a, b)) - want) < 1e-9, s"MR($a,$b)")
+    }
+    // cut equivalence: labels = connected components of MR-thresholded edges
+    val t = core.values.toSeq.sorted.apply(core.size / 2) // median core distance
+    val got = Components.mutualReachabilityCut(pts, knn, minPts, t, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive union-find over MR edges < t
+    val parent = scala.collection.mutable.Map(ids.map(v => v -> v): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    knnEdges.foreach { case (a, b, d) =>
+      if (math.max(d, math.max(core(a), core(b))) < t) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    ids.foreach { a => assert(got(a) == find(a), s"label of $a") }
+  }
+
   test("lanczos spectral: bottom eigenvalues match the dense Laplacian") {
     val params = Spectral.Params(nComponents = 3, nNeighbors = 10, dropFirst = false)
     // naive dense oracle: build the normalized Laplacian of the same exact

@@ -122,4 +122,38 @@ class SparseTieredSuite extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
     assert(key(idx.search(q, 5, nProbes = 8)) == key(exact))
   }
+
+  test("event-time window agg with watermark drops late rows, matches batch on on-time data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val windowed = stream.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      .select(col("w.start").as("start"), col("total"), col("n"))
+    val query = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("win_agg").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // batch 1: two on-time hours
+    stream.addData(Seq((ts(1, 10), 1.0), (ts(1, 40), 2.0), (ts(2, 5), 4.0)))
+    query.processAllAvailable()
+    // batch 2: advance the watermark far past hour 1-2, then send a late row
+    stream.addData(Seq((ts(6, 0), 8.0)))
+    query.processAllAvailable()
+    stream.addData(Seq((ts(1, 50), 100.0))) // late: watermark is 05:50
+    query.processAllAvailable()
+    // batch 4: close hour 6 so its window emits too
+    stream.addData(Seq((ts(9, 0), 16.0)))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("win_agg")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2))).sorted
+    // the late 100.0 must NOT appear anywhere; hour-1 window closed at sum 3.0
+    val want = Seq(
+      ("2026-01-01 01:00:00.0", 3.0, 2L),
+      ("2026-01-01 02:00:00.0", 4.0, 1L),
+      ("2026-01-01 06:00:00.0", 8.0, 1L)).sorted
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
 }

@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all executor threads in this one JVM; the
+  // full bench/verify session persists many intermediate tables, so an
+  // undersized heap turns into cache eviction + GC churn (the host has
+  // 128 GiB — leave room for sbt, the OS cache, and off-heap buffers).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -77,6 +77,27 @@ object MiscQueries {
        |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM dist)
        |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10""".stripMargin
 
+  /** Sparse pairwise distances (CSR x CSR, distance.hpp:468 region) over
+    * the overlapping document pairs — the inverted-index join route whose
+    * kNN epilogue is sparse_knn_cosine; here the full distance output is
+    * the query. Squared-L2 expanded form on TF counts is integer-exact. */
+  private def sparsePairwiseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = sparseVecs(spark, dir).filter(col("id") % 10 === 0).localCheckpoint()
+    SparseKnn.pairwiseOverlap(vecs, vecs, Metric.L2)
+      .select(col("aid"), col("bid"), col("dist"))
+  }
+
+  private val sparsePairwiseOracle: String =
+    s"""WITH toks AS (SELECT doc_id AS id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |nz AS (SELECT id, $tokenDimSql AS dim, CAST(CAST(count(*) AS FLOAT) AS DOUBLE) AS v
+       |  FROM toks GROUP BY 1, 2),
+       |nrm AS (SELECT id, sum(v * v) AS norm2 FROM nz GROUP BY 1),
+       |dots AS (SELECT a.id AS aid, b.id AS bid, sum(a.v * b.v) AS dot
+       |  FROM nz a JOIN nz b ON a.dim = b.dim GROUP BY 1, 2)
+       |SELECT d.aid, d.bid, na.norm2 + nb.norm2 - 2 * d.dot AS dist
+       |FROM dots d JOIN nrm na ON na.id = d.aid JOIN nrm nb ON nb.id = d.bid""".stripMargin
+
   // ===== tiered index (exact when the ANN tier probes all lists) ========
 
   private def tieredQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -244,6 +265,7 @@ object MiscQueries {
     "fbin_roundtrip" -> (fbinRoundtripQuery(_, _)),
     "knn_precomputed" -> (knnPrecomputedQuery(_, _)),
     "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
+    "sparse_pairwise_distance" -> (sparsePairwiseQuery(_, _)),
     "tiered_search" -> (tieredQuery(_, _)),
     "multimodal_stats" -> (multimodalStatsQuery(_, _)),
     "multimodal_frame_sample" -> (frameSampleQuery(_, _)),
@@ -264,6 +286,7 @@ object MiscQueries {
     "fbin_roundtrip" -> fbinRoundtripOracle,
     "knn_precomputed" -> knnPrecomputedOracle,
     "sparse_knn_cosine" -> sparseKnnOracle,
+    "sparse_pairwise_distance" -> sparsePairwiseOracle,
     "tiered_search" -> tieredOracle,
     "multimodal_stats" -> multimodalStatsOracle,
     "multimodal_frame_sample" -> frameSampleOracle,

@@ -351,6 +351,37 @@ object SparkEntry {
       |    round((CAST(e.embedding[s.i] AS DOUBLE) - b.lo) * (255.0 / (b.hi - b.lo))) - 128)) AS INT) AS q
       |FROM embeddings e, b, generate_series(1, 64) s(i)""".stripMargin
 
+  /** Exact kNN directly over an int8 dataset — the reference's int8/uint8
+    * build overloads (brute_force.hpp:195-307; SURVEY.md §1.2: quantized
+    * datasets as array<tinyint>, widened to float32 at compute time). The
+    * dataset is the scalar-quantized embeddings table searched in its
+    * stored byte form; distances are integer-exact so the oracle matches
+    * bit-for-bit with no rounding. */
+  private def int8KnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val m = graft.prep.ScalarQuantizer.train(emb, "embedding", quantile = 0.99)
+    val codes = graft.prep.ScalarQuantizer.transform(emb, m, "embedding")
+      .select(col("vec_id").as("id"), col("codes").as("vec"))
+    val q = codes.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    BruteForceKnn.knnJoin(codes, q, 10, Metric.L2)
+      .select(col("qid"), col("nbr_id"), col("rank"), col("dist"))
+  }
+
+  private val int8KnnOracle: String =
+    """WITH b AS (SELECT quantile_cont(CAST(y AS DOUBLE), 0.005) AS lo,
+      |                  quantile_cont(CAST(y AS DOUBLE), 0.995) AS hi
+      |           FROM (SELECT unnest(embedding) AS y FROM embeddings)),
+      |qz AS (SELECT e.vec_id AS id, s.i AS i,
+      |    greatest(-128, least(127,
+      |      round((CAST(e.embedding[s.i] AS DOUBLE) - b.lo) * (255.0 / (b.hi - b.lo))) - 128)) AS q
+      |    FROM embeddings e, b, generate_series(1, 64) s(i)),
+      |d AS (SELECT a.id AS qid, c.id AS id, sum((a.q - c.q) * (a.q - c.q)) AS dist
+      |      FROM qz a JOIN qz c ON a.i = c.i WHERE a.id % 20 = 0 GROUP BY 1, 2),
+      |r AS (SELECT qid, id, dist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+      |SELECT qid, id AS nbr_id, rank, CAST(dist AS DOUBLE) AS dist FROM r WHERE rank <= 10""".stripMargin
+
   /** Shared CTE: mean-threshold packed binary codes (32 dims/word). */
   private val binaryCodesCte: String =
     """m AS (SELECT i, avg(CAST(e.embedding[i] AS DOUBLE)) AS t
@@ -780,6 +811,7 @@ object SparkEntry {
     "scann_search_refine" -> (scannQuery(_, _)),
     "scann_recall" -> (scannRecallQuery(_, _)),
     "scalar_quantize" -> (scalarQuantizeQuery(_, _)),
+    "knn_bruteforce_int8" -> (int8KnnQuery(_, _)),
     "binary_quantize" -> (binaryQuantizeQuery(_, _)),
     "knn_hamming_packed" -> (hammingKnnQuery(_, _)),
     "pq_transform" -> (pqQuery(_, _)),
@@ -815,6 +847,7 @@ object SparkEntry {
     "topk_global" -> topkGlobalOracle,
     "topk_pergroup" -> topkPerGroupOracle,
     "scalar_quantize" -> scalarQuantizeOracle,
+    "knn_bruteforce_int8" -> int8KnnOracle,
     "binary_quantize" -> binaryQuantizeOracle,
     "knn_hamming_packed" -> hammingKnnOracle,
     "kmeans_fit_predict" -> kmeansOracle,

@@ -64,6 +64,29 @@ object StatsQueries {
     kdeOracle(s"CASE WHEN $d < 3.0 THEN 1.0 - ($d * $d) / 9.0 ELSE 0.0 END")
   }
 
+  // The remaining four DensityKernelType members (distance.hpp:93-100).
+  // Queries are dataset rows, so compact kernels always see the self-pair
+  // at d = 0 and sum(w) >= 1 (ln never hits 0).
+  private def kdeTophatOracle: String = {
+    val d = l2("qq.qvec", "e.embedding")
+    kdeOracle(s"CASE WHEN $d < 3.0 THEN 1.0 ELSE 0.0 END")
+  }
+
+  private def kdeExponentialOracle: String = {
+    val d = l2("qq.qvec", "e.embedding")
+    kdeOracle(s"exp(-$d / 3.0)")
+  }
+
+  private def kdeLinearOracle: String = {
+    val d = l2("qq.qvec", "e.embedding")
+    kdeOracle(s"CASE WHEN $d < 3.0 THEN 1.0 - $d / 3.0 ELSE 0.0 END")
+  }
+
+  private def kdeCosineOracle: String = {
+    val d = l2("qq.qvec", "e.embedding")
+    kdeOracle(s"CASE WHEN $d < 3.0 THEN cos($d * (pi() / 2.0 / 3.0)) ELSE 0.0 END")
+  }
+
   // ===== silhouette ====================================================
 
   private def silhouetteQuery(spark: SparkSession, dir: String): DataFrame =
@@ -165,6 +188,10 @@ object StatsQueries {
     "knn_filtered" -> (filteredKnnQuery(_, _)),
     "kde_gaussian" -> (kdeQuery(Kde.Gaussian)(_, _)),
     "kde_epanechnikov" -> (kdeQuery(Kde.Epanechnikov)(_, _)),
+    "kde_tophat" -> (kdeQuery(Kde.Tophat)(_, _)),
+    "kde_exponential" -> (kdeQuery(Kde.Exponential)(_, _)),
+    "kde_linear" -> (kdeQuery(Kde.Linear)(_, _)),
+    "kde_cosine" -> (kdeQuery(Kde.CosineK)(_, _)),
     "silhouette" -> (silhouetteQuery(_, _)),
     "trustworthiness" -> (trustQuery(_, _)),
     "kernel_gram" -> (gramQuery(_, _)),
@@ -175,6 +202,10 @@ object StatsQueries {
     "knn_filtered" -> filteredKnnOracle,
     "kde_gaussian" -> kdeGaussianOracle,
     "kde_epanechnikov" -> kdeEpanechnikovOracle,
+    "kde_tophat" -> kdeTophatOracle,
+    "kde_exponential" -> kdeExponentialOracle,
+    "kde_linear" -> kdeLinearOracle,
+    "kde_cosine" -> kdeCosineOracle,
     "silhouette" -> silhouetteOracle,
     "trustworthiness" -> trustOracle,
     "kernel_gram" -> gramOracle,

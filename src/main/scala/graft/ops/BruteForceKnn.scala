@@ -26,13 +26,20 @@ import graft.functions.vector_distance
   */
 object BruteForceKnn {
 
+  /** int8/uint8 dataset support (brute_force.hpp:195-307 build overloads;
+    * SURVEY.md §1.2): non-float vector columns (array<tinyint>/<smallint>/
+    * <int>/<double>) widen to float32 at the operator boundary, so callers
+    * search quantized tables directly. A float column is a no-op
+    * (SimplifyCasts removes the same-type cast). */
+  private[graft] def asFloatVec(c: Column): Column = c.cast("array<float>")
+
   /** Returns (qid, nbr_id, rank, dist), rank 1..k best-first. */
   def knnJoin(dataset: DataFrame, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2Sqrt,
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val d = dataset.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
+    val d = dataset.select(col(idCol).cast("long").as("_nid"), asFloatVec(col(vecCol)).as("_nvec"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), asFloatVec(col(qvecCol)).as("_qvec"))
 
     // Fused select_k kernel (graft.graphops.LocalKernel): when the query
     // side fits in memory — the same bound the broadcast below implies —
@@ -123,8 +130,8 @@ object BruteForceKnn {
     val base = deny.fold(base0)(d =>
       base0.join(broadcast(d.select(col(d.columns.head).cast("long").as(idCol))),
         Seq(idCol), "left_anti"))
-    val d = base.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
+    val d = base.select(col(idCol).cast("long").as("_nid"), asFloatVec(col(vecCol)).as("_nvec"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), asFloatVec(col(qvecCol)).as("_qvec"))
     val pairs0 = d.crossJoin(broadcast(q))
     val pairs1 = allowPerQuery.fold(pairs0) { al =>
       pairs0.join(broadcast(al.select(col("qid").cast("long").as("qid"),
@@ -142,8 +149,8 @@ object BruteForceKnn {
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = dataset.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
+    val d = dataset.select(col(idCol).cast("long").as("_nid"), asFloatVec(col(vecCol)).as("_nvec"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"), asFloatVec(col(qvecCol)).as("_qvec"))
     val distC = vector_distance(metric, col("_qvec"), col("_nvec"))
     val ord: Seq[Column] =
       if (Metric.isMinClose(metric)) Seq(col("dist").asc, col("_nid").asc)

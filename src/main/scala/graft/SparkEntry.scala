@@ -666,6 +666,29 @@ object SparkEntry {
       |CAST(16 AS INT) AS n_lists, CAST(0.6 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** IVF-PQ with codebook_gen::PER_CLUSTER (ivf_pq.hpp:34-45,82): per-list
+    * codebooks shared across subspaces. Same probe/kCoarse discipline as
+    * ivf_pq_recall so the two codebook_gen modes are directly comparable. */
+  private def ivfPqPerClusterRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = embQueries(spark, dir)
+    val idx = memoize(spark, s"ivfpqcl:$dir") { graft.index.IvfPqIndex.buildPerCluster(emb,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
+    val kCoarse = math.max(60L, emb.count() / 10).toInt
+    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kCoarse,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id"))
+    val exact = exactL2Truth(spark, dir)
+    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
+        lit(16).as("n_lists"), lit(0.6).as("recall_floor"),
+        lit(recall >= 0.6).as("floor_met"))
+  }
+
+  private val ivfPqPerClusterRecallOracle: String = ivfPqRecallOracle
+
   /** Similarity-search scale path: IVF under cosine (brute-force cosine is
     * the baseline in knn_bruteforce_cosine). Recall-floor report. */
   private def ivfCosineRecallQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -818,6 +841,7 @@ object SparkEntry {
     "pca_fit_transform" -> (pcaQuery(_, _)),
     "ivf_pq_search_refine" -> (ivfPqQuery(_, _)),
     "ivf_pq_recall" -> (ivfPqRecallQuery(_, _)),
+    "ivf_pq_percluster_recall" -> (ivfPqPerClusterRecallQuery(_, _)),
     "q1_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -856,6 +880,7 @@ object SparkEntry {
     "ivf_flat_recall" -> ivfRecallOracle,
     "ivf_filtered_search" -> ivfFilteredOracle,
     "ivf_pq_recall" -> ivfPqRecallOracle,
+    "ivf_pq_percluster_recall" -> ivfPqPerClusterRecallOracle,
     "ann_ivf_cosine_recall" -> ivfRecallOracle,
     "pq_transform" -> pqOracle,
     "pca_fit_transform" -> pcaOracle,

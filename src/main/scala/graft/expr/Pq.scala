@@ -123,6 +123,125 @@ case class PqLut(child: Expression, cb: PqCodebooks) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PER_CLUSTER codebooks (`codebook_gen::PER_CLUSTER`, ivf_pq.hpp:34-45):
+  * one codebook per IVF list, shared across the pqDim subspaces — the dual
+  * of PqCodebooks' per-subspace layout.
+  * flat((l * nCenters + c) * subLen + j) = dim j of center c of list l. */
+case class ClusterCodebooks(flat: Array[Float], nLists: Int, nCenters: Int,
+    subLen: Int, pqDim: Int) extends Serializable {
+  def dim: Int = pqDim * subLen
+  def center(l: Int, c: Int): Array[Float] = {
+    val out = new Array[Float](subLen)
+    System.arraycopy(flat, (l * nCenters + c) * subLen, out, 0, subLen)
+    out
+  }
+}
+
+object PqClusterOps {
+  /** Encode: per subspace, the L2-nearest center of the ROW'S OWN list. */
+  def encode(ccb: ClusterCodebooks, listId: Int, vec: ArrayData): ArrayData = {
+    val codes = new Array[Int](ccb.pqDim)
+    val base = listId * ccb.nCenters * ccb.subLen
+    var s = 0
+    while (s < ccb.pqDim) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ccb.nCenters) {
+        val off = base + c * ccb.subLen
+        var d = 0.0; var j = 0
+        while (j < ccb.subLen) {
+          val t = vec.getFloat(s * ccb.subLen + j).toDouble - ccb.flat(off + j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Reconstruct from codes + the list's codebook. */
+  def decode(ccb: ClusterCodebooks, listId: Int, codes: ArrayData): ArrayData = {
+    val out = new Array[Float](ccb.dim)
+    val base = listId * ccb.nCenters * ccb.subLen
+    var s = 0
+    while (s < ccb.pqDim) {
+      System.arraycopy(ccb.flat, base + codes.getInt(s) * ccb.subLen,
+        out, s * ccb.subLen, ccb.subLen)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-(query, probed list) ADC LUT: same pqDim x nCenters layout as
+    * PqOps.lut, every subspace row computed against the list's one
+    * codebook — PqAdc consumes it unchanged. */
+  def lut(ccb: ClusterCodebooks, listId: Int, qvec: ArrayData): ArrayData = {
+    val out = new Array[Double](ccb.pqDim * ccb.nCenters)
+    val base = listId * ccb.nCenters * ccb.subLen
+    var s = 0
+    while (s < ccb.pqDim) {
+      var c = 0
+      while (c < ccb.nCenters) {
+        val off = base + c * ccb.subLen
+        var d = 0.0; var j = 0
+        while (j < ccb.subLen) {
+          val t = qvec.getFloat(s * ccb.subLen + j).toDouble - ccb.flat(off + j)
+          d += t * t; j += 1
+        }
+        out(s * ccb.nCenters + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PqEncodeByList(left: Expression, right: Expression, ccb: ClusterCodebooks)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, l: Any): Any =
+    PqClusterOps.encode(ccb, l.asInstanceOf[Int], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clusterCodebooks", ccb, classOf[ClusterCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, (v, l) =>
+      s"${ev.value} = graft.expr.PqClusterOps.encode($ref, $l, $v);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PqDecodeByList(left: Expression, right: Expression, ccb: ClusterCodebooks)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(c: Any, l: Any): Any =
+    PqClusterOps.decode(ccb, l.asInstanceOf[Int], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clusterCodebooks", ccb, classOf[ClusterCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.expr.PqClusterOps.decode($ref, $l, $c);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PqLutByList(left: Expression, right: Expression, ccb: ClusterCodebooks)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any, l: Any): Any =
+    PqClusterOps.lut(ccb, l.asInstanceOf[Int], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clusterCodebooks", ccb, classOf[ClusterCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, (v, l) =>
+      s"${ev.value} = graft.expr.PqClusterOps.lut($ref, $l, $v);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class PqAdc(left: Expression, right: Expression, nCenters: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.cluster.KMeans
 import graft.core.Metric
-import graft.expr.{CentroidResidual, CentroidSet, PqCodebooks}
+import graft.expr.{CentroidResidual, CentroidSet, ClusterCodebooks, PqCodebooks,
+  PqEncodeByList, PqLutByList}
 import graft.ops.{BruteForceKnn, Refine}
 import graft.prep.ProductQuantizer
 import org.apache.spark.sql.graft.{bridge => B}
@@ -97,6 +98,53 @@ class IvfPqIndex(
   }
 }
 
+/** IVF-PQ with `codebook_gen::PER_CLUSTER` (ivf_pq.hpp:34-45,82): one
+  * codebook per IVF list — trained on that list's residuals, shared across
+  * the pqDim subspaces — instead of one codebook per subspace shared
+  * across lists. Same probe/equi-join/ADC skeleton as IvfPqIndex; the LUT
+  * is computed per (query, probed list) from the list's own codebook
+  * (PqLutByList) and PqAdc consumes it unchanged.
+  *
+  * 100 TB posture: identical to IvfPqIndex — the coded lists are the only
+  * big state; the codebook block is nLists·2^bits·subLen floats of
+  * broadcast state (same O(nLists·dim) family as the centroids). */
+class IvfPqClusterIndex(
+    val centroids: CentroidSet,
+    val codebooks: ClusterCodebooks,
+    val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
+    val metric: Metric) extends Serializable {
+
+  private def residualCol(vec: Column, listId: Column): Column =
+    B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
+
+  def search(queries: DataFrame, k: Int, nProbes: Int,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val probes = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
+        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+      .select(col("qid"), col("_qvec"),
+        explode(col("_probes").getField("list_id")).as("list_id"))
+      .withColumn("_lut", B.column(PqLutByList(
+        B.expression(residualCol(col("_qvec"), col("list_id"))),
+        B.expression(col("list_id").cast("int")), codebooks)))
+      .select(col("qid"), col("list_id"), col("_lut"))
+    val pairs = lists
+      .join(broadcast(probes), "list_id")
+      .select(col("qid"), col("id").as("_nid"),
+        ProductQuantizer.adcCol(col("_lut"), col("pq_codes"),
+          codebooks.nCenters).as("dist"))
+    BruteForceKnn.topKPerQuery(pairs, k, Metric.L2)
+  }
+
+  def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
+      kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
+      .select(col("qid"), col("nbr_id").as("id"))
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+  }
+}
+
 object IvfPqIndex {
 
   case class Params(nLists: Int = 1024, nIters: Int = 20, trainFraction: Double = 0.5,
@@ -137,5 +185,88 @@ object IvfPqIndex {
         ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
+  }
+
+  /** PER_CLUSTER build: one codebook per list, trained on the list's own
+    * residuals with all pqDim subvectors pooled (the shared-across-
+    * subspaces semantics of codebook_gen::PER_CLUSTER). The fused Lloyd
+    * update is ONE distributed pass per iteration across every list at
+    * once — encode by list, posexplode subvector codes, mean per
+    * (list, code) — the same 2-jobs/iteration shape as the per-subspace
+    * trainer regardless of nLists. */
+  def buildPerCluster(dataset: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec",
+      base: Option[IvfFlatIndex] = None): IvfPqClusterIndex = {
+    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
+      IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
+        params.seed, params.metric), idCol, vecCol))
+    val dim = ivf.centroids.dim
+    require(dim % params.pqDim == 0, s"dim $dim not divisible by pqDim ${params.pqDim}")
+    val subLen = dim / params.pqDim
+    val nCenters = 1 << params.pqBits
+    val nLists = ivf.centroids.k
+    val withRes = ivf.lists
+      .withColumn("_res", B.column(CentroidResidual(B.expression(col("vec")),
+        B.expression(col("list_id")), ivf.centroids)))
+      .select(col("list_id").cast("int").as("list_id"), col("id"), col("_res"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeded init: per list, hash-ranked seed rows; center c
+      // of list l = subvector (c % pqDim) of the list's seed row
+      // floor(c / pqDim), wrapping when the list is short. Lists the coarse
+      // stage left empty keep zero centers (they are never probed against
+      // rows, so the values are inert).
+      val seedsPerList = math.max(1, math.ceil(nCenters.toDouble / params.pqDim).toInt)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("list_id"))
+        .orderBy(xxhash64(col("id"), lit(params.seed)), col("id"))
+      val seedRows = withRes
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= seedsPerList)
+        .select(col("list_id"), col("_rk"), col("_res"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+        }
+      var flat = new Array[Float](nLists * nCenters * subLen)
+      seedRows.foreach { case (l, rows) =>
+        var c = 0
+        while (c < nCenters) {
+          val row = rows((c / params.pqDim) % rows.length)
+          val sub = c % params.pqDim
+          System.arraycopy(row, sub * subLen, flat, (l * nCenters + c) * subLen, subLen)
+          c += 1
+        }
+      }
+      for (_ <- 1 to params.nIters) {
+        val ccb = ClusterCodebooks(flat, nLists, nCenters, subLen, params.pqDim)
+        val updated = withRes
+          .select(col("list_id"),
+            posexplode(B.column(PqEncodeByList(B.expression(col("_res")),
+              B.expression(col("list_id")), ccb))).as(Seq("s", "c")),
+            col("_res"))
+          .select(col("list_id"), col("c"),
+            slice(col("_res"), col("s") * subLen + 1, lit(subLen)).as("_sub"))
+          .groupBy(col("list_id"), col("c"))
+          .agg(graft.core.VectorAgg.vectorAvg(col("_sub")).as("mean"))
+          .collect()
+        val next = flat.clone()
+        updated.foreach { r =>
+          val mean = r.getSeq[Float](2).toArray
+          if (mean.nonEmpty)
+            System.arraycopy(mean, 0, next,
+              (r.getInt(0) * nCenters + r.getInt(1)) * subLen, subLen)
+        }
+        flat = next
+      }
+      val ccb = ClusterCodebooks(flat, nLists, nCenters, subLen, params.pqDim)
+      val lists = withRes
+        .select(col("list_id"), col("id"),
+          B.column(PqEncodeByList(B.expression(col("_res")),
+            B.expression(col("list_id")), ccb)).as("pq_codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      lists.count() // materialize before the residual input unpersists
+      new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric)
+    } finally withRes.unpersist()
   }
 }

@@ -139,7 +139,9 @@ object ProductQuantizer {
   def lutCol(qvec: Column, cb: PqCodebooks): Column =
     B.column(PqLut(B.expression(qvec), cb))
   def adcCol(lut: Column, codes: Column, cb: PqCodebooks): Column =
-    B.column(PqAdc(B.expression(lut), B.expression(codes), cb.nCenters))
+    adcCol(lut, codes, cb.nCenters)
+  def adcCol(lut: Column, codes: Column, nCenters: Int): Column =
+    B.column(PqAdc(B.expression(lut), B.expression(codes), nCenters))
 
   def transform(df: DataFrame, cb: PqCodebooks, vecCol: String = "vec",
       outCol: String = "pq_codes"): DataFrame =

@@ -49,4 +49,39 @@ class IvfPqSuite extends SparkFunSuite {
     assert(self.count() > 0)
     assert(self.filter(col("dist") =!= 0.0).count() == 0)
   }
+
+  // ===== codebook_gen::PER_CLUSTER (ivf_pq.hpp:34-45,82) ================
+
+  private lazy val clIndex = IvfPqIndex.buildPerCluster(emb,
+    IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 16, pqBits = 5), "vec_id", "embedding")
+
+  test("PER_CLUSTER: ADC score equals the exact distance to the decoded row") {
+    // ADC(lut(q, l), codes) = sum_s ||q_s - C_l[code_s]||^2 = ||q - decode||^2,
+    // an exact identity that pins LUT layout, encode, and decode together.
+    import org.apache.spark.sql.graft.{bridge => B}
+    val ccb = clIndex.codebooks
+    val rows = clIndex.lists.limit(50)
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+    val checked = rows.select(
+      graft.prep.ProductQuantizer.adcCol(
+        B.column(graft.expr.PqLutByList(
+          B.expression(B.column(graft.expr.CentroidResidual(
+            B.expression(col("embedding")), B.expression(col("list_id")),
+            clIndex.centroids))),
+          B.expression(col("list_id").cast("int")), ccb)),
+        col("pq_codes"), ccb.nCenters).as("adc"),
+      graft.functions.vector_distance(Metric.L2,
+        B.column(graft.expr.CentroidResidual(B.expression(col("embedding")),
+          B.expression(col("list_id")), clIndex.centroids)),
+        B.column(graft.expr.PqDecodeByList(B.expression(col("pq_codes")),
+          B.expression(col("list_id").cast("int")), ccb))).as("exact"))
+    assert(checked.filter(abs(col("adc") - col("exact")) > 1e-6).count() == 0)
+  }
+
+  test("PER_CLUSTER: refine recovers recall like the per-subspace mode") {
+    val got = clIndex.searchWithRefine(queries, emb, 10, nProbes = 8, kCoarse = 60,
+      idCol = "vec_id", vecCol = "embedding")
+    val r = recall(got, 10)
+    assert(r >= 0.9, s"refined recall $r")
+  }
 }

@@ -116,6 +116,41 @@ object GraphQueries {
        |  SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rank FROM aug)
        |WHERE rank <= 8""".stripMargin
 
+  /** guarantee_connectivity (cagra.hpp:369-380): optimizeConnected must
+    * leave the pruned graph exactly as connected as its input. The oracle
+    * counts the 16-NN graph's true components with a recursive CTE and
+    * asserts the output component count equals it — a measured value on
+    * the Spark side, an exact recomputation on the oracle side. */
+  private def cagraConnectedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val knn = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
+      .select(col("src"), col("dst"), col("dist")).localCheckpoint()
+    val g = CagraOptimize.optimizeConnected(knn, degree = 4)
+    val nIn = Components.connectedComponents(e, knn, "id")
+      .select(col("component")).distinct().count()
+    val nOut = Components.connectedComponents(e, g.select(col("src"), col("dst")), "id")
+      .select(col("component")).distinct().count()
+    e.agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes"), lit(4).as("degree"),
+        lit(nIn).as("n_components_input"), lit(nOut).as("n_components_output"))
+  }
+
+  private val cagraConnectedOracle: String =
+    s"""WITH RECURSIVE x AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 4 = 0),
+       |d AS (SELECT a.id AS src, b.id AS dst, ${l2("a.vec", "b.vec")} AS dist
+       |      FROM x a JOIN x b ON a.id <> b.id),
+       |e AS (SELECT src, dst FROM (
+       |      SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d)
+       |      WHERE rk <= 16),
+       |und AS (SELECT src AS a, dst AS b FROM e
+       |      UNION SELECT dst, src FROM e UNION SELECT id, id FROM x),
+       |reach AS (SELECT a, b FROM und
+       |      UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT count(DISTINCT c) AS n FROM (SELECT a, min(b) AS c FROM reach GROUP BY a))
+       |SELECT (SELECT count(*) FROM x) AS n_nodes, CAST(4 AS INT) AS degree,
+       |       comp.n AS n_components_input, comp.n AS n_components_output FROM comp""".stripMargin
+
   // ===== connected components (deterministic; recursive-CTE oracle) =====
 
   private def componentsQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -308,6 +343,7 @@ object GraphQueries {
     "all_neighbors_recall" -> (allNeighborsRecallQuery(_, _)),
     "nn_descent_recall" -> (nnDescentRecallQuery(_, _)),
     "cagra_optimize" -> (cagraOptimizeQuery(_, _)),
+    "cagra_connected" -> (cagraConnectedQuery(_, _)),
     "connected_components" -> (componentsQuery(_, _)),
     "single_linkage" -> (singleLinkageQuery(_, _)),
     "mutual_reachability" -> (mutualReachabilityQuery(_, _)),
@@ -320,6 +356,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "cagra_optimize" -> cagraOptimizeOracle,
+    "cagra_connected" -> cagraConnectedOracle,
     "connected_components" -> componentsOracle,
     "all_neighbors_recall" -> allNeighborsRecallOracle,
     "nn_descent_recall" -> nnDescentRecallOracle,

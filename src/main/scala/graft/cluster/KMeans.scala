@@ -27,8 +27,11 @@ import org.apache.spark.sql.graft.{bridge => B}
   */
 object KMeans {
 
+  /** nInit (kmeans.hpp n_init): independent seeded restarts; fit keeps the
+    * lowest-inertia model (first wins ties, so the result is
+    * deterministic). */
   case class Params(k: Int, maxIter: Int = 20, tol: Double = 1e-4,
-      seed: Long = 42, metric: Metric = Metric.L2)
+      seed: Long = 42, metric: Metric = Metric.L2, nInit: Int = 1)
 
   case class Model(centroids: CentroidSet, inertia: Double, iterations: Int) {
     def centroidArrays: Array[Array[Float]] = centroids.centroids
@@ -44,6 +47,13 @@ object KMeans {
   }
 
   def fit(df: DataFrame, params: Params,
+      idCol: String = "id", vecCol: String = "vec"): Model =
+    if (params.nInit <= 1) fitOnce(df, params, idCol, vecCol)
+    else (0 until params.nInit)
+      .map(i => fitOnce(df, params.copy(seed = params.seed + i, nInit = 1), idCol, vecCol))
+      .minBy(_.inertia)
+
+  private def fitOnce(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): Model = {
     val data = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)

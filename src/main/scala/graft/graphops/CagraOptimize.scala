@@ -46,4 +46,41 @@ object CagraOptimize {
     augmented.withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= degree)
   }
+
+  /** `optimize` with the connectivity guarantee (cagra.hpp:369-380,
+    * `guarantee_connectivity` — "MST optimization ensures all vertices
+    * stay reachable"): after the detour prune, any input-graph components
+    * the prune split apart are re-bridged with MST edges of the ORIGINAL
+    * graph (Borůvka, §2.4 machinery), so the result is exactly as
+    * connected as the input. Bridge edges are appended in both directions
+    * and may exceed `degree` for their endpoints — connectivity trumps the
+    * cap, as in the reference. Driver state: the O(n) component labels +
+    * MST edge list, the same budget as the Borůvka/dendrogram steps
+    * (SURVEY.md §7.4).
+    */
+  def optimizeConnected(graph: DataFrame, degree: Int): DataFrame = {
+    val pruned = optimize(graph, degree).select(col("src"), col("dst"), col("dist"))
+      .localCheckpoint()
+    val verts = graph.select(col("src").as("id"))
+      .unionByName(graph.select(col("dst").as("id"))).distinct()
+    val labels = Components.connectedComponents(verts, pruned)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bridges =
+      if (labels.values.toSet.size <= 1) Seq.empty[(Long, Long, Double)]
+      else Components.boruvkaMst(verts, graph.select(col("src"), col("dst"), col("dist")))
+        .filter { case (s, d, _) => labels(s) != labels(d) }
+    val spark = graph.sparkSession
+    val all =
+      if (bridges.isEmpty) pruned
+      else {
+        import spark.implicits._
+        val b = bridges.toDF("src", "dst", "dist")
+        pruned.unionByName(b)
+          .unionByName(b.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+          .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    all.withColumn("rank", row_number().over(w))
+  }
 }

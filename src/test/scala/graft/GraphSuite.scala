@@ -42,6 +42,31 @@ class GraphSuite extends SparkFunSuite {
     assert(missing == 0, s"$missing nearest edges pruned")
   }
 
+  test("cagra optimizeConnected re-bridges components the degree cap cut") {
+    import spark.implicits._
+    // two tight 5-cliques joined only by long bridge edges; each node has
+    // >= 2 shorter intra-cluster edges, so a degree-2 cap drops every
+    // bridge and disconnects the graph
+    val intra = for {
+      g <- Seq(0L, 5L); a <- 0L until 5L; b <- 0L until 5L if a != b
+    } yield (g + a, g + b, 1.0 + 0.01 * (a + b))
+    val bridges = Seq((0L, 5L, 10.0), (5L, 0L, 10.0))
+    val g = (intra ++ bridges).toDF("src", "dst", "dist")
+    def nComponents(edges: org.apache.spark.sql.DataFrame): Long = {
+      val verts = g.select(col("src").as("id"))
+        .unionByName(g.select(col("dst").as("id"))).distinct()
+      Components.connectedComponents(verts, edges)
+        .select(col("component")).distinct().count()
+    }
+    val cut = CagraOptimize.optimize(g, degree = 2)
+    assert(nComponents(cut.select(col("src"), col("dst"))) == 2, "prune should disconnect")
+    val fixed = CagraOptimize.optimizeConnected(g, degree = 2)
+    assert(nComponents(fixed.select(col("src"), col("dst"))) == 1, "guarantee should bridge")
+    // the bridge is additive: every pruned edge is still present
+    assert(cut.select(col("src"), col("dst"))
+      .except(fixed.select(col("src"), col("dst"))).count() == 0)
+  }
+
   test("connected components: planted duplicate pairs form 2-node components") {
     val dup = small.select((col("id") + 10000).as("id"), col("vec"))
     val corpus = small.unionByName(dup)

@@ -59,6 +59,13 @@ class KMeansSuite extends SparkFunSuite {
     assert(m5.inertia <= m1.inertia + 1e-6, s"${m5.inertia} vs ${m1.inertia}")
   }
 
+  test("nInit restarts never return worse inertia than the single run") {
+    val one = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 5), "vec_id", "embedding")
+    val multi = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 5, nInit = 3),
+      "vec_id", "embedding")
+    assert(multi.inertia <= one.inertia + 1e-6, s"${multi.inertia} vs ${one.inertia}")
+  }
+
   test("predict assigns every row a cluster in [0, k) with finite dist") {
     val model = KMeans.fit(emb, KMeans.Params(k = 4, maxIter = 5), "vec_id", "embedding")
     val p = KMeans.predict(emb, model.centroids, "embedding")

@@ -86,9 +86,16 @@ object GraphQueries {
 
   // ===== cagra optimize (deterministic over the exact graph; oracled) ===
 
+  /** Exact 16-NN over the %4 subset — shared by cagra_optimize and
+    * cagra_connected (same build/derive split as exact16Graph). */
+  private def exact16Quarter(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"exact16q:$dir") {
+      val e = emb(spark, dir).filter(col("vec_id") % 4 === 0)
+      AllNeighbors.exact(e, 16, Metric.L2Sqrt, "vec_id", "embedding").localCheckpoint()
+    }
+
   private def cagraOptimizeQuery(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).filter(col("vec_id") % 4 === 0)
-    val knn = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "vec_id", "embedding")
+    val knn = exact16Quarter(spark, dir)
     CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
       .select(col("src"), col("dst"), col("rank"), round(col("dist"), 4).as("dist"))
   }
@@ -124,8 +131,7 @@ object GraphQueries {
   private def cagraConnectedQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 4 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val knn = AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
-      .select(col("src"), col("dst"), col("dist")).localCheckpoint()
+    val knn = exact16Quarter(spark, dir).select(col("src"), col("dst"), col("dist"))
     val g = CagraOptimize.optimizeConnected(knn, degree = 4)
     val nIn = Components.connectedComponents(e, knn, "id")
       .select(col("component")).distinct().count()
@@ -179,10 +185,19 @@ object GraphQueries {
     * exact 15-NN graph. By the MST cut property the labels equal connected
     * components of the 15-NN graph restricted to edges < t, so the Borůvka
     * MST itself is verified by an exact recursive-CTE oracle. */
+  /** Exact 15-NN over the %5 subset — shared by single_linkage and
+    * mutual_reachability. */
+  private def exact15Fifth(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"exact15f:$dir") {
+      val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      AllNeighbors.exact(e, 15, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    }
+
   private def singleLinkageQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val knn = AllNeighbors.exact(e, 15, Metric.L2Sqrt, "id", "vec")
+    val knn = exact15Fifth(spark, dir)
     Components.singleLinkageCut(e, knn.select(col("src"), col("dst"), col("dist")),
         threshold = 1.2, "id")
   }
@@ -210,7 +225,7 @@ object GraphQueries {
   private def mutualReachabilityQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val knn = AllNeighbors.exact(e, 15, Metric.L2Sqrt, "id", "vec")
+    val knn = exact15Fifth(spark, dir)
     Components.mutualReachabilityCut(e, knn.select(col("src"), col("dst"), col("dist"), col("rank")),
       minPts = 5, threshold = 1.25, "id")
   }

@@ -122,6 +122,33 @@ case class CentroidResidual(left: Expression, right: Expression, centroids: Cent
     copy(left = l, right = r)
 }
 
+/** `centroid[list_id]` — the center lookup itself (the inverse of
+  * CentroidResidual; used by reconstruction paths like VQ+PQ inverse). */
+case class CentroidVector(child: Expression, centroids: CentroidSet)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(listId: Any): Any = {
+    val off = listId.asInstanceOf[Int] * centroids.dim
+    val out = new Array[Float](centroids.dim)
+    System.arraycopy(centroids.flat, off, out, 0, centroids.dim)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidSet", centroids, classOf[CentroidSet].getName)
+    val tmp = ctx.freshName("cv")
+    nullSafeCodeGen(ctx, ev, l =>
+      s"""float[] $tmp = new float[$ref.dim()];
+         |System.arraycopy($ref.flat(), $l * $ref.dim(), $tmp, 0, $ref.dim());
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `nearest_centroids(vec)` -> array<struct<list_id int, dist double>> of the
   * top-p closest centroids, best first. Pure map-side: no join, no shuffle —
   * the assignment step of k-means (kmeans.hpp predict) and the probe

@@ -157,4 +157,44 @@ object ProductQuantizer {
     df.select(graft.functions.vector_distance(Metric.L2, col(vecCol), rec).as("e"))
       .agg(avg(col("e"))).head().getDouble(0)
   }
+
+  // ===== optional coarse VQ stage (pq.hpp use_vq / vq_n_centers) ========
+
+  /** Two-stage quantizer of the standalone PQ surface (pq.hpp:34-140:
+    * `use_vq`, `vq_n_centers` default ~sqrt(n)): a coarse vector quantizer
+    * (our k-means) followed by PQ on the residuals — the same
+    * center-then-residual composition the IVF-PQ index uses, exposed as a
+    * preprocessing transform. */
+  case class VqModel(centroids: graft.expr.CentroidSet, codebooks: PqCodebooks)
+      extends Serializable
+
+  def trainVq(df: DataFrame, params: Params, vqCenters: Int,
+      idCol: String = "id", vecCol: String = "vec"): VqModel = {
+    val km = KMeans.fit(df, KMeans.Params(k = vqCenters, maxIter = params.kmeansIters,
+      seed = params.seed), idCol, vecCol)
+    val res = df.select(col(idCol).as("_id"),
+      B.column(graft.expr.CentroidResidual(
+        B.expression(col(vecCol)),
+        B.expression(KMeans.assignCols(km.centroids, col(vecCol))._1),
+        km.centroids)).as("_res"))
+    VqModel(km.centroids, train(res, params, "_id", "_res"))
+  }
+
+  /** (vq_code int, pq_codes array<int>) per row. */
+  def transformVq(df: DataFrame, m: VqModel, vecCol: String = "vec"): DataFrame = {
+    val vq = KMeans.assignCols(m.centroids, col(vecCol))._1
+    df.withColumn("vq_code", vq)
+      .withColumn("pq_codes", encodeCol(
+        B.column(graft.expr.CentroidResidual(B.expression(col(vecCol)),
+          B.expression(col("vq_code")), m.centroids)), m.codebooks))
+  }
+
+  /** Reconstruction: VQ center + decoded PQ residual. */
+  def inverseTransformVq(df: DataFrame, m: VqModel, outCol: String = "vec_hat"): DataFrame = {
+    val center = B.column(graft.expr.CentroidVector(
+      B.expression(col("vq_code")), m.centroids))
+    df.withColumn(outCol,
+      zip_with(center, decodeCol(col("pq_codes"), m.codebooks), (a, b) => a + b)
+        .cast("array<float>"))
+  }
 }

@@ -83,4 +83,19 @@ class QuantizerSuite extends SparkFunSuite {
     val e6 = ProductQuantizer.reconstructionError(emb, cb6, "embedding")
     assert(e6 < e4, s"$e6 !< $e4")
   }
+
+  test("pq use_vq: coarse VQ + residual PQ reconstructs at least as well as plain PQ") {
+    val params = ProductQuantizer.Params(pqDim = 8, pqBits = 4, kmeansIters = 5)
+    val m = ProductQuantizer.trainVq(emb, params, vqCenters = 8, "vec_id", "embedding")
+    val coded = ProductQuantizer.transformVq(emb, m, "embedding")
+    assert(coded.filter(col("vq_code") < 0 || col("vq_code") >= 8).count() == 0)
+    val rec = ProductQuantizer.inverseTransformVq(coded, m)
+    val errVq = rec.select(graft.functions.vector_distance(Metric.L2,
+        col("embedding"), col("vec_hat")).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    val plain = ProductQuantizer.train(emb, params, "vec_id", "embedding")
+    val errPq = ProductQuantizer.reconstructionError(emb, plain, "embedding")
+    // the coarse stage absorbs the between-cluster variance; allow fp slack
+    assert(errVq <= errPq * 1.05, s"vq+pq $errVq vs pq $errPq")
+  }
 }

@@ -143,6 +143,39 @@ class IvfPqClusterIndex(
       .select(col("qid"), col("nbr_id").as("id"))
     Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
   }
+
+  /** Persist: coded lists + centroid sidecar + per-list codebook table. */
+  def save(path: String): Unit = {
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/pqcl_lists")
+    val spark = lists.sparkSession
+    IvfFlatIndex.saveCentroids(spark, path, centroids, metric)
+    import spark.implicits._
+    (for (l <- 0 until codebooks.nLists; c <- 0 until codebooks.nCenters)
+      yield (l, c, codebooks.center(l, c).toSeq,
+        codebooks.nLists, codebooks.nCenters, codebooks.subLen, codebooks.pqDim))
+      .toDF("l", "c", "center", "n_lists", "n_centers", "sub_len", "pq_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cluster_codebooks")
+  }
+}
+
+object IvfPqClusterIndex {
+  def load(spark: SparkSession, path: String): IvfPqClusterIndex = {
+    val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
+    val cb = spark.read.parquet(s"$path/cluster_codebooks").orderBy("l", "c").collect()
+    val head = cb.head
+    val (nLists, nCenters, subLen, pqDim) =
+      (head.getAs[Int]("n_lists"), head.getAs[Int]("n_centers"),
+        head.getAs[Int]("sub_len"), head.getAs[Int]("pq_dim"))
+    val flat = new Array[Float](nLists * nCenters * subLen)
+    cb.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("center")).toArray
+      System.arraycopy(v, 0,
+        flat, (r.getAs[Int]("l") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
+    }
+    new IvfPqClusterIndex(centroids,
+      ClusterCodebooks(flat, nLists, nCenters, subLen, pqDim),
+      spark.read.parquet(s"$path/pqcl_lists"), metric)
+  }
 }
 
 object IvfPqIndex {

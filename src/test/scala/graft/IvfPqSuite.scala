@@ -78,6 +78,15 @@ class IvfPqSuite extends SparkFunSuite {
     assert(checked.filter(abs(col("adc") - col("exact")) > 1e-6).count() == 0)
   }
 
+  test("PER_CLUSTER: save/load roundtrip searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqcl").toString
+    clIndex.save(dir)
+    val loaded = graft.index.IvfPqClusterIndex.load(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(queries, 5, 4)) == key(clIndex.search(queries, 5, 4)))
+  }
+
   test("PER_CLUSTER: refine recovers recall like the per-subspace mode") {
     val got = clIndex.searchWithRefine(queries, emb, 10, nProbes = 8, kCoarse = 60,
       idCol = "vec_id", vecCol = "embedding")

@@ -157,6 +157,27 @@ class IvfFlatIndex(
     new IvfFlatIndex(centroids, lists.unionByName(assigned), metric)
   }
 
+  /** `adaptive_centers` extend (ivf_flat.hpp:34-46): append the new rows
+    * under the CURRENT centers, then drift each center to the mean of its
+    * now-extended list — "the centers drift to adapt to the changed data
+    * distribution" — one groupBy(list_id) pass. Unchanged (empty) lists
+    * keep their center; list membership is NOT re-assigned (the
+    * reference's semantics: centers move, rows stay). */
+  def extendAdaptive(newData: DataFrame, idCol: String = "id",
+      vecCol: String = "vec"): IvfFlatIndex = {
+    val grown = lists.unionByName(IvfFlatIndex.assign(newData, centroids, idCol, vecCol))
+    val means = grown.groupBy(col("list_id"))
+      .agg(graft.core.VectorAgg.vectorAvg(col("vec")).as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val flat = centroids.flat.clone()
+    means.foreach { case (l, m) =>
+      if (m.nonEmpty) System.arraycopy(m, 0, flat, l * centroids.dim, centroids.dim)
+    }
+    new IvfFlatIndex(
+      graft.expr.CentroidSet(flat, centroids.k, centroids.dim, centroids.metricName),
+      grown, metric)
+  }
+
   /** Persist as a partitioned table — serialize (brute_force.hpp:728-925
     * analog; Parquet instead of a versioned binary stream). */
   def save(path: String): Unit = {

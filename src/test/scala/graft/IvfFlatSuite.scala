@@ -49,6 +49,26 @@ class IvfFlatSuite extends SparkFunSuite {
     assert(dupHits > 0)
   }
 
+  test("extendAdaptive: centers drift to the mean of their extended lists") {
+    val shifted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val ext = index.extendAdaptive(shifted, "vec_id", "embedding")
+    assert(ext.lists.count() == emb.count() + 10)
+    // every non-empty list's center is now the exact mean of its vectors
+    val means = ext.lists.groupBy(col("list_id"))
+      .agg(graft.core.VectorAgg.vectorAvg(col("vec")).as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    means.foreach { case (l, m) =>
+      val c = ext.centroids.centroid(l)
+      assert(graft.core.Distance.l2Sqrt(c, m) < 1e-5, s"list $l center drifted wrong")
+    }
+    // membership was not re-assigned: same (id -> list) pairs for old rows
+    val before = index.lists.select(col("id"), col("list_id"))
+    val after = ext.lists.filter(col("id") < 10000).select(col("id"), col("list_id"))
+    assert(before.except(after).count() == 0)
+  }
+
   test("save/load roundtrip searches identically") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     index.save(dir)

@@ -165,8 +165,10 @@ object Distance extends Serializable {
   /** Great-circle distance; vectors are (lat, lon) in radians, unit sphere. */
   def haversine(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == 2 && b.length == 2, "haversine requires 2-d (lat, lon)")
-    val dlat = (a(0) - b(0)).toDouble / 2
-    val dlon = (a(1) - b(1)).toDouble / 2
+    // widen BEFORE subtracting: float subtraction here loses ~1e-8 relative
+    // precision, enough to flip a 4dp-rounded output against the oracle
+    val dlat = (a(0).toDouble - b(0).toDouble) / 2
+    val dlon = (a(1).toDouble - b(1).toDouble) / 2
     val h = math.pow(math.sin(dlat), 2) +
       math.cos(a(0).toDouble) * math.cos(b(0).toDouble) * math.pow(math.sin(dlon), 2)
     2 * math.asin(math.sqrt(math.min(1.0, h)))

@@ -19,12 +19,17 @@ object PlanAudit {
     val q = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-    def audit(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+    def audit(name: String)(df0: => org.apache.spark.sql.DataFrame): Unit = {
+      val df = df0
+      // run THIS QueryExecution (count() would plan a new one) so AQE
+      // finalizes stages and codegen markers appear
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val nShuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
         .findAllIn(plan).length
       val nBcast = "BroadcastExchange".r.findAllIn(plan).length
-      val nWsc = "WholeStageCodegen".r.findAllIn(plan).length
+      // executedPlan.toString marks codegen stages "*(n) Op"; count stages
+      val nWsc = raw"\*\(\d+\)".r.findAllIn(plan).map(_.toString).toSet.size
       println(s"== $name: shuffles=$nShuffle broadcasts=$nBcast codegenSpans=$nWsc")
       if (args.length > 1 && args(1) == "-v") println(df.queryExecution.executedPlan.treeString)
     }

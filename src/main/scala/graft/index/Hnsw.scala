@@ -115,6 +115,29 @@ object Hnsw {
     Index(levels, edges, maxLevel, entry, params)
   }
 
+  /** Persist the hierarchy: level table, per-level edge tables, and a meta
+    * sidecar — the "build once, deploy" split of the reference's hnswlib
+    * export (hnsw.hpp:137-141), as Parquet instead of the binary format. */
+  def save(idx: Index, path: String): Unit = {
+    val spark = idx.edges.sparkSession
+    idx.levels.write.mode("overwrite").parquet(s"$path/hnsw_levels")
+    idx.edges.write.mode("overwrite").partitionBy("level").parquet(s"$path/hnsw_edges")
+    import spark.implicits._
+    Seq((idx.maxLevel, idx.entryPoint, idx.params.m, idx.params.seed, idx.params.metric.name))
+      .toDF("max_level", "entry_point", "m", "seed", "metric")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/hnsw_meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val meta = spark.read.parquet(s"$path/hnsw_meta").head()
+    Index(
+      spark.read.parquet(s"$path/hnsw_levels"),
+      spark.read.parquet(s"$path/hnsw_edges"),
+      meta.getAs[Int]("max_level"), meta.getAs[Long]("entry_point"),
+      Params(meta.getAs[Int]("m"), meta.getAs[Long]("seed"),
+        Metric.fromName(meta.getAs[String]("metric"))))
+  }
+
   /** Hierarchical search: greedy descent through upper layers, then an
     * ef-beam on the base layer. (qid, nbr_id, rank, dist). */
   def search(idx: Index, data: DataFrame, queries: DataFrame, k: Int, ef: Int = 40,

@@ -92,24 +92,50 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }.flatten
 
+  /** A saved layout is an HNSW hierarchy iff its meta sidecar exists. */
+  private def isHnswLayout(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "hnsw_meta")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case kj: KnnJoinPlan if kj.left.resolved && kj.right.resolved =>
       val data = B.ofRows(spark, kj.left)
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
       val metric = Metric.fromName(kj.metricName)
-      val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
-          .map(e => (e, graft.index.IvfFlatIndex.load(spark, e.indexPath)))
-          .filter { case (_, idx) => rankCompatible(idx.metric, metric) } match {
-        // The index route is only sound when the saved index ranks
-        // candidates the way the node's declared metric would — candidates
-        // are generated with the index's own metric, and refine re-ranks
-        // only within them. L2 and L2Sqrt are rank-equivalent (sqrt is
-        // monotone); any other mismatch (e.g. a Cosine knn_join over an
-        // L2-built index) falls back to the exact brute-force route
-        // instead of silently degrading results.
-        case Some((e, idx)) =>
-          val kCoarse = if (e.kCoarse > 0) e.kCoarse else math.max(2 * kj.k, kj.k + 10)
+      def coarseK(e: GraftIndexCatalog.Entry): Int =
+        if (e.kCoarse > 0) e.kCoarse else math.max(2 * kj.k, kj.k + 10)
+
+      // The index routes are only sound when the saved index ranks
+      // candidates the way the node's declared metric would — candidates
+      // are generated with the index's own metric, and refine re-ranks
+      // only within them. L2 and L2Sqrt are rank-equivalent (sqrt is
+      // monotone); any other mismatch (e.g. a Cosine knn_join over an
+      // L2-built index) falls back to the exact brute-force route
+      // instead of silently degrading results.
+
+      // Graph route: a registered HNSW layout generates candidates by
+      // hierarchy beam search (ef = kCoarse), then exact refine.
+      def hnswRoute(e: GraftIndexCatalog.Entry): Option[DataFrame] = {
+        val idx = graft.index.Hnsw.load(spark, e.indexPath)
+        if (!rankCompatible(idx.params.metric, metric)) None
+        else Some {
+          val kCoarse = coarseK(e)
+          val cand = graft.index.Hnsw.search(idx, data, queries, kCoarse,
+              ef = math.max(40, kCoarse), kj.idCol, kj.vecCol)
+            .select(col("qid"), col("nbr_id").as("id"))
+          graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
+            kj.idCol, kj.vecCol)
+        }
+      }
+
+      // IVF route: probe-pruned candidate search + exact refine.
+      def ivfRoute(e: GraftIndexCatalog.Entry): Option[DataFrame] = {
+        val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
+        if (!rankCompatible(idx.metric, metric)) None
+        else Some {
+          val kCoarse = coarseK(e)
           // Cost-based probe selection (nProbes = 0 = auto). The recall
           // floor tracks the probe fraction (the reference's min_recall ~
           // f(n_probes/n_lists) discipline, ann_ivf_flat.cuh:102), so auto
@@ -133,9 +159,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             .select(col("qid"), col("nbr_id").as("id"))
           graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
             kj.idCol, kj.vecCol)
-        case _ =>
-          BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol)
+        }
       }
+
+      val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
+        .flatMap(e => if (isHnswLayout(e.indexPath)) hnswRoute(e) else ivfRoute(e))
+        .getOrElse(BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol))
       val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),
         col("rank"), col("dist"))
       val newPlan = B.optimizedPlanOf(shaped)

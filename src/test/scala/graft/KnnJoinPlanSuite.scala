@@ -86,6 +86,30 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("registered HNSW layout routes the join through beam search + refine") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnhnsw").toString
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = graft.graphops.AllNeighbors.exact(e, 16, Metric.L2, "id", "vec")
+    val idx = graft.index.Hnsw.fromGraph(base, e, graft.index.Hnsw.Params(m = 16), "id", "vec")
+    graft.index.Hnsw.save(idx, idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, kCoarse = 40)
+    try {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(routed.count() == queries.count() * 10)
+      val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding").select(col("qid"), col("nbr_id"))
+      val recall = routed.select(col("qid"), col("nbr_id")).intersect(exact).count()
+        .toDouble / exact.count()
+      assert(recall >= 0.85, s"hnsw-route recall $recall")
+      // refined distances are exact for whatever candidates survive
+      val self = routed.filter(col("qid") === col("nbr_id"))
+      assert(self.filter(col("dist") =!= 0.0).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("plan shows the partial-top-k aggregate, not a raw cross join sort") {
     ensureRule()
     val physical = KnnJoinPlan.knnJoin(emb, queries, 5, Metric.L2, "vec_id", "embedding")

@@ -159,6 +159,51 @@ object TextQueries {
        |WHERE jaccard >= 0.3""".stripMargin
   }
 
+  /** End-to-end near-dup pipeline — the composed north-star flow a training
+    * corpus runs at 100 TB: MinHash signatures (row-local) -> LSH band join
+    * (candidates only) -> Jaccard verify -> connected components over the
+    * verified pairs -> one keeper per duplicate cluster. Output is the
+    * cluster inventory (cluster = keeper = min member id, n_docs). Every
+    * stage is the already-oracled operator; the composition itself is
+    * re-derived independently by the oracle below (recursive CTE over the
+    * replayed MinHash pairs). */
+  private def dedupPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val pairs = Dedup.minhashLshPairs(corpus, "id", "text",
+      n = 8, numHashes = 16, bandRows = 4, minJaccard = 0.3)
+    graft.graphops.Components.connectedComponents(
+        corpus.select(col("id")),
+        pairs.select(col("a").as("src"), col("b").as("dst")), "id")
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val dedupPipelineOracle: String = {
+    val P = 2147483647L
+    val sigCols = (0 until 16).map(j =>
+      s"min((h * ${2 * j + 1} + ${j.toLong * j + 7}) % $P) AS mh$j").mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws('_', $key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $nearDupCorpusSql,
+       |$shingleSql,
+       |hh AS (SELECT id, $shingleHashSql AS h FROM sh),
+       |sig AS (SELECT id, $sigCols FROM hh GROUP BY id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |$jaccardVerifySql,
+       |dup AS (SELECT a, b FROM jac JOIN cand ON cand.ca = jac.a AND cand.cb = jac.b
+       |  WHERE jaccard >= 0.3),
+       |und AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup
+       |  UNION SELECT id, id FROM corpus),
+       |reach AS (SELECT a, b FROM und
+       |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |lab AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+       |SELECT cluster, count(*) AS n_docs FROM lab GROUP BY 1""".stripMargin
+  }
+
   private def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(subset(spark, dir), "id", "text", n = 8)
 
@@ -221,6 +266,7 @@ object TextQueries {
     "dedup_exact" -> (dedupExactQuery(_, _)),
     "dedup_jaccard_pairs" -> (jaccardPairsQuery(_, _)),
     "dedup_minhash_lsh" -> (minhashLshQuery(_, _)),
+    "dedup_pipeline" -> (dedupPipelineQuery(_, _)),
     "simhash_sketch" -> (simhashQuery(_, _)),
     "dedup_simhash_pairs" -> (simhashPairsQuery(_, _)),
     "dedup_embedding_cosine" -> (embeddingNearDupQuery(_, _)),
@@ -232,6 +278,7 @@ object TextQueries {
     "dedup_exact" -> dedupExactOracle,
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_pipeline" -> dedupPipelineOracle,
     "simhash_sketch" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_embedding_cosine" -> embeddingNearDupOracle,

@@ -218,6 +218,33 @@ object MiscQueries {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Gap-based sessionization — Spark's session_window (the dynamic-gap
+    * event-time surface Structured Streaming shares) vs the classic
+    * gaps-and-islands derivation in SQL. Two events merge iff their gap is
+    * strictly under 10 minutes, on both sides. */
+  private def sessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    SparkEntry.table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  private val sessionizeOracle: String =
+    """WITH d AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   // ===== flat binary vector files (§2.1 bench dataset readers) ==========
 
   /** Roundtrip embeddings through the reference's .fbin format (write in
@@ -262,6 +289,7 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_agg" -> (eventsWindowQuery(_, _)),
+    "events_sessionize" -> (sessionizeQuery(_, _)),
     "fbin_roundtrip" -> (fbinRoundtripQuery(_, _)),
     "knn_precomputed" -> (knnPrecomputedQuery(_, _)),
     "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
@@ -283,6 +311,7 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "events_window_agg" -> eventsWindowOracle,
+    "events_sessionize" -> sessionizeOracle,
     "fbin_roundtrip" -> fbinRoundtripOracle,
     "knn_precomputed" -> knnPrecomputedOracle,
     "sparse_knn_cosine" -> sparseKnnOracle,

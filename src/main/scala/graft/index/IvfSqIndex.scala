@@ -130,9 +130,28 @@ class IvfSqIndex(
       .select(col("qid"), col("nbr_id").as("id"))
     Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
   }
+
+  /** Persist: int8 lists (partitioned for DPP), centroid sidecar, and the
+    * (lo, hi) quantizer model — the ivf_sq serialize surface as Parquet. */
+  def save(path: String): Unit = {
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/sq_lists")
+    val spark = lists.sparkSession
+    IvfFlatIndex.saveCentroids(spark, path, centroids, metric)
+    import spark.implicits._
+    Seq((sq.lo, sq.hi)).toDF("lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_model")
+  }
 }
 
 object IvfSqIndex {
+  def load(spark: SparkSession, path: String): IvfSqIndex = {
+    val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
+    val m = spark.read.parquet(s"$path/sq_model").head()
+    new IvfSqIndex(centroids,
+      ScalarQuantizer.Model(m.getAs[Double]("lo"), m.getAs[Double]("hi")),
+      spark.read.parquet(s"$path/sq_lists"), metric)
+  }
+
   def build(dataset: DataFrame, params: IvfFlatIndex.Params, quantile: Double = 0.99,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): IvfSqIndex = {

@@ -78,9 +78,40 @@ class ScannIndex(
       .select(col("qid"), col("nbr_id").as("id"))
     Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
   }
+
+  /** Persist: SOAR-spilled coded lists (partitioned for DPP), centroid
+    * sidecar, and the residual-PQ codebooks — the scann serialize surface
+    * as Parquet (same codebook table shape as IvfPqIndex). */
+  def save(path: String): Unit = {
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/scann_lists")
+    val spark = lists.sparkSession
+    IvfFlatIndex.saveCentroids(spark, path, centroids, metric)
+    import spark.implicits._
+    (for (s <- 0 until codebooks.pqDim; c <- 0 until codebooks.nCenters)
+      yield (s, c, codebooks.center(s, c).toSeq,
+        codebooks.pqDim, codebooks.nCenters, codebooks.subLen))
+      .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
 }
 
 object ScannIndex {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): ScannIndex = {
+    val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
+    val cb = spark.read.parquet(s"$path/codebooks").orderBy("s", "c").collect()
+    val head = cb.head
+    val (pqDim, nCenters, subLen) =
+      (head.getAs[Int]("pq_dim"), head.getAs[Int]("n_centers"), head.getAs[Int]("sub_len"))
+    val books = new Array[Float](pqDim * nCenters * subLen)
+    cb.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("center")).toArray
+      System.arraycopy(v, 0,
+        books, (r.getAs[Int]("s") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
+    }
+    new ScannIndex(centroids, PqCodebooks(books, pqDim, nCenters, subLen),
+      spark.read.parquet(s"$path/scann_lists"), metric)
+  }
+
 
   case class Params(nLeaves: Int = 1000, nIters: Int = 20, trainFraction: Double = 0.5,
       soarLambda: Double = 1.0, soarCandidates: Int = 4,

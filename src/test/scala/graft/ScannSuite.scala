@@ -50,4 +50,22 @@ class ScannSuite extends SparkFunSuite {
       "vec_id", "embedding")
     assert(recall(got) == 1.0)
   }
+
+  test("save/load roundtrip searches identically (scann + ivf_sq)") {
+    val idx = ScannIndex.build(emb,
+      ScannIndex.Params(nLeaves = 8, nIters = 5, pqBits = 4), "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("scann").toString
+    idx.save(dir)
+    val loaded = ScannIndex.load(spark, dir)
+    def key(df: DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(queries, 5, 4)) == key(idx.search(queries, 5, 4)))
+
+    val sq = graft.index.IvfSqIndex.build(emb,
+      IvfFlatIndex.Params(nLists = 8, nIters = 5), idCol = "vec_id", vecCol = "embedding")
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfsq").toString
+    sq.save(dir2)
+    val sqLoaded = graft.index.IvfSqIndex.load(spark, dir2)
+    assert(key(sqLoaded.search(queries, 5, 4)) == key(sq.search(queries, 5, 4)))
+  }
 }

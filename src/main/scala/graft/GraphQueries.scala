@@ -181,10 +181,6 @@ object GraphQueries {
 
   // ===== single linkage / spectral =====================================
 
-  /** Single-linkage flat clusters cut at a distance threshold over the
-    * exact 15-NN graph. By the MST cut property the labels equal connected
-    * components of the 15-NN graph restricted to edges < t, so the Borůvka
-    * MST itself is verified by an exact recursive-CTE oracle. */
   /** Exact 15-NN over the %5 subset — shared by single_linkage and
     * mutual_reachability. */
   private def exact15Fifth(spark: SparkSession, dir: String): DataFrame =
@@ -194,6 +190,10 @@ object GraphQueries {
       AllNeighbors.exact(e, 15, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     }
 
+  /** Single-linkage flat clusters cut at a distance threshold over the
+    * exact 15-NN graph. By the MST cut property the labels equal connected
+    * components of the 15-NN graph restricted to edges < t, so the Borůvka
+    * MST itself is verified by an exact recursive-CTE oracle. */
   private def singleLinkageQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -201,12 +201,18 @@ object MiscQueries {
   // Structured Streaming watermark+window path; TieredIndexSuite drives
   // the streaming runtime itself) ========================================
 
+  /** The fixture stores TIMESTAMP(NANOS); read as long + truncate to
+    * micros with INTEGER division (exactly what DuckDB's reader does).
+    * `/` would go through double, whose 53-bit mantissa cannot hold epoch
+    * nanos — ~1.5% of rows land 1us off and can flip a window/session
+    * boundary. */
+  private val tsMicros: org.apache.spark.sql.Column =
+    timestamp_micros(expr("ts div 1000"))
+
   private def eventsWindowQuery(spark: SparkSession, dir: String): DataFrame = {
-    // the fixture stores TIMESTAMP(NANOS); read as long + truncate to
-    // micros (exactly what DuckDB's reader does)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     SparkEntry.table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .withColumn("ts", tsMicros)
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("w"), col("event_type"),
@@ -225,7 +231,7 @@ object MiscQueries {
   private def sessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     SparkEntry.table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .withColumn("ts", tsMicros)
       .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),

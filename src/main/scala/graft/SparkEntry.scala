@@ -342,14 +342,21 @@ object SparkEntry {
       .select(col("vec_id"), col("pos"), col("q").cast("int").as("q"))
   }
 
+  /** Shared scalar-quantizer SQL (ONE definition of the quantile clip and
+    * the code map, mirroring ScalarQuantizer.train/transformCol exactly) —
+    * used by both the transform oracle and the int8-search oracle so they
+    * cannot drift apart. */
+  private val sqLoHiCte: String =
+    """b AS (SELECT quantile_cont(CAST(y AS DOUBLE), 0.005) AS lo,
+      |           quantile_cont(CAST(y AS DOUBLE), 0.995) AS hi
+      |      FROM (SELECT unnest(embedding) AS y FROM embeddings))""".stripMargin
+  private val sqCodeExpr: String =
+    "greatest(-128, least(127, round((CAST(e.embedding[s.i] AS DOUBLE) - b.lo) * (255.0 / (b.hi - b.lo))) - 128))"
+
   private val scalarQuantizeOracle: String =
-    """WITH b AS (SELECT quantile_cont(CAST(y AS DOUBLE), 0.005) AS lo,
-      |                  quantile_cont(CAST(y AS DOUBLE), 0.995) AS hi
-      |           FROM (SELECT unnest(embedding) AS y FROM embeddings))
-      |SELECT e.vec_id, s.i - 1 AS pos,
-      |  CAST(greatest(-128, least(127,
-      |    round((CAST(e.embedding[s.i] AS DOUBLE) - b.lo) * (255.0 / (b.hi - b.lo))) - 128)) AS INT) AS q
-      |FROM embeddings e, b, generate_series(1, 64) s(i)""".stripMargin
+    s"""WITH $sqLoHiCte
+       |SELECT e.vec_id, s.i - 1 AS pos, CAST($sqCodeExpr AS INT) AS q
+       |FROM embeddings e, b, generate_series(1, 64) s(i)""".stripMargin
 
   /** Exact kNN directly over an int8 dataset — the reference's int8/uint8
     * build overloads (brute_force.hpp:195-307; SURVEY.md §1.2: quantized
@@ -369,18 +376,14 @@ object SparkEntry {
   }
 
   private val int8KnnOracle: String =
-    """WITH b AS (SELECT quantile_cont(CAST(y AS DOUBLE), 0.005) AS lo,
-      |                  quantile_cont(CAST(y AS DOUBLE), 0.995) AS hi
-      |           FROM (SELECT unnest(embedding) AS y FROM embeddings)),
-      |qz AS (SELECT e.vec_id AS id, s.i AS i,
-      |    greatest(-128, least(127,
-      |      round((CAST(e.embedding[s.i] AS DOUBLE) - b.lo) * (255.0 / (b.hi - b.lo))) - 128)) AS q
-      |    FROM embeddings e, b, generate_series(1, 64) s(i)),
-      |d AS (SELECT a.id AS qid, c.id AS id, sum((a.q - c.q) * (a.q - c.q)) AS dist
-      |      FROM qz a JOIN qz c ON a.i = c.i WHERE a.id % 20 = 0 GROUP BY 1, 2),
-      |r AS (SELECT qid, id, dist,
-      |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
-      |SELECT qid, id AS nbr_id, rank, CAST(dist AS DOUBLE) AS dist FROM r WHERE rank <= 10""".stripMargin
+    s"""WITH $sqLoHiCte,
+       |qz AS (SELECT e.vec_id AS id, s.i AS i, $sqCodeExpr AS q
+       |    FROM embeddings e, b, generate_series(1, 64) s(i)),
+       |d AS (SELECT a.id AS qid, c.id AS id, sum((a.q - c.q) * (a.q - c.q)) AS dist
+       |      FROM qz a JOIN qz c ON a.i = c.i WHERE a.id % 20 = 0 GROUP BY 1, 2),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, CAST(dist AS DOUBLE) AS dist FROM r WHERE rank <= 10""".stripMargin
 
   /** Shared CTE: mean-threshold packed binary codes (32 dims/word). */
   private val binaryCodesCte: String =
@@ -643,16 +646,16 @@ object SparkEntry {
     * estimate drives recall through the reorder depth, so kCoarse scales
     * with n (measured at 8/16 probes on sf0.1: 0.60 at kCoarse=40 vs 0.80
     * at n/10). */
-  private def ivfPqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared recall-report harness for the two codebook_gen modes: same
+    * probe/kCoarse discipline, same floor, so the modes are directly
+    * comparable — only the index build differs. `searchRefine` is
+    * (queries, kCoarse) => refined top-10. */
+  private def pqRecallReport(spark: SparkSession, dir: String)(
+      searchRefine: (DataFrame, Int) => DataFrame): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val q = embQueries(spark, dir)
-    val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
-      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
-      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
     val kCoarse = math.max(60L, emb.count() / 10).toInt
-    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kCoarse,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
+    val approx = searchRefine(q, kCoarse).select(col("qid"), col("nbr_id"))
     val exact = exactL2Truth(spark, dir)
     val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
@@ -661,30 +664,32 @@ object SparkEntry {
         lit(recall >= 0.6).as("floor_met"))
   }
 
+  private def ivfPqRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
+      "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
+    pqRecallReport(spark, dir)((q, kc) =>
+      idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kc,
+        idCol = "vec_id", vecCol = "embedding"))
+  }
+
   private val ivfPqRecallOracle: String =
     """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS n_probes,
       |CAST(16 AS INT) AS n_lists, CAST(0.6 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
   /** IVF-PQ with codebook_gen::PER_CLUSTER (ivf_pq.hpp:34-45,82): per-list
-    * codebooks shared across subspaces. Same probe/kCoarse discipline as
-    * ivf_pq_recall so the two codebook_gen modes are directly comparable. */
+    * codebooks shared across subspaces, reported through the same
+    * pqRecallReport harness as ivf_pq_recall. */
   private def ivfPqPerClusterRecallQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val q = embQueries(spark, dir)
     val idx = memoize(spark, s"ivfpqcl:$dir") { graft.index.IvfPqIndex.buildPerCluster(emb,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
       "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
-    val kCoarse = math.max(60L, emb.count() / 10).toInt
-    val approx = idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kCoarse,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id"))
-    val exact = exactL2Truth(spark, dir)
-    val recall = graft.core.Recall.matched(approx, exact).toDouble / (q.count() * 10)
-    q.agg(count(lit(1)).as("n_queries"))
-      .select(col("n_queries"), lit(10).as("k"), lit(8).as("n_probes"),
-        lit(16).as("n_lists"), lit(0.6).as("recall_floor"),
-        lit(recall >= 0.6).as("floor_met"))
+    pqRecallReport(spark, dir)((q, kc) =>
+      idx.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kc,
+        idCol = "vec_id", vecCol = "embedding"))
   }
 
   private val ivfPqPerClusterRecallOracle: String = ivfPqRecallOracle

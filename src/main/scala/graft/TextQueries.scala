@@ -138,7 +138,11 @@ object TextQueries {
         n = 8, numHashes = 16, bandRows = 4, minJaccard = 0.3)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
 
-  private val minhashLshOracle: String = {
+  /** Shared MinHash CTE chain (signatures, bands, LSH candidates) — ONE
+    * definition of the hash family, used verbatim by the pairs oracle and
+    * the end-to-end pipeline oracle so they cannot drift apart. Must stay
+    * bit-identical to Dedup.minhashLshPairs. */
+  private val minhashCandidateCtes: String = {
     val P = 2147483647L
     val sigCols = (0 until 16).map(j =>
       s"min((h * ${2 * j + 1} + ${j.toLong * j + 7}) % $P) AS mh$j").mkString(",\n  ")
@@ -146,18 +150,21 @@ object TextQueries {
       val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
       s"SELECT id, $b AS band, concat_ws('_', $key) AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $nearDupCorpusSql,
-       |$shingleSql,
-       |hh AS (SELECT id, $shingleHashSql AS h FROM sh),
+    s"""hh AS (SELECT id, $shingleHashSql AS h FROM sh),
        |sig AS (SELECT id, $sigCols FROM hh GROUP BY id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM bands x
-       |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin
+  }
+
+  private val minhashLshOracle: String =
+    s"""WITH $nearDupCorpusSql,
+       |$shingleSql,
+       |$minhashCandidateCtes,
        |$jaccardVerifySql
        |SELECT a, b, round(jaccard, 4) AS jaccard FROM jac
        |JOIN cand ON cand.ca = jac.a AND cand.cb = jac.b
        |WHERE jaccard >= 0.3""".stripMargin
-  }
 
   /** End-to-end near-dup pipeline — the composed north-star flow a training
     * corpus runs at 100 TB: MinHash signatures (row-local) -> LSH band join
@@ -178,21 +185,10 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  private val dedupPipelineOracle: String = {
-    val P = 2147483647L
-    val sigCols = (0 until 16).map(j =>
-      s"min((h * ${2 * j + 1} + ${j.toLong * j + 7}) % $P) AS mh$j").mkString(",\n  ")
-    val bandSelects = (0 until 4).map { b =>
-      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
-      s"SELECT id, $b AS band, concat_ws('_', $key) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
+  private val dedupPipelineOracle: String =
     s"""WITH RECURSIVE $nearDupCorpusSql,
        |$shingleSql,
-       |hh AS (SELECT id, $shingleHashSql AS h FROM sh),
-       |sig AS (SELECT id, $sigCols FROM hh GROUP BY id),
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM bands x
-       |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |$minhashCandidateCtes,
        |$jaccardVerifySql,
        |dup AS (SELECT a, b FROM jac JOIN cand ON cand.ca = jac.a AND cand.cb = jac.b
        |  WHERE jaccard >= 0.3),
@@ -202,7 +198,6 @@ object TextQueries {
        |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
        |lab AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
        |SELECT cluster, count(*) AS n_docs FROM lab GROUP BY 1""".stripMargin
-  }
 
   private def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(subset(spark, dir), "id", "text", n = 8)

@@ -158,17 +158,25 @@ class IvfFlatIndex(
   }
 
   /** `adaptive_centers` extend (ivf_flat.hpp:34-46): append the new rows
-    * under the CURRENT centers, then drift each center to the mean of its
-    * now-extended list — "the centers drift to adapt to the changed data
-    * distribution" — one groupBy(list_id) pass. Unchanged (empty) lists
-    * keep their center; list membership is NOT re-assigned (the
-    * reference's semantics: centers move, rows stay). */
+    * under the CURRENT centers, then drift each receiving list's center to
+    * the mean of its now-extended list — "the centers drift to adapt to
+    * the changed data distribution" — one groupBy(list_id) pass over the
+    * touched lists. Lists that received no rows keep their trained center;
+    * list membership is NOT re-assigned (the reference's semantics:
+    * centers move, rows stay). */
   def extendAdaptive(newData: DataFrame, idCol: String = "id",
       vecCol: String = "vec"): IvfFlatIndex = {
-    val grown = lists.unionByName(IvfFlatIndex.assign(newData, centroids, idCol, vecCol))
-    val means = grown.groupBy(col("list_id"))
+    val assigned = IvfFlatIndex.assign(newData, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grown = lists.unionByName(assigned)
+    // only lists that actually received rows drift; untouched lists keep
+    // their trained center (their row mean differs from the Lloyd center)
+    val touched = assigned.select(col("list_id")).distinct()
+    val means = grown.join(touched, "list_id")
+      .groupBy(col("list_id"))
       .agg(graft.core.VectorAgg.vectorAvg(col("vec")).as("mean"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    assigned.unpersist()
     val flat = centroids.flat.clone()
     means.foreach { case (l, m) =>
       if (m.nonEmpty) System.arraycopy(m, 0, flat, l * centroids.dim, centroids.dim)

@@ -92,10 +92,19 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }.flatten
 
-  /** A saved layout is an HNSW hierarchy iff its meta sidecar exists. */
-  private def isHnswLayout(path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "hnsw_meta")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  /** Classify a registered layout by the sidecar it wrote: `hnsw_meta` =
+    * HNSW hierarchy, `lists` = IVF-Flat. Anything else (e.g. an IVF-SQ,
+    * ScaNN, or PQ layout the resolver has no route for yet) returns None,
+    * so the join falls back to brute force instead of failing at plan
+    * time on a missing `lists` directory. */
+  private def layoutOf(path: String): Option[String] = {
+    def exists(child: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path, child)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    if (exists("hnsw_meta")) Some("hnsw")
+    else if (exists("lists")) Some("ivf")
+    else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -163,7 +172,11 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
       val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
-        .flatMap(e => if (isHnswLayout(e.indexPath)) hnswRoute(e) else ivfRoute(e))
+        .flatMap(e => layoutOf(e.indexPath) match {
+          case Some("hnsw") => hnswRoute(e)
+          case Some("ivf") => ivfRoute(e)
+          case _ => None
+        })
         .getOrElse(BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol))
       val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),
         col("rank"), col("dist"))

@@ -22,8 +22,9 @@ object PlanAudit {
     def audit(name: String)(df0: => org.apache.spark.sql.DataFrame): Unit = {
       val df = df0
       // run THIS QueryExecution (count() would plan a new one) so AQE
-      // finalizes stages and codegen markers appear
-      df.collect()
+      // finalizes stages and codegen markers appear; RDD-level count avoids
+      // collecting the (possibly huge) result to the driver
+      df.queryExecution.executedPlan.execute().count()
       val plan = df.queryExecution.executedPlan.toString
       val nShuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
         .findAllIn(plan).length

@@ -55,13 +55,20 @@ class IvfFlatSuite extends SparkFunSuite {
         transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
     val ext = index.extendAdaptive(shifted, "vec_id", "embedding")
     assert(ext.lists.count() == emb.count() + 10)
-    // every non-empty list's center is now the exact mean of its vectors
+    // lists that received rows drift to the exact mean of their vectors;
+    // untouched lists keep their trained center bit-for-bit
+    val touched = ext.lists.filter(col("id") >= 10000)
+      .select(col("list_id")).distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty)
     val means = ext.lists.groupBy(col("list_id"))
       .agg(graft.core.VectorAgg.vectorAvg(col("vec")).as("mean"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
     means.foreach { case (l, m) =>
       val c = ext.centroids.centroid(l)
-      assert(graft.core.Distance.l2Sqrt(c, m) < 1e-5, s"list $l center drifted wrong")
+      if (touched(l))
+        assert(graft.core.Distance.l2Sqrt(c, m) < 1e-5, s"list $l center drifted wrong")
+      else
+        assert(c.sameElements(index.centroids.centroid(l)), s"untouched list $l moved")
     }
     // membership was not re-assigned: same (id -> list) pairs for old rows
     val before = index.lists.select(col("id"), col("list_id"))

@@ -110,6 +110,26 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("unknown registered layout falls back to brute force, not a plan-time crash") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnscann").toString
+    // a ScaNN layout: valid index, but one the resolver has no route for
+    graft.index.ScannIndex.build(emb,
+      graft.index.ScannIndex.Params(nLeaves = 8, nIters = 3, pqBits = 4),
+      "vec_id", "embedding").save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath)
+    try {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(routed.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("plan shows the partial-top-k aggregate, not a raw cross join sort") {
     ensureRule()
     val physical = KnnJoinPlan.knnJoin(emb, queries, 5, Metric.L2, "vec_id", "embedding")

@@ -27,7 +27,17 @@ private[index] object AdcKernel {
   /** (qid, _nid, dist) ADC candidates: parts·|Q|·bufK rows into the
     * caller's dedup/top-k epilogue. */
   def pairs(lists: DataFrame, q: DataFrame, cs: CentroidSet, cb: PqCodebooks,
-      nProbes: Int, bufK: Int, codesCol: String): DataFrame = {
+      nProbes: Int, bufK: Int, codesCol: String): DataFrame =
+    pairsWith(lists, q, cs, nProbes, bufK, codesCol, cb.nCenters)(
+      (_, res) => PqOps.lut(cb, res).toDoubleArray())
+
+  /** Same kernel with a caller-supplied per-(list, residual) LUT — the
+    * PER_CLUSTER codebook_gen variant plugs PqClusterOps.lut in here. The
+    * LUT function runs driver-side only (tables are built before the
+    * broadcast); the streaming ADC loop is unchanged. */
+  def pairsWith(lists: DataFrame, q: DataFrame, cs: CentroidSet,
+      nProbes: Int, bufK: Int, codesCol: String, nCenters: Int)(
+      lutFor: (Int, org.apache.spark.sql.catalyst.util.ArrayData) => Array[Double]): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
     val qArr = q.as[(Long, Array[Float])].collect()
@@ -40,7 +50,7 @@ private[index] object AdcKernel {
       var p = 0
       while (p < probed.numElements()) {
         val lid = probed.getStruct(p, 2).getInt(0)
-        val lut = PqOps.lut(cb, CentroidOps.residual(cs, qad, lid)).toDoubleArray()
+        val lut = lutFor(lid, CentroidOps.residual(cs, qad, lid))
         var b = byList.get(lid)
         if (b == null) {
           b = new scala.collection.mutable.ArrayBuffer[(Int, Array[Double])]()
@@ -59,7 +69,7 @@ private[index] object AdcKernel {
     }
     val bcQ = spark.sparkContext.broadcast(qArr.map(_._1))
     val bcProbes = spark.sparkContext.broadcast(probeIdx)
-    val nCenters = cb.nCenters
+    val nC = nCenters
     val kk = bufK
     lists
       .filter(col("list_id").isInCollection(probedLids))
@@ -78,7 +88,7 @@ private[index] object AdcKernel {
               // same subspace-order sum as PqOps.adc
               var d = 0.0
               var s = 0
-              while (s < codes.length) { d += lut(s * nCenters + codes(s)); s += 1 }
+              while (s < codes.length) { d += lut(s * nC + codes(s)); s += 1 }
               var buf = bufs.get(qi)
               if (buf == null) {
                 buf = graft.core.TopKBuf(kk, minClose = true,

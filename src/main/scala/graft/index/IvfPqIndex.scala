@@ -119,6 +119,23 @@ class IvfPqClusterIndex(
 
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // Fused ADC kernel (AdcKernel), per-list LUTs: same gate and same
+    // bufK = k economics as the per-subspace index (each id lives in
+    // exactly one list).
+    val spark = queries.sparkSession
+    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qCount = q.count()
+    if (graft.graphops.LocalKernel.enabled(spark) &&
+        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+      val ccb = codebooks
+      try return BruteForceKnn.topKPerQuery(
+        AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes", ccb.nCenters)(
+          (lid, res) => graft.expr.PqClusterOps.lut(ccb, lid, res).toDoubleArray()),
+        k, Metric.L2)
+      finally q.unpersist()
+    }
+    q.unpersist()
     val probes = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
         KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
@@ -271,7 +288,57 @@ object IvfPqIndex {
           c += 1
         }
       }
-      for (_ <- 1 to params.nIters) {
+      // Cost-based route (graft.graphops.LocalKernel): on a collectable
+      // trainset the fused per-iteration jobs are scheduling overhead —
+      // run the same Lloyd loop in memory (identical init, the strict
+      // argmin of PqClusterOps.encode, double-sum means in id order).
+      val sparkS = dataset.sparkSession
+      if (graft.graphops.LocalKernel.enabled(sparkS) &&
+          withRes.count() <= graft.graphops.LocalKernel.maxVectors(sparkS)) {
+        val rows = withRes.select(col("list_id"), col("id").cast("long"), col("_res"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+          .sortBy(_._2)
+        for (_ <- 1 to params.nIters) {
+          val sums = new Array[Double](nLists * nCenters * subLen)
+          val counts = new Array[Long](nLists * nCenters)
+          rows.foreach { case (lid, _, v) =>
+            val base = lid * nCenters * subLen
+            var s = 0
+            while (s < params.pqDim) {
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < nCenters) {
+                val off = base + c * subLen
+                var d = 0.0; var j = 0
+                while (j < subLen) {
+                  val t = v(s * subLen + j).toDouble - flat(off + j)
+                  d += t * t; j += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              val cell = lid * nCenters + best
+              var j = 0
+              while (j < subLen) { sums(cell * subLen + j) += v(s * subLen + j); j += 1 }
+              counts(cell) += 1
+              s += 1
+            }
+          }
+          val next = flat.clone()
+          var cell = 0
+          while (cell < counts.length) {
+            if (counts(cell) > 0) {
+              var j = 0
+              while (j < subLen) {
+                next(cell * subLen + j) = (sums(cell * subLen + j) / counts(cell)).toFloat
+                j += 1
+              }
+            }
+            cell += 1
+          }
+          flat = next
+        }
+      } else for (_ <- 1 to params.nIters) {
         val ccb = ClusterCodebooks(flat, nLists, nCenters, subLen, params.pqDim)
         val updated = withRes
           .select(col("list_id"),

@@ -107,6 +107,18 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("ivf-pq PER_CLUSTER search: fused per-list ADC kernel == probe join") {
+    val idx = graft.index.IvfPqIndex.buildPerCluster(
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 5),
+      "vec_id", "embedding")
+    val (local, dist) = bothRoutes {
+      idx.search(queries, 10, nProbes = 3)
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
   test("rabitq search: fused estimator kernel == probe join (1 and 3 bits)") {
     for (bits <- Seq(1, 3)) {
       val idx = graft.index.IvfRabitqIndex.build(

@@ -183,8 +183,27 @@ object StatsQueries {
        |FROM a CROSS JOIN embeddings e
        |WHERE ${l2("a.avec", "e.embedding")} < 3.0""".stripMargin
 
+  /** Ball-cover kNN — the two-phase bound+prune is lossless, so the oracle
+    * is the plain exact-kNN window form on the standard workload. */
+  private def ballCoverKnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = graft.ops.BallCover.build(e, nLandmarks = 16, idCol = "vec_id",
+      vecCol = "embedding")
+    graft.ops.BallCover.knn(idx, q(spark, dir), 10)
+      .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+  }
+
+  private val ballCoverKnnOracle: String =
+    s"""WITH qq AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT qq.qid, e.vec_id AS id, ${l2("qq.qvec", "e.embedding")} AS dist
+       |      FROM qq CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ball_cover_eps" -> (ballCoverQuery(_, _)),
+    "ball_cover_knn" -> (ballCoverKnnQuery(_, _)),
     "knn_filtered" -> (filteredKnnQuery(_, _)),
     "kde_gaussian" -> (kdeQuery(Kde.Gaussian)(_, _)),
     "kde_epanechnikov" -> (kdeQuery(Kde.Epanechnikov)(_, _)),
@@ -199,6 +218,7 @@ object StatsQueries {
 
   val oracles: Map[String, String] = Map(
     "ball_cover_eps" -> ballCoverOracle,
+    "ball_cover_knn" -> ballCoverKnnOracle,
     "knn_filtered" -> filteredKnnOracle,
     "kde_gaussian" -> kdeGaussianOracle,
     "kde_epanechnikov" -> kdeEpanechnikovOracle,

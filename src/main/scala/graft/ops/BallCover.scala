@@ -41,6 +41,53 @@ object BallCover {
     Index(model.centroids, radii, members)
   }
 
+  /** Exact kNN via the two-phase random-ball-cover discipline
+    * (ball_cover.hpp:38-60 kNN side):
+    *   1. scan the members of each query's `probeLandmarks` nearest balls
+    *      — when they hold >= k rows, their kth best distance is an upper
+    *      bound b_q on the true kth distance (else b_q = inf, no pruning);
+    *   2. triangle prune: a ball L can hold a closer neighbor only if
+    *      d(q, L) - r_L <= b_q (every member x has d(q,x) >= d(q,L) - r_L);
+    *      exact-scan the surviving balls and take the final top-k.
+    * LOSSLESS for triangle-inequality metrics (L2Sqrt): any true neighbor
+    * x in ball L has d(q,L) - r_L <= d(q,x) <= b_q, so its ball always
+    * survives the filter (<= keeps equal-distance id tie-breaks exact). */
+  def knn(index: Index, queries: DataFrame, k: Int, probeLandmarks: Int = 2,
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    val radii = spark.createDataFrame(index.radii.toSeq).toDF("lm", "radius")
+    val nLm = index.centroids.k
+    // every (query, landmark) distance, rank-ordered (one map-side pass)
+    val ql = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
+        posexplode(KMeans.nearestCol(index.centroids, col(qvecCol), nLm))
+          .as(Seq("pos", "nc")))
+      .select(col("qid"), col("_qvec"),
+        col("nc.list_id").as("lm"), col("nc.dist").as("dql"), col("pos"))
+      .localCheckpoint()
+    // phase 1: kth-distance bound from the nearest balls
+    val probe1 = ql.filter(col("pos") < probeLandmarks).select(col("qid"), col("_qvec"), col("lm"))
+    val cand1 = index.members
+      .join(broadcast(probe1), "lm")
+      .select(col("qid"), col("id").as("_nid"),
+        graft.functions.vector_distance(Metric.L2Sqrt, col("_qvec"), col("vec")).as("dist"))
+    val bound = BruteForceKnn.topKPerQuery(cand1, k, Metric.L2Sqrt)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("_n"), max(col("dist")).as("_kth"))
+      .select(col("qid"),
+        when(col("_n") >= k, col("_kth")).otherwise(lit(Double.MaxValue)).as("b"))
+    // phase 2: scan every ball that could still hold a closer neighbor
+    val balls2 = ql.join(broadcast(bound), "qid")
+      .join(broadcast(radii), "lm")
+      .filter(col("dql") - col("radius") <= col("b"))
+      .select(col("qid"), col("_qvec"), col("lm"))
+    val pairs2 = index.members
+      .join(broadcast(balls2), "lm")
+      .select(col("qid"), col("id").as("_nid"),
+        graft.functions.vector_distance(Metric.L2Sqrt, col("_qvec"), col("vec")).as("dist"))
+    BruteForceKnn.topKPerQuery(pairs2, k, Metric.L2Sqrt)
+  }
+
   /** All (qid, id, dist) with dist < eps — identical to the brute-force
     * eps join, with only intersecting balls scanned. */
   def epsNeighbors(index: Index, queries: DataFrame, eps: Double,

@@ -47,6 +47,18 @@ class KnnSuite extends SparkFunSuite {
     assert(collectKnn(merged) == collectKnn(full))
   }
 
+  test("ball-cover kNN == brute force exactly (lossless two-phase prune)") {
+    val idx = graft.ops.BallCover.build(emb, nLandmarks = 8,
+      idCol = "vec_id", vecCol = "embedding")
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+      "vec_id", "embedding")
+    // including with a single probe ball (weaker phase-1 bound)
+    for (p <- Seq(1, 2)) {
+      val got = graft.ops.BallCover.knn(idx, queries, 10, probeLandmarks = p)
+      assert(collectKnn(got) == collectKnn(exact), s"probeLandmarks=$p")
+    }
+  }
+
   test("epsNeighborhood edges all satisfy dist < eps and match pairwise filter") {
     val eps = 3.0
     val a = emb.filter(col("vec_id") % 25 === 0)

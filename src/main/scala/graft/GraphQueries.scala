@@ -263,6 +263,39 @@ object GraphQueries {
     """SELECT count(*) AS n_points, CAST(4 AS INT) AS k, true AS labels_valid
       |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
 
+  /** Spectral embedding (Laplacian eigenmap) invariants: every sampled
+    * point embedded, declared width, finite values, and near-orthonormal
+    * embedding columns (eigenvectors of the symmetric Laplacian) — the
+    * eigensolve itself is value-checked against the dense Laplacian in
+    * GraphSuite. */
+  private def spectralEmbeddingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val se = Spectral.embedding(e, Spectral.Params(nComponents = 3, nNeighbors = 10),
+      "id", "vec").cache()
+    val finiteOk = se.filter(exists(col("spectral"),
+        v => isnan(v) || abs(v.cast("double")) === Double.PositiveInfinity))
+      .count() == 0
+    // gram matrix of the embedding columns: off-diagonals ~ 0, diagonals ~ 1
+    val rows = se.select(col("spectral")).collect().map(_.getSeq[Float](0).toArray)
+    val k = 3
+    var orthoOk = true
+    for (a <- 0 until k; b <- a until k) {
+      var s = 0.0
+      rows.foreach(r => s += r(a).toDouble * r(b).toDouble)
+      val want = if (a == b) 1.0 else 0.0
+      if (math.abs(s - want) > 1e-3) orthoOk = false
+    }
+    e.agg(count(lit(1)).as("n_points"))
+      .select(col("n_points"), lit(3).as("n_components"),
+        lit(finiteOk).as("finite_ok"), lit(orthoOk).as("orthonormal_ok"))
+  }
+
+  private val spectralEmbeddingOracle: String =
+    """SELECT count(*) AS n_points, CAST(3 AS INT) AS n_components,
+      |true AS finite_ok, true AS orthonormal_ok
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+
   // ===== vamana / cagra search / hnsw ==================================
 
   /** Vamana build invariants, verified DISTRIBUTED (no collect): degree
@@ -363,6 +396,7 @@ object GraphQueries {
     "single_linkage" -> (singleLinkageQuery(_, _)),
     "mutual_reachability" -> (mutualReachabilityQuery(_, _)),
     "spectral_clustering" -> (spectralQuery(_, _)),
+    "spectral_embedding" -> (spectralEmbeddingQuery(_, _)),
     "vamana_build" -> (vamanaQuery(_, _)),
     "cagra_search_recall" -> (cagraSearchQuery(_, _)),
     "hnsw_levels" -> (hnswLevelsQuery(_, _)),
@@ -378,6 +412,7 @@ object GraphQueries {
     "single_linkage" -> singleLinkageOracle,
     "mutual_reachability" -> mutualReachabilityOracle,
     "spectral_clustering" -> spectralOracle,
+    "spectral_embedding" -> spectralEmbeddingOracle,
     "vamana_build" -> vamanaOracle,
     "cagra_search_recall" -> cagraSearchOracle,
     "hnsw_levels" -> hnswLevelsOracle,

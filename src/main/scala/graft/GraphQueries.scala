@@ -272,23 +272,24 @@ object GraphQueries {
     val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val se = Spectral.embedding(e, Spectral.Params(nComponents = 3, nNeighbors = 10),
-      "id", "vec").cache()
-    val finiteOk = se.filter(exists(col("spectral"),
-        v => isnan(v) || abs(v.cast("double")) === Double.PositiveInfinity))
-      .count() == 0
-    // gram matrix of the embedding columns: off-diagonals ~ 0, diagonals ~ 1
+      "id", "vec")
+    // all invariants measured on the OUTPUT (so a dropped row, wrong
+    // width, or non-finite value actually fails the gate), one collect
     val rows = se.select(col("spectral")).collect().map(_.getSeq[Float](0).toArray)
     val k = 3
-    var orthoOk = true
-    for (a <- 0 until k; b <- a until k) {
+    val widthOk = rows.forall(_.length == k)
+    val finiteOk = rows.forall(_.forall(v => !v.isNaN && !v.isInfinite))
+    // gram matrix of the embedding columns: off-diagonals ~ 0, diagonals ~ 1
+    var orthoOk = widthOk
+    if (widthOk) for (a <- 0 until k; b <- a until k) {
       var s = 0.0
       rows.foreach(r => s += r(a).toDouble * r(b).toDouble)
       val want = if (a == b) 1.0 else 0.0
       if (math.abs(s - want) > 1e-3) orthoOk = false
     }
-    e.agg(count(lit(1)).as("n_points"))
-      .select(col("n_points"), lit(3).as("n_components"),
-        lit(finiteOk).as("finite_ok"), lit(orthoOk).as("orthonormal_ok"))
+    spark.range(1).select(lit(rows.length.toLong).as("n_points"),
+      lit(3).as("n_components"),
+      lit(widthOk && finiteOk).as("finite_ok"), lit(orthoOk).as("orthonormal_ok"))
   }
 
   private val spectralEmbeddingOracle: String =

@@ -165,12 +165,18 @@ object StatsQueries {
        |FROM a CROSS JOIN b""".stripMargin
   }
 
+  /** One ball-cover index per dataset — shared by the eps and kNN gates. */
+  private def ballCoverIndex(spark: SparkSession, dir: String): graft.ops.BallCover.Index =
+    SparkEntry.memoize(spark, s"ballcover:$dir") {
+      graft.ops.BallCover.build(emb(spark, dir), nLandmarks = 16,
+        idCol = "vec_id", vecCol = "embedding")
+    }
+
   /** Ball-cover eps search — pruning is lossless, so the oracle is the
     * plain brute-force eps join. */
   private def ballCoverQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val idx = graft.ops.BallCover.build(e, nLandmarks = 16, idCol = "vec_id",
-      vecCol = "embedding")
+    val idx = ballCoverIndex(spark, dir)
     graft.ops.BallCover.epsNeighbors(idx,
         e.filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")), 3.0)
@@ -186,9 +192,7 @@ object StatsQueries {
   /** Ball-cover kNN — the two-phase bound+prune is lossless, so the oracle
     * is the plain exact-kNN window form on the standard workload. */
   private def ballCoverKnnQuery(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val idx = graft.ops.BallCover.build(e, nLandmarks = 16, idCol = "vec_id",
-      vecCol = "embedding")
+    val idx = ballCoverIndex(spark, dir)
     graft.ops.BallCover.knn(idx, q(spark, dir), 10)
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }

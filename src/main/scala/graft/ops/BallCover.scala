@@ -65,27 +65,36 @@ object BallCover {
       .select(col("qid"), col("_qvec"),
         col("nc.list_id").as("lm"), col("nc.dist").as("dql"), col("pos"))
       .localCheckpoint()
-    // phase 1: kth-distance bound from the nearest balls
+    // phase 1: per-query top-k over the nearest balls' members. Any true
+    // neighbor living in a probed ball is necessarily inside this top-k,
+    // so phase 2 skips the probed balls entirely and unions this result
+    // back in (each id sits in ONE ball — the union is duplicate-free).
     val probe1 = ql.filter(col("pos") < probeLandmarks).select(col("qid"), col("_qvec"), col("lm"))
     val cand1 = index.members
       .join(broadcast(probe1), "lm")
       .select(col("qid"), col("id").as("_nid"),
         graft.functions.vector_distance(Metric.L2Sqrt, col("_qvec"), col("vec")).as("dist"))
-    val bound = BruteForceKnn.topKPerQuery(cand1, k, Metric.L2Sqrt)
+    val top1 = BruteForceKnn.topKPerQuery(cand1, k, Metric.L2Sqrt).localCheckpoint()
+    val bound = top1
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("_n"), max(col("dist")).as("_kth"))
       .select(col("qid"),
         when(col("_n") >= k, col("_kth")).otherwise(lit(Double.MaxValue)).as("b"))
-    // phase 2: scan every ball that could still hold a closer neighbor
-    val balls2 = ql.join(broadcast(bound), "qid")
+    // phase 2: scan every unprobed ball that could still hold a closer
+    // neighbor. LEFT join: a query whose probed balls were all empty has
+    // no bound row at all — it must scan everything (b = inf), not vanish.
+    val balls2 = ql.filter(col("pos") >= probeLandmarks)
+      .join(broadcast(bound), Seq("qid"), "left")
       .join(broadcast(radii), "lm")
-      .filter(col("dql") - col("radius") <= col("b"))
+      .filter(col("dql") - col("radius") <= coalesce(col("b"), lit(Double.MaxValue)))
       .select(col("qid"), col("_qvec"), col("lm"))
     val pairs2 = index.members
       .join(broadcast(balls2), "lm")
       .select(col("qid"), col("id").as("_nid"),
         graft.functions.vector_distance(Metric.L2Sqrt, col("_qvec"), col("vec")).as("dist"))
-    BruteForceKnn.topKPerQuery(pairs2, k, Metric.L2Sqrt)
+    BruteForceKnn.topKPerQuery(
+      pairs2.unionByName(top1.select(col("qid"), col("nbr_id").as("_nid"), col("dist"))),
+      k, Metric.L2Sqrt)
   }
 
   /** All (qid, id, dist) with dist < eps — identical to the brute-force

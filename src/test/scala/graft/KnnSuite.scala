@@ -59,6 +59,21 @@ class KnnSuite extends SparkFunSuite {
     }
   }
 
+  test("ball-cover kNN: a query whose probed balls are all empty still gets answers") {
+    import spark.implicits._
+    // ball 0 holds all the data; ball 1 (at [100,100]) is empty — a query
+    // sitting on the empty landmark probes it first and must fall back to
+    // scanning everything instead of returning nothing
+    val cs = graft.expr.CentroidSet(Array(0f, 0f, 100f, 100f), 2, 2, "l2sqrt")
+    val members = (1L to 5L).map(i => (0, i, Array(i.toFloat, 0f), i.toDouble))
+      .toDF("lm", "id", "vec", "dlm")
+    val idx = graft.ops.BallCover.Index(cs, Map(0 -> 5.0), members)
+    val q = Seq((7L, Array(100f, 100f))).toDF("qid", "qvec")
+    val got = graft.ops.BallCover.knn(idx, q, 3, probeLandmarks = 1).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(1)).toSet == Set(5L, 4L, 3L)) // nearest to [100,100]
+  }
+
   test("epsNeighborhood edges all satisfy dist < eps and match pairwise filter") {
     val eps = 3.0
     val a = emb.filter(col("vec_id") % 25 === 0)

@@ -119,6 +119,36 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("ivf-pq PER_CLUSTER build: distributed Lloyd matches the in-memory twin") {
+    def build() = graft.index.IvfPqIndex.buildPerCluster(
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      graft.index.IvfPqIndex.Params(nLists = 4, nIters = 3, pqDim = 16, pqBits = 5),
+      "vec_id", "embedding")
+    spark.conf.set("spark.graft.localKernel.enabled", "true")
+    val local = build()
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val dist = try build()
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    // same init + same argmin; the routes differ only in float summation
+    // order, so codebooks agree to fp noise (loose bound guards against a
+    // rare near-boundary assignment flip shifting one cell mean slightly)
+    val (a, b) = (local.codebooks.flat, dist.codebooks.flat)
+    assert(a.length == b.length)
+    val frob = math.sqrt(a.zip(b).map { case (x, y) =>
+      (x - y).toDouble * (x - y) }.sum / a.length)
+    assert(frob < 0.05, s"codebook routes diverged: rms $frob")
+    // and the distributed-trained index searches well end to end
+    val got = dist.searchWithRefine(queries,
+      emb.select(col("id").as("vec_id"), col("vec").as("embedding")),
+      10, nProbes = 4, kCoarse = 60, idCol = "vec_id", vecCol = "embedding")
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb,
+      queries, 10, graft.core.Metric.L2)
+      .select(col("qid"), col("nbr_id"))
+    val r = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble /
+      exact.count()
+    assert(r >= 0.9, s"distributed-build refine recall $r")
+  }
+
   test("rabitq search: fused estimator kernel == probe join (1 and 3 bits)") {
     for (bits <- Seq(1, 3)) {
       val idx = graft.index.IvfRabitqIndex.build(

@@ -25,9 +25,23 @@ object SparkEntry {
     * Keyed by session so a restarted SparkSession never sees another
     * session's DataFrames. */
   private val artifactMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private[graft] def memoize[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
-    artifactMemo.computeIfAbsent(s"${System.identityHashCode(spark)}:$key",
-      _ => f).asInstanceOf[T]
+  /** RE-ENTRANT on purpose: builders memoize their own dependencies (e.g.
+    * the IVF-PQ build resolves the memoized IVF base inside its builder),
+    * and a nested computeIfAbsent on one ConcurrentHashMap throws
+    * "Recursive update" whenever the two keys happen to share a bin — a
+    * per-JVM coin flip here because the key embeds identityHashCode. So:
+    * plain get, run the builder OUTSIDE any map update, putIfAbsent. A
+    * racing duplicate build is benign (same value, first one wins). */
+  private[graft] def memoize[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T = {
+    val k = s"${System.identityHashCode(spark)}:$key"
+    val existing = artifactMemo.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = f
+      val prev = artifactMemo.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Exact top-10 L2 ground truth over the standard query workload —
     * shared by every L2 recall report. */

@@ -141,7 +141,9 @@ object TextQueries {
   /** Shared MinHash CTE chain (signatures, bands, LSH candidates) — ONE
     * definition of the hash family, used verbatim by the pairs oracle and
     * the end-to-end pipeline oracle so they cannot drift apart. Must stay
-    * bit-identical to Dedup.minhashLshPairs. */
+    * bit-identical to Dedup.minhashLshPairs — including the hot-bucket cap
+    * (`keep` drops band buckets larger than DefaultLshBucketCap docs,
+    * exactly as the Spark side does at its default conf). */
   private val minhashCandidateCtes: String = {
     val P = 2147483647L
     val sigCols = (0 until 16).map(j =>
@@ -153,8 +155,11 @@ object TextQueries {
     s"""hh AS (SELECT id, $shingleHashSql AS h FROM sh),
        |sig AS (SELECT id, $sigCols FROM hh GROUP BY id),
        |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM bands x
-       |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin
+       |bok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+       |  HAVING count(*) <= ${Dedup.DefaultLshBucketCap}),
+       |keep AS (SELECT b.* FROM bands b JOIN bok USING (band, bkey)),
+       |cand AS (SELECT DISTINCT x.id AS ca, y.id AS cb FROM keep x
+       |  JOIN keep y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin
   }
 
   private val minhashLshOracle: String =
@@ -202,38 +207,43 @@ object TextQueries {
   private def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(subset(spark, dir), "id", "text", n = 8)
 
-  private val simhashOracle: String = {
+  /** Shared 63-bit sketch CTE chain — must stay bit-identical to
+    * Dedup.simhash (chained 31-bit rehashes; bits 0..30 from h2a, 31..61
+    * from h2b, 62 from h2c). Chained CTEs keep every product < 2^63 so
+    * DuckDB BIGINT never overflows. Ends with `sk(id, simhash)`. */
+  private val simhashSketchCtes: String = {
     val P = 2147483647L
-    val bitSums = (0 until 32).map(b =>
-      s"sum(CASE WHEN (h2 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n  ")
-    val packed = (0 until 32).map(b =>
+    def src(b: Int): String =
+      if (b < 31) s"(h2a >> $b)" else if (b < 62) s"(h2b >> ${b - 31})" else "h2c"
+    val bitSums = (0 until Dedup.SimhashBits).map(b =>
+      s"sum(CASE WHEN ${src(b)} & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n  ")
+    val packed = (0 until Dedup.SimhashBits).map(b =>
       s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString(" + ")
+    s"""h0 AS (SELECT id, ($shingleHashSql) AS h FROM sh),
+       |h1 AS (SELECT id, (h * 1000003 + 12345) % $P AS h2a FROM h0),
+       |h2 AS (SELECT id, h2a, (h2a * 1000003 + 12345) % $P AS h2b FROM h1),
+       |h3 AS (SELECT id, h2a, h2b, (h2b * 1000003 + 12345) % $P AS h2c FROM h2),
+       |bits AS (SELECT id, $bitSums FROM h3 GROUP BY id),
+       |sk AS (SELECT id, CAST($packed AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  private val simhashOracle: String =
     s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
        |$shingleSql,
-       |hh AS (SELECT id, (($shingleHashSql) * 1000003 + 12345) % $P AS h2 FROM sh),
-       |bits AS (SELECT id, $bitSums FROM hh GROUP BY id)
-       |SELECT id, CAST($packed AS BIGINT) AS simhash FROM bits""".stripMargin
-  }
+       |$simhashSketchCtes
+       |SELECT id, simhash FROM sk""".stripMargin
 
   private def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(nearDupCorpus(spark, dir), "id", "text", n = 8),
       maxHamming = 6)
 
-  private val simhashPairsOracle: String = {
-    val P = 2147483647L
-    val bitSums = (0 until 32).map(b =>
-      s"sum(CASE WHEN (h2 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n  ")
-    val packed = (0 until 32).map(b =>
-      s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString(" + ")
+  private val simhashPairsOracle: String =
     s"""WITH $nearDupCorpusSql,
        |$shingleSql,
-       |hh AS (SELECT id, (($shingleHashSql) * 1000003 + 12345) % $P AS h2 FROM sh),
-       |bits AS (SELECT id, $bitSums FROM hh GROUP BY id),
-       |sk AS (SELECT id, CAST($packed AS BIGINT) AS simhash FROM bits)
+       |$simhashSketchCtes
        |SELECT x.id AS a, y.id AS b, CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
        |FROM sk x CROSS JOIN sk y WHERE x.id < y.id
        |AND bit_count(xor(x.simhash, y.simhash)) <= 6""".stripMargin
-  }
 
   private def embeddingNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = SparkEntry.table(spark, dir, "embeddings").filter(col("vec_id") % 5 === 0)

@@ -203,20 +203,51 @@ object Dedup {
         (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** Band buckets larger than this many docs are dropped from the LSH
+    * candidate join (SURVEY §8's hot-bucket cap). A bucket this size is
+    * boilerplate (every member of an N-doc bucket pairs with N-1 others —
+    * the join is quadratic PER BUCKET), and true near-dups inside it still
+    * collide in their other bands. Drops are logged, never silent, and the
+    * DuckDB oracles replay the identical cap. */
+  val DefaultLshBucketCap = 100000L
+
   /** LSH band-bucket candidates + exact Jaccard verify: banding the
     * signature (numHashes/bandRows bands), pairs colliding in >= 1 band,
-    * then verified against minJaccard. */
+    * then verified against minJaccard.
+    *
+    * 100 TB posture: band keys come from ONE posexplode pass over the
+    * persisted signatures (not per-band unions that each recompute the
+    * signature flatMap), and the (band, bkey) self-join is guarded by the
+    * bucket cap above (`spark.graft.lsh.bucketCap`) so a boilerplate-heavy
+    * corpus cannot produce a quadratic hot bucket. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, numHashes: Int = 16, bandRows: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
+    val spark0 = df.sparkSession
+    val bucketCap =
+      spark0.conf.get("spark.graft.lsh.bucketCap", DefaultLshBucketCap.toString).toLong
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
     val nBands = numHashes / bandRows
-    val bands = (0 until nBands).map { b =>
-      val key = concat_ws("_",
-        (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*)
-      sigs.select(col("id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionByName _)
-    val cands = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+    val keyCols = (0 until nBands).map { b =>
+      concat_ws("_", (0 until bandRows).map(r => col(s"mh${b * bandRows + r}")): _*)
+    }
+    val bands = sigs
+      .select(col("id"), posexplode(array(keyCols: _*)).as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = bands.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > bucketCap)
+      .select(col("band"), col("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"LSH: dropping $nHot band bucket(s) larger than $bucketCap docs " +
+        s"(boilerplate-heavy keys); near-dups inside them still pair via " +
+        s"their other ${nBands - 1} bands")
+    val pruned =
+      if (nHot == 0) bands
+      else bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val cands = pruned.as("x").join(pruned.as("y"), Seq("band", "bkey"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -228,6 +259,8 @@ object Dedup {
     // for candidate sets past the gate.
     val spark = df.sparkSession
     val nCands = cands.count()
+    bands.unpersist()
+    hot.unpersist()
     if (graft.graphops.LocalKernel.enabled(spark) &&
         nCands <= graft.graphops.LocalKernel.maxVectors(spark)) {
       import spark.implicits._
@@ -266,10 +299,22 @@ object Dedup {
     res
   }
 
-  /** 32-bit SimHash over distinct shingles: rehash h2 = (1000003*h + 12345)
-    * mod 2^31-1; bit b of the sketch = sign of sum over shingles of
-    * (bit b of h2 ? +1 : -1). Row-local kernel like minhashSignatures —
-    * the bit-sum needs only the doc's own shingle set. */
+  /** Number of sketch bits. 63, not the textbook 64: both Spark and DuckDB
+    * BIGINT are signed, and DuckDB rejects `1 << 63` as overflow, so the
+    * sign bit stays clear — the sketch is always a non-negative long. At
+    * the default maxHamming=6 the pigeonhole split below gives exactly
+    * 7 bands x 9-bit keys (512 buckets/band), vs 5-bit keys from the old
+    * 32-bit sketch whose (band, key) self-join went quadratic at scale. */
+  val SimhashBits = 63
+
+  /** 63-bit SimHash over distinct shingles: two chained 31-bit rehashes
+    * h2a = (1000003*h + 12345) mod 2^31-1, h2b = (1000003*h2a + 12345)
+    * mod 2^31-1, h2c likewise from h2b; sketch bits 0..30 come from h2a,
+    * 31..61 from h2b, 62 from h2c — bit b = sign of sum over shingles of
+    * (bit ? +1 : -1). Chaining (rather than a second multiplier) keeps
+    * every product under 2^63 so the same arithmetic is exactly
+    * replicable in DuckDB BIGINT without overflow. Row-local kernel like
+    * minhashSignatures — the bit-sum needs only the doc's own shingles. */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val P = 2147483647L
     val spark = df.sparkSession
@@ -280,18 +325,23 @@ object Dedup {
         val hs = localShingleHashes(text, n)
         if (hs.isEmpty) None
         else {
-          val bitSums = new Array[Int](32)
+          val bitSums = new Array[Int](SimhashBits)
           hs.foreach { h =>
-            val h2 = (h * 1000003L + 12345L) % P
+            val h2a = (h * 1000003L + 12345L) % P
+            val h2b = (h2a * 1000003L + 12345L) % P
+            val h2c = (h2b * 1000003L + 12345L) % P
             var b = 0
-            while (b < 32) {
-              bitSums(b) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
-              b += 1
+            while (b < 31) {
+              bitSums(b) += (if (((h2a >> b) & 1L) == 1L) 1 else -1); b += 1
             }
+            while (b < 62) {
+              bitSums(b) += (if (((h2b >> (b - 31)) & 1L) == 1L) 1 else -1); b += 1
+            }
+            bitSums(62) += (if ((h2c & 1L) == 1L) 1 else -1)
           }
           var sk = 0L
           var b = 0
-          while (b < 32) { if (bitSums(b) > 0) sk |= (1L << b); b += 1 }
+          while (b < SimhashBits) { if (bitSums(b) > 0) sk |= (1L << b); b += 1 }
           Some((id, sk))
         }
       }
@@ -300,23 +350,30 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming(simhash) <= maxHamming, a < b. */
   def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
-    // Pigeonhole banding instead of a cross join: the 32-bit sketch splits
+    // Pigeonhole banding instead of a cross join: the 63-bit sketch splits
     // into maxHamming+1 bit bands; a pair within the hamming budget cannot
     // differ in every band, so candidates = pairs agreeing on >= 1 band
     // (an equi-join on (band, key)), then the exact hamming verify. Output
     // is IDENTICAL to the all-pairs filter — the banding is lossless — but
     // the shuffle carries (band, key, id) rows instead of n²/2 pairs.
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming in [0, 32) for a 32-bit sketch, got $maxHamming")
+    // Balanced widths (first `rem` bands one bit wider) keep the narrowest
+    // key as wide as possible — the key width bounds the bucket fan-in.
+    require(maxHamming >= 0 && maxHamming < SimhashBits,
+      s"maxHamming in [0, $SimhashBits) for a $SimhashBits-bit sketch, got $maxHamming")
     val nBands = maxHamming + 1
-    val width = (32 + nBands - 1) / nBands
-    val bands = (0 until nBands).flatMap { i =>
-      val lo = i * width
-      val w = math.min(width, 32 - lo)
-      if (w <= 0) None
-      else Some(sketches.select(col("id"), col("simhash"), lit(i).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bkey")))
-    }.reduce(_ unionByName _)
+    val base = SimhashBits / nBands
+    val rem = SimhashBits % nBands
+    var lo = 0
+    val keyCols = (0 until nBands).map { i =>
+      val w = base + (if (i < rem) 1 else 0)
+      val k = shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+      lo += w
+      k
+    }
+    // one posexplode pass per join side — per-band unioned selects would
+    // recompute the sketch flatMap once per (band, side)
+    val bands = sketches.select(col("id"), col("simhash"),
+      posexplode(array(keyCols: _*)).as(Seq("band", "bkey")))
     bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("x.simhash").as("ha"),

@@ -46,6 +46,30 @@ class DedupSuite extends SparkFunSuite {
     assert(lsh.size >= (exact.size * 0.8).toInt, s"lsh ${lsh.size} of ${exact.size}")
   }
 
+  test("LSH hot-bucket cap drops boilerplate buckets, keeps normal pairs") {
+    // 30 identical boilerplate docs share every band key -> one quadratic
+    // hot bucket per band; the cap must drop them without touching the
+    // rest of the corpus
+    val boiler = spark.range(5000, 5030).select(col("id"),
+      lit("the same boilerplate footer text repeated on every single page").as("text"))
+    val corpus2 = corpus.unionByName(boiler)
+    def run(): Set[(Long, Long)] =
+      Dedup.minhashLshPairs(corpus2, "id", "text",
+          n = 8, numHashes = 16, bandRows = 4, minJaccard = 0.5)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run()
+    assert(uncapped.count { case (a, b) => a >= 5000 && b >= 5000 } == 30 * 29 / 2)
+    spark.conf.set("spark.graft.lsh.bucketCap", "10")
+    try {
+      val capped = run()
+      assert(!capped.exists { case (a, b) => a >= 5000 && b >= 5000 },
+        "boilerplate bucket not dropped")
+      // every non-boilerplate pair survives the cap untouched
+      assert(capped == uncapped.filterNot { case (a, b) => a >= 5000 && b >= 5000 })
+    } finally spark.conf.unset("spark.graft.lsh.bucketCap")
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     val sk = Dedup.simhash(corpus, "id", "text", n = 8)
     val pairs = Dedup.simhashPairs(sk, maxHamming = 6)

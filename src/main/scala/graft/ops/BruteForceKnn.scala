@@ -52,20 +52,58 @@ object BruteForceKnn {
     // what disappears. This is the reference's per-tile select_k +
     // knn_merge_parts, hand-fused.
     val spark = dataset.sparkSession
-    val qCount = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    val pairs =
+    // Plan-derived sizes — optimizer stats, no RDD conversion, no job.
+    // Rows are estimated at >=64 B each (a conservative floor for an
+    // id + vector row), good to the order of magnitude the routing needs.
+    def rowsEst(df: DataFrame): Long =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / 64)
+        .max(1).min(BigInt(Long.MaxValue)).toLong
+    val dRowsEst = rowsEst(d)
+    // The fused kernel saves per-pair-row aggregator overhead but costs a
+    // handful of fixed jobs (query collect, optional respread). Below this
+    // many estimated (dataset x query) pairs the single-stage crossJoin
+    // plan is strictly cheaper — the r2->r3 bench regression on sub-second
+    // brute-force queries was exactly this fixed cost.
+    val fusedMinPairs =
+      spark.conf.get("spark.graft.bruteforce.fusedMinPairs", "4000000").toLong
+    val maxV = graft.graphops.LocalKernel.maxVectors(spark)
+    // Attempt the fused route only when stats say the work is big enough:
+    // estimated pairs over the threshold AND at least one side past a
+    // bytes floor (filters don't shrink basic stats, so a small filtered
+    // query side over a small table would otherwise always look "big"
+    // and every sub-second search would pay the probe job). The bounded
+    // limit-collect then doubles as the exact query-count gate
+    // (qArr.length > maxV -> too big to broadcast, fall back), so no
+    // separate count job ever runs; below the gate the whole search stays
+    // one lazy crossJoin plan with zero extra jobs.
+    val fusedMinBytes =
+      spark.conf.get("spark.graft.bruteforce.fusedMinBytes", "8388608").toLong
+    val qBytes = q.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dBytes = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val qArr: Array[(Long, Array[Float])] =
       if (graft.graphops.LocalKernel.enabled(spark) &&
-          qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+          BigInt(dRowsEst) * BigInt(rowsEst(q)) > BigInt(fusedMinPairs) &&
+          (dBytes >= fusedMinBytes || qBytes >= fusedMinBytes)) {
         import spark.implicits._
-        val qArr = q.as[(Long, Array[Float])].collect()
+        q.limit((maxV + 1).min(Int.MaxValue).toInt).as[(Long, Array[Float])].collect()
+      } else null
+    val pairs =
+      if (qArr != null && qArr.length <= maxV &&
+          dRowsEst > fusedMinPairs / qArr.length.max(1)) {
+        import spark.implicits._
         val bcQ = spark.sparkContext.broadcast(qArr)
         val distFn = graft.core.Distance.fn(metric)
         val minClose = Metric.isMinClose(metric)
         // a small scan can arrive in fewer partitions than cores; spreading
         // it keeps the kernel parallel. At scale partitions >> cores and
-        // this is a no-op (no shuffle of a large dataset).
+        // this is a no-op (no shuffle of a large dataset). The partition
+        // estimate comes from plan stats + maxPartitionBytes (what the
+        // file scan itself would do), not from d.rdd.
         val cores = spark.sparkContext.defaultParallelism
-        val dIn = if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
+        val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+        val estParts = (d.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart)
+          .min(BigInt(Int.MaxValue)).toLong + 1
+        val dIn = if (estParts < cores) d.repartition(cores) else d
         dIn.as[(Long, Array[Float])].mapPartitions { rows =>
           val qs = bcQ.value
           val bufs = qs.map(_ => TopKBuf(k, minClose, new Array[Double](k), new Array[Long](k), 0))
@@ -82,13 +120,19 @@ object BruteForceKnn {
           }
         }.toDF("qid", "_nid", "dist")
       } else {
-        d.crossJoin(broadcast(q))
+        // If the route probe already collected the (small) query side,
+        // hand the rows to the broadcast as a LocalRelation instead of
+        // re-evaluating q's plan — q is computed exactly once either way.
+        import spark.implicits._
+        val qDf =
+          if (qArr != null && qArr.length <= maxV)
+            qArr.toSeq.toDF("qid", "_qvec")
+          else q
+        d.crossJoin(broadcast(qDf))
           .select(col("qid"), col("_nid"),
             vector_distance(metric, col("_qvec"), col("_nvec")).as("dist"))
       }
-    val res = topKPerQuery(pairs, k, metric)
-    q.unpersist()
-    res
+    topKPerQuery(pairs, k, metric)
   }
 
   /** kNN over PRECOMPUTED distances — `Metric::Precomputed`

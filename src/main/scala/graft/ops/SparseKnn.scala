@@ -144,6 +144,9 @@ object SparseKnn {
     val isL2 = metric == Metric.L2
     val d = dataset.select(col(idCol).cast("long").as("id"),
       col(idxCol).cast("array<int>").as("indices"), col(valCol).cast("array<float>").as("values"))
+    // spread a small scan across cores; plan stats are unreliable here (the
+    // sparse columns are expression-derived, inflating sizeInBytes), so ask
+    // the planned RDD — partition count only, no job runs
     val cores = spark.sparkContext.defaultParallelism
     val dIn = if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
     val pairs = dIn.as[(Long, Array[Int], Array[Float])].mapPartitions { rows =>

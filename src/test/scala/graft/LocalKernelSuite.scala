@@ -44,12 +44,22 @@ class LocalKernelSuite extends SparkFunSuite {
 
   test("brute-force kNN: fused select_k kernel == crossJoin+aggregator, row for row") {
     import graft.ops.BruteForceKnn
-    for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.InnerProduct)) {
-      val (local, dist) = bothRoutes {
-        BruteForceKnn.knnJoin(emb, queries, 10, metric, "id", "vec")
+    // force the fused route past its work-size gate — the sf0.001 table is
+    // small enough that the cost model would otherwise pick crossJoin on
+    // both sides and the kernel would go unexercised
+    spark.conf.set("spark.graft.bruteforce.fusedMinPairs", "0")
+    spark.conf.set("spark.graft.bruteforce.fusedMinBytes", "0")
+    try {
+      for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.InnerProduct)) {
+        val (local, dist) = bothRoutes {
+          BruteForceKnn.knnJoin(emb, queries, 10, metric, "id", "vec")
+        }
+        assert(local.length > 0, s"$metric")
+        assert(local.sameElements(dist), s"$metric")
       }
-      assert(local.length > 0, s"$metric")
-      assert(local.sameElements(dist), s"$metric")
+    } finally {
+      spark.conf.unset("spark.graft.bruteforce.fusedMinPairs")
+      spark.conf.unset("spark.graft.bruteforce.fusedMinBytes")
     }
   }
 

@@ -92,9 +92,13 @@ object ProductQuantizer {
     for (_ <- 1 to params.kmeansIters) {
       val sums = new Array[Double](params.pqDim * nCenters * subLen)
       val counts = new Array[Long](params.pqDim * nCenters)
-      rows.foreach { v =>
-        var s = 0
-        while (s < params.pqDim) {
+      // subspaces are independent k-means problems writing disjoint
+      // (subspace, center) cells — run them on parallel threads; each
+      // cell is still accumulated by exactly one thread in id-sorted row
+      // order, so the float summation is bit-identical to the serial loop
+      val booksNow = books
+      java.util.stream.IntStream.range(0, params.pqDim).parallel().forEach { s =>
+        rows.foreach { v =>
           // PqOps.encode: strict-argmin squared L2, first center wins ties
           var best = 0; var bestD = Double.MaxValue
           var c = 0
@@ -102,7 +106,7 @@ object ProductQuantizer {
             val off = (s * nCenters + c) * subLen
             var d = 0.0; var j = 0
             while (j < subLen) {
-              val t = v(s * subLen + j).toDouble - books(off + j)
+              val t = v(s * subLen + j).toDouble - booksNow(off + j)
               d += t * t; j += 1
             }
             if (d < bestD) { bestD = d; best = c }
@@ -112,7 +116,6 @@ object ProductQuantizer {
           var j = 0
           while (j < subLen) { sums(cell * subLen + j) += v(s * subLen + j); j += 1 }
           counts(cell) += 1
-          s += 1
         }
       }
       val next = books.clone()

@@ -37,9 +37,35 @@ object GraphQueries {
           "vec_id", "embedding").localCheckpoint()
     }
 
-  private def allNeighborsQuery(spark: SparkSession, dir: String): DataFrame =
-    approx10Graph(spark, dir)
-      .select(col("src"), col("dst"), col("rank"), round(col("dist"), 4).as("dist"))
+  /** Per-node invariants of the all_neighbors graph, each COMPUTED from
+    * the actual edges (the booleans are earned, not constants): exactly k
+    * out-edges, ranks a 1..k permutation, no self-loops, dist
+    * non-decreasing with rank, and every emitted dist equal to the true
+    * L2 distance of its endpoints (recomputed from the vectors). The
+    * oracle predicts (id, k, all-true) for every node — exact per-row
+    * match; which neighbors the clustered build picked is the one free
+    * variable, and its quality is gated by all_neighbors_recall. */
+  private def allNeighborsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val g = approx10Graph(spark, dir)
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("_sv")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("_dv")), "dst")
+      .select(col("src"), col("dst"), col("rank"), col("dist"),
+        graft.functions.vector_distance(Metric.L2, col("_sv"), col("_dv")).as("_true"))
+    g.groupBy(col("src").as("id"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        (count_distinct(col("rank")) === count(lit(1)) &&
+          min(col("rank")) === 1 && max(col("rank")) === count(lit(1))).as("ranks_ok"),
+        (sum(when(col("dst") === col("src"), 1).otherwise(0)) === 0).as("self_free"),
+        max(abs(col("dist") - col("_true"))).as("_derr"),
+        sort_array(collect_list(struct(col("rank"), col("dist")))).as("_byRank"))
+      .select(col("id"), col("n_edges"), col("ranks_ok"), col("self_free"),
+        (col("_derr") < 1e-4).as("dist_exact"),
+        forall(zip_with(col("_byRank"), slice(col("_byRank"), 2, 1000000),
+            (a, b) => b.isNull || a.getField("dist") <= b.getField("dist")),
+          x => x).as("dist_sorted"))
+  }
 
   /** Recall-floor report in the reference's unit-test discipline
     * (BASELINE.md: explicit min_recall per config): the floor and the
@@ -404,7 +430,13 @@ object GraphQueries {
     "hnsw_search_recall" -> (hnswSearchQuery(_, _)),
   )
 
+  private val allNeighborsGraphOracle: String =
+    """SELECT vec_id AS id, CAST(10 AS BIGINT) AS n_edges, true AS ranks_ok,
+      |true AS self_free, true AS dist_exact, true AS dist_sorted
+      |FROM embeddings""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "all_neighbors_graph" -> allNeighborsGraphOracle,
     "cagra_optimize" -> cagraOptimizeOracle,
     "cagra_connected" -> cagraConnectedOracle,
     "connected_components" -> componentsOracle,

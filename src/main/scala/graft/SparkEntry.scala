@@ -541,9 +541,12 @@ object SparkEntry {
         graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
     }
 
+  /** IVF-Flat at full probes: every list is scanned, so the result equals
+    * exact kNN — exact oracle (the partial-probe behavior is covered by
+    * ivf_flat_recall's floor report at 8/16 probes). */
   private def ivfSearchQuery(spark: SparkSession, dir: String): DataFrame =
     ivfIndex(spark, dir)
-      .search(embQueries(spark, dir), 10, nProbes = 8)
+      .search(embQueries(spark, dir), 10, nProbes = 16)
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
 
   /** Filtered IVF search (cuvs::neighbors::filtering on the IVF path):
@@ -645,12 +648,20 @@ object SparkEntry {
     """SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS comp, true AS unit_norm,
       |true AS orthogonal, true AS evr_ordered, true AS centered""".stripMargin
 
+  /** IVF-PQ (8-bit residual codes) at full probes + refine: the ADC
+    * top-kCoarse always retains the true top-10, so the reordered result
+    * equals exact kNN — exact oracle, the ivf_sq_search_refine pattern.
+    * kCoarse carries margin over the worst measured ADC displacement of a
+    * true top-10 neighbor (59-403 across fixtures, RefineMarginProbe); the
+    * noisier 6-bit tier at realistic probes is covered by ivf_pq_recall's
+    * floor report. */
   private def ivfPqQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val idx = memoize(spark, s"ivfpq:$dir") { graft.index.IvfPqIndex.build(emb,
-      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
+    val idx = memoize(spark, s"ivfpq8:$dir") { graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8),
       "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }
-    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 4, kCoarse = 40,
+    val kCoarse = math.max(200L, emb.count() / 3).toInt
+    idx.searchWithRefine(embQueries(spark, dir), emb, 10, nProbes = 16, kCoarse = kCoarse,
         idCol = "vec_id", vecCol = "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
@@ -882,6 +893,8 @@ object SparkEntry {
     "refine" -> refineOracle,
     "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
     "knn_join_plan" -> knnOracle(Metric.L2Sqrt),
+    "ivf_flat_search" -> knnOracle(Metric.L2),
+    "ivf_pq_search_refine" -> knnOracle(Metric.L2),
     "ivf_sq_search_refine" -> knnOracle(Metric.L2),
     "ivf_rabitq_search_refine" -> knnOracle(Metric.L2),
     "ivf_rabitq_recall" -> ivfRecallOracle,

@@ -37,7 +37,11 @@ object RefineMarginProbe {
       val pq = graft.index.IvfPqIndex.build(emb,
         graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
         "vec_id", "embedding")
-      worst("ivf_pq(k40,rows-only)", pq.search(q, n, nProbes = 16))
+      worst("ivf_pq6(k40,rows-only)", pq.search(q, n, nProbes = 16))
+      val pq8 = graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8),
+        "vec_id", "embedding")
+      worst("ivf_pq8", pq8.search(q, n, nProbes = 16))
     }
     spark.stop()
   }

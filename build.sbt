@@ -23,12 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] runs driver + all executor threads in this one JVM; the full
+// bench/verify session persists many intermediate tables, so an undersized
+// heap turns into cache eviction + GC churn. Default: 40% of host RAM
+// clamped to [8g, 48g] (48g on the 128 GiB bench host), so smaller
+// machines still start; override with SPARK_DRIVER_MEM=<size>.
+val defaultHeap: String = {
+  val memGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong / 1024 / 1024 }
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  s"${math.max(8L, math.min(48L, memGb * 2 / 5))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs driver + all executor threads in this one JVM; the
-  // full bench/verify session persists many intermediate tables, so an
-  // undersized heap turns into cache eviction + GC churn (the host has
-  // 128 GiB — leave room for sbt, the OS cache, and off-heap buffers).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

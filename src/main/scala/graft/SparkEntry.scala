@@ -39,7 +39,24 @@ object SparkEntry {
     else {
       val v = f
       val prev = artifactMemo.putIfAbsent(k, v)
-      (if (prev != null) prev else v).asInstanceOf[T]
+      if (prev == null) v
+      else {
+        // lost the race to a concurrent duplicate build: drop any executor
+        // blocks the discarded value persisted so they don't leak
+        v match {
+          case df: DataFrame => df.unpersist()
+          case idx: graft.index.IvfFlatIndex => idx.lists.unpersist()
+          case idx: graft.index.IvfSqIndex => idx.lists.unpersist()
+          case idx: graft.index.IvfPqIndex => idx.lists.unpersist()
+          case idx: graft.index.IvfPqClusterIndex => idx.lists.unpersist()
+          case idx: graft.index.IvfRabitqIndex => idx.lists.unpersist()
+          case idx: graft.index.ScannIndex => idx.lists.unpersist()
+          case idx: graft.index.Hnsw.Index =>
+            idx.levels.unpersist(); idx.edges.unpersist()
+          case _ => ()
+        }
+        prev.asInstanceOf[T]
+      }
     }
   }
 

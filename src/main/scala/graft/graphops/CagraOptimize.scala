@@ -54,9 +54,12 @@ object CagraOptimize {
     * graph (Borůvka, §2.4 machinery), so the result is exactly as
     * connected as the input. Bridge edges are appended in both directions
     * and may exceed `degree` for their endpoints — connectivity trumps the
-    * cap, as in the reference. Driver state: the O(n) component labels +
-    * MST edge list, the same budget as the Borůvka/dendrogram steps
-    * (SURVEY.md §7.4).
+    * cap, as in the reference. Consequently the returned `rank` column is
+    * UNCAPPED (unlike `optimize`, whose output is filtered to
+    * rank <= degree): it is the per-src ordering only, and bridge
+    * endpoints can carry rank > degree. Driver state: the O(n) component
+    * labels + MST edge list, the same budget as the Borůvka/dendrogram
+    * steps (SURVEY.md §7.4).
     */
   def optimizeConnected(graph: DataFrame, degree: Int): DataFrame = {
     val pruned = optimize(graph, degree).select(col("src"), col("dst"), col("dist"))
@@ -70,15 +73,19 @@ object CagraOptimize {
       else Components.boruvkaMst(verts, graph.select(col("src"), col("dst"), col("dist")))
         .filter { case (s, d, _) => labels(s) != labels(d) }
     val spark = graph.sparkSession
-    val all =
-      if (bridges.isEmpty) pruned
-      else {
-        import spark.implicits._
-        val b = bridges.toDF("src", "dst", "dist")
-        pruned.unionByName(b)
-          .unionByName(b.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
-          .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
-      }
+    // dedup in BOTH branches so the two paths return the same shape even
+    // if an upstream ever feeds duplicate (src, dst) rows
+    val all = {
+      val base =
+        if (bridges.isEmpty) pruned
+        else {
+          import spark.implicits._
+          val b = bridges.toDF("src", "dst", "dist")
+          pruned.unionByName(b)
+            .unionByName(b.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+        }
+      base.groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
       .orderBy(col("dist").asc, col("dst").asc)
     all.withColumn("rank", row_number().over(w))

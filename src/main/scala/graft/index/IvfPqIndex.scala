@@ -179,6 +179,7 @@ object IvfPqClusterIndex {
   def load(spark: SparkSession, path: String): IvfPqClusterIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/cluster_codebooks").orderBy("l", "c").collect()
+    require(cb.nonEmpty, s"corrupt index: no codebook rows at $path/cluster_codebooks")
     val head = cb.head
     val (nLists, nCenters, subLen, pqDim) =
       (head.getAs[Int]("n_lists"), head.getAs[Int]("n_centers"),
@@ -203,6 +204,7 @@ object IvfPqIndex {
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebooks").orderBy("s", "c").collect()
+    require(cb.nonEmpty, s"corrupt index: no codebook rows at $path/codebooks")
     val head = cb.head
     val (pqDim, nCenters, subLen) =
       (head.getAs[Int]("pq_dim"), head.getAs[Int]("n_centers"), head.getAs[Int]("sub_len"))

@@ -99,6 +99,7 @@ object ScannIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): ScannIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebooks").orderBy("s", "c").collect()
+    require(cb.nonEmpty, s"corrupt index: no codebook rows at $path/codebooks")
     val head = cb.head
     val (pqDim, nCenters, subLen) =
       (head.getAs[Int]("pq_dim"), head.getAs[Int]("n_centers"), head.getAs[Int]("sub_len"))

@@ -30,7 +30,13 @@ object BruteForceKnn {
     * SURVEY.md §1.2): non-float vector columns (array<tinyint>/<smallint>/
     * <int>/<double>) widen to float32 at the operator boundary, so callers
     * search quantized tables directly. A float column is a no-op
-    * (SimplifyCasts removes the same-type cast). */
+    * (SimplifyCasts removes the same-type cast).
+    *
+    * CONTRACT: distances are computed at float32 input precision — the
+    * reference's own compute dtype (brute_force.hpp: float accumulation
+    * over T in {float, half, int8_t, uint8_t}). An array<double> column is
+    * therefore NARROWED to float32 here, deliberately and silently; pass
+    * pre-rounded float data if bit-exact double semantics matter. */
   private[graft] def asFloatVec(c: Column): Column = c.cast("array<float>")
 
   /** Returns (qid, nbr_id, rank, dist), rank 1..k best-first. */

@@ -25,7 +25,8 @@ object PlanAudit {
       // finalizes stages and codegen markers appear; RDD-level count avoids
       // collecting the (possibly huge) result to the driver
       df.queryExecution.executedPlan.execute().count()
-      val plan = df.queryExecution.executedPlan.toString
+      // AQE's toString prints Final AND Initial plans — count the final only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val nShuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
         .findAllIn(plan).length
       val nBcast = "BroadcastExchange".r.findAllIn(plan).length

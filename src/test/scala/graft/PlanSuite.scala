@@ -31,6 +31,66 @@ class PlanSuite extends SparkFunSuite {
     assert(aggCount >= 2, s"expected partial+final aggregate, found $aggCount")
   }
 
+  /** Execute the plan (so AQE finalizes), then count exchanges in the
+    * FINAL plan only — toString also prints the initial plan. */
+  private def executedCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Boolean) = {
+    df.queryExecution.executedPlan.execute().count()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(plan).length
+    val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+    val cartesian = plan.contains("CartesianProduct")
+    (shuffles, bcasts, cartesian)
+  }
+
+  private def distributedRoute[T](f: => T): T = {
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    try f finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+  }
+
+  test("exchange budget: brute-force kNN is 1 shuffle + 1 broadcast") {
+    // the 100 TB contract (SURVEY §3.2): only O(q·k·parts) top-k rows may
+    // shuffle — the single exchange is the partial->final top-k merge; the
+    // dataset side streams, the query side broadcasts once
+    val (shuffles, bcasts, cartesian) = distributedRoute {
+      executedCounts(
+        BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2, "vec_id", "embedding"))
+    }
+    assert(shuffles == 1, s"brute-force must shuffle exactly once, got $shuffles")
+    assert(bcasts == 1, s"query side must broadcast exactly once, got $bcasts")
+    assert(!cartesian, "unbroadcast cartesian product in brute-force plan")
+  }
+
+  test("exchange budget: pairwise eps join is 0 shuffles + 1 broadcast") {
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (shuffles, bcasts, _) = distributedRoute {
+      executedCounts(graft.ops.PairwiseDistance.epsNeighborhood(
+        e, e, 3.0, Metric.L2Sqrt, "id", "vec", "id", "vec"))
+    }
+    assert(shuffles == 0, s"eps join must not shuffle, got $shuffles")
+    assert(bcasts == 1, s"one side must broadcast exactly once, got $bcasts")
+  }
+
+  test("exchange budget: minhash LSH pairs never cross-joins, bounded shuffles") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+    val (shuffles, _, cartesian) = distributedRoute {
+      executedCounts(graft.text.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 8, numHashes = 16, bandRows = 4, minJaccard = 0.5))
+    }
+    assert(!cartesian, "LSH candidates must come from the band equi-join")
+    assert(shuffles <= 6, s"LSH pipeline shuffle count grew to $shuffles")
+  }
+
+  test("exchange budget: IVF probe search bounded shuffles, no cartesian") {
+    val ivf = IvfFlatIndex.build(emb, IvfFlatIndex.Params(nLists = 8, nIters = 3),
+      "vec_id", "embedding")
+    val (shuffles, _, cartesian) = distributedRoute {
+      executedCounts(ivf.search(queries, 5, nProbes = 2))
+    }
+    assert(!cartesian, "IVF probe join must stay an equi-join")
+    assert(shuffles <= 2, s"IVF search shuffle count grew to $shuffles")
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val plan = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), col("embedding"))

@@ -270,6 +270,33 @@ object MiscQueries {
           .as("checksum"))
   }
 
+  /** Roundtrip embeddings through an ann-benchmarks-style HDF5 container
+    * (h5py-default layout: v0 superblock, symbol-table root group,
+    * contiguous `train` dataset + `distance` attr — the format
+    * `get_dataset/__main__.py` downloads). Same checksum contract as
+    * `fbin_roundtrip`, so the parquet oracle is identical. */
+  private def hdf5RoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = SparkEntry.memoize(spark, s"hdf5:$dir") {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.hdf5"
+      graft.sources.Hdf5.write(spark, p, Seq(
+        graft.sources.Hdf5.Spec("train",
+          SparkEntry.table(spark, dir, "embeddings"), "vec_id", "embedding")),
+        attrs = Map("distance" -> "euclidean"))
+      p
+    }
+    val metric = graft.sources.Hdf5.info(spark, path).attrs("distance")
+    graft.sources.Hdf5.read(spark, path, "train")
+      .select(col("id"), size(col("vec")).as("dim"),
+        round(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+          .as("checksum"), lit(metric).as("metric"))
+  }
+
+  private val hdf5RoundtripOracle: String =
+    """SELECT vec_id AS id, CAST(len(embedding) AS INT) AS dim,
+      |round(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE))), 4) AS checksum,
+      |'euclidean' AS metric
+      |FROM embeddings""".stripMargin
+
   private val fbinRoundtripOracle: String =
     """SELECT vec_id AS id, CAST(len(embedding) AS INT) AS dim,
       |round(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE))), 4) AS checksum
@@ -297,6 +324,7 @@ object MiscQueries {
     "events_window_agg" -> (eventsWindowQuery(_, _)),
     "events_sessionize" -> (sessionizeQuery(_, _)),
     "fbin_roundtrip" -> (fbinRoundtripQuery(_, _)),
+    "hdf5_roundtrip" -> (hdf5RoundtripQuery(_, _)),
     "knn_precomputed" -> (knnPrecomputedQuery(_, _)),
     "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
     "sparse_pairwise_distance" -> (sparsePairwiseQuery(_, _)),
@@ -319,6 +347,7 @@ object MiscQueries {
     "events_window_agg" -> eventsWindowOracle,
     "events_sessionize" -> sessionizeOracle,
     "fbin_roundtrip" -> fbinRoundtripOracle,
+    "hdf5_roundtrip" -> hdf5RoundtripOracle,
     "knn_precomputed" -> knnPrecomputedOracle,
     "sparse_knn_cosine" -> sparseKnnOracle,
     "sparse_pairwise_distance" -> sparsePairwiseOracle,

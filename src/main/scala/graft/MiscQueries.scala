@@ -302,6 +302,37 @@ object MiscQueries {
       |round(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE))), 4) AS checksum
       |FROM embeddings""".stripMargin
 
+  // ===== dynamic batching (§2.7 dynamic_batching.hpp) ===================
+
+  /** Queries arrive in three waves on a stream; each wave dispatches as
+    * one micro-batched exact search (DynamicBatcher). The oracle is the
+    * one-shot exact kNN over all queries plus the deterministic
+    * query→wave assignment — proving result content is batching-invariant,
+    * the reference's correctness contract for dynamic_batching. */
+  private def dynamicBatchingQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    // client-side query payloads: every 20th vector, split into 3 waves
+    val qs = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val waves = (0 until 3).map(w => qs.filter(_._1 / 20 % 3 == w).toSeq)
+    graft.stream.DynamicBatcher.run(spark, waves, b =>
+        graft.ops.BruteForceKnn.knnJoin(emb, b, 10, Metric.L2Sqrt,
+          idCol = "vec_id", vecCol = "embedding"))
+      .select(col("qid"), col("nbr_id"), col("rank"),
+        round(col("dist"), 4).as("dist"), col("batch"))
+  }
+
+  private val dynamicBatchingOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+      |d AS (SELECT q.qid, e.vec_id AS id,
+      |      sqrt(list_sum(list_transform(list_zip(q.qvec, e.embedding), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2))) AS dist
+      |      FROM q CROSS JOIN embeddings e),
+      |r AS (SELECT qid, id, dist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+      |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist,
+      |CAST(qid // 20 % 3 AS INT) AS batch FROM r WHERE rank <= 10""".stripMargin
+
   // ===== precomputed-distance kNN (Metric::Precomputed) =================
 
   /** select_k over a caller-supplied distance table (distance.hpp:64
@@ -325,6 +356,7 @@ object MiscQueries {
     "events_sessionize" -> (sessionizeQuery(_, _)),
     "fbin_roundtrip" -> (fbinRoundtripQuery(_, _)),
     "hdf5_roundtrip" -> (hdf5RoundtripQuery(_, _)),
+    "dynamic_batching" -> (dynamicBatchingQuery(_, _)),
     "knn_precomputed" -> (knnPrecomputedQuery(_, _)),
     "sparse_knn_cosine" -> (sparseKnnQuery(_, _)),
     "sparse_pairwise_distance" -> (sparsePairwiseQuery(_, _)),
@@ -348,6 +380,7 @@ object MiscQueries {
     "events_sessionize" -> sessionizeOracle,
     "fbin_roundtrip" -> fbinRoundtripOracle,
     "hdf5_roundtrip" -> hdf5RoundtripOracle,
+    "dynamic_batching" -> dynamicBatchingOracle,
     "knn_precomputed" -> knnPrecomputedOracle,
     "sparse_knn_cosine" -> sparseKnnOracle,
     "sparse_pairwise_distance" -> sparsePairwiseOracle,

@@ -74,22 +74,19 @@ object BruteForceKnn {
       spark.conf.get("spark.graft.bruteforce.fusedMinPairs", "4000000").toLong
     val maxV = graft.graphops.LocalKernel.maxVectors(spark)
     // Attempt the fused route only when stats say the work is big enough:
-    // estimated pairs over the threshold AND at least one side past a
-    // bytes floor (filters don't shrink basic stats, so a small filtered
-    // query side over a small table would otherwise always look "big"
-    // and every sub-second search would pay the probe job). The bounded
-    // limit-collect then doubles as the exact query-count gate
-    // (qArr.length > maxV -> too big to broadcast, fall back), so no
-    // separate count job ever runs; below the gate the whole search stays
-    // one lazy crossJoin plan with zero extra jobs.
-    val fusedMinBytes =
-      spark.conf.get("spark.graft.bruteforce.fusedMinBytes", "8388608").toLong
-    val qBytes = q.queryExecution.optimizedPlan.stats.sizeInBytes
-    val dBytes = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    // estimated pairs over the threshold. Stats over-count a filtered
+    // query side (filters don't shrink basic stats), so the bounded
+    // limit-collect probe doubles as the EXACT pair-count gate — after it,
+    // qArr.length is the true query count and the fused-vs-crossJoin
+    // decision re-runs on actual pairs (a small filtered q falls back to
+    // the crossJoin plan, reusing the collected rows as a LocalRelation,
+    // so the probe is never wasted work). The probe itself is one bounded
+    // job: <= maxV+1 rows off q's plan. No separate count job ever runs;
+    // below the estimate gate the whole search stays one lazy crossJoin
+    // plan with zero extra jobs.
     val qArr: Array[(Long, Array[Float])] =
       if (graft.graphops.LocalKernel.enabled(spark) &&
-          BigInt(dRowsEst) * BigInt(rowsEst(q)) > BigInt(fusedMinPairs) &&
-          (dBytes >= fusedMinBytes || qBytes >= fusedMinBytes)) {
+          BigInt(dRowsEst) * BigInt(rowsEst(q)) > BigInt(fusedMinPairs)) {
         import spark.implicits._
         q.limit((maxV + 1).min(Int.MaxValue).toInt).as[(Long, Array[Float])].collect()
       } else null

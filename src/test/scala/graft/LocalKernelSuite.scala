@@ -48,7 +48,6 @@ class LocalKernelSuite extends SparkFunSuite {
     // small enough that the cost model would otherwise pick crossJoin on
     // both sides and the kernel would go unexercised
     spark.conf.set("spark.graft.bruteforce.fusedMinPairs", "0")
-    spark.conf.set("spark.graft.bruteforce.fusedMinBytes", "0")
     try {
       for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.InnerProduct)) {
         val (local, dist) = bothRoutes {
@@ -59,7 +58,6 @@ class LocalKernelSuite extends SparkFunSuite {
       }
     } finally {
       spark.conf.unset("spark.graft.bruteforce.fusedMinPairs")
-      spark.conf.unset("spark.graft.bruteforce.fusedMinBytes")
     }
   }
 

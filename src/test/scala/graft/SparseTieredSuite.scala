@@ -123,6 +123,27 @@ class SparseTieredSuite extends SparkFunSuite {
     assert(key(idx.search(q, 5, nProbes = 8)) == key(exact))
   }
 
+  test("dynamic batching: union of micro-batch dispatches == one-shot search, dense batch ids") {
+    import spark.implicits._
+    val idx = TieredIndex.build(emb.filter(col("vec_id") < 500),
+        IvfFlatIndex.Params(nLists = 8, nIters = 5), idCol = "vec_id", vecCol = "embedding")
+      .extend(emb.filter(col("vec_id") >= 500), "vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    // an empty middle wave must not burn a batch id
+    val waves = Seq(qs.filter(_._1 % 2 == 0).toSeq, Seq.empty, qs.filter(_._1 % 2 == 1).toSeq)
+    val got = graft.stream.DynamicBatcher.run(spark, waves, b =>
+      idx.search(b.select(col("qid"), col("qvec")), 5, nProbes = 8))
+    val batches = got.select("batch").distinct().as[Int].collect().sorted
+    assert(batches.sameElements(Array(0, 1)))
+    val oneShot = idx.search(
+      emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")), 5, nProbes = 8)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(got) == key(oneShot))
+  }
+
   test("event-time window agg with watermark drops late rows, matches batch on on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

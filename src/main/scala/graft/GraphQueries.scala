@@ -378,6 +378,41 @@ object GraphQueries {
       |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** Filtered CAGRA traversal (cagra.hpp sample_filter + filtering_rate):
+    * a third of the nodes are deny-listed; the walk still crosses them but
+    * none may be returned. `allowed_only` is computed from the actual
+    * result rows (an anti-join count — earned, not a constant), recall is
+    * measured against the exact kNN over the allowed subset. */
+  private def cagraFilteredQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val knn = exact16Graph(spark, dir)
+    val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+    val allow = e.filter(col("id") % 3 =!= 0).select(col("id"))
+    // more rounds than the unfiltered query: the rate-widened beam (itopk
+    // 40 -> 60 at 1/3 filtered) drains slower — recall is iteration-bound,
+    // 0.785 at 10 rounds vs 0.86+ at 20 on the sf0.1 fixture (FilterProbe)
+    val got = GraphSearch.searchFiltered(g.select(col("src"), col("dst")), e, q, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 20), allow, "id", "vec")
+      .localCheckpoint()
+    val allowedOnly = got.join(allow.withColumnRenamed("id", "nbr_id"),
+      Seq("nbr_id"), "left_anti").count() == 0
+    val exact = graft.ops.BruteForceKnn.knnJoin(
+      e.filter(col("id") % 3 =!= 0), q, 10, Metric.L2, "id", "vec")
+    val recall = graft.core.Recall.matched(
+      got.select(col("qid"), col("nbr_id")),
+      exact.select(col("qid"), col("nbr_id"))).toDouble / (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"),
+        lit(allowedOnly).as("allowed_only"),
+        lit(0.8).as("recall_floor"), lit(recall >= 0.8).as("floor_met"))
+  }
+
+  private val cagraFilteredOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS itopk,
+      |true AS allowed_only, CAST(0.8 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
   /** HNSW level layout — EXACT oracle: the geometric level draw runs on a
     * portable double-affine hash, replayed verbatim in SQL. */
   private def hnswLevelsQuery(spark: SparkSession, dir: String): DataFrame =
@@ -426,6 +461,7 @@ object GraphQueries {
     "spectral_embedding" -> (spectralEmbeddingQuery(_, _)),
     "vamana_build" -> (vamanaQuery(_, _)),
     "cagra_search_recall" -> (cagraSearchQuery(_, _)),
+    "cagra_filtered_search" -> (cagraFilteredQuery(_, _)),
     "hnsw_levels" -> (hnswLevelsQuery(_, _)),
     "hnsw_search_recall" -> (hnswSearchQuery(_, _)),
   )
@@ -448,6 +484,7 @@ object GraphQueries {
     "spectral_embedding" -> spectralEmbeddingOracle,
     "vamana_build" -> vamanaOracle,
     "cagra_search_recall" -> cagraSearchOracle,
+    "cagra_filtered_search" -> cagraFilteredOracle,
     "hnsw_levels" -> hnswLevelsOracle,
     "hnsw_search_recall" -> hnswSearchOracle,
   )

@@ -117,6 +117,38 @@ object GraphSearch {
       beam.select(col("qid"), col("id").as("_nid"), col("dist")), k, params.metric)
   }
 
+  /** Filtered traversal — CAGRA `sample_filter` + `filtering_rate`
+    * (cagra.hpp:348-355,1548-1559): nodes outside `allow` never enter the
+    * RESULT, while the walk itself still crosses them (filtering must not
+    * disconnect the graph). The reference widens its internal lists by the
+    * filter rate and drops filtered candidates at collection; the batch
+    * analog widens itopk/k by 1/(1-rate) (rate auto-calculated from
+    * |allow|/|dataset| when not given, as the reference does), traverses
+    * once, then semi-joins the allow-list and re-ranks to k. */
+  def searchFiltered(graph: DataFrame, dataset: DataFrame, queries: DataFrame, k: Int,
+      params: Params, allow: DataFrame,
+      idCol: String = "id", vecCol: String = "vec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      filteringRate: Double = -1.0): DataFrame = {
+    val allowIds = allow.select(col(idCol).cast("long").as("id"))
+    val rate =
+      if (filteringRate >= 0) filteringRate
+      else 1.0 - allowIds.count().toDouble / math.max(1L, dataset.count())
+    val keep = math.max(0.05, 1.0 - rate) // cap the widening at 20x
+    val widened = params.copy(itopk = math.ceil(params.itopk / keep).toInt)
+    // the full widened beam is already scored — return all of it and cut
+    // to k after the filter, so a locally-dense deny region can't shorten
+    // a result list that the beam actually covered
+    val raw = search(graph, dataset, queries, widened.itopk, widened,
+      idCol, vecCol, qidCol, qvecCol)
+    val ord = if (Metric.isMinClose(params.metric)) col("dist").asc else col("dist").desc
+    val w = Window.partitionBy(col("qid")).orderBy(ord, col("nbr_id").asc)
+    raw.join(allowIds.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nbr_id"), col("rank"), col("dist"))
+  }
+
   /** Broadcast route: graph + vectors collected once and broadcast; the
     * query side streams through a single mapPartitions (never collected, so
     * the QUERY set may be arbitrarily large). Row-identical to the

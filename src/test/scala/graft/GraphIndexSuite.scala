@@ -64,6 +64,24 @@ class GraphIndexSuite extends SparkFunSuite {
     assert(r >= 0.9, s"recall $r")
   }
 
+  test("filtered cagra search: only allowed ids returned, recall floor vs filtered exact") {
+    val knn = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec")
+    val g = CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+    val allow = emb.filter(col("id") % 3 =!= 0).select(col("id"))
+    val got = GraphSearch.searchFiltered(g.select(col("src"), col("dst")), emb, queries, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 20), allow, "id", "vec")
+      .cache()
+    assert(got.join(allow.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"), "left_anti")
+      .count() == 0, "a filtered-out id leaked into the result")
+    // every query keeps k results despite the filter (the rate-widened beam)
+    val minPerQ = got.groupBy("qid").count().agg(min("count")).head().getLong(0)
+    assert(minPerQ == 10, s"short result list: $minPerQ")
+    val exact = BruteForceKnn.knnJoin(emb.filter(col("id") % 3 =!= 0), queries, 10,
+      Metric.L2, "id", "vec").select(col("qid"), col("nbr_id"))
+    val r = got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / exact.count()
+    assert(r >= 0.8, s"filtered recall $r")
+  }
+
   test("hnsw: level layout is geometric and search meets the recall floor") {
     val levels = Hnsw.assignLevels(emb, Hnsw.Params(m = 16), "id")
     val n = levels.count()

@@ -529,6 +529,28 @@ object SparkEntry {
       |CAST(10 AS BIGINT) AS nonempty_clusters, true AS inertia_lt_total_ss
       |FROM embeddings""".stripMargin
 
+  /** k-means|| init (kmeans.hpp InitMethod::KMeansPlusPlus) — the earned
+    * booleans: the D²-oversampled init is seed-deterministic and ends no
+    * worse than the uniform pick after the same Lloyd budget. */
+  private def kmeansPlusPlusQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    def run(init: graft.cluster.KMeans.Init) = graft.cluster.KMeans.fit(emb,
+      graft.cluster.KMeans.Params(k = 10, maxIter = 10, init = init),
+      "vec_id", "embedding")
+    val pp = run(graft.cluster.KMeans.PlusPlusInit)
+    val pp2 = run(graft.cluster.KMeans.PlusPlusInit)
+    val rnd = run(graft.cluster.KMeans.RandomInit)
+    emb.agg(count(lit(1)).as("n_points"))
+      .select(col("n_points"), lit(10).as("k"),
+        lit(pp.inertia == pp2.inertia).as("deterministic"),
+        lit(pp.inertia <= rnd.inertia * 1.02).as("no_worse_than_random"))
+  }
+
+  private val kmeansPlusPlusOracle: String =
+    """SELECT count(*) AS n_points, CAST(10 AS INT) AS k,
+      |true AS deterministic, true AS no_worse_than_random
+      |FROM embeddings""".stripMargin
+
   /** Balanced k-means (the reference's IVF trainer): adjust_centers keeps
     * every cluster above balanceRatio·(n/k) — invariants oracle. */
   private def kmeansBalancedQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -869,6 +891,7 @@ object SparkEntry {
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
+    "kmeans_plusplus" -> (kmeansPlusPlusQuery(_, _)),
     "kmeans_transform_cost" -> (kmeansTransformQuery(_, _)),
     "kmeans_balanced" -> (kmeansBalancedQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
@@ -924,6 +947,7 @@ object SparkEntry {
     "binary_quantize" -> binaryQuantizeOracle,
     "knn_hamming_packed" -> hammingKnnOracle,
     "kmeans_fit_predict" -> kmeansOracle,
+    "kmeans_plusplus" -> kmeansPlusPlusOracle,
     "kmeans_transform_cost" -> kmeansTransformOracle,
     "kmeans_balanced" -> kmeansBalancedOracle,
     "ivf_flat_recall" -> ivfRecallOracle,

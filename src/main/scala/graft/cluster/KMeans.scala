@@ -27,11 +27,24 @@ import org.apache.spark.sql.graft.{bridge => B}
   */
 object KMeans {
 
+  /** Centroid initialization — kmeans.hpp:62-69 InitMethod. */
+  sealed trait Init
+  /** Seeded uniform pick: k rows with smallest xxhash64(id, seed)
+    * (InitMethod::Random; deterministic, and the historical default the
+    * oracles replay). */
+  case object RandomInit extends Init
+  /** k-means|| oversampling (InitMethod::KMeansPlusPlus at scale) — see
+    * [[plusPlusInit]]. */
+  case object PlusPlusInit extends Init
+  /** Caller-provided centroids (InitMethod::Array / params.centroids). */
+  final case class ArrayInit(centroids: Array[Array[Float]]) extends Init
+
   /** nInit (kmeans.hpp n_init): independent seeded restarts; fit keeps the
     * lowest-inertia model (first wins ties, so the result is
     * deterministic). */
   case class Params(k: Int, maxIter: Int = 20, tol: Double = 1e-4,
-      seed: Long = 42, metric: Metric = Metric.L2, nInit: Int = 1)
+      seed: Long = 42, metric: Metric = Metric.L2, nInit: Int = 1,
+      init: Init = RandomInit)
 
   case class Model(centroids: CentroidSet, inertia: Double, iterations: Int) {
     def centroidArrays: Array[Array[Float]] = centroids.centroids
@@ -59,11 +72,19 @@ object KMeans {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = data.select(size(col("_vec"))).head().getInt(0)
-      // deterministic seeded init: k rows with smallest hash
-      val initRows = data
-        .orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
-        .limit(params.k)
-        .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+      val initRows = params.init match {
+        case ArrayInit(cs) =>
+          require(cs.length == params.k,
+            s"ArrayInit carries ${cs.length} centroids, k=${params.k}")
+          require(cs.forall(_.length == dim), s"ArrayInit centroid dim != $dim")
+          cs.map(_.clone())
+        case PlusPlusInit => plusPlusInit(data, params, dim)
+        case RandomInit =>
+          // deterministic seeded init: k rows with smallest hash
+          data.orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
+            .limit(params.k)
+            .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+      }
 
       // Cost-based route (graft.graphops.LocalKernel): Lloyd's loop is
       // k·dim driver-side state and two jobs per iteration — on a trainset
@@ -355,6 +376,83 @@ object KMeans {
         s => s.getField("list_id") === i), 1).getField("dist"))
 
   /** Sum of distances to the nearest centroid — kmeans.hpp cluster_cost. */
+  /** k-means|| init (Bahmani et al., VLDB 2012) — the distributed analog
+    * of the k-means++ the reference defaults to (kmeans.hpp:62-69; its
+    * init_size subsampling, kmeans.hpp:119-135, is the same
+    * oversample-then-reduce idea). Each round samples candidates with
+    * probability min(1, l·cost(x,C)/φ) where l = 2k, using a seeded hash
+    * as the uniform draw — deterministic and partition-order-free. The
+    * ≤ 1 + rounds·l expected candidates are weighted by their assignment
+    * counts and reduced to exactly k by a driver-side weighted k-means++
+    * pass. Only candidate vectors ever reach the driver; the data side
+    * stays distributed. */
+  private def plusPlusInit(data: DataFrame, params: Params, dim: Int): Array[Array[Float]] = {
+    val k = params.k
+    var cands: Array[Array[Float]] = Array(
+      data.orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
+        .limit(1).select(col("_vec")).head().getSeq[Float](0).toArray)
+    val l = 2.0 * k
+    val rounds = 4
+    val uniform = (r: Int) =>
+      (abs(xxhash64(col("_id"), lit(params.seed + r))) % 1000000007L)
+        .cast("double") / 1000000007.0
+    var r = 1
+    while (r <= rounds && cands.length < 1 + rounds * 2 * k) {
+      val cs = pack(cands, dim, params.metric)
+      val (_, d) = assignCols(cs, col("_vec"))
+      val scored = data.withColumn("_d2", d)
+      val phi = scored.agg(sum(col("_d2"))).head().getDouble(0)
+      if (phi <= 0) r = rounds // every row coincides with a candidate
+      else cands = cands ++ scored
+        .filter(uniform(r) < col("_d2") * l / phi)
+        .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+      r += 1
+    }
+    if (cands.length <= k) {
+      // degenerate oversample (tiny or duplicate-heavy data): top up with
+      // the seeded uniform pick, dedup-first so the padding adds spread
+      val pad = data.orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
+        .limit(k).select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
+      return (cands ++ pad).distinctBy(_.toSeq).padTo(k, cands.head).take(k)
+    }
+    // weight candidates by how many rows they'd absorb, reduce to k
+    val cs = pack(cands, dim, params.metric)
+    val (cl, _) = assignCols(cs, col("_vec"))
+    val counts = data.groupBy(cl.as("_c")).agg(count(lit(1)).as("_n"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val w = Array.tabulate(cands.length)(i => counts.getOrElse(i, 0L).toDouble)
+    weightedPlusPlus(cands, w, k, params.seed, params.metric)
+  }
+
+  /** Driver-side weighted k-means++ over the candidate set (standard
+    * final step of k-means||): sequential D²-weighted draws with a seeded
+    * RNG. */
+  private def weightedPlusPlus(cands: Array[Array[Float]], w: Array[Double], k: Int,
+      seed: Long, metric: Metric): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val distFn = Distance.fn(metric)
+    val n = cands.length
+    def draw(p: Array[Double]): Int = {
+      val tot = p.sum
+      if (tot <= 0) return rnd.nextInt(n)
+      var x = rnd.nextDouble() * tot
+      var i = 0
+      while (i < n - 1 && x > p(i)) { x -= p(i); i += 1 }
+      i
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cands(draw(w)))
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (chosen.length < k) {
+      val last = chosen.last
+      var i = 0
+      while (i < n) {
+        minD(i) = math.min(minD(i), math.max(0.0, distFn(cands(i), last))); i += 1
+      }
+      chosen += cands(draw(Array.tabulate(n)(i => w(i) * minD(i))))
+    }
+    chosen.toArray
+  }
+
   def clusterCost(df: DataFrame, centroids: CentroidSet, vecCol: String = "vec"): Double = {
     val (_, d) = assignCols(centroids, col(vecCol))
     df.agg(sum(d)).head().getDouble(0)

@@ -53,6 +53,35 @@ class KMeansSuite extends SparkFunSuite {
     }
   }
 
+  test("ArrayInit: maxIter=0 returns the given centroids verbatim") {
+    val given = Array(Array.fill(64)(0.25f), Array.fill(64)(-0.25f))
+    val m = KMeans.fit(emb, KMeans.Params(k = 2, maxIter = 0,
+      init = KMeans.ArrayInit(given)), "vec_id", "embedding")
+    assert(m.iterations == 0)
+    m.centroidArrays.zip(given).foreach { case (a, b) => assert(a.sameElements(b)) }
+    intercept[IllegalArgumentException] {
+      KMeans.fit(emb, KMeans.Params(k = 3, maxIter = 0,
+        init = KMeans.ArrayInit(given)), "vec_id", "embedding")
+    }
+  }
+
+  test("PlusPlusInit is deterministic and no worse than the random init on blobs") {
+    val pp1 = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 10,
+      init = KMeans.PlusPlusInit), "vec_id", "embedding")
+    val pp2 = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 10,
+      init = KMeans.PlusPlusInit), "vec_id", "embedding")
+    assert(pp1.inertia == pp2.inertia, "k-means|| init must be seed-deterministic")
+    pp1.centroidArrays.zip(pp2.centroidArrays).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    val rnd = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 10,
+      init = KMeans.RandomInit), "vec_id", "embedding")
+    // on the 10-blob fixture the D^2-weighted oversample should spread
+    // across blobs at least as well as a uniform pick
+    assert(pp1.inertia <= rnd.inertia * 1.02,
+      s"k-means|| ${pp1.inertia} vs random ${rnd.inertia}")
+  }
+
   test("more iterations never increase inertia") {
     val m1 = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 1), "vec_id", "embedding")
     val m5 = KMeans.fit(emb, KMeans.Params(k = 10, maxIter = 5), "vec_id", "embedding")

@@ -316,6 +316,10 @@ object MiscQueries {
     val qs = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     val waves = (0 until 3).map(w => qs.filter(_._1 / 20 % 3 == w).toSeq)
+    // the oracle equates the dense dispatch index with the wave number,
+    // which only holds when no wave is empty — fail loudly, not by hash
+    require(waves.forall(_.nonEmpty),
+      s"a query wave is empty at $dir; the batch column would diverge from the oracle")
     graft.stream.DynamicBatcher.run(spark, waves, b =>
         graft.ops.BruteForceKnn.knnJoin(emb, b, 10, Metric.L2Sqrt,
           idCol = "vec_id", vecCol = "embedding"))

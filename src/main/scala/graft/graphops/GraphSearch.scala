@@ -130,11 +130,15 @@ object GraphSearch {
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec",
       filteringRate: Double = -1.0): DataFrame = {
-    val allowIds = allow.select(col(idCol).cast("long").as("id"))
+    // distinct: a duplicated allow row (e.g. from an upstream join) must
+    // not understate the rate and silently skip the beam widening
+    val allowIds = allow.select(col(idCol).cast("long").as("id")).distinct()
     val rate =
       if (filteringRate >= 0) filteringRate
       else 1.0 - allowIds.count().toDouble / math.max(1L, dataset.count())
-    val keep = math.max(0.05, 1.0 - rate) // cap the widening at 20x
+    // clamp to [0.05, 1]: cap the widening at 20x, and never NARROW the
+    // beam when allow covers (or out-of-dataset ids overcount) the dataset
+    val keep = math.min(1.0, math.max(0.05, 1.0 - rate))
     val widened = params.copy(itopk = math.ceil(params.itopk / keep).toInt)
     // the full widened beam is already scored — return all of it and cut
     // to k after the filter, so a locally-dense deny region can't shorten

@@ -88,7 +88,15 @@ object BruteForceKnn {
       if (graft.graphops.LocalKernel.enabled(spark) &&
           BigInt(dRowsEst) * BigInt(rowsEst(q)) > BigInt(fusedMinPairs)) {
         import spark.implicits._
-        q.limit((maxV + 1).min(Int.MaxValue).toInt).as[(Long, Array[Float])].collect()
+        val maxVInt = (maxV + 1).min(Int.MaxValue).toInt
+        // rowsEst never undercounts (64 B/row floor), so rowsEst <= maxV
+        // proves q is collectable. Past that the count is ambiguous: run a
+        // bounded count job FIRST — rows only, no vector transfer — so a
+        // genuinely huge query side never ships maxV vectors to the driver
+        // just to be discarded.
+        if (rowsEst(q) <= maxV || q.limit(maxVInt).count() <= maxV)
+          q.limit(maxVInt).as[(Long, Array[Float])].collect()
+        else null
       } else null
     val pairs =
       if (qArr != null && qArr.length <= maxV &&

@@ -81,9 +81,15 @@ object Hdf5 {
           // contiguous id range per partition: one seek + sequential stream
           val fs = FileSystem.get(new java.net.URI(path), conf.value)
           val in = fs.open(new Path(path))
+          // close on task completion, not iterator exhaustion — an early
+          // stop (limit/head) would otherwise leak the handle
+          org.apache.spark.TaskContext.get() match {
+            case null => ()
+            case tc => tc.addTaskCompletionListener[Unit](_ => in.close())
+          }
           in.seek(dataAddr + ids.head * rowBytes)
           val buf = new Array[Byte](rowBytes.toInt)
-          val out = ids.iterator.map { id =>
+          ids.iterator.map { id =>
             in.readFully(buf, 0, buf.length)
             val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
             dtype match {
@@ -96,10 +102,6 @@ object Hdf5 {
               case U8 =>
                 (id, Array.tabulate(dim)(j => (buf(j) & 0xff).toFloat), null: Array[Int])
             }
-          }
-          new Iterator[(Long, Array[Float], Array[Int])] {
-            def hasNext: Boolean = { val h = out.hasNext; if (!h) in.close(); h }
-            def next(): (Long, Array[Float], Array[Int]) = out.next()
           }
         }
       }
@@ -203,7 +205,7 @@ object Hdf5 {
                 s"unsupported layout class $cls (only contiguous; chunked/compact " +
                   "datasets need h5py defaults — no chunks/compression)")
               msgs += LayoutMsg(b.getLong)
-            case 0x000C => parseAttribute(b).foreach { case (k, v) => attrs(k) = v }
+            case 0x000C => parseAttribute(b, in).foreach { case (k, v) => attrs(k) = v }
             case 0x0010 => blocks = (b.getLong, b.getLong.toInt) :: blocks
             case _ => () // NIL, fill value, mod time, …: skip
           }
@@ -243,9 +245,11 @@ object Hdf5 {
     }
   }
 
-  /** Attribute message v1: returns (name, value) for scalar fixed-length
-    * string attributes (the `distance` attr shape); others → None. */
-  private def parseAttribute(b: ByteBuffer): Option[(String, String)] = {
+  /** Attribute message v1: returns (name, value) for scalar string
+    * attributes — fixed-length (class 3, what [[write]] emits) and
+    * variable-length (class 9, what h5py emits for `f.attrs["distance"]`;
+    * the value lives in a global heap collection). Others → None. */
+  private[graft] def parseAttribute(b: ByteBuffer, in: FSDataInputStream): Option[(String, String)] = {
     val ver = b.get() & 0xff
     if (ver != 1) return None
     b.get() // reserved
@@ -262,12 +266,44 @@ object Hdf5 {
     dtb.get(); dtb.get(); dtb.get()
     val elemSize = dtb.getInt()
     val ds = new Array[Byte](pad8(dsSize)); b.get(ds)
-    if (cls != 3) None // only fixed-length strings
-    else {
-      val v = new Array[Byte](math.min(elemSize, b.remaining()))
-      b.get(v)
-      Some(nm -> new String(v.takeWhile(_ != 0), StandardCharsets.UTF_8))
+    cls match {
+      case 3 =>
+        val v = new Array[Byte](math.min(elemSize, b.remaining()))
+        b.get(v)
+        Some(nm -> new String(v.takeWhile(_ != 0), StandardCharsets.UTF_8))
+      case 9 if b.remaining() >= 16 =>
+        // vlen descriptor: u32 length, u64 global-heap addr, u32 object idx
+        val len = b.getInt()
+        val heapAddr = b.getLong()
+        val objIdx = b.getInt()
+        readGlobalHeapObject(in, heapAddr, objIdx).map { bytes =>
+          nm -> new String(bytes, 0, math.min(len, bytes.length), StandardCharsets.UTF_8)
+        }
+      case _ => None
     }
+  }
+
+  /** Fetch one object from a global heap collection (GCOL — the storage
+    * h5py uses for variable-length string attribute values). */
+  private[graft] def readGlobalHeapObject(in: FSDataInputStream, addr: Long,
+      objIdx: Int): Option[Array[Byte]] = {
+    if (addr == UNDEF || addr < 0) return None
+    val hdr = readBytes(in, addr, 16)
+    if (hdr.getInt(0) != leSig("GCOL")) return None
+    val collSize = hdr.getLong(8)
+    val body = readBytes(in, addr + 16, (collSize - 16).toInt)
+    while (body.remaining() >= 16) {
+      val idx = body.getShort() & 0xffff
+      body.getShort(); body.getInt() // refcount + reserved
+      val size = body.getLong()
+      if (idx == 0) return None // free-space object terminates the walk
+      val data = new Array[Byte](size.toInt)
+      if (body.remaining() < data.length) return None
+      body.get(data)
+      if (idx == objIdx) return Some(data)
+      body.position(body.position() + ((8 - size % 8) % 8).toInt) // pad to 8
+    }
+    None
   }
 
   /** Walk a group's v1 B-tree → SNOD symbol nodes → (name, header addr). */
@@ -364,9 +400,11 @@ object Hdf5 {
     var cursor = snodAddr + snodSize
     val dsHeader = shaped.map { case (s, n, dim) =>
       val spaceBody = 8 + 2 * 2 * 8 // v1, rank2, dims+maxdims
+      // v1 object-header message bodies must be 8-byte multiples
+      // (libhdf5 H5O_ALIGN); float body is 20 -> 24, fixed-point 12 -> 16
       val dtBody = s.dtype match {
-        case F32 | F64 => 8 + 12
-        case I32 | U8 => 8 + 4
+        case F32 | F64 => 24
+        case I32 | U8 => 16
       }
       val hSize = 16L + (8 + spaceBody) + (8 + dtBody) + (8 + 24)
       val a = cursor
@@ -390,7 +428,9 @@ object Hdf5 {
       sb.put(SIG)
       sb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // versions+reserved
       sb.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // shm ver, offsets, lengths
-      sb.putShort(4).putShort(16) // group leaf / internal k
+      // leaf k sized so the single SNOD's entry count stays within the
+      // conforming-reader cap of 2k entries per symbol node
+      sb.putShort(math.max(4, (names.size + 1) / 2).toShort).putShort(16)
       sb.putInt(0) // consistency flags
       sb.putLong(0L).putLong(UNDEF).putLong(eof).putLong(UNDEF)
       // root symbol table entry: name off 0, header addr, cache type 1 + scratch
@@ -444,36 +484,40 @@ object Hdf5 {
         h.putShort(0x0001).putShort((8 + 32).toShort).putInt(0)
         h.put(1.toByte).put(2.toByte).put(1.toByte).put(0.toByte).putInt(0)
         h.putLong(n).putLong(dim.toLong).putLong(n).putLong(dim.toLong)
-        // datatype v1
+        // datatype v1 (bodies padded to the 8-byte message alignment)
         s.dtype match {
           case F32 =>
-            h.putShort(0x0003).putShort(20).putInt(0)
+            h.putShort(0x0003).putShort(24).putInt(0)
             h.put(0x11.toByte) // v1, class 1 float
             h.put(0x20.toByte).put(0x1f.toByte).put(0.toByte) // LE, norm=implied, sign bit 31
             h.putInt(4)
             h.putShort(0).putShort(32) // bit offset, precision
             h.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte) // exp loc/sz, man loc/sz
             h.putInt(127) // exponent bias
+            h.putInt(0) // alignment pad
           case F64 =>
-            h.putShort(0x0003).putShort(20).putInt(0)
+            h.putShort(0x0003).putShort(24).putInt(0)
             h.put(0x11.toByte)
             h.put(0x20.toByte).put(63.toByte).put(0.toByte)
             h.putInt(8)
             h.putShort(0).putShort(64)
             h.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
             h.putInt(1023)
+            h.putInt(0) // alignment pad
           case I32 =>
-            h.putShort(0x0003).putShort(12).putInt(0)
+            h.putShort(0x0003).putShort(16).putInt(0)
             h.put(0x10.toByte) // v1, class 0 fixed-point
             h.put(0x08.toByte).put(0.toByte).put(0.toByte) // LE, signed
             h.putInt(4)
             h.putShort(0).putShort(32)
+            h.putInt(0) // alignment pad
           case U8 =>
-            h.putShort(0x0003).putShort(12).putInt(0)
+            h.putShort(0x0003).putShort(16).putInt(0)
             h.put(0x10.toByte)
             h.put(0x00.toByte).put(0.toByte).put(0.toByte) // LE, unsigned
             h.putInt(1)
             h.putShort(0).putShort(8)
+            h.putInt(0) // alignment pad
         }
         // layout v3 contiguous
         h.putShort(0x0008).putShort(24).putInt(0)

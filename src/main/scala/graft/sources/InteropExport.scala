@@ -51,6 +51,15 @@ object InteropExport {
     m
   }
 
+  /** Map an external id to its dense internal id, failing with a clear
+    * message (not an unboxing NPE mid-file) when the graph references a
+    * node absent from the data table. */
+  private def internalOf(m: java.util.HashMap[Long, Int], id: Long, what: String): Int = {
+    val v = m.get(id)
+    require(v != null, s"$what references id $id, which is not in the data table")
+    v
+  }
+
   /** Write `idx` + its vectors as an hnswlib binary (`loadIndex`-able).
     *
     * Layout (detail/hnsw.hpp:483-509): 5x size_t header fields, maxlevel
@@ -78,7 +87,7 @@ object InteropExport {
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(struct(col("rank"), col("dst")))).as("nbrs"))
     val maxM0 = math.max(
-      edges0.select(max(size(col("nbrs")))).head().getInt(0), 1)
+      edges0.select(coalesce(max(size(col("nbrs"))), lit(0))).head().getInt(0), 1)
     // upper layers shrink at 1/M per level -> collected to the driver map
     val upper = idx.edges.filter(col("level") >= 1)
       .select(col("level"), col("src"), col("dst"), col("rank"))
@@ -100,7 +109,7 @@ object InteropExport {
       w.i64((sizeLinks0 + dim * 4).toLong) // label_offset
       w.i64(sizeLinks0.toLong) // offsetData
       w.i32(idx.maxLevel)
-      w.i32(internal.get(idx.entryPoint))
+      w.i32(internalOf(internal, idx.entryPoint, "entry point"))
       w.i64(m.toLong) // maxM
       w.i64(maxM0.toLong)
       w.i64(m.toLong) // M
@@ -116,7 +125,7 @@ object InteropExport {
           if (r.isNullAt(r.fieldIndex("nbrs"))) Seq.empty[Long]
           else r.getSeq[Row](r.fieldIndex("nbrs")).map(_.getAs[Long]("dst"))
         w.i32(nbrs.length)
-        nbrs.foreach(dst => w.i32(internal.get(dst)))
+        nbrs.foreach(dst => w.i32(internalOf(internal, dst, "an edge")))
         (nbrs.length until maxM0).foreach(_ => w.i32(0))
         w.f32s(vec)
         w.i64(id) // label = original id
@@ -130,7 +139,7 @@ object InteropExport {
         (1 to lvl).foreach { l =>
           val nbrs = upper.getOrElse((id, l), Array.empty[Long])
           w.i32(nbrs.length)
-          nbrs.foreach(dst => w.i32(internal.get(dst)))
+          nbrs.foreach(dst => w.i32(internalOf(internal, dst, "an edge")))
           (nbrs.length until m).foreach(_ => w.i32(0))
         }
       }
@@ -171,13 +180,13 @@ object InteropExport {
     val adj = graph
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(struct(col("rank"), col("dst")))).as("nbrs"))
-    val maxDegree = adj.select(max(size(col("nbrs")))).head().getInt(0)
+    val maxDegree = adj.select(coalesce(max(size(col("nbrs"))), lit(0))).head().getInt(0)
 
     val w = new LEWriter(path)
     try {
       w.i64(0L) // index_size, rewritten below
       w.i32(0) // max_observed_degree, rewritten below
-      w.i32(internal.get(medoidId)) // start
+      w.i32(internalOf(internal, medoidId, "the medoid")) // start
       w.i64(0L) // num_frozen_points
       var indexSize = 24L
       val body = d.select(col("id")).join(adj, Seq("id"), "left").orderBy(col("id"))
@@ -186,7 +195,7 @@ object InteropExport {
           if (r.isNullAt(r.fieldIndex("nbrs"))) Seq.empty[Long]
           else r.getSeq[Row](r.fieldIndex("nbrs")).map(_.getAs[Long]("dst"))
         w.i32(nbrs.length)
-        nbrs.foreach(dst => w.i32(internal.get(dst)))
+        nbrs.foreach(dst => w.i32(internalOf(internal, dst, "an edge")))
         indexSize += 4L * (nbrs.length + 1)
       }
       w.close()

@@ -27,15 +27,22 @@ object Silhouette {
     * doc); below the gate the result is exact. */
   def perPoint(df: DataFrame, metric: Metric = Metric.L2Sqrt,
       idCol: String = "id", vecCol: String = "vec", labelCol: String = "label"): DataFrame = {
+    // persisted across the gate count and the pairwise pass, so an
+    // expensive upstream plan (e.g. a clustering output) evaluates once
     val x = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
       col(labelCol).cast("int").as("label"))
-    val spark = df.sparkSession
-    val exactMax = spark.conf.get("spark.graft.silhouette.exactMaxRows", "20000").toLong
-    if (x.count() <= exactMax) scores(pairMeans(x, x.as("j"), metric))
-    else {
-      val cap = spark.conf.get("spark.graft.silhouette.samplePerCluster", "256").toInt
-      perPointSampled(x, metric, cap)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = df.sparkSession
+      val exactMax = spark.conf.get("spark.graft.silhouette.exactMaxRows", "20000").toLong
+      val res =
+        if (x.count() <= exactMax) scores(pairMeans(x, x.as("j"), metric))
+        else {
+          val cap = spark.conf.get("spark.graft.silhouette.samplePerCluster", "256").toInt
+          perPointSampled(x, metric, cap)
+        }
+      res.localCheckpoint()
+    } finally x.unpersist()
   }
 
   /** Sampled route, exposed for tests; identical output schema. */

@@ -86,6 +86,50 @@ class Hdf5Suite extends SparkFunSuite {
     assert(e2.getMessage.toLowerCase.contains("signature"))
   }
 
+  test("variable-length string attribute (h5py class 9) reads via the global heap") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.{Files, Paths}
+    // craft a GCOL collection holding "euclidean" as object #1, preceded
+    // by junk padding so the address is non-trivial
+    val value = "euclidean".getBytes("UTF-8")
+    val pad = 32
+    val objData = 16 + (value.length + 7) / 8 * 8
+    val collSize = 16 + objData + 16 // header + object + free-space object
+    val bb = ByteBuffer.allocate(pad + collSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(pad)
+    bb.put("GCOL".getBytes("US-ASCII")).put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putLong(collSize.toLong)
+    bb.putShort(1).putShort(1).putInt(0).putLong(value.length.toLong) // object 1
+    bb.put(value)
+    bb.position(pad + 16 + objData)
+    bb.putShort(0).putShort(0).putInt(0).putLong(16L) // free-space terminator
+    val gfile = tmp("gcol.bin")
+    Files.write(Paths.get(gfile), bb.array())
+
+    // attribute message body: name "distance", class-9 vlen datatype,
+    // scalar dataspace, 16-byte (len, heap addr, index) descriptor
+    def pad8(n: Int) = (n + 7) / 8 * 8
+    val name = "distance".getBytes("UTF-8")
+    val ab = ByteBuffer.allocate(8 + pad8(name.length + 1) + 8 + 8 + 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    ab.put(1.toByte).put(0.toByte)
+    ab.putShort((name.length + 1).toShort).putShort(8.toShort).putShort(8.toShort)
+    ab.put(name).put(0.toByte)
+    ab.position(8 + pad8(name.length + 1))
+    ab.put(0x19.toByte).put(1.toByte).put(0.toByte).put(0.toByte).putInt(16) // v1 class 9, vlen string
+    ab.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(0) // scalar dataspace v1
+    ab.putInt(value.length).putLong(pad.toLong).putInt(1) // vlen descriptor
+
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(gfile))
+    try {
+      val parsed = Hdf5.parseAttribute(
+        ByteBuffer.wrap(ab.array()).order(ByteOrder.LITTLE_ENDIAN), in)
+      assert(parsed.contains("distance" -> "euclidean"))
+    } finally in.close()
+  }
+
   test("ragged rows are rejected at write") {
     import spark.implicits._
     val df = Seq((0L, Array(1f, 2f)), (1L, Array(1f))).toDF("id", "vec")

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+
+/** Scale smoke test: drive the DISTRIBUTED routes (LocalKernel off) on
+  * synthetic data ~100x the sf0.1 fixture, proving the at-scale plans
+  * execute without driver collects, broadcast overflows, or OOM — the
+  * local stand-in for the 1000-executor / 100 TB posture question.
+  * Vectors are hash-derived (deterministic, no RNG state), generated
+  * distributed via spark.range — the driver never holds the dataset.
+  *
+  * Run: SPARK_GRAFT_SCALE_N=200000 sbt "runMain graft.tools.ScaleSmoke"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
+    val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.driver.maxResultSize", "2g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the whole point: every operator below must survive on its
+    // distributed plan alone
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // deterministic blobs: 32 centers on hash rays, points = center + hash noise
+    val data = spark.range(0, n, 1, 64)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (pmod(xxhash64(col("id") % 32, j), lit(1000)).cast("double") / 100.0 +
+            pmod(xxhash64(col("id"), j), lit(97)).cast("double") / 97.0)
+            .cast("float")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("generate+materialize")(data.count())
+
+    val q = data.filter(col("id") % (n / 200) === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+
+    time("bruteforce_knn_200q") {
+      graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
+    }
+
+    val km = time("kmeans_distributed_fit") {
+      graft.cluster.KMeans.fit(data,
+        graft.cluster.KMeans.Params(k = 64, maxIter = 5), "id", "vec")
+    }
+    println(f"SCALE   kmeans inertia ${km.inertia}%.3e iters ${km.iterations}")
+
+    val ivf = time("ivf_flat_build_128lists") {
+      graft.index.IvfFlatIndex.build(data,
+        graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5), "id", "vec")
+    }
+    time("ivf_flat_search_8probes") {
+      ivf.search(q, 10, nProbes = 8).count()
+    }
+
+    time("all_neighbors_64cells") {
+      graft.graphops.AllNeighbors.build(data,
+        graft.graphops.AllNeighbors.Params(k = 10, nClusters = 64,
+          overlapFactor = 2, kmeansIters = 5), "id", "vec").count()
+    }
+
+    // near-dup text corpus: 10% of docs are near-copies of a base doc
+    val docs = spark.range(0, n / 4, 1, 64)
+      .select(col("id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          when(col("id") % 10 === 0 && j >= 22, lit("copysuffix"))
+            .otherwise(pmod(xxhash64(when(col("id") % 10 === 0, col("id") - 1)
+              .otherwise(col("id")), lit(j)), lit(5000)).cast("string"))): _*).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("docs_materialize")(docs.count())
+    time("minhash_lsh_dedup") {
+      graft.text.Dedup.minhashLshPairs(docs, "id", "text").count()
+    }
+
+    val edges = time("components_edges") {
+      ivf.search(q, 5, nProbes = 4)
+        .select(col("qid").as("src"), col("nbr_id").as("dst")).localCheckpoint()
+    }
+    time("connected_components_distributed") {
+      graft.graphops.Components.connectedComponents(
+        data.select(col("id")), edges, "id").count()
+    }
+
+    println("SCALE done — all distributed routes executed")
+    spark.stop()
+  }
+}

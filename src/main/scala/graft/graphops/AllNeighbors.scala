@@ -35,16 +35,31 @@ object AllNeighbors {
       .select(col("id"), col("vec"),
         explode(KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)
           .getField("list_id")).as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Local exact kNN per cell (the reference's per-batch local graph,
-    // all_neighbors.hpp:29-95): each cell's rows land on one task via
-    // groupByKey — the same per-cell materialization the within-cell hash
-    // join implies — and a fused select_k kernel emits only k candidates
-    // per (node, cell) into the global merge. The alternative (self-join on
-    // cell + distinct + aggregate) shuffles the full within-cell cross
-    // product; this shuffles |rows|·overlap·k. Cell size is bounded by
-    // choosing nClusters ~ n/targetCellSize — the reference's own contract.
+    // all_neighbors.hpp:29-95): a fused select_k kernel emits only k
+    // candidates per (node, cell) into the global merge. The alternative
+    // (self-join on cell + distinct + aggregate) shuffles the full
+    // within-cell cross product; this shuffles |rows|·overlap·k.
+    //
+    // Skew guard: k-means cells are NOT uniform (a 200k-row smoke showed a
+    // 6x-over-average hot cell whose single-task m^2/2 loop dominated the
+    // whole build). Cells larger than `blockRows` are tiled into
+    // ceil(m/blockRows) hash blocks and every block PAIR becomes its own
+    // task of at most blockRows^2 work — the within-cell result is the
+    // top-k of the union of per-pair top-ks, identical to the single-task
+    // loop because TopKBuf orders totally on (dist, id). This is the same
+    // tiling the reference's batched GEMM applies inside a cluster.
     val spark = df.sparkSession
     import spark.implicits._
+    val blockRows = spark.conf.getOption("spark.graft.allNeighbors.blockRows")
+      .map(_.toInt).getOrElse(8192)
+    // the histogram job doubles as assigned's cache materialization
+    val nBlocksOf: Map[Int, Int] = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) ->
+        math.max(1, ((r.getLong(1) + blockRows - 1) / blockRows).toInt)).toMap
+    data.unpersist() // assigned's cache supersedes it
+    val nBlocksB = spark.sparkContext.broadcast(nBlocksOf)
     val distFn = graft.core.Distance.fn(params.metric)
     val minClose = Metric.isMinClose(params.metric)
     val symmetric = params.metric != Metric.KLDivergence
@@ -52,33 +67,97 @@ object AllNeighbors {
     val localKnn = assigned
       .select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val m = rows.length
-        val bufs = Array.fill(m)(graft.core.TopKBuf(k, minClose,
-          new Array[Double](k), new Array[Long](k), 0))
-        var i = 0
-        while (i < m) {
-          val vi = rows(i)._3
-          var j = i + 1
-          while (j < m) {
-            val d = distFn(vi, rows(j)._3)
-            bufs(i).insert(d, rows(j)._2)
-            bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
-            j += 1
+      .flatMap { case (cell, id, vec) =>
+        val nb = nBlocksB.value.getOrElse(cell, 1)
+        if (nb == 1) Iterator(((cell, 0, 0), id, vec))
+        else {
+          // deterministic block of this row; replicate to its nb block pairs
+          val b = (java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L + cell)
+            & Int.MaxValue) % nb
+          (0 until nb).iterator.map { o =>
+            ((cell, math.min(b, o), math.max(b, o)), id, vec)
           }
-          i += 1
         }
-        bufs.iterator.zipWithIndex.flatMap { case (buf, i) =>
-          (0 until buf.size).iterator.map(j => (rows(i)._2, buf.ids(j), buf.dists(j)))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val (cell, pa, pb) = key
+        val nb = nBlocksB.value.getOrElse(cell, 1)
+        val all = it.toArray
+        def blockOf(id: Long): Int =
+          if (nb == 1) 0
+          else (java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L + cell)
+            & Int.MaxValue) % nb
+        def newBufs(m: Int) = Array.fill(m)(graft.core.TopKBuf(k, minClose,
+          new Array[Double](k), new Array[Long](k), 0))
+        if (pa == pb) {
+          // diagonal tile: triangular loop over the block's rows
+          val rows = all
+          val m = rows.length
+          val bufs = newBufs(m)
+          var i = 0
+          while (i < m) {
+            val vi = rows(i)._3
+            var j = i + 1
+            while (j < m) {
+              val d = distFn(vi, rows(j)._3)
+              bufs(i).insert(d, rows(j)._2)
+              bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
+              j += 1
+            }
+            i += 1
+          }
+          bufs.iterator.zipWithIndex.flatMap { case (buf, i) =>
+            (0 until buf.size).iterator.map(j => (rows(i)._2, buf.ids(j), buf.dists(j)))
+          }
+        } else {
+          // off-diagonal tile: full bipartite between the two blocks
+          val left = all.filter(r => blockOf(r._2) == pa)
+          val right = all.filter(r => blockOf(r._2) == pb)
+          val lb = newBufs(left.length)
+          val rb = newBufs(right.length)
+          var i = 0
+          while (i < left.length) {
+            val vi = left(i)._3
+            var j = 0
+            while (j < right.length) {
+              val d = distFn(vi, right(j)._3)
+              lb(i).insert(d, right(j)._2)
+              rb(j).insert(if (symmetric) d else distFn(right(j)._3, vi), left(i)._2)
+              j += 1
+            }
+            i += 1
+          }
+          (lb.iterator.zipWithIndex.flatMap { case (buf, i) =>
+            (0 until buf.size).iterator.map(j => (left(i)._2, buf.ids(j), buf.dists(j)))
+          }) ++ (rb.iterator.zipWithIndex.flatMap { case (buf, j) =>
+            (0 until buf.size).iterator.map(i => (right(j)._2, buf.ids(i), buf.dists(i)))
+          })
         }
       }
       .toDF("qid", "_nid", "dist")
       .distinct() // a pair can co-occur in up to overlapFactor shared cells
-    val res = BruteForceKnn.topKPerQuery(localKnn, params.k, params.metric)
-      .select(col("qid").as("src"), col("nbr_id").as("dst"), col("dist"), col("rank"))
-    data.unpersist()
+    // Global merge as a window sort, not the TopK object aggregate: the
+    // input here is already reduced to <= k candidates per (node, tile) by
+    // the fused kernels above, so map-side combine has nothing left to
+    // save, and at 10M+ candidate rows the Tungsten radix sort behind
+    // row_number is both faster and flatter than ObjectHashAggregate
+    // (which falls back to sort-based aggregation past 128 keys anyway).
+    // Ordering (dist, id) matches TopKBuf's total order exactly.
+    val ord =
+      if (Metric.isMinClose(params.metric)) Seq(col("dist").asc, col("_nid").asc)
+      else Seq(col("dist").desc, col("_nid").asc)
+    // Eager materialization (localCheckpoint): the graph IS the product —
+    // the reference's build is eager too — and it lets assigned's cache be
+    // released here instead of leaking past return. The edge list is
+    // |rows|·k small relative to the input.
+    val res = localKnn
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(ord: _*)))
+      .filter(col("rank") <= params.k)
+      .select(col("qid").as("src"), col("_nid").as("dst"), col("dist"), col("rank"))
+      .localCheckpoint()
+    assigned.unpersist()
     res
   }
 

@@ -41,4 +41,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // one long session JIT-compiles a distinct whole-stage-codegen class per
+  // query shape; the 240m default code cache fills mid-run and HotSpot
+  // silently stops compiling, leaving later stages interpreted (~20x on
+  // tight loops). 512m holds the full bench/verify surface comfortably.
+  "-XX:ReservedCodeCacheSize=512m",
 )

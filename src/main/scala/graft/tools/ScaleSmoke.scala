@@ -32,6 +32,17 @@ object ScaleSmoke {
       println(f"SCALE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    // surface the stages that matter: anything over 5s prints, so a
+    // straggler stage is attributable without the (disabled) UI
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (secs > 5.0)
+          println(f"  STAGE ${si.stageId}%5d ${si.name.take(56)}%-56s tasks=${si.numTasks}%5d $secs%7.2f s")
+      }
+    })
 
     // deterministic blobs: 32 centers on hash rays, points = center + hash noise
     val data = spark.range(0, n, 1, 64)
@@ -70,6 +81,22 @@ object ScaleSmoke {
           overlapFactor = 2, kmeansIters = 5), "id", "vec").count()
     }
 
+    val edges = time("components_edges") {
+      ivf.search(q, 5, nProbes = 4)
+        .select(col("qid").as("src"), col("nbr_id").as("dst")).localCheckpoint()
+    }
+    time("connected_components_distributed") {
+      graft.graphops.Components.connectedComponents(
+        data.select(col("id")), edges, "id").count()
+    }
+
+    // release the vector phase's cached state before the text phase — the
+    // hygiene a long-lived 100 TB pipeline needs anyway, and it keeps the
+    // text-phase timings honest (accumulated caches/shuffles were
+    // inflating them ~10x in earlier runs)
+    data.unpersist()
+    ivf.lists.unpersist()
+
     // near-dup text corpus: 10% of docs are near-copies of a base doc
     val docs = spark.range(0, n / 4, 1, 64)
       .select(col("id"),
@@ -81,15 +108,6 @@ object ScaleSmoke {
     time("docs_materialize")(docs.count())
     time("minhash_lsh_dedup") {
       graft.text.Dedup.minhashLshPairs(docs, "id", "text").count()
-    }
-
-    val edges = time("components_edges") {
-      ivf.search(q, 5, nProbes = 4)
-        .select(col("qid").as("src"), col("nbr_id").as("dst")).localCheckpoint()
-    }
-    time("connected_components_distributed") {
-      graft.graphops.Components.connectedComponents(
-        data.select(col("id")), edges, "id").count()
     }
 
     println("SCALE done — all distributed routes executed")

@@ -54,6 +54,14 @@ case class TopKBuf(var k: Int, var minClose: Boolean,
     }
   }
 
+  /** Current acceptance bound: once full, a candidate strictly worse in
+    * dist than the root cannot enter (ties still can, via the id break) —
+    * callers may skip exact-distance work for candidates provably past
+    * this. +/-inf while filling. */
+  def bound: Double =
+    if (size < k) { if (minClose) Double.PositiveInfinity else Double.NegativeInfinity }
+    else dists(0)
+
   def mergeFrom(other: TopKBuf): TopKBuf = {
     var i = 0
     while (i < other.size) { insert(other.dists(i), other.ids(i)); i += 1 }

@@ -64,6 +64,12 @@ object AllNeighbors {
     val minClose = Metric.isMinClose(params.metric)
     val symmetric = params.metric != Metric.KLDivergence
     val k = params.k
+    // L2 family admits a monotone partial sum, so a pair provably worse
+    // than BOTH rows' current k-th bounds aborts mid-accumulation — the
+    // same bound propagation the reference's fused select_k applies
+    // (knn_brute_force.cuh:148-181). Other metrics take the generic path.
+    val l2Fast = params.metric == Metric.L2 || params.metric == Metric.L2Sqrt
+    val sqrtOut = params.metric == Metric.L2Sqrt
     val localKnn = assigned
       .select(col("cell"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
@@ -90,6 +96,20 @@ object AllNeighbors {
             & Int.MaxValue) % nb
         def newBufs(m: Int) = Array.fill(m)(graft.core.TopKBuf(k, minClose,
           new Array[Double](k), new Array[Long](k), 0))
+        // partial L2 sum with early abort once past `bnd` (callers treat
+        // any return > bnd as a rejection, so the truncated sum is safe)
+        def l2UpTo(a: Array[Float], b: Array[Float], bnd: Double): Double = {
+          var s = 0.0
+          var t = 0
+          val len = a.length
+          while (t < len) {
+            val d0 = a(t).toDouble - b(t)
+            s += d0 * d0
+            if (s > bnd) return s
+            t += 1
+          }
+          s
+        }
         if (pa == pb) {
           // diagonal tile: triangular loop over the block's rows
           val rows = all
@@ -100,9 +120,20 @@ object AllNeighbors {
             val vi = rows(i)._3
             var j = i + 1
             while (j < m) {
-              val d = distFn(vi, rows(j)._3)
-              bufs(i).insert(d, rows(j)._2)
-              bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
+              if (l2Fast) {
+                val raw = math.max(bufs(i).bound, bufs(j).bound)
+                val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                val s = l2UpTo(vi, rows(j)._3, bnd)
+                if (s <= bnd) {
+                  val d = if (sqrtOut) math.sqrt(s) else s
+                  bufs(i).insert(d, rows(j)._2)
+                  bufs(j).insert(d, rows(i)._2)
+                }
+              } else {
+                val d = distFn(vi, rows(j)._3)
+                bufs(i).insert(d, rows(j)._2)
+                bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
+              }
               j += 1
             }
             i += 1
@@ -121,9 +152,20 @@ object AllNeighbors {
             val vi = left(i)._3
             var j = 0
             while (j < right.length) {
-              val d = distFn(vi, right(j)._3)
-              lb(i).insert(d, right(j)._2)
-              rb(j).insert(if (symmetric) d else distFn(right(j)._3, vi), left(i)._2)
+              if (l2Fast) {
+                val raw = math.max(lb(i).bound, rb(j).bound)
+                val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                val s = l2UpTo(vi, right(j)._3, bnd)
+                if (s <= bnd) {
+                  val d = if (sqrtOut) math.sqrt(s) else s
+                  lb(i).insert(d, right(j)._2)
+                  rb(j).insert(d, left(i)._2)
+                }
+              } else {
+                val d = distFn(vi, right(j)._3)
+                lb(i).insert(d, right(j)._2)
+                rb(j).insert(if (symmetric) d else distFn(right(j)._3, vi), left(i)._2)
+              }
               j += 1
             }
             i += 1

@@ -82,6 +82,24 @@ object Distance extends Serializable {
 
   def l2Sqrt(a: Array[Float], b: Array[Float]): Double = math.sqrt(l2(a, b))
 
+  /** Squared-L2 partial sum with early abort once strictly past `bnd`:
+    * the sum is monotone, so any return > bnd proves the true distance is
+    * too — callers treat that as a rejection and must not use the
+    * truncated value as a distance. Ties (== bnd) complete exactly, so
+    * the (dist, id) tiebreak downstream still sees them. */
+  def l2UpTo(a: Array[Float], b: Array[Float], bnd: Double): Double = {
+    var s = 0.0
+    var i = 0
+    val len = a.length
+    while (i < len) {
+      val d = a(i).toDouble - b(i)
+      s += d * d
+      if (s > bnd) return s
+      i += 1
+    }
+    s
+  }
+
   def innerProduct(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }

@@ -96,20 +96,8 @@ object AllNeighbors {
             & Int.MaxValue) % nb
         def newBufs(m: Int) = Array.fill(m)(graft.core.TopKBuf(k, minClose,
           new Array[Double](k), new Array[Long](k), 0))
-        // partial L2 sum with early abort once past `bnd` (callers treat
-        // any return > bnd as a rejection, so the truncated sum is safe)
-        def l2UpTo(a: Array[Float], b: Array[Float], bnd: Double): Double = {
-          var s = 0.0
-          var t = 0
-          val len = a.length
-          while (t < len) {
-            val d0 = a(t).toDouble - b(t)
-            s += d0 * d0
-            if (s > bnd) return s
-            t += 1
-          }
-          s
-        }
+        def l2UpTo(a: Array[Float], b: Array[Float], bnd: Double): Double =
+          graft.core.Distance.l2UpTo(a, b, bnd)
         if (pa == pb) {
           // diagonal tile: triangular loop over the block's rows
           val rows = all

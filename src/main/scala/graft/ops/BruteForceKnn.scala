@@ -105,6 +105,11 @@ object BruteForceKnn {
         val bcQ = spark.sparkContext.broadcast(qArr)
         val distFn = graft.core.Distance.fn(metric)
         val minClose = Metric.isMinClose(metric)
+        // L2 family: monotone partial sums let a candidate abort against
+        // the query's current k-th bound (same bound discipline as the
+        // reference's fused select_k, knn_brute_force.cuh:148-181)
+        val l2Fast = metric == Metric.L2 || metric == Metric.L2Sqrt
+        val sqrtOut = metric == Metric.L2Sqrt
         // a small scan can arrive in fewer partitions than cores; spreading
         // it keeps the kernel parallel. At scale partitions >> cores and
         // this is a no-op (no shuffle of a large dataset). The partition
@@ -121,7 +126,12 @@ object BruteForceKnn {
           rows.foreach { case (nid, nvec) =>
             var i = 0
             while (i < qs.length) {
-              bufs(i).insert(distFn(qs(i)._2, nvec), nid)
+              if (l2Fast) {
+                val raw = bufs(i).bound
+                val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                val s = graft.core.Distance.l2UpTo(qs(i)._2, nvec, bnd)
+                if (s <= bnd) bufs(i).insert(if (sqrtOut) math.sqrt(s) else s, nid)
+              } else bufs(i).insert(distFn(qs(i)._2, nvec), nid)
               i += 1
             }
           }

@@ -23,6 +23,22 @@ class GraphSuite extends SparkFunSuite {
     assert(approx.groupBy(col("src")).count().filter(col("count") =!= 10).count() == 0)
   }
 
+  test("all_neighbors block tiling: forced multi-block build == single-block build") {
+    // blockRows=40 forces every ~100-row cell into 3+ hash blocks, driving
+    // the off-diagonal bipartite tiles that fixture-sized cells never hit;
+    // the edge list must be identical to the untiled build (TopKBuf's
+    // total (dist, id) order makes the merge insertion-order-free)
+    val params = AllNeighbors.Params(k = 5, nClusters = 4, overlapFactor = 2,
+      kmeansIters = 5)
+    val untiled = AllNeighbors.build(small, params, "id", "vec")
+    spark.conf.set("spark.graft.allNeighbors.blockRows", "40")
+    try {
+      val tiled = AllNeighbors.build(small, params, "id", "vec")
+      assert(tiled.count() == untiled.count())
+      assert(tiled.except(untiled).count() == 0 && untiled.except(tiled).count() == 0)
+    } finally spark.conf.unset("spark.graft.allNeighbors.blockRows")
+  }
+
   test("nn_descent converges to high recall from a random graph") {
     val r = {
       val approx = NnDescent.build(small, NnDescent.Params(k = 8, maxIterations = 8), "id", "vec")

@@ -33,8 +33,9 @@ object AllNeighbors {
         metric = params.metric), "id", "vec")
     val assigned = data
       .select(col("id"), col("vec"),
-        explode(KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)
-          .getField("list_id")).as("cell"))
+        KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)
+          .getField("list_id").as("cells"))
+      .select(col("id"), col("vec"), col("cells"), explode(col("cells")).as("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Local exact kNN per cell (the reference's per-batch local graph,
     // all_neighbors.hpp:29-95): a fused select_k kernel emits only k
@@ -71,17 +72,17 @@ object AllNeighbors {
     val l2Fast = params.metric == Metric.L2 || params.metric == Metric.L2Sqrt
     val sqrtOut = params.metric == Metric.L2Sqrt
     val localKnn = assigned
-      .select(col("cell"), col("id"), col("vec"))
-      .as[(Int, Long, Array[Float])]
-      .flatMap { case (cell, id, vec) =>
+      .select(col("cell"), col("id"), col("vec"), col("cells"))
+      .as[(Int, Long, Array[Float], Array[Int])]
+      .flatMap { case (cell, id, vec, cells) =>
         val nb = nBlocksB.value.getOrElse(cell, 1)
-        if (nb == 1) Iterator(((cell, 0, 0), id, vec))
+        if (nb == 1) Iterator(((cell, 0, 0), id, vec, cells))
         else {
           // deterministic block of this row; replicate to its nb block pairs
           val b = (java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L + cell)
             & Int.MaxValue) % nb
           (0 until nb).iterator.map { o =>
-            ((cell, math.min(b, o), math.max(b, o)), id, vec)
+            ((cell, math.min(b, o), math.max(b, o)), id, vec, cells)
           }
         }
       }
@@ -98,6 +99,23 @@ object AllNeighbors {
           new Array[Double](k), new Array[Long](k), 0))
         def l2UpTo(a: Array[Float], b: Array[Float], bnd: Double): Double =
           graft.core.Distance.l2UpTo(a, b, bnd)
+        // A pair sharing several cells is processed ONLY in the smallest
+        // shared cell: skipping it elsewhere drops duplicate compute AND
+        // duplicate emission (no distinct stage downstream). The final
+        // top-k is unchanged — a candidate pushed out of any tile buf is
+        // dominated by the k emitted ones, so it never ranks.
+        def dupElsewhere(ca: Array[Int], cb: Array[Int]): Boolean = {
+          var x = 0
+          while (x < ca.length) {
+            val v = ca(x)
+            if (v < cell) {
+              var y = 0
+              while (y < cb.length) { if (cb(y) == v) return true; y += 1 }
+            }
+            x += 1
+          }
+          false
+        }
         if (pa == pb) {
           // diagonal tile: triangular loop over the block's rows
           val rows = all
@@ -108,19 +126,21 @@ object AllNeighbors {
             val vi = rows(i)._3
             var j = i + 1
             while (j < m) {
-              if (l2Fast) {
-                val raw = math.max(bufs(i).bound, bufs(j).bound)
-                val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
-                val s = l2UpTo(vi, rows(j)._3, bnd)
-                if (s <= bnd) {
-                  val d = if (sqrtOut) math.sqrt(s) else s
+              if (!dupElsewhere(rows(i)._4, rows(j)._4)) {
+                if (l2Fast) {
+                  val raw = math.max(bufs(i).bound, bufs(j).bound)
+                  val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                  val s = l2UpTo(vi, rows(j)._3, bnd)
+                  if (s <= bnd) {
+                    val d = if (sqrtOut) math.sqrt(s) else s
+                    bufs(i).insert(d, rows(j)._2)
+                    bufs(j).insert(d, rows(i)._2)
+                  }
+                } else {
+                  val d = distFn(vi, rows(j)._3)
                   bufs(i).insert(d, rows(j)._2)
-                  bufs(j).insert(d, rows(i)._2)
+                  bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
                 }
-              } else {
-                val d = distFn(vi, rows(j)._3)
-                bufs(i).insert(d, rows(j)._2)
-                bufs(j).insert(if (symmetric) d else distFn(rows(j)._3, vi), rows(i)._2)
               }
               j += 1
             }
@@ -140,19 +160,21 @@ object AllNeighbors {
             val vi = left(i)._3
             var j = 0
             while (j < right.length) {
-              if (l2Fast) {
-                val raw = math.max(lb(i).bound, rb(j).bound)
-                val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
-                val s = l2UpTo(vi, right(j)._3, bnd)
-                if (s <= bnd) {
-                  val d = if (sqrtOut) math.sqrt(s) else s
+              if (!dupElsewhere(left(i)._4, right(j)._4)) {
+                if (l2Fast) {
+                  val raw = math.max(lb(i).bound, rb(j).bound)
+                  val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                  val s = l2UpTo(vi, right(j)._3, bnd)
+                  if (s <= bnd) {
+                    val d = if (sqrtOut) math.sqrt(s) else s
+                    lb(i).insert(d, right(j)._2)
+                    rb(j).insert(d, left(i)._2)
+                  }
+                } else {
+                  val d = distFn(vi, right(j)._3)
                   lb(i).insert(d, right(j)._2)
-                  rb(j).insert(d, left(i)._2)
+                  rb(j).insert(if (symmetric) d else distFn(right(j)._3, vi), left(i)._2)
                 }
-              } else {
-                val d = distFn(vi, right(j)._3)
-                lb(i).insert(d, right(j)._2)
-                rb(j).insert(if (symmetric) d else distFn(right(j)._3, vi), left(i)._2)
               }
               j += 1
             }
@@ -166,7 +188,8 @@ object AllNeighbors {
         }
       }
       .toDF("qid", "_nid", "dist")
-      .distinct() // a pair can co-occur in up to overlapFactor shared cells
+    // no distinct stage: the min-shared-cell rule above already guarantees
+    // each (qid, nid) candidate is emitted by at most one cell's tiles
     // Global merge as a window sort, not the TopK object aggregate: the
     // input here is already reduced to <= k candidates per (node, tile) by
     // the fused kernels above, so map-side combine has nothing left to

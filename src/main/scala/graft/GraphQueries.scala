@@ -32,9 +32,10 @@ object GraphQueries {
     * raw-graph query and its recall report. */
   private def approx10Graph(spark: SparkSession, dir: String): DataFrame =
     SparkEntry.memoize(spark, s"allnbr10:$dir") {
+      // build() localCheckpoints internally (eager); no second copy here
       AllNeighbors.build(emb(spark, dir),
           AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
-          "vec_id", "embedding").localCheckpoint()
+          "vec_id", "embedding")
     }
 
   /** Per-node invariants of the all_neighbors graph, each COMPUTED from

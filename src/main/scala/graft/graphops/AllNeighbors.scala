@@ -129,7 +129,7 @@ object AllNeighbors {
               if (!dupElsewhere(rows(i)._4, rows(j)._4)) {
                 if (l2Fast) {
                   val raw = math.max(bufs(i).bound, bufs(j).bound)
-                  val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                  val bnd = if (sqrtOut && !raw.isInfinity) Math.nextUp(Math.nextUp(raw * raw)) else raw
                   val s = l2UpTo(vi, rows(j)._3, bnd)
                   if (s <= bnd) {
                     val d = if (sqrtOut) math.sqrt(s) else s
@@ -163,7 +163,7 @@ object AllNeighbors {
               if (!dupElsewhere(left(i)._4, right(j)._4)) {
                 if (l2Fast) {
                   val raw = math.max(lb(i).bound, rb(j).bound)
-                  val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                  val bnd = if (sqrtOut && !raw.isInfinity) Math.nextUp(Math.nextUp(raw * raw)) else raw
                   val s = l2UpTo(vi, right(j)._3, bnd)
                   if (s <= bnd) {
                     val d = if (sqrtOut) math.sqrt(s) else s
@@ -211,6 +211,7 @@ object AllNeighbors {
       .select(col("qid").as("src"), col("_nid").as("dst"), col("dist"), col("rank"))
       .localCheckpoint()
     assigned.unpersist()
+    nBlocksB.destroy() // checkpoint cut the lineage; nothing re-reads it
     res
   }
 

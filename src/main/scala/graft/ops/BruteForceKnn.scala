@@ -128,7 +128,7 @@ object BruteForceKnn {
             while (i < qs.length) {
               if (l2Fast) {
                 val raw = bufs(i).bound
-                val bnd = if (sqrtOut && !raw.isInfinity) raw * raw else raw
+                val bnd = if (sqrtOut && !raw.isInfinity) Math.nextUp(Math.nextUp(raw * raw)) else raw
                 val s = graft.core.Distance.l2UpTo(qs(i)._2, nvec, bnd)
                 if (s <= bnd) bufs(i).insert(if (sqrtOut) math.sqrt(s) else s, nid)
               } else bufs(i).insert(distFn(qs(i)._2, nvec), nid)

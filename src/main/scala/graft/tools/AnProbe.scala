@@ -29,7 +29,7 @@ object AnProbe {
     val g = time("allneighbors_build") {
       AllNeighbors.build(emb,
         AllNeighbors.Params(k = 10, nClusters = 8, overlapFactor = 2, kmeansIters = 5),
-        "vec_id", "embedding").localCheckpoint()
+        "vec_id", "embedding")
     }
     time("invariant_agg") {
       val e = emb

@@ -8,6 +8,12 @@ import graft.cluster.KMeans
 /** Scratch: step timings for the DISTRIBUTED all_neighbors route at
   * ScaleSmoke scale (LocalKernel off), isolating kmeans fit, assignment
   * shuffle, the tiled per-cell local kNN, distinct, and the top-k merge.
+  *
+  * NOTE: the inlined kernel below is a SNAPSHOT of the round-4 tiled loop
+  * kept for step-level A/B against the production path; it predates the
+  * min-shared-cell dedup and the early-exit bound. The
+  * `build_total_nopersist` step at the end times the REAL
+  * AllNeighbors.build — trust that one for absolute numbers.
   */
 object AnScaleProbe {
   def main(args: Array[String]): Unit = {

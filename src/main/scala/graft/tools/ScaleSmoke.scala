@@ -54,7 +54,7 @@ object ScaleSmoke {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("generate+materialize")(data.count())
 
-    val q = data.filter(col("id") % (n / 200) === 0)
+    val q = data.filter(col("id") % math.max(1L, n / 200) === 0)
       .select(col("id").as("qid"), col("vec").as("qvec"))
 
     time("bruteforce_knn_200q") {

@@ -49,7 +49,7 @@ class LocalKernelSuite extends SparkFunSuite {
     // both sides and the kernel would go unexercised
     spark.conf.set("spark.graft.bruteforce.fusedMinPairs", "0")
     try {
-      for (metric <- Seq(Metric.L2, Metric.Cosine, Metric.InnerProduct)) {
+      for (metric <- Seq(Metric.L2, Metric.L2Sqrt, Metric.Cosine, Metric.InnerProduct)) {
         val (local, dist) = bothRoutes {
           BruteForceKnn.knnJoin(emb, queries, 10, metric, "id", "vec")
         }
@@ -59,6 +59,23 @@ class LocalKernelSuite extends SparkFunSuite {
     } finally {
       spark.conf.unset("spark.graft.bruteforce.fusedMinPairs")
     }
+  }
+
+  test("brute-force fused route: L2Sqrt tie admission on duplicated vectors") {
+    import graft.ops.BruteForceKnn
+    spark.conf.set("spark.graft.bruteforce.fusedMinPairs", "0")
+    try {
+      // every vector appears twice under different ids, so every neighbor
+      // distance is a tie that must resolve by ascending id; the fused
+      // kernel's early-exit bound (squared space, 2-ulp widened) must not
+      // prune the tied candidate the (dist, id) contract admits
+      val dup = emb.unionByName(emb.withColumn("id", col("id") + 100000))
+      val (local, dist) = bothRoutes {
+        BruteForceKnn.knnJoin(dup, queries, 10, Metric.L2Sqrt, "id", "vec")
+      }
+      assert(local.length > 0)
+      assert(local.sameElements(dist))
+    } finally spark.conf.unset("spark.graft.bruteforce.fusedMinPairs")
   }
 
   test("hnsw search: one-pass route == per-level route, row for row") {

@@ -19,9 +19,17 @@ import graft.ops.BruteForceKnn
   */
 object NnDescent {
 
+  /** maxSamples mirrors the reference GNND's per-node forward/reverse
+    * sample cap (nn_descent.cuh:320-339, num_samples <= 32): each round,
+    * every node's undirected adjacency is down-sampled to its maxSamples
+    * hash-smallest neighbors BEFORE the 2-hop expansion, bounding the
+    * candidate join at n*maxSamples^2 rows instead of n*(2k)^2. At the
+    * default k=10 the undirected degree (~2k) is under the cap, so
+    * sampling is dormant; it engages exactly where the reference's does
+    * (large graph_degree builds). <= 0 disables. */
   case class Params(k: Int = 10, maxIterations: Int = 10,
       terminationThreshold: Double = 1e-3, seed: Long = 42,
-      metric: Metric = Metric.L2)
+      metric: Metric = Metric.L2, maxSamples: Int = 32)
 
   /** Edge list (src, dst, dist, rank) of the refined kNN graph. */
   def build(df: DataFrame, params: Params,
@@ -58,8 +66,18 @@ object NnDescent {
     var updateRate = 1.0
     while (it < params.maxIterations && updateRate > params.terminationThreshold) {
       // candidates: 2-hop neighbors (and reverse edges join both directions)
-      val und = graph.select(col("src"), col("dst"))
+      val undAll = graph.select(col("src"), col("dst"))
         .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // per-node hash sampling of the adjacency (see Params.maxSamples);
+      // the same xxhash64 chain runs in buildLocal for route parity
+      val und =
+        if (params.maxSamples > 0)
+          undAll.withColumn("_h", xxhash64(col("src"), col("dst"), lit(params.seed + it)))
+            .withColumn("_r", row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("src")).orderBy(col("_h"), col("dst"))))
+            .filter(col("_r") <= params.maxSamples).drop("_h", "_r")
+        else undAll
       val cand = und.as("e1").join(und.as("e2"), col("e1.dst") === col("e2.src"))
         .filter(col("e1.src") =!= col("e2.dst"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
@@ -119,14 +137,31 @@ object NnDescent {
         buf += b
       }
       prevPairs.foreach { case (s, d) => addU(s, d); addU(d, s) }
+      // per-node hash sampling — the exact xxhash64(src, dst, seed+it)
+      // chain the distributed route's window computes (same signed-long
+      // (hash, dst) order, same distinct-first semantics)
+      val sampledU = new java.util.HashMap[Long, Array[Long]]()
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val seedIt = params.seed + it
+        und.forEach { (s, nbrs) =>
+          val arr = nbrs.toArray.distinct
+          sampledU.put(s,
+            if (params.maxSamples <= 0 || arr.length <= params.maxSamples) arr
+            else arr.map { d =>
+              var h = XXH64.hashLong(s, 42L)
+              h = XXH64.hashLong(d, h)
+              (XXH64.hashLong(seedIt, h), d)
+            }.sortBy(identity).take(params.maxSamples).map(_._2))
+        }
+      }
       // merged top-k per node over current edges + distinct 2-hop candidates
       val next = scala.collection.mutable.Map.empty[Long, Array[(Long, Double)]]
-      und.forEach { (s, nbrs) =>
+      sampledU.forEach { (s, n1) =>
         val cand = new java.util.HashSet[Long]()
         graph.get(s).foreach(_.foreach(e => cand.add(e._1)))
-        val n1 = nbrs.toArray.distinct
         n1.foreach { mid =>
-          val two = und.get(mid)
+          val two = sampledU.get(mid)
           if (two != null) two.foreach { d => if (d != s) cand.add(d) }
         }
         if (!cand.isEmpty) {

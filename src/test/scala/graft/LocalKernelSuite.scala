@@ -61,6 +61,19 @@ class LocalKernelSuite extends SparkFunSuite {
     }
   }
 
+  test("nn-descent: sampled rounds match between local and distributed routes") {
+    import graft.graphops.NnDescent
+    // maxSamples=4 forces the per-round adjacency sampling on (undirected
+    // degree ~2k=12 > 4), exercising the hash-chain parity between the
+    // window form and the in-memory twin
+    val (local, dist) = bothRoutes {
+      NnDescent.build(emb,
+        NnDescent.Params(k = 6, maxIterations = 3, maxSamples = 4), "id", "vec")
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
   test("brute-force fused route: L2Sqrt tie admission on duplicated vectors") {
     import graft.ops.BruteForceKnn
     spark.conf.set("spark.graft.bruteforce.fusedMinPairs", "0")

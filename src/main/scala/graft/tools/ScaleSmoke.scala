@@ -81,6 +81,15 @@ object ScaleSmoke {
           overlapFactor = 2, kmeansIters = 5), "id", "vec").count()
     }
 
+    time("nn_descent_50k_sampled") {
+      // quarter-scale: the candidate join is the O(n*maxSamples^2)-per-round
+      // cost center; maxSamples=8 < 2k keeps the GNND sampling cap ACTIVE
+      graft.graphops.NnDescent.build(
+        data.filter(col("id") % 4 === 0),
+        graft.graphops.NnDescent.Params(k = 8, maxIterations = 3,
+          terminationThreshold = 0, maxSamples = 8), "id", "vec").count()
+    }
+
     val edges = time("components_edges") {
       ivf.search(q, 5, nProbes = 4)
         .select(col("qid").as("src"), col("nbr_id").as("dst")).localCheckpoint()

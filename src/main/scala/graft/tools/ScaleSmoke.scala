@@ -75,10 +75,20 @@ object ScaleSmoke {
       ivf.search(q, 10, nProbes = 8).count()
     }
 
-    time("all_neighbors_64cells") {
+    val g10 = time("all_neighbors_64cells") {
       graft.graphops.AllNeighbors.build(data,
         graft.graphops.AllNeighbors.Params(k = 10, nClusters = 64,
-          overlapFactor = 2, kmeansIters = 5), "id", "vec").count()
+          overlapFactor = 2, kmeansIters = 5), "id", "vec")
+    }
+    val opt = time("cagra_optimize_200k") {
+      graft.graphops.CagraOptimize.optimize(
+        g10.select(col("src"), col("dst"), col("dist")), degree = 8).localCheckpoint()
+    }
+    time("cagra_beam_search_200q") {
+      graft.graphops.GraphSearch.search(opt.select(col("src"), col("dst")),
+        data, q, 10,
+        graft.graphops.GraphSearch.Params(itopk = 40, searchWidth = 4,
+          maxIterations = 8), "id", "vec").count()
     }
 
     time("nn_descent_50k_sampled") {

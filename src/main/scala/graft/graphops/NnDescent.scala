@@ -23,13 +23,15 @@ object NnDescent {
     * sample cap (nn_descent.cuh:320-339, num_samples <= 32): each round,
     * every node's undirected adjacency is down-sampled to its maxSamples
     * hash-smallest neighbors BEFORE the 2-hop expansion, bounding the
-    * candidate join at n*maxSamples^2 rows instead of n*(2k)^2. At the
-    * default k=10 the undirected degree (~2k) is under the cap, so
-    * sampling is dormant; it engages exactly where the reference's does
-    * (large graph_degree builds). <= 0 disables. */
+    * candidate join at n*maxSamples^2 rows instead of n*(2k)^2. Default
+    * 0 = disabled, preserving the exhaustive 2-hop semantics existing
+    * callers validated against; large-graph_degree builds at scale
+    * should pass the reference's 32 (the smoke does). Note the seeded
+    * init assumes roughly dense 0..n-1 ids — a sparse id space thins
+    * the initial graph (convergence recovers it, but slower). */
   case class Params(k: Int = 10, maxIterations: Int = 10,
       terminationThreshold: Double = 1e-3, seed: Long = 42,
-      metric: Metric = Metric.L2, maxSamples: Int = 32)
+      metric: Metric = Metric.L2, maxSamples: Int = 0)
 
   /** Edge list (src, dst, dist, rank) of the refined kNN graph. */
   def build(df: DataFrame, params: Params,
@@ -68,12 +70,14 @@ object NnDescent {
       // candidates: 2-hop neighbors (and reverse edges join both directions)
       val undAll = graph.select(col("src"), col("dst"))
         .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
       // per-node hash sampling of the adjacency (see Params.maxSamples);
-      // the same xxhash64 chain runs in buildLocal for route parity
+      // the same xxhash64 chain runs in buildLocal for route parity. The
+      // distinct is required only here, where duplicate edges would eat
+      // sample slots; the unsampled path dedups implicitly downstream.
       val und =
         if (params.maxSamples > 0)
-          undAll.withColumn("_h", xxhash64(col("src"), col("dst"), lit(params.seed + it)))
+          undAll.distinct()
+            .withColumn("_h", xxhash64(col("src"), col("dst"), lit(params.seed + it)))
             .withColumn("_r", row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("src")).orderBy(col("_h"), col("dst"))))
             .filter(col("_r") <= params.maxSamples).drop("_h", "_r")
@@ -103,8 +107,11 @@ object NnDescent {
       it += 1
     }
     data.unpersist()
+    val ord =
+      if (Metric.isMinClose(params.metric)) Seq(col("dist").asc, col("dst").asc)
+      else Seq(col("dist").desc, col("dst").asc)
     graph.withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dist"), col("dst"))))
+      .partitionBy(col("src")).orderBy(ord: _*)))
   }
 
   /** In-memory twin of the refinement loop (see build). */
@@ -181,8 +188,11 @@ object NnDescent {
       }
       it += 1
     }
+    val ordFinal: Ordering[(Long, Double)] =
+      if (minClose) Ordering.by(e => (e._2, e._1))
+      else Ordering.by((e: (Long, Double)) => (-e._2, e._1))
     val rows = graph.toSeq.flatMap { case (s, es) =>
-      es.sortBy(e => (e._2, e._1)).zipWithIndex.map { case ((d, dist), i) =>
+      es.sorted(ordFinal).zipWithIndex.map { case ((d, dist), i) =>
         (s, d, dist, i + 1)
       }
     }

@@ -92,10 +92,10 @@ object ScaleSmoke {
     }
 
     time("nn_descent_50k_sampled") {
-      // quarter-scale: the candidate join is the O(n*maxSamples^2)-per-round
-      // cost center; maxSamples=8 < 2k keeps the GNND sampling cap ACTIVE
+      // quarter-scale DENSE prefix (the seeded init assumes ~dense ids);
+      // maxSamples=8 < 2k keeps the GNND sampling cap ACTIVE
       graft.graphops.NnDescent.build(
-        data.filter(col("id") % 4 === 0),
+        data.filter(col("id") < n / 4),
         graft.graphops.NnDescent.Params(k = 8, maxIterations = 3,
           terminationThreshold = 0, maxSamples = 8), "id", "vec").count()
     }

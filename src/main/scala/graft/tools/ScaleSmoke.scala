@@ -67,6 +67,16 @@ object ScaleSmoke {
     }
     println(f"SCALE   kmeans inertia ${km.inertia}%.3e iters ${km.iterations}")
 
+    time("silhouette_sampled_200k") {
+      // past the 20k exact gate the sampled route engages (r3 verdict's
+      // O(n^2) flag): every point scored against per-cluster samples,
+      // O(n * clusters * cap) with a broadcast sample side
+      spark.conf.set("spark.graft.silhouette.samplePerCluster", "64")
+      val (cl, _) = graft.cluster.KMeans.assignCols(km.centroids, col("vec"))
+      graft.stats.Silhouette.perPoint(
+        data.select(col("id"), col("vec"), cl.as("label")), Metric.L2).count()
+    }
+
     val ivf = time("ivf_flat_build_128lists") {
       graft.index.IvfFlatIndex.build(data,
         graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5), "id", "vec")

@@ -196,8 +196,14 @@ class IvfFlatIndex(
 
 object IvfFlatIndex {
 
+  /** `balanced` trains the cells with the reseeding balanced Lloyd
+    * (KMeans.fitBalanced — the reference's kmeans_balanced coarse
+    * trainer), enforcing a size floor so boilerplate-dense regions don't
+    * produce hot lists at scale. Default false keeps the historical
+    * plain-Lloyd centers the existing oracles replay. */
   case class Params(nLists: Int = 1024, nIters: Int = 20,
-      trainFraction: Double = 0.5, seed: Long = 42, metric: Metric = Metric.L2)
+      trainFraction: Double = 0.5, seed: Long = 42, metric: Metric = Metric.L2,
+      balanced: Boolean = false)
 
   private[index] def assign(df: DataFrame, centroids: CentroidSet,
       idCol: String, vecCol: String): DataFrame = {
@@ -213,9 +219,11 @@ object IvfFlatIndex {
       if (params.trainFraction >= 1.0) dataset
       else dataset.filter(
         pmod(xxhash64(col(idCol), lit(params.seed)), lit(1000)) < (params.trainFraction * 1000).toInt)
-    val model = KMeans.fit(trainset,
-      KMeans.Params(params.nLists, params.nIters, seed = params.seed, metric = params.metric),
-      idCol, vecCol)
+    val kp = KMeans.Params(params.nLists, params.nIters, seed = params.seed,
+      metric = params.metric)
+    val model =
+      if (params.balanced) KMeans.fitBalanced(trainset, kp, idCol = idCol, vecCol = vecCol)
+      else KMeans.fit(trainset, kp, idCol, vecCol)
     val lists = assign(dataset, model.centroids, idCol, vecCol)
       .repartition(col("list_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -77,9 +77,10 @@ object ScaleSmoke {
         data.select(col("id"), col("vec"), cl.as("label")), Metric.L2).count()
     }
 
-    val ivf = time("ivf_flat_build_128lists") {
+    val ivf = time("ivf_flat_build_128lists_balanced") {
       graft.index.IvfFlatIndex.build(data,
-        graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5), "id", "vec")
+        graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5,
+          balanced = true), "id", "vec")
     }
     time("ivf_flat_search_8probes") {
       ivf.search(q, 10, nProbes = 8).count()

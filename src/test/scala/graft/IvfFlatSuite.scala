@@ -25,6 +25,21 @@ class IvfFlatSuite extends SparkFunSuite {
   private lazy val index = IvfFlatIndex.build(emb,
     IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
 
+  test("balanced build: size floor holds and full-probe search stays exact") {
+    val bal = IvfFlatIndex.build(emb,
+      IvfFlatIndex.Params(nLists = 16, nIters = 10, trainFraction = 1.0,
+        balanced = true),
+      "vec_id", "embedding")
+    val sizes = bal.lists.groupBy("list_id").count().select("count")
+      .collect().map(_.getLong(0))
+    val n = sizes.sum
+    // fitBalanced enforces a balanceRatio * n/k floor (default 0.25)
+    assert(sizes.min >= (0.25 * n / 16).toLong,
+      s"min list ${sizes.min} below floor of ${(0.25 * n / 16).toLong}")
+    val got = bal.search(queries, 10, nProbes = 16)
+    assert(recallVsExact(got, 10) == 1.0)
+  }
+
   test("probing all lists is exact (recall == 1)") {
     val got = index.search(queries, 10, nProbes = 16)
     assert(recallVsExact(got, 10) == 1.0)

@@ -198,8 +198,11 @@ object IvfPqClusterIndex {
 
 object IvfPqIndex {
 
+  /** `balanced` selects the reseeding balanced coarse trainer — see
+    * [[IvfFlatIndex.Params]]. */
   case class Params(nLists: Int = 1024, nIters: Int = 20, trainFraction: Double = 0.5,
-      pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, metric: Metric = Metric.L2)
+      pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, metric: Metric = Metric.L2,
+      balanced: Boolean = false)
 
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
@@ -224,7 +227,7 @@ object IvfPqIndex {
     // coarse quantizer = IVF-Flat build machinery (or a caller-shared one)
     val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, params.metric), idCol, vecCol))
+        params.seed, params.metric, params.balanced), idCol, vecCol))
     // residuals vs assigned cell center, then PQ codebooks on them
     val withRes = ivf.lists.withColumn("_res",
       B.column(CentroidResidual(B.expression(col("vec")), B.expression(col("list_id")),
@@ -251,7 +254,7 @@ object IvfPqIndex {
       base: Option[IvfFlatIndex] = None): IvfPqClusterIndex = {
     val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, params.metric), idCol, vecCol))
+        params.seed, params.metric, params.balanced), idCol, vecCol))
     val dim = ivf.centroids.dim
     require(dim % params.pqDim == 0, s"dim $dim not divisible by pqDim ${params.pqDim}")
     val subLen = dim / params.pqDim

@@ -230,8 +230,10 @@ class IvfRabitqIndex(
 
 object IvfRabitqIndex {
 
+  /** `balanced` selects the reseeding balanced coarse trainer — see
+    * [[IvfFlatIndex.Params]]. */
   case class Params(nLists: Int = 1024, nIters: Int = 20, bitsPerDim: Int = 1,
-      trainFraction: Double = 0.5, seed: Long = 42)
+      trainFraction: Double = 0.5, seed: Long = 42, balanced: Boolean = false)
 
   private[index] def residual(vec: Column, listId: Column, cs: CentroidSet): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), cs))
@@ -282,8 +284,8 @@ object IvfRabitqIndex {
     require(params.bitsPerDim >= 1 && params.bitsPerDim <= 8,
       s"bits_per_dim in [1,8], got ${params.bitsPerDim}")
     val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
-      IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction, params.seed),
-      idCol, vecCol))
+      IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction, params.seed,
+        balanced = params.balanced), idCol, vecCol))
     val dim = ivf.centroids.dim
     val p = randomRotation(dim, params.seed)
     val zeroThresh = BitThresholds(Array.fill(dim)(0.0))

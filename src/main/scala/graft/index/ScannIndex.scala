@@ -114,16 +114,18 @@ object ScannIndex {
   }
 
 
+  /** `balanced` selects the reseeding balanced coarse trainer — see
+    * [[IvfFlatIndex.Params]]. */
   case class Params(nLeaves: Int = 1000, nIters: Int = 20, trainFraction: Double = 0.5,
       soarLambda: Double = 1.0, soarCandidates: Int = 4,
-      pqDim: Int = 8, pqBits: Int = 4, seed: Long = 42)
+      pqDim: Int = 8, pqBits: Int = 4, seed: Long = 42, balanced: Boolean = false)
 
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): ScannIndex = {
     val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
-      IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed),
-      idCol, vecCol))
+      IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed,
+        balanced = params.balanced), idCol, vecCol))
     val cs = ivf.centroids
 
     def res(vec: Column, listId: Column): Column =

@@ -259,7 +259,9 @@ object MiscQueries {
     * checksum hash-matches the parquet-based oracle exactly. */
   private def fbinRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = SparkEntry.memoize(spark, s"fbin:$dir") {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.fbin"
+      // pid in the name: bench and verify JVMs on one host must not race on
+      // a shared half-written file
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.fbin"
       graft.sources.VectorFiles.write(
         SparkEntry.table(spark, dir, "embeddings"), p, "vec_id", "embedding")
       p
@@ -277,7 +279,7 @@ object MiscQueries {
     * `fbin_roundtrip`, so the parquet oracle is identical. */
   private def hdf5RoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = SparkEntry.memoize(spark, s"hdf5:$dir") {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.hdf5"
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.hdf5"
       graft.sources.Hdf5.write(spark, p, Seq(
         graft.sources.Hdf5.Spec("train",
           SparkEntry.table(spark, dir, "embeddings"), "vec_id", "embedding")),

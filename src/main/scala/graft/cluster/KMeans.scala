@@ -415,6 +415,10 @@ object KMeans {
         .limit(k).select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
       return (cands ++ pad).distinctBy(_.toSeq).padTo(k, cands.head).take(k)
     }
+    // Sort candidates lexicographically before the sequential weighted pass:
+    // the sampled SET is partition-order-free but collect() order is not, and
+    // weightedPlusPlus's index-weighted draws depend on array order.
+    cands = cands.sortWith((a, b) => java.util.Arrays.compare(a, b) < 0)
     // weight candidates by how many rows they'd absorb, reduce to k
     val cs = pack(cands, dim, params.metric)
     val (cl, _) = assignCols(cs, col("_vec"))

@@ -55,9 +55,11 @@ object InteropExport {
     * message (not an unboxing NPE mid-file) when the graph references a
     * node absent from the data table. */
   private def internalOf(m: java.util.HashMap[Long, Int], id: Long, what: String): Int = {
-    val v = m.get(id)
-    require(v != null, s"$what references id $id, which is not in the data table")
-    v
+    // containsKey, not a null check: get() on a HashMap[Long, Int] unboxes a
+    // missing key straight to 0, which would silently alias absent nodes to
+    // internal node 0 instead of failing
+    require(m.containsKey(id), s"$what references id $id, which is not in the data table")
+    m.get(id)
   }
 
   /** Write `idx` + its vectors as an hnswlib binary (`loadIndex`-able).

@@ -58,7 +58,11 @@ object DynamicBatcher {
         query.processAllAvailable() // drain the queue: one dispatch per wave
       }
     } finally query.stop()
-    require(out.nonEmpty, "no queries arrived on the stream")
-    out.reduce(_ unionByName _)
+    // read under the same lock the callback writes under — don't rely on the
+    // streaming termination path for the happens-before edge
+    out.synchronized {
+      require(out.nonEmpty, "no queries arrived on the stream")
+      out.reduce(_ unionByName _)
+    }
   }
 }

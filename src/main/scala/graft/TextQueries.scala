@@ -120,17 +120,26 @@ object TextQueries {
     Dedup.jaccardPairs(nearDupCorpus(spark, dir), "id", "text", n = 8, minJaccard = 0.3)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
 
-  private val jaccardVerifySql: String =
-    """sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
-      |inter AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
-      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id GROUP BY 1, 2),
-      |jac AS (SELECT a, b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-      |  FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)""".stripMargin
+  /** Exact-Jaccard verify chain over a shingle CTE named `src`. The LSH
+    * oracles verify over the uncut `sh` (as minhashLshPairs does); the
+    * direct-pairs oracle verifies over the df-cut `shf`, replaying
+    * jaccardPairs' default maxDfFrac = 0.5. */
+  private def jaccardVerifySqlOn(src: String): String =
+    s"""sizes AS (SELECT id, count(*) AS sz FROM $src GROUP BY 1),
+       |inter AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |  FROM $src x JOIN $src y ON x.shingle = y.shingle AND x.id < y.id GROUP BY 1, 2),
+       |jac AS (SELECT a, b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)""".stripMargin
+
+  private val jaccardVerifySql: String = jaccardVerifySqlOn("sh")
 
   private val jaccardPairsOracle: String =
     s"""WITH $nearDupCorpusSql,
        |$shingleSql,
-       |$jaccardVerifySql
+       |keepsh AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(*) <= 0.5 * (SELECT count(*) FROM corpus)),
+       |shf AS (SELECT sh.id, sh.shingle FROM sh JOIN keepsh USING (shingle)),
+       |${jaccardVerifySqlOn("shf")}
        |SELECT a, b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.3""".stripMargin
 
   private def minhashLshQuery(spark: SparkSession, dir: String): DataFrame =

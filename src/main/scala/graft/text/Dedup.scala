@@ -50,6 +50,14 @@ object Dedup {
   /** All pairs (a < b) with n-gram Jaccard >= minJaccard, via the
     * inverted-index join (never a cross product).
     *
+    * `maxDfFrac` is the standard document-frequency cut: shingles present
+    * in more than that fraction of docs are dropped from every signature
+    * BEFORE the join. It defaults on (0.5) because a boilerplate shingle
+    * shared by f·n docs contributes (f·n)² candidate rows to the
+    * inverted-index self-join — at corpus scale the cut is the difference
+    * between a bounded join and a quadratic one. Pass 1.0 for the uncut
+    * textbook Jaccard.
+    *
     * Cost-based route (graft.graphops.LocalKernel): when the corpus'
     * shingle inventory fits in a broadcast, the inverted index is built
     * once in memory and each task sweeps the posting lists of its share of
@@ -57,20 +65,19 @@ object Dedup {
     * STRINGS, same df cut), but no (shingle, doc) rows ever shuffle.
     * Above the gate the equi-join + count aggregate runs unchanged. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minJaccard: Double = 0.5, maxDfFrac: Double = 1.0): DataFrame = {
+      n: Int = 8, minJaccard: Double = 0.5, maxDfFrac: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocsL = docs.count()
+    val nDocs = docs.count()
     val totalShingles = docs.select(
       sum(greatest(length(col("text")) - (n - 1), lit(0)))).head().getLong(0)
     if (graft.graphops.LocalKernel.enabled(spark) &&
         totalShingles <= graft.graphops.LocalKernel.maxEdges(spark)) {
-      try return jaccardPairsLocal(docs, n, minJaccard, maxDfFrac, nDocsL)
+      try return jaccardPairsLocal(docs, n, minJaccard, maxDfFrac, nDocs)
       finally docs.unpersist()
     }
     docs.unpersist()
-    val nDocs = df.count()
     val sh = shingleDf(df, idCol, textCol, n)
     val filtered =
       if (maxDfFrac >= 1.0) sh
@@ -348,39 +355,163 @@ object Dedup {
       .toDF("id", "simhash")
   }
 
-  /** SimHash near-dup pairs: hamming(simhash) <= maxHamming, a < b. */
+  /** Buckets of the SimHash band join larger than this recurse into a
+    * sub-band split (never dropped — unlike the LSH cap, the handling
+    * here is lossless). */
+  val DefaultSimhashBucketCap = 100000L
+
+  /** SimHash near-dup pairs: hamming(simhash) <= maxHamming, a < b.
+    *
+    * Pigeonhole banding instead of a cross join: the 63-bit sketch splits
+    * into maxHamming+1 disjoint bit bands; a pair within the hamming
+    * budget cannot differ in every band, so candidates = pairs agreeing
+    * on >= 1 band (an equi-join on (band, key)), then the exact hamming
+    * verify. Output is IDENTICAL to the all-pairs filter — the banding is
+    * lossless. (The pigeonhole needs the bands disjoint, not exhaustive:
+    * <= maxHamming differing bits across maxHamming+1 disjoint bands
+    * leaves some band clean even when a few top bits go unbanded.)
+    *
+    * Two guards close the hot-bucket quadratic a homogeneous corpus
+    * would otherwise hit, both lossless (the all-pairs oracle is
+    * unchanged):
+    *
+    *  1. Identical sketches never enter the banding. Ids are grouped by
+    *     sketch VALUE first; within-value pairs are emitted directly
+    *     (they are output, hamming 0 — that work is irreducible) and the
+    *     band join runs over distinct sketch values, so "one sketch
+    *     repeated n times" contributes n candidate rows, not n² — and
+    *     every surviving bucket member is pairwise distinct.
+    *
+    *  2. Buckets of distinct values larger than
+    *     `spark.graft.simhash.bucketCap` recurse instead of joining:
+    *     every member of a hot bucket agrees on that band's bits, so
+    *     those bits are stripped and the REMAINDER re-split into
+    *     maxHamming+1 sub-bands, on which the same pigeonhole holds (the
+    *     pair's <= maxHamming diffs all lie in the remainder). A hot
+    *     bucket holding a group's ENTIRE membership short-circuits: all
+    *     of the group's pairs agree on that band, so the group recurses
+    *     through it alone — its other bands are skipped outright (they
+    *     could only rediscover the same pairs), which is what keeps a
+    *     homogeneous corpus from multiplying one group into a chain per
+    *     band at every level. Proper (sub-group) hot buckets branch, and
+    *     `spark.graft.simhash.maxSplitDepth` (default 4) bounds the
+    *     compounding: groups still hot at the depth cap — values
+    *     agreeing on the full banded prefix and still concentrated —
+    *     join directly within the group, which at that point is the
+    *     honest cost of the answer, not an accident of banding. */
   def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
-    // Pigeonhole banding instead of a cross join: the 63-bit sketch splits
-    // into maxHamming+1 bit bands; a pair within the hamming budget cannot
-    // differ in every band, so candidates = pairs agreeing on >= 1 band
-    // (an equi-join on (band, key)), then the exact hamming verify. Output
-    // is IDENTICAL to the all-pairs filter — the banding is lossless — but
-    // the shuffle carries (band, key, id) rows instead of n²/2 pairs.
-    // Balanced widths (first `rem` bands one bit wider) keep the narrowest
-    // key as wide as possible — the key width bounds the bucket fan-in.
     require(maxHamming >= 0 && maxHamming < SimhashBits,
       s"maxHamming in [0, $SimhashBits) for a $SimhashBits-bit sketch, got $maxHamming")
+    val spark = sketches.sparkSession
+    val cap = spark.conf
+      .get("spark.graft.simhash.bucketCap", DefaultSimhashBucketCap.toString).toLong
+    val maxDepth = spark.conf.get("spark.graft.simhash.maxSplitDepth", "4").toInt
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val nBands = maxHamming + 1
-    val base = SimhashBits / nBands
-    val rem = SimhashBits % nBands
-    var lo = 0
-    val keyCols = (0 until nBands).map { i =>
-      val w = base + (if (i < rem) 1 else 0)
-      val k = shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
-      lo += w
-      k
-    }
-    // one posexplode pass per join side — per-band unioned selects would
-    // recompute the sketch flatMap once per (band, side)
-    val bands = sketches.select(col("id"), col("simhash"),
-      posexplode(array(keyCols: _*)).as(Seq("band", "bkey")))
-    bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+    val sk = sketches.select(col("id"), col("simhash"))
+    // pairs of ids sharing one sketch value: exactly the hamming-0 output
+    val zeroPairs = sk.as("x").join(sk.as("y"), Seq("simhash"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("x.simhash").as("ha"),
-        col("y.id").as("b"), col("y.simhash").as("hb"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0).as("hamming"))
+    // banding over DISTINCT sketch values, recursing on over-cap buckets
+    // (sv = sketch value; gkey = bucket-chain identity; rest = unbanded bits)
+    var cur = sk.select(col("simhash").as("sv")).distinct()
+      .select(col("sv"), lit("").as("gkey"), col("sv").as("rest"))
+    var restBits = SimhashBits
+    var cands = List.empty[DataFrame]
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    var level = 0
+    def stripExpr(bandCol: String, w: Int) =
+      expr(s"shiftleft(shiftright(rest, ($bandCol + 1) * $w), $bandCol * $w)" +
+        s" | (rest & (shiftleft(CAST(1 AS BIGINT), $bandCol * $w) - 1))").as("rest")
+    while (!done) {
+      val w = restBits / nBands
+      if (w == 0 || level >= maxDepth) {
+        // remainder too narrow to split (a surviving group differs only
+        // inside < nBands bits) or depth cap reached — join the groups
+        cands ::= cur.as("x").join(cur.as("y"), Seq("gkey"))
+          .filter(col("x.sv") < col("y.sv"))
+          .select(col("x.sv").as("sa"), col("y.sv").as("sb"))
+        done = true
+      } else {
+        // one posexplode pass per level — per-band unioned selects would
+        // recompute the distinct scan once per (band, side)
+        val keyCols = (0 until nBands).map(i =>
+          shiftright(col("rest"), i * w).bitwiseAND(lit((1L << w) - 1)))
+        val bands = cur.select(col("sv"), col("gkey"), col("rest"),
+            posexplode(array(keyCols: _*)).as(Seq("band", "bkey")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += bands
+        // over-cap buckets with their group size: at most n*nBands/cap
+        // rows, so a driver-side split into full-group vs proper is safe
+        val gsizes = cur.groupBy(col("gkey")).agg(count(lit(1)).as("_gc"))
+        val hotInfo = bands.groupBy(col("gkey"), col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bc")).filter(col("_bc") > cap)
+          .join(gsizes, "gkey")
+          .select(col("gkey"), col("band"), col("bkey"), col("_bc"), col("_gc"))
+          .collect()
+        if (hotInfo.isEmpty) {
+          cands ::= bands.as("x").join(bands.as("y"), Seq("gkey", "band", "bkey"))
+            .filter(col("x.sv") < col("y.sv"))
+            .select(col("x.sv").as("sa"), col("y.sv").as("sb"))
+          done = true
+        } else {
+          import spark.implicits._
+          // groups with a hot FULL bucket recurse single-chain on its band
+          val fullGroups = hotInfo.filter(r => r.getLong(3) == r.getLong(4))
+            .groupBy(_.getString(0))
+            .map { case (g, rs) => (g, rs.map(_.getInt(1)).min) }.toSeq
+          val fullSet = fullGroups.map(_._1).toSet
+          val branches = hotInfo
+            .filter(r => !fullSet.contains(r.getString(0)))
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+          log.warn(s"SimHash level $level: ${hotInfo.length} band bucket(s) over " +
+            s"$cap distinct sketches (${fullGroups.size} full-group chains, " +
+            s"${branches.length} branching) recurse into a ${restBits - w}-bit " +
+            s"sub-band split (lossless)")
+          val notFull =
+            if (fullGroups.isEmpty) bands
+            else bands.join(broadcast(fullSet.toSeq.toDF("gkey")), Seq("gkey"), "left_anti")
+          val cold =
+            if (branches.isEmpty) notFull
+            else notFull.join(broadcast(branches.toDF("gkey", "band", "bkey")),
+              Seq("gkey", "band", "bkey"), "left_anti")
+          cands ::= cold.as("x").join(cold.as("y"), Seq("gkey", "band", "bkey"))
+            .filter(col("x.sv") < col("y.sv"))
+            .select(col("x.sv").as("sa"), col("y.sv").as("sb"))
+          // next level: full-group chains strip their designated band
+          // (whole group, gkey unchanged); proper hot buckets branch
+          val nextFull =
+            if (fullGroups.isEmpty) None
+            else Some(cur.join(broadcast(fullGroups.toDF("gkey", "fband")), "gkey")
+              .select(col("sv"), col("gkey"), stripExpr("fband", w)))
+          val nextBranch =
+            if (branches.isEmpty) None
+            else Some(bands.join(broadcast(branches.toDF("gkey", "band", "bkey")),
+                Seq("gkey", "band", "bkey"))
+              .select(col("sv"),
+                concat_ws("|", col("gkey"), col("band"), col("bkey")).as("gkey"),
+                stripExpr("band", w)))
+          cur = (nextFull.toSeq ++ nextBranch.toSeq).reduce(_ unionByName _)
+          restBits -= w
+          level += 1
+        }
+      }
+    }
+    // verify distinct-value candidates, then expand back to id pairs
+    val valuePairs = cands.reduce(_ unionByName _)
       .distinct()
-      .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
+    val crossPairs = valuePairs
+      .join(sk.select(col("simhash").as("sa"), col("id").as("ia")), "sa")
+      .join(sk.select(col("simhash").as("sb"), col("id").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    val res = zeroPairs.unionByName(crossPairs)
+    persisted.foreach(_.unpersist())
+    res
   }
 
   /** Embedding-space near-duplicates: cosine distance < eps, a < b —

@@ -80,6 +80,57 @@ class DedupSuite extends SparkFunSuite {
     assert(pairs.exists { case (a, b, h) => b == a + 2000 && h <= 6 })
   }
 
+  test("jaccard df cut: a universal boilerplate shingle never reaches the join") {
+    // every doc = one shared 8-char block + a unique tail; the shared
+    // shingle has df = 100%, so the default cut (maxDfFrac = 0.5) drops it
+    // from every signature and the docs share nothing — on BOTH routes.
+    // With the cut off the same corpus pairs quadratically.
+    import spark.implicits._
+    // tails repeat one per-doc-unique character so no shingle other than
+    // the boilerplate block is ever shared across docs
+    val boilerDocs = (0 until 40).map { i =>
+      (i.toLong, "COMMONXX" + ('A' + i).toChar.toString * 16)
+    }.toDF("id", "text")
+    def run(frac: Double): Long =
+      Dedup.jaccardPairs(boilerDocs, "id", "text", n = 8,
+        minJaccard = 0.01, maxDfFrac = frac).count()
+    for (route <- Seq("true", "false")) {
+      spark.conf.set("spark.graft.localKernel.enabled", route)
+      try {
+        assert(run(0.5) == 0L, s"df cut failed on localKernel=$route")
+        assert(run(1.0) == 40L * 39 / 2, s"uncut baseline wrong on localKernel=$route")
+      } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    }
+  }
+
+  test("simhash hot-bucket recursion is lossless on a pathological sketch corpus") {
+    import spark.implicits._
+    // 50 identical sketches (whose pairs are pure output, no banding) +
+    // 30 distinct sketches all sharing band 0's key (a hot bucket of
+    // distinct values at cap 10) + a pair (x, y) at hamming exactly 6
+    // that agrees ONLY on band 0. A lossy cap would drop (x, y); the
+    // recursive sub-band split must keep it.
+    val s0 = 0L
+    val x = (9 to 30).map(1L << _).reduce(_ | _)
+    val y = x ^ Seq(10, 19, 28, 37, 46, 55).map(1L << _).reduce(_ | _)
+    val sketches = ((0 until 50).map(i => (i.toLong, s0)) ++
+      (1 to 30).map(j => (200L + j, j.toLong << 9)) :+ (100L, x) :+ (101L, y))
+      .toDF("id", "simhash")
+    val all = sketches.as[(Long, Long)].collect()
+    val expected = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 6
+    } yield (a, b, h)).toSet
+    assert(expected.contains((100L, 101L, 6)))
+    spark.conf.set("spark.graft.simhash.bucketCap", "10")
+    try {
+      val got = Dedup.simhashPairs(sketches, maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally spark.conf.unset("spark.graft.simhash.bucketCap")
+  }
+
   test("text stats: sane ranges on real documents") {
     val stats = docs.select(
       TA.tokenCount(col("text")).as("nt"),

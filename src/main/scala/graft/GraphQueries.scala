@@ -389,6 +389,38 @@ object GraphQueries {
       |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** ACE partitioned build end-to-end: balanced-coarse partitioned kNN
+    * build (core + augmented cells) spilled through a disk build dir,
+    * detour-pruned to degree 8, then the same itopk-40 traversal as
+    * cagra_search_recall — same degree, same floor, so the partitioned
+    * build mode is held to the in-memory path's recall bar. */
+  private def cagraAceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val g = SparkEntry.memoize(spark, s"cagraAce8:$dir") {
+      val buildDir = s"${System.getProperty("java.io.tmpdir")}/graft_ace_" +
+        s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      CagraOptimize.buildAce(e, npartitions = 4, buildDir, degree = 8)
+    }
+    val knn = exact16Graph(spark, dir)
+    val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
+    // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
+    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
+      .select(col("src").as("qid"), col("dst").as("nbr_id"))
+      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
+    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
+      (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(4).as("npartitions"),
+        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+  }
+
+  private val cagraAceOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(4 AS INT) AS npartitions,
+      |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
   /** Filtered CAGRA traversal (cagra.hpp sample_filter + filtering_rate):
     * a third of the nodes are deny-listed; the walk still crosses them but
     * none may be returned. `allowed_only` is computed from the actual
@@ -471,6 +503,7 @@ object GraphQueries {
     "spectral_embedding" -> (spectralEmbeddingQuery(_, _)),
     "vamana_build" -> (vamanaQuery(_, _)),
     "cagra_search_recall" -> (cagraSearchQuery(_, _)),
+    "cagra_ace_recall" -> (cagraAceQuery(_, _)),
     "cagra_filtered_search" -> (cagraFilteredQuery(_, _)),
     "hnsw_levels" -> (hnswLevelsQuery(_, _)),
     "hnsw_search_recall" -> (hnswSearchQuery(_, _)),
@@ -494,6 +527,7 @@ object GraphQueries {
     "spectral_embedding" -> spectralEmbeddingOracle,
     "vamana_build" -> vamanaOracle,
     "cagra_search_recall" -> cagraSearchOracle,
+    "cagra_ace_recall" -> cagraAceOracle,
     "cagra_filtered_search" -> cagraFilteredOracle,
     "hnsw_levels" -> hnswLevelsOracle,
     "hnsw_search_recall" -> hnswSearchOracle,

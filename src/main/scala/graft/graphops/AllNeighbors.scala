@@ -20,17 +20,24 @@ import graft.ops.BruteForceKnn
   */
 object AllNeighbors {
 
+  /** `balanced` trains the cells with the reseeding balanced Lloyd
+    * (KMeans.fitBalanced) instead of plain Lloyd — the coarse trainer the
+    * reference's ACE build mode uses (cagra_build.cuh:116-118,
+    * kmeans::balanced_params). */
   case class Params(k: Int = 10, nClusters: Int = 16, overlapFactor: Int = 2,
-      kmeansIters: Int = 10, seed: Long = 42, metric: Metric = Metric.L2)
+      kmeansIters: Int = 10, seed: Long = 42, metric: Metric = Metric.L2,
+      balanced: Boolean = false)
 
   /** Edge list (src, dst, dist, rank), rank 1..k best-first, self excluded. */
   def build(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val model = KMeans.fit(data,
-      KMeans.Params(params.nClusters, params.kmeansIters, seed = params.seed,
-        metric = params.metric), "id", "vec")
+    val kp = KMeans.Params(params.nClusters, params.kmeansIters,
+      seed = params.seed, metric = params.metric)
+    val model =
+      if (params.balanced) KMeans.fitBalanced(data, kp, idCol = "id", vecCol = "vec")
+      else KMeans.fit(data, kp, "id", "vec")
     val assigned = data
       .select(col("id"), col("vec"),
         KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)

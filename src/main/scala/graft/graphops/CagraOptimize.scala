@@ -90,4 +90,50 @@ object CagraOptimize {
       .orderBy(col("dist").asc, col("dst").asc)
     all.withColumn("rank", row_number().over(w))
   }
+
+  /** ACE (Augmented Core Extraction) partitioned/disk CAGRA build — the
+    * reference's out-of-core build mode (cagra.hpp:40-100 `ace_params`:
+    * npartitions / ef_construction / build_dir / use_disk;
+    * cagra_build.cuh:100-193: balanced k-means over a sample, then each
+    * vector labeled with its closest [core] and second-closest
+    * [augmented] partition; :1123 `build_ace`).
+    *
+    * Spark-first mapping: the label/gather/sub-build machinery IS
+    * AllNeighbors with overlapFactor = 2 and the balanced coarse trainer
+    * — partitions are shuffle partitions, oversized partitions tile into
+    * bounded block-pair tasks, and "fits in memory" is delegated to
+    * Spark's native spill instead of hand-managed host/GPU buffers.
+    * Where the reference keeps only the core rows of every sub-build
+    * (ace_adjust_sub_graph_ids), the relational merge keeps each row's
+    * top-k over BOTH its cells — the candidates are already materialized,
+    * and the result dominates core-only extraction at equal degree. The
+    * intermediate kNN graph and the final detour-pruned graph are
+    * persisted under `buildDir` as parquet (the build_dir/use_disk
+    * artifacts); the returned frame reads the on-disk graph, so the
+    * build never re-runs downstream and the artifacts outlive the
+    * session, as on the reference's disk path.
+    *
+    * `intermediateDegree` (0 = 2·degree) is the per-partition build
+    * width — the knob ef_construction turns on the reference's
+    * incremental sub-builds. */
+  def buildAce(df: DataFrame, npartitions: Int, buildDir: String,
+      degree: Int = 32, intermediateDegree: Int = 0,
+      metric: graft.core.Metric = graft.core.Metric.L2,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    require(npartitions >= 2, s"ACE needs >= 2 partitions, got $npartitions")
+    val spark = df.sparkSession
+    val kBuild = if (intermediateDegree > 0) intermediateDegree else 2 * degree
+    val knn = AllNeighbors.build(df,
+      AllNeighbors.Params(k = kBuild, nClusters = npartitions,
+        overlapFactor = 2, metric = metric, balanced = true),
+      idCol, vecCol)
+    val knnPath = s"$buildDir/knn_graph.parquet"
+    knn.write.mode("overwrite").parquet(knnPath)
+    val opt = optimize(
+      spark.read.parquet(knnPath).select(col("src"), col("dst"), col("dist")),
+      degree)
+    val optPath = s"$buildDir/optimized_graph.parquet"
+    opt.write.mode("overwrite").parquet(optPath)
+    spark.read.parquet(optPath)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.graphops.{AllNeighbors, CagraOptimize, Components, GraphSearch, NnDescent, Spectral, Vamana}
+import graft.graphops.{AllNeighbors, CagraExtend, CagraOptimize, Components, GraphSearch, NnDescent, Spectral, Vamana}
 import graft.index.Hnsw
 import graft.ops.BruteForceKnn
 
@@ -421,6 +421,49 @@ object GraphQueries {
       |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** CAGRA graph extend end-to-end (cagra.hpp:363-374, add_nodes.cuh):
+    * build over 80% of the %2 subset, chunk-insert the other 20%
+    * (3 chunks, so later chunks link to earlier ones), then search with
+    * queries EXTERNAL to the insert batch against full-dataset truth —
+    * the reference's own extend-validation discipline
+    * (ann_cagra.cuh:623-701) at the in-memory build path's recall bar.
+    * `new_full_degree` is computed from the extended edge list: every
+    * inserted node present with exactly `degree` out-edges. */
+  private def cagraExtendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val addRows = s.filter(col("id") % 10 === 0)
+    val baseRows = s.filter(col("id") % 10 =!= 0)
+    val ext = SparkEntry.memoize(spark, s"cagraExt8:$dir") {
+      val baseGraph = CagraOptimize.optimize(
+        AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
+          .select(col("src"), col("dst"), col("dist")), degree = 8)
+      val nAdd = addRows.count()
+      CagraExtend.extend(baseGraph, baseRows, addRows, 8,
+        CagraExtend.Params(maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt))
+        .localCheckpoint()
+    }
+    val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = GraphSearch.search(ext.select(col("src"), col("dst")), s, q, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
+    val exact = graft.ops.BruteForceKnn.knnJoin(s, q, 10, Metric.L2, "id", "vec")
+    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")),
+      exact.select(col("qid"), col("nbr_id"))).toDouble / (q.count() * 10)
+    val newDeg = ext.join(addRows.select(col("id").as("src")), "src")
+      .groupBy(col("src")).count()
+    val newFullDegree = newDeg.count() == addRows.count() &&
+      newDeg.filter(col("count") =!= 8).count() == 0
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("degree"),
+        lit(newFullDegree).as("new_full_degree"),
+        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+  }
+
+  private val cagraExtendOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS degree,
+      |true AS new_full_degree, CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 2""".stripMargin
+
   /** Filtered CAGRA traversal (cagra.hpp sample_filter + filtering_rate):
     * a third of the nodes are deny-listed; the walk still crosses them but
     * none may be returned. `allowed_only` is computed from the actual
@@ -504,6 +547,7 @@ object GraphQueries {
     "vamana_build" -> (vamanaQuery(_, _)),
     "cagra_search_recall" -> (cagraSearchQuery(_, _)),
     "cagra_ace_recall" -> (cagraAceQuery(_, _)),
+    "cagra_extend_recall" -> (cagraExtendQuery(_, _)),
     "cagra_filtered_search" -> (cagraFilteredQuery(_, _)),
     "hnsw_levels" -> (hnswLevelsQuery(_, _)),
     "hnsw_search_recall" -> (hnswSearchQuery(_, _)),
@@ -528,6 +572,7 @@ object GraphQueries {
     "vamana_build" -> vamanaOracle,
     "cagra_search_recall" -> cagraSearchOracle,
     "cagra_ace_recall" -> cagraAceOracle,
+    "cagra_extend_recall" -> cagraExtendOracle,
     "cagra_filtered_search" -> cagraFilteredOracle,
     "hnsw_levels" -> hnswLevelsOracle,
     "hnsw_search_recall" -> hnswSearchOracle,

@@ -201,18 +201,26 @@ object MiscQueries {
   // Structured Streaming watermark+window path; TieredIndexSuite drives
   // the streaming runtime itself) ========================================
 
-  /** The fixture stores TIMESTAMP(NANOS); read as long + truncate to
-    * micros with INTEGER division (exactly what DuckDB's reader does).
-    * `/` would go through double, whose 53-bit mantissa cannot hold epoch
-    * nanos — ~1.5% of rows land 1us off and can flip a window/session
-    * boundary. */
-  private val tsMicros: org.apache.spark.sql.Column =
-    timestamp_micros(expr("ts div 1000"))
+  /** The events fixture has shipped with both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) `ts` columns across testdata generations — adapt to
+    * whichever this fixture carries. NANOS reads as long (nanosAsLong) and
+    * is truncated to micros with INTEGER division (exactly what DuckDB's
+    * reader does; `/` would go through double, whose 53-bit mantissa
+    * cannot hold epoch nanos — ~1.5% of rows land 1us off and can flip a
+    * window/session boundary). MICROS reads natively as timestamp on both
+    * sides. */
+  private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = SparkEntry.table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   private def eventsWindowQuery(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    SparkEntry.table(spark, dir, "events")
-      .withColumn("ts", tsMicros)
+    eventsWithTs(spark, dir)
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("w"), col("event_type"),
@@ -229,9 +237,7 @@ object MiscQueries {
     * gaps-and-islands derivation in SQL. Two events merge iff their gap is
     * strictly under 10 minutes, on both sides. */
   private def sessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    SparkEntry.table(spark, dir, "events")
-      .withColumn("ts", tsMicros)
+    eventsWithTs(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),

@@ -1,0 +1,192 @@
+package graft.graphops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+
+/** CAGRA graph `extend` — chunked insertion of new vectors into an existing
+  * search graph (cagra.hpp:363-374 `extend_params.max_chunk_size`;
+  * detail/cagra/add_nodes.cuh:24-280 `add_node_core`):
+  *
+  *  1. each chunk's vectors are batch-searched against the CURRENT graph at
+  *     `base_degree = 2*degree` candidates (add_nodes.cuh:38,70-71: itopk
+  *     widened to >= 2*base_degree);
+  *  2. the candidate list is detour-pruned to `degree` out-edges per new
+  *     node (add_nodes.cuh:150-189: candidate `a` is detourable when an
+  *     earlier-ranked candidate `b` already links to `a` in the graph —
+  *     rank-based reordering by detourable count, ties by search rank);
+  *  3. reverse edges: each new node's top `degree/2` neighbors receive an
+  *     edge back to the new node, force-replacing one of their TAIL slots
+  *     (add_nodes.cuh:193-233: slots [degree/2, degree) are eligible — the
+  *     head of an adjacency list is load-bearing for greedy descent, the
+  *     tail is redundancy; the evicted slot is the one whose neighbor has
+  *     the MOST incoming edges, i.e. the most redundant to drop), so every
+  *     touched node stays exactly at `degree`;
+  *  4. the new node's final list INTERLEAVES its rank-based list with the
+  *     neighbors evicted in step 3 (add_nodes.cuh:236-274): the evicted
+  *     edge target→e survives as the two-hop path target→new→e, so forced
+  *     reverse edges never sever connectivity.
+  *
+  * Like the reference, no edges are added BETWEEN nodes of the same chunk
+  * (cagra.hpp:367-370 documents the recall tradeoff); splitting the insert
+  * into several chunks lets later chunks link to earlier ones. Unlike the
+  * reference's in-place row surgery, the relational form rewrites only the
+  * touched adjacency rows — the untouched graph streams through unchanged,
+  * so a 100 TB base graph is never shuffled beyond the touched-node
+  * semi-join per chunk.
+  *
+  * The extended graph feeds every downstream consumer of a (src, dst, dist)
+  * edge list unchanged — GraphSearch traversal, Hnsw.fromGraph (HNSW
+  * extend is exactly this + re-assigning levels for the new ids), and
+  * InteropExport.
+  */
+object CagraExtend {
+
+  case class Params(
+      /** Rows per insert chunk; 0 = one chunk for the whole batch
+        * (cagra.hpp:365: auto). */
+      maxChunkSize: Int = 0,
+      metric: Metric = Metric.L2Sqrt,
+      /** Traversal width for the neighbor search; 0 = auto
+        * (max(4*degree, 64), the reference's 2*base_degree floor scaled to
+        * batch fixtures — add_nodes.cuh:71 uses max(2*base_degree, 256)). */
+      itopk: Int = 0,
+      maxIterations: Int = 10,
+      searchWidth: Int = 4)
+
+  /** graph: (src, dst, dist) with <= degree out-edges per node over `data`;
+    * newRows: (idCol, vecCol) disjoint from `data`. Returns the extended
+    * (src, dst, dist, rank) edge list over data ∪ newRows with <= degree
+    * out-edges per node (touched + new nodes at exactly degree when the
+    * graph can supply them). */
+  def extend(graph: DataFrame, data: DataFrame, newRows: DataFrame, degree: Int,
+      params: Params = Params(), idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val spark = graph.sparkSession
+    val baseDegree = 2 * degree
+    val revCount = math.max(1, degree / 2)
+    val itopk = if (params.itopk > 0) params.itopk else math.max(4 * degree, 64)
+
+    var curGraph = graph.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("dist").cast("double").as("dist"))
+      .localCheckpoint()
+    var curData = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+
+    val add = newRows.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val addCount = add.count()
+    val chunkSize = if (params.maxChunkSize > 0) params.maxChunkSize else addCount
+    val nChunks = math.max(1L, (addCount + chunkSize - 1) / chunkSize).toInt
+    // deterministic distributed chunk assignment (the reference chunks by
+    // row offset, an arbitrary stable split; hash-mod is the shuffle-free
+    // analog — a global sort over the insert batch would be a needless
+    // single-partition stage)
+    val chunked =
+      if (nChunks == 1) add.withColumn("_chunk", lit(0))
+      else add.withColumn("_chunk", pmod(xxhash64(col("id")), lit(nChunks)).cast("int"))
+    val chunks = chunked.localCheckpoint()
+
+    var ci = 0
+    while (ci < nChunks) {
+      val chunk = chunks.filter(col("_chunk") === ci).select(col("id"), col("vec"))
+
+      // Step 1 (add_nodes.cuh:100-120): batch-search the current graph for
+      // each new vector's base_degree nearest current nodes.
+      val cand = GraphSearch.search(
+        curGraph.select(col("src"), col("dst")), curData,
+        chunk.select(col("id").as("qid"), col("vec").as("qvec")),
+        baseDegree,
+        GraphSearch.Params(itopk = itopk, searchWidth = params.searchWidth,
+          maxIterations = params.maxIterations, metric = params.metric))
+        .select(col("qid").as("src"), col("nbr_id").as("dst"), col("rank"), col("dist"))
+        .localCheckpoint()
+
+      // Step 2 (add_nodes.cuh:150-189): detourable count of candidate `a` =
+      // number of earlier-ranked candidates `b` whose adjacency already
+      // contains `a`; keep the `degree` least-detourable (ties by rank).
+      val adj = curGraph.select(col("src").as("_gs"), col("dst").as("_gd"))
+      val det = cand.as("a")
+        .join(cand.as("b"),
+          col("a.src") === col("b.src") && col("b.rank") < col("a.rank"))
+        .join(adj, col("_gs") === col("b.dst") && col("_gd") === col("a.dst"))
+        .groupBy(col("a.src").as("src"), col("a.dst").as("dst"))
+        .agg(count_distinct(col("b.dst")).as("detours"))
+      val wNew = Window.partitionBy(col("src"))
+        .orderBy(col("detours").asc, col("rank").asc, col("dst").asc)
+      val newEdges = cand.join(det, Seq("src", "dst"), "left")
+        .withColumn("detours", coalesce(col("detours"), lit(0L)))
+        .withColumn("_rk", row_number().over(wNew))
+        .filter(col("_rk") <= degree)
+        .select(col("src"), col("dst"), col("dist"), col("_rk"))
+        .localCheckpoint()
+
+      // Step 3 (add_nodes.cuh:193-233): each new node's top degree/2
+      // neighbors get a reverse edge, force-replacing a tail slot
+      // [degree/2, degree). Only tailSlots reverse edges fit per target
+      // (the reference's sequential pass lets later inserts evict earlier
+      // same-chunk reverse edges; the relational analog keeps the closest
+      // tailSlots new nodes per target — deterministic, same cap).
+      val tailSlots = degree - degree / 2
+      val wRev = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
+      val rev = newEdges.filter(col("_rk") <= revCount)
+        .select(col("dst").as("src"), col("src").as("dst"), col("dist"))
+        .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+        .withColumn("_ri", row_number().over(wRev))
+        .filter(col("_ri") <= tailSlots)
+        .localCheckpoint()
+      // Eviction (add_nodes.cuh:205-227): per target, the i-th reverse edge
+      // evicts the tail-slot neighbor with the i-th most incoming edges —
+      // redundancy, measured on the chunk-start graph (step 0's histogram).
+      val inc = curGraph.groupBy(col("dst").as("_in")).agg(count(lit(1)).as("_ninc"))
+      val revPerTarget = rev.groupBy(col("src")).agg(max(col("_ri")).as("_nrev"))
+      val wSlot = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
+      val touched = curGraph.join(revPerTarget, Seq("src"))
+        .withColumn("_slot", row_number().over(wSlot))
+      val headKept = touched.filter(col("_slot") <= degree / 2)
+        .select(col("src"), col("dst"), col("dist"))
+      val tail = touched.filter(col("_slot") > degree / 2)
+        .join(inc, col("dst") === col("_in"), "left")
+        .withColumn("_ninc", coalesce(col("_ninc"), lit(0L)))
+      val wEvict = Window.partitionBy(col("src"))
+        .orderBy(col("_ninc").desc, col("dst").asc)
+      val tailRanked = tail.withColumn("_ei", row_number().over(wEvict))
+      val tailKept = tailRanked.filter(col("_ei") > col("_nrev"))
+        .select(col("src"), col("dst"), col("dist"))
+      // Step 4 (add_nodes.cuh:236-274): the new node adopts each neighbor
+      // its reverse edges evicted, interleaved with its rank-based list
+      // (odd order = rank list, even = evictions), dedup'd, cut to degree.
+      val evicted = tailRanked.filter(col("_ei") <= col("_nrev"))
+        .select(col("src").as("_t"), col("_ei"), col("dst").as("_evicted"))
+      val adopt = rev.select(col("dst").as("_nn"), col("src").as("_t"), col("_ri"))
+        .join(evicted, Seq("_t")).filter(col("_ri") === col("_ei"))
+        .filter(col("_nn") =!= col("_evicted"))
+        .select(col("_nn").as("src"), col("_evicted").as("dst"),
+          (col("_ri") * 2).as("_ord"))
+      val ranked = newEdges.select(col("src"), col("dst"), (col("_rk") * 2 - 1).as("_ord"))
+      val wAdopt = Window.partitionBy(col("src"), col("dst")).orderBy(col("_ord").asc)
+      val wCut = Window.partitionBy(col("src")).orderBy(col("_ord").asc)
+      val newAdj = ranked.unionByName(adopt)
+        .withColumn("_dup", row_number().over(wAdopt)).filter(col("_dup") === 1)
+        .withColumn("_pos", row_number().over(wCut)).filter(col("_pos") <= degree)
+        .select(col("src"), col("dst"))
+        // adopted edges need their true distance for downstream rank order
+        .join(curData.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+        .join(chunk.select(col("id").as("src"), col("vec").as("_sv")), "src")
+        .select(col("src"), col("dst"), graft.functions.vector_distance(
+          params.metric, col("_sv"), col("_dv")).cast("double").as("dist"))
+      val untouched = curGraph.join(revPerTarget, Seq("src"), "left_anti")
+
+      curGraph = untouched
+        .unionByName(headKept)
+        .unionByName(tailKept)
+        .unionByName(rev.select(col("src"), col("dst"), col("dist")))
+        .unionByName(newAdj)
+        .localCheckpoint()
+      curData = curData.unionByName(chunk).localCheckpoint()
+      ci += 1
+    }
+
+    val wRank = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
+    curGraph.withColumn("rank", row_number().over(wRank))
+  }
+}

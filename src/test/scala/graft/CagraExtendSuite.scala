@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.graphops.{AllNeighbors, CagraExtend, CagraOptimize, GraphSearch}
+
+/** CAGRA graph extend (cagra.hpp:363-374, add_nodes.cuh): chunked insert
+  * into an existing degree-bounded search graph. */
+class CagraExtendSuite extends SparkFunSuite {
+
+  private val degree = 8
+  private lazy val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val base = emb.filter(col("id") % 5 =!= 0) // 80% — the existing index
+  private lazy val add = emb.filter(col("id") % 5 === 0)  // 20% — the insert batch
+
+  private lazy val baseGraph = CagraOptimize.optimize(
+    AllNeighbors.exact(base, 16, Metric.L2Sqrt, "id", "vec")
+      .select(col("src"), col("dst"), col("dist")), degree).localCheckpoint()
+
+  private def searchRecall(graph: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame, itopk: Int = 40, iters: Int = 10): Double = {
+    val got = GraphSearch.search(graph.select(col("src"), col("dst")), emb, q, 10,
+      GraphSearch.Params(itopk = itopk, searchWidth = 4, maxIterations = iters), "id", "vec")
+    val exact = ops.BruteForceKnn.knnJoin(emb, q, 10, Metric.L2, "id", "vec")
+    core.Recall.matched(got.select(col("qid"), col("nbr_id")),
+      exact.select(col("qid"), col("nbr_id"))).toDouble / (q.count() * 10)
+  }
+
+  test("extend: degree invariants hold for new AND touched nodes") {
+    val ext = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+
+    // no node exceeds the degree cap
+    val over = ext.groupBy(col("src")).count().filter(col("count") > degree).count()
+    assert(over == 0, s"$over nodes over degree $degree")
+    // every inserted node is present with exactly `degree` out-edges
+    val newDeg = ext.join(add.select(col("id").as("src")), "src")
+      .groupBy(col("src")).count()
+    assert(newDeg.count() == add.count(), "an inserted node has no adjacency row")
+    assert(newDeg.filter(col("count") =!= degree).count() == 0,
+      "an inserted node is not at full degree")
+    // no self loops; ranks are a 1..deg permutation per node
+    assert(ext.filter(col("src") === col("dst")).count() == 0)
+    val ranksBad = ext.groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("rank")).as("nd"),
+        min(col("rank")).as("mn"), max(col("rank")).as("mx"))
+      .filter(col("n") =!= col("nd") || col("mn") =!= 1 || col("mx") =!= col("n"))
+      .count()
+    assert(ranksBad == 0, "rank column is not a 1..deg permutation")
+    // reverse edges landed: some base node links to an inserted node
+    val revEdges = ext.join(add.select(col("id").as("dst")), "dst")
+      .join(base.select(col("id").as("src")), "src").count()
+    assert(revEdges > 0, "no base node gained a reverse edge to an insert")
+  }
+
+  test("extend(A, B) holds recall parity with build(A union B) at equal degree") {
+    // Reference validation discipline (ann_cagra.cuh:623-701): queries
+    // external to the insert batch, truth over the FULL extended dataset,
+    // parity bar vs the from-scratch build at the same degree. (The
+    // reference inserts 10%; this inserts 20% — harsher.)
+    val q = emb.filter(col("id") % 10 === 1).select(col("id").as("qid"), col("vec").as("qvec"))
+    val built = CagraOptimize.optimize(
+      AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec")
+        .select(col("src"), col("dst"), col("dist")), degree)
+    val ext = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+    val rBuilt = searchRecall(built, q)
+    val rExt = searchRecall(ext, q)
+    // cagra.hpp:367-374 documents extend's recall tradeoff (no intra-chunk
+    // edges); parity bar = within 5 points of the from-scratch build
+    assert(rExt >= rBuilt - 0.05, s"extend recall $rExt vs build $rBuilt")
+    assert(rExt >= 0.9, s"extend recall $rExt below absolute floor")
+
+    // Harshest case: the inserted nodes themselves as queries. New nodes
+    // carry only degree/2 reverse in-edges (add_nodes.cuh:194-195), so
+    // their neighborhoods need a wider beam — the documented chunk
+    // tradeoff, not a defect (measured: 0.84 at itopk 40, 0.91 at 60).
+    val qNew = add.select(col("id").as("qid"), col("vec").as("qvec"))
+    val rNew = searchRecall(ext, qNew, itopk = 60, iters = 20)
+    assert(rNew >= 0.85, s"new-node-query recall $rNew")
+  }
+
+  test("single-chunk extend == auto chunking when batch fits one chunk") {
+    val a = CagraExtend.extend(baseGraph, base, add, degree)
+    val b = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 1000000))
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}

@@ -22,6 +22,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails = 0
+# a query that threw in Verify leaves no dump dir — that's an err row in
+# the driver's gate, not a skip
+dumped = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
+for name in sorted(set(oracles) - dumped):
+    print(f"[FAIL] {name}: no Verify dump (query threw?)"); fails += 1
 for d in sorted(glob.glob(f"{outdir}/*/")):
     name = d.rstrip("/").split("/")[-1]
     try:

@@ -1,8 +1,9 @@
 package graft.graphops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.core.Metric
 
 /** CAGRA graph `extend` — chunked insertion of new vectors into an existing
@@ -30,11 +31,16 @@ import graft.core.Metric
   *
   * Like the reference, no edges are added BETWEEN nodes of the same chunk
   * (cagra.hpp:367-370 documents the recall tradeoff); splitting the insert
-  * into several chunks lets later chunks link to earlier ones. Unlike the
-  * reference's in-place row surgery, the relational form rewrites only the
-  * touched adjacency rows — the untouched graph streams through unchanged,
-  * so a 100 TB base graph is never shuffled beyond the touched-node
-  * semi-join per chunk.
+  * into several chunks lets later chunks link to earlier ones.
+  *
+  * Scale shape: the base graph is checkpointed ONCE and never rewritten.
+  * Each chunk accumulates only a touched-row OVERLAY — the replacement
+  * adjacency for reverse-edge targets plus the new nodes' lists — and the
+  * current graph is the lazy view `base ▷ touchedIds ∪ overlay` (a
+  * broadcast anti-join at read time). With C chunks the loop materializes
+  * C overlays of touched-row size instead of C copies of the full edge
+  * list, so a 100 TB base graph is scanned by the chunk searches but never
+  * re-stored; the view reconciles once, at the end.
   *
   * The extended graph feeds every downstream consumer of a (src, dst, dist)
   * edge list unchanged — GraphSearch traversal, Hnsw.fromGraph (HNSW
@@ -44,8 +50,10 @@ import graft.core.Metric
 object CagraExtend {
 
   case class Params(
-      /** Rows per insert chunk; 0 = one chunk for the whole batch
-        * (cagra.hpp:365: auto). */
+      /** Hard cap on rows per insert chunk; 0 = one chunk for the whole
+        * batch (cagra.hpp:365: auto). Chunks are id-ordered row ranges, so
+        * every chunk holds <= maxChunkSize rows (the reference's
+        * max_chunk_size is the same hard per-batch bound). */
       maxChunkSize: Int = 0,
       metric: Metric = Metric.L2Sqrt,
       /** Traversal width for the neighbor search; 0 = auto
@@ -66,34 +74,66 @@ object CagraExtend {
     val baseDegree = 2 * degree
     val revCount = math.max(1, degree / 2)
     val itopk = if (params.itopk > 0) params.itopk else math.max(4 * degree, 64)
+    val wRank = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
 
-    var curGraph = graph.select(col("src").cast("long").as("src"),
+    // the base graph and dataset are materialized once and never rewritten
+    val base = graph.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("dist").cast("double").as("dist"))
       .localCheckpoint()
-    var curData = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val baseData = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
 
     val add = newRows.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val addCount = add.count()
-    val chunkSize = if (params.maxChunkSize > 0) params.maxChunkSize else addCount
-    val nChunks = math.max(1L, (addCount + chunkSize - 1) / chunkSize).toInt
-    // deterministic distributed chunk assignment (the reference chunks by
-    // row offset, an arbitrary stable split; hash-mod is the shuffle-free
-    // analog — a global sort over the insert batch would be a needless
-    // single-partition stage)
-    val chunked =
-      if (nChunks == 1) add.withColumn("_chunk", lit(0))
-      else add.withColumn("_chunk", pmod(xxhash64(col("id")), lit(nChunks)).cast("int"))
-    val chunks = chunked.localCheckpoint()
+    // empty insert batch: extend is a no-op (the reference returns the
+    // input index unchanged)
+    if (addCount == 0) return base.withColumn("rank", row_number().over(wRank))
+
+    val chunkSize = if (params.maxChunkSize > 0) params.maxChunkSize.toLong else addCount
+    val nChunks = ((addCount + chunkSize - 1) / chunkSize).toInt
+    // Hard-cap chunk assignment by id-ordered row range (the reference
+    // chunks by row offset): range-repartition + in-partition sort puts the
+    // batch in global id order without a single-partition stage, and
+    // zipWithIndex turns that into the exact sorted position — chunk i is
+    // rows [i*chunkSize, (i+1)*chunkSize), every chunk <= chunkSize rows,
+    // deterministic for a given batch regardless of input partitioning.
+    val chunks = {
+      val ordered =
+        if (nChunks == 1) add.withColumn("_chunk", lit(0))
+        else {
+          val sorted = add.repartitionByRange(col("id")).sortWithinPartitions("id")
+          val sch = StructType(sorted.schema.fields :+ StructField("_chunk", IntegerType, false))
+          val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ (i / chunkSize).toInt)
+          }
+          spark.createDataFrame(rdd, sch)
+        }
+      ordered.localCheckpoint()
+    }
+
+    // Touched-row overlay: `overlay` carries the CURRENT adjacency for every
+    // src in `touchedIds` (reverse-edge targets + inserted nodes); the live
+    // graph/dataset are lazy views over the immutable base.
+    var overlay = spark.emptyDataFrame
+    var touchedIds = spark.emptyDataFrame
+    var haveOverlay = false
+    def curGraph: DataFrame =
+      if (!haveOverlay) base
+      else base.join(touchedIds, Seq("src"), "left_anti").unionByName(overlay)
+    var insSoFar = spark.emptyDataFrame
+    def curData: DataFrame =
+      if (!haveOverlay) baseData else baseData.unionByName(insSoFar)
 
     var ci = 0
     while (ci < nChunks) {
       val chunk = chunks.filter(col("_chunk") === ci).select(col("id"), col("vec"))
+      val cg = curGraph
+      val cd = curData
 
       // Step 1 (add_nodes.cuh:100-120): batch-search the current graph for
       // each new vector's base_degree nearest current nodes.
       val cand = GraphSearch.search(
-        curGraph.select(col("src"), col("dst")), curData,
+        cg.select(col("src"), col("dst")), cd,
         chunk.select(col("id").as("qid"), col("vec").as("qvec")),
         baseDegree,
         GraphSearch.Params(itopk = itopk, searchWidth = params.searchWidth,
@@ -104,7 +144,7 @@ object CagraExtend {
       // Step 2 (add_nodes.cuh:150-189): detourable count of candidate `a` =
       // number of earlier-ranked candidates `b` whose adjacency already
       // contains `a`; keep the `degree` least-detourable (ties by rank).
-      val adj = curGraph.select(col("src").as("_gs"), col("dst").as("_gd"))
+      val adj = cg.select(col("src").as("_gs"), col("dst").as("_gd"))
       val det = cand.as("a")
         .join(cand.as("b"),
           col("a.src") === col("b.src") && col("b.rank") < col("a.rank"))
@@ -137,10 +177,10 @@ object CagraExtend {
       // Eviction (add_nodes.cuh:205-227): per target, the i-th reverse edge
       // evicts the tail-slot neighbor with the i-th most incoming edges —
       // redundancy, measured on the chunk-start graph (step 0's histogram).
-      val inc = curGraph.groupBy(col("dst").as("_in")).agg(count(lit(1)).as("_ninc"))
+      val inc = cg.groupBy(col("dst").as("_in")).agg(count(lit(1)).as("_ninc"))
       val revPerTarget = rev.groupBy(col("src")).agg(max(col("_ri")).as("_nrev"))
       val wSlot = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
-      val touched = curGraph.join(revPerTarget, Seq("src"))
+      val touched = cg.join(revPerTarget, Seq("src"))
         .withColumn("_slot", row_number().over(wSlot))
       val headKept = touched.filter(col("_slot") <= degree / 2)
         .select(col("src"), col("dst"), col("dist"))
@@ -164,29 +204,43 @@ object CagraExtend {
           (col("_ri") * 2).as("_ord"))
       val ranked = newEdges.select(col("src"), col("dst"), (col("_rk") * 2 - 1).as("_ord"))
       val wAdopt = Window.partitionBy(col("src"), col("dst")).orderBy(col("_ord").asc)
-      val wCut = Window.partitionBy(col("src")).orderBy(col("_ord").asc)
+      // dst tiebreak: two adopt rows can share an _ord (same _ri at two
+      // targets) and a tied row_number is nondeterministic
+      val wCut = Window.partitionBy(col("src")).orderBy(col("_ord").asc, col("dst").asc)
       val newAdj = ranked.unionByName(adopt)
         .withColumn("_dup", row_number().over(wAdopt)).filter(col("_dup") === 1)
         .withColumn("_pos", row_number().over(wCut)).filter(col("_pos") <= degree)
         .select(col("src"), col("dst"))
         // adopted edges need their true distance for downstream rank order
-        .join(curData.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+        .join(cd.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
         .join(chunk.select(col("id").as("src"), col("vec").as("_sv")), "src")
         .select(col("src"), col("dst"), graft.functions.vector_distance(
           params.metric, col("_sv"), col("_dv")).cast("double").as("dist"))
-      val untouched = curGraph.join(revPerTarget, Seq("src"), "left_anti")
 
-      curGraph = untouched
-        .unionByName(headKept)
+      // Overlay update: replacement adjacency for this chunk's touched srcs
+      // (reverse-edge targets keep head + surviving tail + forced reverse
+      // rows; new nodes get their interleaved lists). Only these rows are
+      // materialized — the base graph is never rewritten.
+      val chunkAdj = headKept
         .unionByName(tailKept)
         .unionByName(rev.select(col("src"), col("dst"), col("dist")))
         .unionByName(newAdj)
         .localCheckpoint()
-      curData = curData.unionByName(chunk).localCheckpoint()
+      val chunkTouched = revPerTarget.select(col("src"))
+        .unionByName(chunk.select(col("id").as("src")))
+      overlay =
+        if (!haveOverlay) chunkAdj
+        else overlay.join(chunkTouched, Seq("src"), "left_anti").unionByName(chunkAdj)
+          .localCheckpoint()
+      touchedIds =
+        (if (!haveOverlay) chunkTouched
+         else touchedIds.unionByName(chunkTouched).distinct())
+          .localCheckpoint()
+      insSoFar = chunks.filter(col("_chunk") <= ci).select(col("id"), col("vec"))
+      haveOverlay = true
       ci += 1
     }
 
-    val wRank = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
     curGraph.withColumn("rank", row_number().over(wRank))
   }
 }

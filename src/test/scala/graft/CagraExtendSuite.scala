@@ -81,6 +81,23 @@ class CagraExtendSuite extends SparkFunSuite {
     assert(rNew >= 0.85, s"new-node-query recall $rNew")
   }
 
+  test("empty insert batch is a no-op (base graph back, rank appended)") {
+    val ext = CagraExtend.extend(baseGraph, base, add.filter(lit(false)), degree)
+    assert(ext.count() == baseGraph.count())
+    assert(ext.select(col("src"), col("dst")).except(
+      baseGraph.select(col("src"), col("dst"))).count() == 0)
+    assert(ext.columns.contains("rank"))
+  }
+
+  test("chunked extend is deterministic across runs") {
+    val a = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+    val b = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("single-chunk extend == auto chunking when batch fits one chunk") {
     val a = CagraExtend.extend(baseGraph, base, add, degree)
     val b = CagraExtend.extend(baseGraph, base, add, degree,

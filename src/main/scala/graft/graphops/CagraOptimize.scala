@@ -57,21 +57,31 @@ object CagraOptimize {
     * cap, as in the reference. Consequently the returned `rank` column is
     * UNCAPPED (unlike `optimize`, whose output is filtered to
     * rank <= degree): it is the per-src ordering only, and bridge
-    * endpoints can carry rank > degree. Driver state: the O(n) component
-    * labels + MST edge list, the same budget as the Borůvka/dendrogram
-    * steps (SURVEY.md §7.4).
+    * endpoints can carry rank > degree. Labels stay DISTRIBUTED — bridge
+    * candidates are selected by joining the edge list against the
+    * component labels, and the only driver state is the O(#components)
+    * union-find of the contracted Borůvka (at 1B nodes a per-vertex label
+    * collect would OOM the driver; #components is tiny).
     */
   def optimizeConnected(graph: DataFrame, degree: Int): DataFrame = {
     val pruned = optimize(graph, degree).select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
     val verts = graph.select(col("src").as("id"))
       .unionByName(graph.select(col("dst").as("id"))).distinct()
-    val labels = Components.connectedComponents(verts, pruned)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bridges =
-      if (labels.values.toSet.size <= 1) Seq.empty[(Long, Long, Double)]
-      else Components.boruvkaMst(verts, graph.select(col("src"), col("dst"), col("dist")))
-        .filter { case (s, d, _) => labels(s) != labels(d) }
+    val labels = Components.connectedComponents(verts, pruned).localCheckpoint()
+    val nComp = labels.select(col("component")).distinct().count()
+    val bridges: Seq[(Long, Long, Double)] =
+      if (nComp <= 1) Seq.empty
+      else {
+        // contract the pruned components: only the original graph's
+        // cross-component edges are bridge candidates, tagged with their
+        // endpoint labels via two distributed joins
+        val cross = graph.select(col("src"), col("dst"), col("dist"))
+          .join(labels.select(col("id").as("src"), col("component").as("csrc")), "src")
+          .join(labels.select(col("id").as("dst"), col("component").as("cdst")), "dst")
+          .filter(col("csrc") =!= col("cdst"))
+        Components.boruvkaMstContracted(cross)
+      }
     val spark = graph.sparkSession
     // dedup in BOTH branches so the two paths return the same shape even
     // if an upstream ever feeds duplicate (src, dst) rows

@@ -157,6 +157,58 @@ object Components {
     mst.toSeq
   }
 
+  /** Borůvka MST over a pre-contracted multigraph: `edges` is
+    * (src, dst, dist, csrc, cdst) with csrc/cdst the component labels of
+    * the endpoints under some vertex partition, pre-filtered to
+    * csrc != cdst. Union-find runs over the LABELS — driver state is
+    * O(#components), never O(#vertices) — and returned edges carry the
+    * ORIGINAL endpoints. Per round, each super-component's minimum
+    * outgoing edge is picked distributed ((dist, src, dst) ordering, same
+    * as boruvkaMst) and only those ≤ #components proposals collect. This
+    * is the bridge-selection step of CagraOptimize.optimizeConnected. */
+  def boruvkaMstContracted(edges: DataFrame, maxRounds: Int = 20): Seq[(Long, Long, Double)] = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      col("dist").cast("double").as("dist"),
+      col("csrc").cast("long").as("csrc"), col("cdst").cast("long").as("cdst"))
+      .localCheckpoint()
+    val comps = e.select(col("csrc").as("c")).unionByName(e.select(col("cdst").as("c")))
+      .distinct().collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(comps.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    val mst = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var rounds = 0
+    var merged = 1
+    while (merged > 0 && rounds < maxRounds) {
+      val m = parent.keys.map(v => v -> find(v)).toSeq
+      val mDf = broadcast(spark.createDataFrame(m).toDF("c", "sc"))
+      val prop = e
+        .join(mDf.select(col("c").as("csrc"), col("sc").as("_s1")), "csrc")
+        .join(mDf.select(col("c").as("cdst"), col("sc").as("_s2")), "cdst")
+        .filter(col("_s1") =!= col("_s2"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_s1"))
+          .orderBy(col("dist").asc, col("src").asc, col("dst").asc)))
+        .filter(col("rk") === 1)
+        .select(col("src"), col("dst"), col("dist"), col("_s1"), col("_s2")).collect()
+      merged = 0
+      prop.sortBy(r => (r.getDouble(2), r.getLong(0), r.getLong(1))).foreach { r =>
+        val (a, b) = (find(r.getLong(3)), find(r.getLong(4)))
+        if (a != b) {
+          parent(math.max(a, b)) = math.min(a, b)
+          mst += ((r.getLong(0), r.getLong(1), r.getDouble(2)))
+          merged += 1
+        }
+      }
+      rounds += 1
+    }
+    mst.toSeq
+  }
+
   /** Single-linkage flat labels at `nClusters`: cut the MST at its
     * nClusters-1 largest edges (single_linkage semantics). Returns
     * (id, cluster) with clusters = smallest member id. */

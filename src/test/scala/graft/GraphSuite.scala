@@ -83,6 +83,27 @@ class GraphSuite extends SparkFunSuite {
       .except(fixed.select(col("src"), col("dst"))).count() == 0)
   }
 
+  test("optimizeConnected re-bridges on the fully distributed route (no local kernel)") {
+    import spark.implicits._
+    // same two-clique fixture as above, with the in-memory union-find route
+    // conf-disabled: labels must stay distributed end-to-end (the 1B-node
+    // regime, where a per-vertex label collect would OOM the driver)
+    val intra = for {
+      g <- Seq(0L, 5L); a <- 0L until 5L; b <- 0L until 5L if a != b
+    } yield (g + a, g + b, 1.0 + 0.01 * (a + b))
+    val bridges = Seq((0L, 5L, 10.0), (5L, 0L, 10.0))
+    val g = (intra ++ bridges).toDF("src", "dst", "dist")
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    try {
+      val fixed = CagraOptimize.optimizeConnected(g, degree = 2)
+      val verts = g.select(col("src").as("id"))
+        .unionByName(g.select(col("dst").as("id"))).distinct()
+      val n = Components.connectedComponents(verts, fixed.select(col("src"), col("dst")))
+        .select(col("component")).distinct().count()
+      assert(n == 1, "distributed route failed to re-bridge")
+    } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+  }
+
   test("connected components: planted duplicate pairs form 2-node components") {
     val dup = small.select((col("id") + 10000).as("id"), col("vec"))
     val corpus = small.unionByName(dup)

@@ -14,6 +14,28 @@ object GraphQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     SparkEntry.table(spark, dir, "embeddings")
 
+  /** ACE build dirs are per-pid scratch (the buildDir/use_disk artifacts
+    * outlive the SparkSession on purpose, but not the JVM): one shutdown
+    * hook deletes every dir this process created, so repeated bench/verify
+    * runs don't accumulate parquet trees in /tmp. */
+  private val aceDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val aceHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      aceDirs.forEach { d =>
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root)) {
+          val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          try it.forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally it.close()
+        }
+      }))
+    true
+  }
+  private def registerAceCleanup(dir: String): Unit = {
+    aceHookInstalled
+    aceDirs.add(dir)
+  }
+
   private val l2 = (a: String, b: String) =>
     s"sqrt(list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2)))"
 
@@ -400,6 +422,7 @@ object GraphQueries {
     val g = SparkEntry.memoize(spark, s"cagraAce8:$dir") {
       val buildDir = s"${System.getProperty("java.io.tmpdir")}/graft_ace_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      registerAceCleanup(buildDir)
       CagraOptimize.buildAce(e, npartitions = 4, buildDir, degree = 8)
     }
     val knn = exact16Graph(spark, dir)
@@ -476,7 +499,7 @@ object GraphQueries {
     val allow = e.filter(col("id") % 3 =!= 0).select(col("id"))
     // more rounds than the unfiltered query: the rate-widened beam (itopk
     // 40 -> 60 at 1/3 filtered) drains slower — recall is iteration-bound,
-    // 0.785 at 10 rounds vs 0.86+ at 20 on the sf0.1 fixture (FilterProbe)
+    // 0.785 at 10 rounds vs 0.86+ at 20 on the sf0.1 fixture (probe sweep)
     val got = GraphSearch.searchFiltered(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 20), allow, "id", "vec")
       .localCheckpoint()

@@ -1,51 +1,124 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Metric
-import graft.graphops.{AllNeighbors, NnDescent}
 
-/** Scratch: sweep IVF-PQ reorder depth and NN-descent iterations vs the
-  * recall floors the driver queries assert. */
+/** Recall-vs-search-knob Pareto sweep across every ANN index family at its
+  * driver-default build config — the reference's index-comparison
+  * methodology (fern/pages/comparing_indexes.md:29-40: sweep parameters,
+  * report recall buckets, compare within a bucket, never across).
+  *
+  * Each family builds ONCE at the config its driver query uses, then the
+  * search-side knob (n_probes for the IVF family, itopk for CAGRA, ef for
+  * HNSW) sweeps from fast-and-rough to the exhaustive end. Every point is
+  * (family, knob, value, recall, search_sec) — recall measured against
+  * brute-force ground truth over the same query workload (every 20th
+  * vector), matched-pairs / (n_queries * k).
+  *
+  * `runMain graft.tools.RecallSweep [sfDir]` prints one `SWEEP` JSON line
+  * per point and writes the full artifact to RECALL_PARETO.json
+  * (SPARK_GRAFT_SWEEP_OUT overrides). RecallSweepSuite asserts the
+  * driver-default point of each family against its floor and the Pareto
+  * shape (recall non-decreasing along the knob) at sf0.001.
+  */
 object RecallSweep {
+
+  case class Point(family: String, knob: String, value: Int,
+      recall: Double, searchSec: Double)
+
+  /** All families, one build each, knob swept. */
+  def sweep(spark: SparkSession, dir: String): Seq[Point] = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val n = emb.count()
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")).cache()
+    val denom = q.count() * 10.0
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("qid"), col("nbr_id")).localCheckpoint()
+
+    def measure(family: String, knob: String, value: Int)(f: => DataFrame): Point = {
+      val t0 = System.nanoTime()
+      val approx = f.select(col("qid"), col("nbr_id"))
+      val recall = graft.core.Recall.matched(approx, exact) / denom
+      Point(family, knob, value, recall, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val probes = Seq(1, 2, 4, 8, 16)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Point]
+
+    val ivf = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
+    out ++= probes.map(p => measure("ivf_flat", "n_probes", p)(
+      ivf.search(q, 10, nProbes = p)))
+
+    val sq = graft.index.IvfSqIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10),
+      idCol = "vec_id", vecCol = "embedding", base = Some(ivf))
+    out ++= probes.map(p => measure("ivf_sq", "n_probes", p)(
+      sq.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = 30,
+        idCol = "vec_id", vecCol = "embedding")))
+
+    val pq = graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
+      "vec_id", "embedding", base = Some(ivf))
+    val kcPq = math.max(60L, n / 10).toInt
+    out ++= probes.map(p => measure("ivf_pq", "n_probes", p)(
+      pq.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = kcPq,
+        idCol = "vec_id", vecCol = "embedding")))
+
+    val rabitq = graft.index.IvfRabitqIndex.build(emb,
+      graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
+      "vec_id", "embedding", base = Some(ivf))
+    out ++= probes.map(p => measure("ivf_rabitq", "n_probes", p)(
+      rabitq.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = 40,
+        idCol = "vec_id", vecCol = "embedding")))
+
+    val scann = graft.index.ScannIndex.build(emb,
+      graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 4),
+      "vec_id", "embedding", base = Some(ivf))
+    val kcScann = math.max(60L, n / 10).toInt
+    out ++= probes.map(p => measure("scann", "n_probes", p)(
+      scann.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = kcScann,
+        idCol = "vec_id", vecCol = "embedding")))
+
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val knn16 = graft.graphops.AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
+      .localCheckpoint()
+    val cagra = graft.graphops.CagraOptimize.optimize(
+      knn16.select(col("src"), col("dst"), col("dist")), degree = 8).localCheckpoint()
+    out ++= Seq(10, 20, 40, 60).map(t => measure("cagra", "itopk", t)(
+      graft.graphops.GraphSearch.search(cagra.select(col("src"), col("dst")), e, q, 10,
+        graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 10),
+        "id", "vec")))
+
+    val hnsw = graft.index.Hnsw.fromGraph(knn16, e, graft.index.Hnsw.Params(m = 16),
+      "id", "vec")
+    out ++= Seq(10, 20, 40, 60).map(ef => measure("hnsw", "ef", ef)(
+      graft.index.Hnsw.search(hnsw, e, q, 10, ef = ef, "id", "vec")))
+
+    emb.unpersist(); q.unpersist()
+    out.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).cache()
-    val n = emb.count()
-    val q = emb.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val nQ = q.count() * 10
-    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 10, Metric.L2,
-        idCol = "vec_id", vecCol = "embedding")
-      .select(col("qid"), col("nbr_id")).localCheckpoint()
-
-    val ivf = graft.index.IvfFlatIndex.build(emb,
-      graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10), "vec_id", "embedding")
-    val pq = graft.index.IvfPqIndex.build(emb,
-      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 6),
-      "vec_id", "embedding", base = Some(ivf))
-    for (kc <- Seq(40, math.max(60, n / 10).toInt, math.max(100, n / 5).toInt)) {
-      val approx = pq.searchWithRefine(q, emb, 10, nProbes = 8, kCoarse = kc,
-          idCol = "vec_id", vecCol = "embedding").select(col("qid"), col("nbr_id"))
-      val r = graft.core.Recall.matched(approx, exact).toDouble / nQ
-      println(f"  ivfpq nProbes=8 kCoarse=$kc recall=$r%.3f")
-    }
-
-    val e2 = emb.filter(col("vec_id") % 2 === 0)
-    val exact2 = AllNeighbors.exact(e2, 10, Metric.L2, "vec_id", "embedding")
-    for (it <- Seq(3, 4, 5, 6)) {
-      val t0 = System.nanoTime()
-      val g = NnDescent.build(e2,
-        NnDescent.Params(k = 20, maxIterations = it, terminationThreshold = 0.0),
-        "vec_id", "embedding")
-      val r = AllNeighbors.graphRecall(g.filter(col("rank") <= 10), exact2)
-      println(f"  nndescent buildK=20 iters=$it top10-recall=$r%.3f t=${(System.nanoTime()-t0)/1e9}%.2f")
-    }
+    val points = sweep(spark, dir)
+    def js(p: Point): String =
+      f"""{"family":"${p.family}","knob":"${p.knob}","value":${p.value},""" +
+        f""""recall":${p.recall}%.4f,"search_sec":${p.searchSec}%.3f}"""
+    points.foreach(p => println(s"SWEEP ${js(p)}"))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "/root/repo/RECALL_PARETO.json")
+    val body = points.map(js).mkString("[\n  ", ",\n  ", "\n]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      s"""{"sf":"$dir","k":10,"points":$body}""".getBytes("UTF-8"))
+    println(s"SWEEP written $outPath (${points.length} points)")
     spark.stop()
   }
 }

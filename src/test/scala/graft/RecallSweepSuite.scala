@@ -1,0 +1,53 @@
+package graft
+
+import graft.tools.RecallSweep
+
+/** Floor + Pareto-shape assertions over the recall-vs-knob sweep
+  * (comparing_indexes.md:29-40): every index family, at the search knob
+  * its driver query defaults to, must clear that query's recall floor;
+  * and along each family's knob the recall curve must be (weakly)
+  * non-decreasing — the Pareto property that makes "compare at equal
+  * recall" meaningful. The committed RECALL_PARETO.json artifact is the
+  * same sweep run at sf0.1.
+  */
+class RecallSweepSuite extends SparkFunSuite {
+
+  private lazy val points = RecallSweep.sweep(spark, SparkTestBase.sf0001)
+
+  // (family, driver-default knob value, driver floor)
+  private val defaults = Seq(
+    ("ivf_flat", 8, 0.70),
+    ("ivf_sq", 8, 0.70),
+    ("ivf_pq", 8, 0.70),
+    ("ivf_rabitq", 8, 0.70),
+    ("scann", 4, 0.60),
+    ("cagra", 40, 0.85),
+    ("hnsw", 40, 0.85),
+  )
+
+  test("every family clears its driver floor at the default search knob") {
+    val byKey = points.map(p => (p.family, p.value) -> p.recall).toMap
+    defaults.foreach { case (family, knob, floor) =>
+      val r = byKey.getOrElse((family, knob),
+        fail(s"sweep has no point for $family@$knob"))
+      assert(r >= floor, f"$family@$knob recall $r%.3f below floor $floor")
+    }
+  }
+
+  test("recall is non-decreasing along each family's knob (Pareto shape)") {
+    points.groupBy(_.family).foreach { case (family, ps) =>
+      val sorted = ps.sortBy(_.value)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          // 0.02 tolerance: ADC estimates can reorder the coarse set by a
+          // hair as probes widen; the curve must still trend upward
+          assert(b.recall >= a.recall - 0.02,
+            f"$family recall drops ${a.value}:${a.recall}%.3f -> ${b.value}:${b.recall}%.3f")
+        case _ => ()
+      }
+      // the exhaustive end must dominate the fast end outright
+      assert(sorted.last.recall >= sorted.head.recall,
+        s"$family exhaustive knob worse than fastest knob")
+    }
+  }
+}

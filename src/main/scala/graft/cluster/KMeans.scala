@@ -69,7 +69,7 @@ object KMeans {
   private def fitOnce(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): Model = {
     val data = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     try {
       val dim = data.select(size(col("_vec"))).head().getInt(0)
       val initRows = params.init match {
@@ -210,7 +210,7 @@ object KMeans {
   def fitBalanced(df: DataFrame, params: Params, balanceRatio: Double = 0.25,
       idCol: String = "id", vecCol: String = "vec"): Model = {
     val data = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     try {
       val dim = data.select(size(col("_vec"))).head().getInt(0)
       val n = data.count()

@@ -32,7 +32,7 @@ object AllNeighbors {
   def build(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val kp = KMeans.Params(params.nClusters, params.kmeansIters,
       seed = params.seed, metric = params.metric)
     val model =
@@ -43,7 +43,7 @@ object AllNeighbors {
         KMeans.nearestCol(model.centroids, col("vec"), params.overlapFactor)
           .getField("list_id").as("cells"))
       .select(col("id"), col("vec"), col("cells"), explode(col("cells")).as("cell"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     // Local exact kNN per cell (the reference's per-batch local graph,
     // all_neighbors.hpp:29-95): a fused select_k kernel emits only k
     // candidates per (node, cell) into the global merge. The alternative

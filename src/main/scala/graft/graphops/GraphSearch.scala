@@ -34,12 +34,15 @@ object GraphSearch {
       params: Params, idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec",
       entrySeeds: Option[DataFrame] = None): DataFrame = {
-    val data = dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = graph.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Frames.materialize, not bare persist: an input checkpointed over an
+    // aliased-away partitioning (spark.range sources) crashes the cache
+    // manager on reuse — see graft.core.Frames
+    val data = graft.core.Frames.materialize(
+      dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
+    val q = graft.core.Frames.materialize(
+      queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec")))
+    val edges = graft.core.Frames.materialize(
+      graph.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
 
     // Cost-based route (see LocalKernel): a graph small enough to broadcast
     // runs the whole traversal in one pass instead of maxIterations jobs.

@@ -37,7 +37,7 @@ object NnDescent {
   def build(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val n = data.count()
 
     // seeded random initial graph: k pseudo-random neighbors per node

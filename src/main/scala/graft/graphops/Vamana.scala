@@ -36,7 +36,7 @@ object Vamana {
       idCol: String = "id", vecCol: String = "vec",
       candidates: Option[DataFrame] = None): DataFrame = {
     val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val cand = candidates
       .getOrElse(AllNeighbors.exact(data, params.visitedSize, params.metric, "id", "vec"))
       .select(col("src"), col("dst"), col("dist"))

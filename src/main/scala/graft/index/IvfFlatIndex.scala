@@ -37,6 +37,7 @@ class IvfFlatIndex(
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .transform(graft.core.Frames.materialize(_))
 
     // Fused probe+select_k kernel (graft.graphops.LocalKernel): the probe
     // set is per-query state — always the broadcast side — so when the
@@ -47,7 +48,7 @@ class IvfFlatIndex(
     // distance kernel, same (dist, id) merge order. At scale the
     // partition-pruned join runs unchanged.
     val spark = queries.sparkSession
-    val qCount = q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
         qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
       try return searchLocal(q, k, nProbes)
@@ -167,7 +168,7 @@ class IvfFlatIndex(
   def extendAdaptive(newData: DataFrame, idCol: String = "id",
       vecCol: String = "vec"): IvfFlatIndex = {
     val assigned = IvfFlatIndex.assign(newData, centroids, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val grown = lists.unionByName(assigned)
     // only lists that actually received rows drift; untouched lists keep
     // their trained center (their row mean differs from the Lloyd center)

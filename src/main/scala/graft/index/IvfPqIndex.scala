@@ -47,7 +47,7 @@ class IvfPqIndex(
     // lives in exactly one list. Identical rows to the join route.
     val spark = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
         qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {

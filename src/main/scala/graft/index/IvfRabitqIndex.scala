@@ -45,7 +45,7 @@ class IvfRabitqIndex(
     // expressions call; the coded lists stream once. Identical rows.
     val sparkS = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(sparkS) &&
         qCount <= graft.graphops.LocalKernel.maxVectors(sparkS)) {

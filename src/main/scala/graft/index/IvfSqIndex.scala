@@ -29,7 +29,7 @@ class IvfSqIndex(
     // rows to the join route (same linear decode, same distance kernel).
     val sparkS = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(sparkS) &&
         qCount <= graft.graphops.LocalKernel.maxVectors(sparkS)) {

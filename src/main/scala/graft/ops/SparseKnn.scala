@@ -57,7 +57,7 @@ object SparseKnn {
     val spark = dataset.sparkSession
     val qk = queries.select(col(qidCol).cast("long").as("qid"),
       col(qidxCol).as("qindices"), col(qvalCol).as("qvalues"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val qCount = qk.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
         qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {

@@ -37,7 +37,7 @@ object ProductQuantizer {
     val trainset = if (n <= maxRows) df else df.filter(
       pmod(xxhash64(col(idCol), lit(params.seed)), lit(n)) < maxRows)
     val data = trainset.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     try {
       // deterministic seeded init: center c of subspace s = subvector s of
       // the c-th hash-ranked row

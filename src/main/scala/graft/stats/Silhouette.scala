@@ -31,7 +31,7 @@ object Silhouette {
     // expensive upstream plan (e.g. a clustering output) evaluates once
     val x = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
       col(labelCol).cast("int").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     try {
       val spark = df.sparkSession
       val exactMax = spark.conf.get("spark.graft.silhouette.exactMaxRows", "20000").toLong

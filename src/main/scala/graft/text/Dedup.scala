@@ -68,7 +68,7 @@ object Dedup {
       n: Int = 8, minJaccard: Double = 0.5, maxDfFrac: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val nDocs = docs.count()
     val totalShingles = docs.select(
       sum(greatest(length(col("text")) - (n - 1), lit(0)))).head().getLong(0)
@@ -550,7 +550,7 @@ object Dedup {
       .filter(col("_n") > 0.0)
       .select(col("id"), transform(col("vec"),
         x => (x.cast("double") / col("_n")).cast("float")).as("uvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
     val nRows = unit.count()
     val idx = BallCover.build(unit, math.max(2, math.sqrt(nRows.toDouble).toInt),
       idCol = "id", vecCol = "uvec")

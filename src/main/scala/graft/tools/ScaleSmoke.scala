@@ -11,12 +11,25 @@ import graft.core.Metric
   * Vectors are hash-derived (deterministic, no RNG state), generated
   * distributed via spark.range — the driver never holds the dataset.
   *
+  * Phases (SPARK_GRAFT_SCALE_PHASES, comma list, default all):
+  *   core    brute kNN, k-means, sampled silhouette, IVF-Flat
+  *   family  IVF-PQ / IVF-SQ / IVF-RaBitQ sharing ONE coarse build, ScaNN
+  *   graph   all_neighbors, CAGRA optimize + beam search, NN-descent,
+  *           connected components
+  *   ace     ACE partitioned/disk CAGRA build + search over the result
+  *   extend  CAGRA graph extend: 95% base build, 5% chunked insert
+  *   text    minhash-LSH dedup over a near-dup corpus
+  *
   * Run: SPARK_GRAFT_SCALE_N=200000 sbt "runMain graft.tools.ScaleSmoke"
+  *      SPARK_GRAFT_SCALE_N=1000000 SPARK_GRAFT_SCALE_PHASES=family \
+  *        sbt "runMain graft.tools.ScaleSmoke"   # 1M IVF-family run
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
+    val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
+      "core,family,graph,ace,extend,text").split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.maxResultSize", "2g")
@@ -32,6 +45,8 @@ object ScaleSmoke {
       println(f"SCALE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    def phase(name: String)(f: => Unit): Unit =
+      if (phases(name)) { println(s"SCALE == phase $name =="); f }
     // surface the stages that matter: anything over 5s prints, so a
     // straggler stage is attributable without the (disabled) UI
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -57,67 +72,175 @@ object ScaleSmoke {
     val q = data.filter(col("id") % math.max(1L, n / 200) === 0)
       .select(col("id").as("qid"), col("vec").as("qvec"))
 
-    time("bruteforce_knn_200q") {
-      graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
+    var ivfOpt: Option[graft.index.IvfFlatIndex] = None
+
+    phase("core") {
+      time("bruteforce_knn_200q") {
+        graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
+      }
+
+      val km = time("kmeans_distributed_fit") {
+        graft.cluster.KMeans.fit(data,
+          graft.cluster.KMeans.Params(k = 64, maxIter = 5), "id", "vec")
+      }
+      println(f"SCALE   kmeans inertia ${km.inertia}%.3e iters ${km.iterations}")
+
+      time("silhouette_sampled") {
+        // past the 20k exact gate the sampled route engages (r3 verdict's
+        // O(n^2) flag): every point scored against per-cluster samples,
+        // O(n * clusters * cap) with a broadcast sample side
+        spark.conf.set("spark.graft.silhouette.samplePerCluster", "64")
+        val (cl, _) = graft.cluster.KMeans.assignCols(km.centroids, col("vec"))
+        graft.stats.Silhouette.perPoint(
+          data.select(col("id"), col("vec"), cl.as("label")), Metric.L2).count()
+      }
+
+      val ivf = time("ivf_flat_build_128lists_balanced") {
+        graft.index.IvfFlatIndex.build(data,
+          graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5,
+            balanced = true), "id", "vec")
+      }
+      time("ivf_flat_search_8probes") {
+        ivf.search(q, 10, nProbes = 8).count()
+      }
+      ivfOpt = Some(ivf)
     }
 
-    val km = time("kmeans_distributed_fit") {
-      graft.cluster.KMeans.fit(data,
-        graft.cluster.KMeans.Params(k = 64, maxIter = 5), "id", "vec")
-    }
-    println(f"SCALE   kmeans inertia ${km.inertia}%.3e iters ${km.iterations}")
+    phase("family") {
+      // ONE coarse quantizer shared by PQ / SQ / RaBitQ — at 100 TB the
+      // coarse k-means is the expensive common prefix and must not be paid
+      // per encoding. nLists ~ sqrt(n) (the reference's default sizing).
+      val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
+      val coarse = time(s"family_coarse_${nLists}lists") {
+        graft.index.IvfFlatIndex.build(data,
+          graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
+            balanced = true), "id", "vec")
+      }
+      val probes = math.max(8, nLists / 32)
 
-    time("silhouette_sampled_200k") {
-      // past the 20k exact gate the sampled route engages (r3 verdict's
-      // O(n^2) flag): every point scored against per-cluster samples,
-      // O(n * clusters * cap) with a broadcast sample side
-      spark.conf.set("spark.graft.silhouette.samplePerCluster", "64")
-      val (cl, _) = graft.cluster.KMeans.assignCols(km.centroids, col("vec"))
-      graft.stats.Silhouette.perPoint(
-        data.select(col("id"), col("vec"), cl.as("label")), Metric.L2).count()
+      val pq = time("ivf_pq_build") {
+        graft.index.IvfPqIndex.build(data,
+          graft.index.IvfPqIndex.Params(nLists = nLists, pqDim = 8, pqBits = 8),
+          "id", "vec", base = Some(coarse))
+      }
+      time("ivf_pq_search_refine_200q") {
+        pq.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
+      }
+      pq.lists.unpersist()
+
+      val sq = time("ivf_sq_build") {
+        graft.index.IvfSqIndex.build(data,
+          graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5),
+          idCol = "id", vecCol = "vec", base = Some(coarse))
+      }
+      time("ivf_sq_search_refine_200q") {
+        sq.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
+      }
+      sq.lists.unpersist()
+
+      val rq = time("ivf_rabitq_build") {
+        graft.index.IvfRabitqIndex.build(data,
+          graft.index.IvfRabitqIndex.Params(nLists = nLists),
+          "id", "vec", base = Some(coarse))
+      }
+      time("ivf_rabitq_search_refine_200q") {
+        rq.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
+      }
+      rq.lists.unpersist()
+      coarse.lists.unpersist()
+
+      val sc = time("scann_build") {
+        graft.index.ScannIndex.build(data,
+          graft.index.ScannIndex.Params(nLeaves = nLists, nIters = 5,
+            balanced = true), "id", "vec")
+      }
+      time("scann_search_refine_200q") {
+        sc.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
+      }
+      sc.lists.unpersist()
     }
 
-    val ivf = time("ivf_flat_build_128lists_balanced") {
-      graft.index.IvfFlatIndex.build(data,
-        graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5,
-          balanced = true), "id", "vec")
-    }
-    time("ivf_flat_search_8probes") {
-      ivf.search(q, 10, nProbes = 8).count()
+    phase("graph") {
+      val g10 = time("all_neighbors_64cells") {
+        graft.graphops.AllNeighbors.build(data,
+          graft.graphops.AllNeighbors.Params(k = 10, nClusters = 64,
+            overlapFactor = 2, kmeansIters = 5), "id", "vec")
+      }
+      val opt = time("cagra_optimize") {
+        graft.graphops.CagraOptimize.optimize(
+          g10.select(col("src"), col("dst"), col("dist")), degree = 8).localCheckpoint()
+      }
+      time("cagra_beam_search_200q") {
+        graft.graphops.GraphSearch.search(opt.select(col("src"), col("dst")),
+          data, q, 10,
+          graft.graphops.GraphSearch.Params(itopk = 40, searchWidth = 4,
+            maxIterations = 8), "id", "vec").count()
+      }
+
+      time("nn_descent_sampled") {
+        // quarter-scale DENSE prefix (the seeded init assumes ~dense ids);
+        // maxSamples=8 < 2k keeps the GNND sampling cap ACTIVE
+        graft.graphops.NnDescent.build(
+          data.filter(col("id") < n / 4),
+          graft.graphops.NnDescent.Params(k = 8, maxIterations = 3,
+            terminationThreshold = 0, maxSamples = 8), "id", "vec").count()
+      }
+
+      val edges = time("components_edges") {
+        // candidate edges from the optimized graph restricted to a prefix —
+        // a component structure with many small islands
+        opt.select(col("src"), col("dst"))
+          .filter(col("src") < n / 4 && col("dst") < n / 4).localCheckpoint()
+      }
+      time("connected_components_distributed") {
+        graft.graphops.Components.connectedComponents(
+          data.select(col("id")).filter(col("id") < n / 4), edges, "id").count()
+      }
     }
 
-    val g10 = time("all_neighbors_64cells") {
-      graft.graphops.AllNeighbors.build(data,
-        graft.graphops.AllNeighbors.Params(k = 10, nClusters = 64,
-          overlapFactor = 2, kmeansIters = 5), "id", "vec")
-    }
-    val opt = time("cagra_optimize_200k") {
-      graft.graphops.CagraOptimize.optimize(
-        g10.select(col("src"), col("dst"), col("dist")), degree = 8).localCheckpoint()
-    }
-    time("cagra_beam_search_200q") {
-      graft.graphops.GraphSearch.search(opt.select(col("src"), col("dst")),
-        data, q, 10,
-        graft.graphops.GraphSearch.Params(itopk = 40, searchWidth = 4,
-          maxIterations = 8), "id", "vec").count()
-    }
-
-    time("nn_descent_50k_sampled") {
-      // quarter-scale DENSE prefix (the seeded init assumes ~dense ids);
-      // maxSamples=8 < 2k keeps the GNND sampling cap ACTIVE
-      graft.graphops.NnDescent.build(
-        data.filter(col("id") < n / 4),
-        graft.graphops.NnDescent.Params(k = 8, maxIterations = 3,
-          terminationThreshold = 0, maxSamples = 8), "id", "vec").count()
+    phase("ace") {
+      // ACE disk build: the out-of-core route — partitioned sub-builds with
+      // parquet artifacts under buildDir, nothing driver-resident
+      val dir = java.nio.file.Files.createTempDirectory("graft_scale_ace").toString
+      try {
+        val aceG = time("ace_build_8parts_disk") {
+          graft.graphops.CagraOptimize.buildAce(data, npartitions = 8,
+            buildDir = dir, degree = 8)
+        }
+        time("ace_beam_search_200q") {
+          graft.graphops.GraphSearch.search(aceG.select(col("src"), col("dst")),
+            data, q, 10,
+            graft.graphops.GraphSearch.Params(itopk = 40, searchWidth = 4,
+              maxIterations = 8), "id", "vec").count()
+        }
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      }
     }
 
-    val edges = time("components_edges") {
-      ivf.search(q, 5, nProbes = 4)
-        .select(col("qid").as("src"), col("nbr_id").as("dst")).localCheckpoint()
-    }
-    time("connected_components_distributed") {
-      graft.graphops.Components.connectedComponents(
-        data.select(col("id")), edges, "id").count()
+    phase("extend") {
+      // 95% of rows form the base graph; the other 5% insert in hard-capped
+      // chunks — the route where r5's full-graph-per-chunk rewrite would
+      // have been the scale-killer, now an overlay accumulation
+      val baseData = data.filter(col("id") % 20 =!= 0)
+      val newRows = data.filter(col("id") % 20 === 0)
+      val baseKnn = time("extend_base_knn_graph") {
+        graft.graphops.AllNeighbors.build(baseData,
+          graft.graphops.AllNeighbors.Params(k = 16, nClusters = 64,
+            overlapFactor = 2, kmeansIters = 5), "id", "vec")
+      }
+      val baseOpt = time("extend_base_optimize") {
+        graft.graphops.CagraOptimize.optimize(
+          baseKnn.select(col("src"), col("dst"), col("dist")), degree = 8)
+          .localCheckpoint()
+      }
+      val chunkCap = math.max(1000, (n / 40).toInt) // 2 chunks of the 5%
+      time(s"cagra_extend_2chunks") {
+        graft.graphops.CagraExtend.extend(baseOpt, baseData, newRows,
+          degree = 8,
+          graft.graphops.CagraExtend.Params(maxChunkSize = chunkCap)).count()
+      }
     }
 
     // release the vector phase's cached state before the text phase — the
@@ -125,22 +248,25 @@ object ScaleSmoke {
     // text-phase timings honest (accumulated caches/shuffles were
     // inflating them ~10x in earlier runs)
     data.unpersist()
-    ivf.lists.unpersist()
+    ivfOpt.foreach(_.lists.unpersist())
 
-    // near-dup text corpus: 10% of docs are near-copies of a base doc
-    val docs = spark.range(0, n / 4, 1, 64)
-      .select(col("id"),
-        concat_ws(" ", (0 until 24).map(j =>
-          when(col("id") % 10 === 0 && j >= 22, lit("copysuffix"))
-            .otherwise(pmod(xxhash64(when(col("id") % 10 === 0, col("id") - 1)
-              .otherwise(col("id")), lit(j)), lit(5000)).cast("string"))): _*).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("docs_materialize")(docs.count())
-    time("minhash_lsh_dedup") {
-      graft.text.Dedup.minhashLshPairs(docs, "id", "text").count()
+    phase("text") {
+      // near-dup text corpus: 10% of docs are near-copies of a base doc
+      val docs = spark.range(0, n / 4, 1, 64)
+        .select(col("id"),
+          concat_ws(" ", (0 until 24).map(j =>
+            when(col("id") % 10 === 0 && j >= 22, lit("copysuffix"))
+              .otherwise(pmod(xxhash64(when(col("id") % 10 === 0, col("id") - 1)
+                .otherwise(col("id")), lit(j)), lit(5000)).cast("string"))): _*).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("docs_materialize")(docs.count())
+      time("minhash_lsh_dedup") {
+        graft.text.Dedup.minhashLshPairs(docs, "id", "text").count()
+      }
+      docs.unpersist()
     }
 
-    println("SCALE done — all distributed routes executed")
+    println("SCALE done — all selected phases executed")
     spark.stop()
   }
 }

@@ -98,6 +98,33 @@ class CagraExtendSuite extends SparkFunSuite {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("extend works over spark.range-sourced data on the distributed route") {
+    // regression (see graft.core.Frames): spark.range emits
+    // RangePartitioning(id#orig); a cast-alias + localCheckpoint keeps the
+    // stale attr in LogicalRDD metadata, and GraphSearch's persist of a
+    // projection then crashed cache reuse with
+    // `NoSuchElementException: key not found: id#origL` in
+    // InMemoryRelation.withOutput — first seen in ScaleSmoke's extend phase
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    try {
+      val dim = 8
+      val data = spark.range(0, 400, 1, 4)
+        .select(col("id"),
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(dim - 1)), j =>
+              (pmod(xxhash64(col("id") % 16, j), lit(1000)).cast("double") / 100.0)
+                .cast("float")).as("vec"))
+      val cBase = data.filter(col("id") % 5 =!= 0)
+      val cAdd = data.filter(col("id") % 5 === 0)
+      val g = CagraOptimize.optimize(
+        AllNeighbors.exact(cBase, 16, Metric.L2Sqrt, "id", "vec")
+          .select(col("src"), col("dst"), col("dist")), degree).localCheckpoint()
+      val ext = CagraExtend.extend(g, cBase, cAdd, degree,
+        CagraExtend.Params(maxChunkSize = 40))
+      assert(ext.groupBy(col("src")).count().filter(col("count") > degree).count() == 0)
+    } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+  }
+
   test("single-chunk extend == auto chunking when batch fits one chunk") {
     val a = CagraExtend.extend(baseGraph, base, add, degree)
     val b = CagraExtend.extend(baseGraph, base, add, degree,

@@ -556,6 +556,51 @@ object GraphQueries {
       |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** HNSW extend end-to-end: hierarchy built over 80% of the %2 subset,
+    * the other 20% chunk-inserted (3 chunks) via the CagraExtend layer-0
+    * surgery + level re-draw, then hierarchical search with queries
+    * EXTERNAL to the insert batch against full-dataset truth — the same
+    * validation discipline and 0.85 floor as cagra_extend_recall.
+    * `new_full_degree`: every inserted node present at layer 0 with
+    * exactly the base degree. */
+  private def hnswExtendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val addRows = s.filter(col("id") % 10 === 0)
+    val baseRows = s.filter(col("id") % 10 =!= 0)
+    val idx = SparkEntry.memoize(spark, s"hnswExt8:$dir") {
+      val baseGraph = CagraOptimize.optimize(
+        AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
+          .select(col("src"), col("dst"), col("dist")), degree = 8)
+      val built = Hnsw.fromGraph(baseGraph, baseRows,
+        Hnsw.Params(m = 16, metric = Metric.L2Sqrt), "id", "vec")
+      val nAdd = addRows.count()
+      val ext = Hnsw.extend(built, baseRows, addRows,
+        maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt)
+      ext.copy(levels = ext.levels.localCheckpoint(),
+        edges = ext.edges.localCheckpoint())
+    }
+    val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Hnsw.search(idx, s, q, 10, ef = 40, "id", "vec")
+    val exact = graft.ops.BruteForceKnn.knnJoin(s, q, 10, Metric.L2, "id", "vec")
+    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")),
+      exact.select(col("qid"), col("nbr_id"))).toDouble / (q.count() * 10)
+    val newDeg = idx.edges.filter(col("level") === 0)
+      .join(addRows.select(col("id").as("src")), "src")
+      .groupBy(col("src")).count()
+    val newFullDegree = newDeg.count() == addRows.count() &&
+      newDeg.filter(col("count") =!= 8).count() == 0
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(8).as("degree"),
+        lit(newFullDegree).as("new_full_degree"),
+        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+  }
+
+  private val hnswExtendOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS degree,
+      |true AS new_full_degree, CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "all_neighbors_graph" -> (allNeighborsQuery(_, _)),
     "all_neighbors_recall" -> (allNeighborsRecallQuery(_, _)),
@@ -574,6 +619,7 @@ object GraphQueries {
     "cagra_filtered_search" -> (cagraFilteredQuery(_, _)),
     "hnsw_levels" -> (hnswLevelsQuery(_, _)),
     "hnsw_search_recall" -> (hnswSearchQuery(_, _)),
+    "hnsw_extend_recall" -> (hnswExtendQuery(_, _)),
   )
 
   private val allNeighborsGraphOracle: String =
@@ -599,5 +645,6 @@ object GraphQueries {
     "cagra_filtered_search" -> cagraFilteredOracle,
     "hnsw_levels" -> hnswLevelsOracle,
     "hnsw_search_recall" -> hnswSearchOracle,
+    "hnsw_extend_recall" -> hnswExtendOracle,
   )
 }

@@ -59,8 +59,8 @@ object Hnsw {
       idCol: String = "id", vecCol: String = "vec"): Index = {
     val spark = data.sparkSession
     val d = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val levels = assignLevels(d, params).persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Frames.materialize(_))
+    val levels = assignLevels(d, params).transform(graft.core.Frames.materialize(_))
     val base = baseGraph
       .select(lit(0).as("level"), col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("dist"), col("rank"))
@@ -113,6 +113,35 @@ object Hnsw {
     val entry = levels.filter(col("level") >= maxLevel).agg(min(col("id"))).head().getLong(0)
     d.unpersist()
     Index(levels, edges, maxLevel, entry, params)
+  }
+
+  /** HNSW extend — insert new vectors into an existing hierarchy (the
+    * reference's hnswlib add path behind hnsw.hpp's from-CAGRA index;
+    * CagraExtend.scala notes the equivalence: extend = layer-0 graph
+    * insert + re-assigning levels). Spark shape: layer 0 is extended via
+    * CagraExtend.extend (chunked insert, detour prune, tail-slot reverse
+    * edges — every inserted node lands at exactly the base degree); the
+    * level draw is a pure id hash, so existing assignments are unchanged
+    * by construction and the new ids slot in deterministically; upper
+    * layers are recomputed over the union by fromGraph (geometric shrink —
+    * n/M + n/M² + … rows total — so the rebuild is cheap at any scale,
+    * and a changed maxLevel/entry point is handled for free). */
+  def extend(idx: Index, data: DataFrame, newRows: DataFrame,
+      maxChunkSize: Int = 0,
+      idCol: String = "id", vecCol: String = "vec"): Index = {
+    val base0 = idx.edges.filter(col("level") === 0)
+      .select(col("src"), col("dst"), col("dist"))
+    // the base layer's out-degree is the insert degree (rank is dense 1..d)
+    val degree = idx.edges.filter(col("level") === 0)
+      .agg(max(col("rank"))).head().get(0).asInstanceOf[Number].intValue
+    val ext = graft.graphops.CagraExtend.extend(base0, data, newRows, degree,
+      graft.graphops.CagraExtend.Params(maxChunkSize = maxChunkSize,
+        metric = idx.params.metric),
+      idCol, vecCol)
+    val all = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .unionByName(
+        newRows.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
+    fromGraph(ext, all, idx.params)
   }
 
   /** Persist the hierarchy: level table, per-level edge tables, and a meta

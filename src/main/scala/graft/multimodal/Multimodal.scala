@@ -81,29 +81,43 @@ object Multimodal {
   def resizeBytes(payload: Column, outBytes: Int): Column =
     substring(concat(payload.cast("string"), payload.cast("string")), 1, outBytes)
 
+  /** THE CODEC SWAP POINT. A codec is any row-local, deterministic,
+    * serializable `Array[Byte] => Array[Float]` returning a fixed-length
+    * vector for every input (including empty payloads). That one contract
+    * is the entire integration surface for a real decoder: swap the
+    * function, everything downstream (kNN, dedup, IVF, the oracle-gated
+    * queries) consumes the resulting embedding column unchanged.
+    * `MultimodalSuite` is the contract's executable form — it runs the
+    * embed→kNN pipeline against a second, structurally different codec
+    * and asserts identical schema, plan shape, and payload pruning. */
+  type Codec = Array[Byte] => Array[Float]
+
+  /** Lift a codec into a column operator over the payload bytes. A JVM
+    * function rather than a SQL expression tree: the real decoder slot is
+    * exactly this shape (bytes in, floats out, row-local). */
+  def embedWith(codec: Codec)(payload: Column): Column =
+    udf(codec).apply(payload.cast("binary"))
+
   /** DETERMINISTIC FAKE of decode + feature extraction: split the payload
     * into `dim` contiguous chunks and map each chunk's char-code sum into
     * [0, 1). Stands in for a real image/audio model embedding (see class
-    * doc); everything downstream treats it as a real embedding column.
-    * A JVM function rather than a SQL expression tree: the real decoder
-    * slot is exactly this shape (bytes in, floats out, row-local), and the
-    * SQL form materialized a per-char array per row. Chunk arithmetic is
-    * identical to the previous expression (chunkLen = max(len/dim, 1),
-    * chunk c = chars [c·chunkLen, c·chunkLen + chunkLen), sum % 1000 /
-    * 1000) over the UTF-8-decoded chars, so the oracle replays it. */
-  def fakeEmbedding(payload: Column, dim: Int = 16): Column = {
-    val f = udf { bytes: Array[Byte] =>
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      val n = s.length
-      val chunkLen = math.max(n / dim, 1)
-      Array.tabulate(dim) { c =>
-        var sum = 0L
-        var i = c * chunkLen
-        val end = math.min(i + chunkLen, n)
-        while (i < end) { sum += s.charAt(i).toInt; i += 1 }
-        ((sum % 1000).toDouble / 1000.0).toFloat
-      }
+    * doc). Chunk arithmetic (chunkLen = max(len/dim, 1), chunk c = chars
+    * [c·chunkLen, c·chunkLen + chunkLen), sum % 1000 / 1000) runs over
+    * the UTF-8-decoded chars, so the DuckDB oracle replays it. */
+  def fakeCodec(dim: Int): Codec = { bytes: Array[Byte] =>
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val n = s.length
+    val chunkLen = math.max(n / dim, 1)
+    Array.tabulate(dim) { c =>
+      var sum = 0L
+      var i = c * chunkLen
+      val end = math.min(i + chunkLen, n)
+      while (i < end) { sum += s.charAt(i).toInt; i += 1 }
+      ((sum % 1000).toDouble / 1000.0).toFloat
     }
-    f(payload.cast("binary"))
   }
+
+  /** The stubbed decode+embed column (see fakeCodec / embedWith). */
+  def fakeEmbedding(payload: Column, dim: Int = 16): Column =
+    embedWith(fakeCodec(dim))(payload)
 }

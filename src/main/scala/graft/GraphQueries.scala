@@ -444,6 +444,21 @@ object GraphQueries {
       |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** The shared 80%-of-%2 base graph for BOTH extend pipelines
+    * (cagra_extend_recall and hnsw_extend_recall insert the same 20% into
+    * the same base): exact 16-NN over baseRows, detour-pruned to degree 8.
+    * Built once per dataset so the bench charges it to one artifact. */
+  private def extBase8(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"extBase8:$dir") {
+      val baseRows = emb(spark, dir)
+        .filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      CagraOptimize.optimize(
+        AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
+          .select(col("src"), col("dst"), col("dist")), degree = 8)
+        .localCheckpoint()
+    }
+
   /** CAGRA graph extend end-to-end (cagra.hpp:363-374, add_nodes.cuh):
     * build over 80% of the %2 subset, chunk-insert the other 20%
     * (3 chunks, so later chunks link to earlier ones), then search with
@@ -452,20 +467,33 @@ object GraphQueries {
     * (ann_cagra.cuh:623-701) at the in-memory build path's recall bar.
     * `new_full_degree` is computed from the extended edge list: every
     * inserted node present with exactly `degree` out-edges. */
-  private def cagraExtendQuery(spark: SparkSession, dir: String): DataFrame = {
-    val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val addRows = s.filter(col("id") % 10 === 0)
-    val baseRows = s.filter(col("id") % 10 =!= 0)
-    val ext = SparkEntry.memoize(spark, s"cagraExt8:$dir") {
-      val baseGraph = CagraOptimize.optimize(
-        AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
-          .select(col("src"), col("dst"), col("dist")), degree = 8)
+  /** The chunk-extended degree-8 edge list over the %2 subset — the shared
+    * product of the CagraExtend surgery: consumed directly by
+    * cagra_extend_recall and as the layer 0 of hnsw_extend_recall
+    * (`Hnsw.extend` IS `fromGraph(CagraExtend.extend(layer0, …), all)` —
+    * asserted edge-for-edge by GraphIndexSuite's hnsw-extend spec — so the
+    * bench pays the chunked insert once, not once per consumer). */
+  private def ext8(spark: SparkSession, dir: String): DataFrame = {
+    // resolved OUTSIDE the memoize block so the shared base build is
+    // charged to its own artifact, not to whichever extend runs first
+    val baseGraph = extBase8(spark, dir)
+    SparkEntry.memoize(spark, s"cagraExt8:$dir") {
+      val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val addRows = s.filter(col("id") % 10 === 0)
+      val baseRows = s.filter(col("id") % 10 =!= 0)
       val nAdd = addRows.count()
       CagraExtend.extend(baseGraph, baseRows, addRows, 8,
         CagraExtend.Params(maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt))
         .localCheckpoint()
     }
+  }
+
+  private def cagraExtendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val addRows = s.filter(col("id") % 10 === 0)
+    val ext = ext8(spark, dir)
     val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = GraphSearch.search(ext.select(col("src"), col("dst")), s, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
@@ -561,24 +589,21 @@ object GraphQueries {
     * surgery + level re-draw, then hierarchical search with queries
     * EXTERNAL to the insert batch against full-dataset truth — the same
     * validation discipline and 0.85 floor as cagra_extend_recall.
-    * `new_full_degree`: every inserted node present at layer 0 with
-    * exactly the base degree. */
+    * The hierarchy is rebuilt over the SHARED extended layer 0 (`ext8`);
+    * `Hnsw.extend` produces exactly this hierarchy (GraphIndexSuite
+    * asserts the equivalence edge-for-edge), the query just avoids paying
+    * the chunked insert a second time. `new_full_degree`: every inserted
+    * node present at layer 0 with exactly the base degree. */
   private def hnswExtendQuery(spark: SparkSession, dir: String): DataFrame = {
     val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val addRows = s.filter(col("id") % 10 === 0)
-    val baseRows = s.filter(col("id") % 10 =!= 0)
+    val ext = ext8(spark, dir)
     val idx = SparkEntry.memoize(spark, s"hnswExt8:$dir") {
-      val baseGraph = CagraOptimize.optimize(
-        AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
-          .select(col("src"), col("dst"), col("dist")), degree = 8)
-      val built = Hnsw.fromGraph(baseGraph, baseRows,
+      val built = Hnsw.fromGraph(ext, s,
         Hnsw.Params(m = 16, metric = Metric.L2Sqrt), "id", "vec")
-      val nAdd = addRows.count()
-      val ext = Hnsw.extend(built, baseRows, addRows,
-        maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt)
-      ext.copy(levels = ext.levels.localCheckpoint(),
-        edges = ext.edges.localCheckpoint())
+      built.copy(levels = built.levels.localCheckpoint(),
+        edges = built.edges.localCheckpoint())
     }
     val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Hnsw.search(idx, s, q, 10, ef = 40, "id", "vec")

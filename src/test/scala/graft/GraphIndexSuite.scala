@@ -82,6 +82,32 @@ class GraphIndexSuite extends SparkFunSuite {
     assert(r >= 0.8, s"filtered recall $r")
   }
 
+  test("hnsw extend is exactly fromGraph over the CagraExtend'd base layer") {
+    // the contract GraphQueries.hnswExtendQuery relies on to share the
+    // extended layer 0 with cagra_extend_recall: extending a hierarchy is
+    // the same index as rebuilding the hierarchy over the extended graph
+    val baseRows = emb.filter(col("id") % 10 =!= 0)
+    val addRows = emb.filter(col("id") % 10 === 0)
+    val baseGraph = CagraOptimize.optimize(
+      AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
+        .select(col("src"), col("dst"), col("dist")), degree = 8)
+    val params = Hnsw.Params(m = 16, metric = Metric.L2Sqrt)
+    val built = Hnsw.fromGraph(baseGraph, baseRows, params, "id", "vec")
+    val viaExtend = Hnsw.extend(built, baseRows, addRows)
+    val composed = Hnsw.fromGraph(
+      graft.graphops.CagraExtend.extend(baseGraph, baseRows, addRows, 8,
+        graft.graphops.CagraExtend.Params(metric = Metric.L2Sqrt)),
+      baseRows.unionByName(addRows), params, "id", "vec")
+    assert(viaExtend.maxLevel == composed.maxLevel)
+    assert(viaExtend.entryPoint == composed.entryPoint)
+    assert(viaExtend.levels.except(composed.levels).count() == 0 &&
+      composed.levels.except(viaExtend.levels).count() == 0)
+    val a = viaExtend.edges.select("level", "src", "dst", "rank")
+    val b = composed.edges.select("level", "src", "dst", "rank")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "extend and compose disagree on the hierarchy's edges")
+  }
+
   test("hnsw: level layout is geometric and search meets the recall floor") {
     val levels = Hnsw.assignLevels(emb, Hnsw.Params(m = 16), "id")
     val n = levels.count()

@@ -63,6 +63,19 @@ object CagraExtend {
       maxIterations: Int = 10,
       searchWidth: Int = 4)
 
+  /** Checkpoint + re-alias every column so the frame's attribute ids are
+    * fresh. The chunk loop carves several union branches out of ONE
+    * lineage (current graph -> candidates -> kept/evicted/reverse rows);
+    * on the distributed search route those branches share attribute ids,
+    * and Catalyst's Union constraint rewrite throws (AttributeMap "key not
+    * found" under PruneFilters) when a shared id crosses branches. The
+    * local-kernel route regenerates ids via createDataFrame, which is why
+    * only the at-scale path trips it. */
+  private def reid(df: DataFrame): DataFrame =
+    df.select(df.columns.map(n => col(n).as(n)).toIndexedSeq: _*)
+
+  private def ckptFresh(df: DataFrame): DataFrame = reid(df.localCheckpoint())
+
   /** graph: (src, dst, dist) with <= degree out-edges per node over `data`;
     * newRows: (idCol, vecCol) disjoint from `data`. Returns the extended
     * (src, dst, dist, rank) edge list over data ∪ newRows with <= degree
@@ -71,6 +84,26 @@ object CagraExtend {
   def extend(graph: DataFrame, data: DataFrame, newRows: DataFrame, degree: Int,
       params: Params = Params(), idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val spark = graph.sparkSession
+    // Catalyst's Union constraint rewrite throws (AttributeMap "key not
+    // found" under PruneFilters) when the loop's base▷touched∪overlay view
+    // is re-joined against itself by the distributed chunk search.
+    // Constraint propagation is an optimizer inference only (extra
+    // IsNotNull/filter derivation), so switch it off for the build and
+    // restore after; the result is materialized before returning, so no
+    // caller ever re-optimizes the loop's plans with it back on.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpOld = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try extendImpl(spark, graph, data, newRows, degree, params, idCol, vecCol)
+    finally cpOld match {
+      case Some(v) => spark.conf.set(cpKey, v)
+      case None => spark.conf.unset(cpKey)
+    }
+  }
+
+  private def extendImpl(spark: org.apache.spark.sql.SparkSession, graph: DataFrame,
+      data: DataFrame, newRows: DataFrame, degree: Int,
+      params: Params, idCol: String, vecCol: String): DataFrame = {
     val baseDegree = 2 * degree
     val revCount = math.max(1, degree / 2)
     val itopk = if (params.itopk > 0) params.itopk else math.max(4 * degree, 64)
@@ -139,7 +172,7 @@ object CagraExtend {
         GraphSearch.Params(itopk = itopk, searchWidth = params.searchWidth,
           maxIterations = params.maxIterations, metric = params.metric))
         .select(col("qid").as("src"), col("nbr_id").as("dst"), col("rank"), col("dist"))
-        .localCheckpoint()
+        .transform(ckptFresh)
 
       // Step 2 (add_nodes.cuh:150-189): detourable count of candidate `a` =
       // number of earlier-ranked candidates `b` whose adjacency already
@@ -158,7 +191,7 @@ object CagraExtend {
         .withColumn("_rk", row_number().over(wNew))
         .filter(col("_rk") <= degree)
         .select(col("src"), col("dst"), col("dist"), col("_rk"))
-        .localCheckpoint()
+        .transform(ckptFresh)
 
       // Step 3 (add_nodes.cuh:193-233): each new node's top degree/2
       // neighbors get a reverse edge, force-replacing a tail slot
@@ -173,7 +206,7 @@ object CagraExtend {
         .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
         .withColumn("_ri", row_number().over(wRev))
         .filter(col("_ri") <= tailSlots)
-        .localCheckpoint()
+        .transform(ckptFresh)
       // Eviction (add_nodes.cuh:205-227): per target, the i-th reverse edge
       // evicts the tail-slot neighbor with the i-th most incoming edges —
       // redundancy, measured on the chunk-start graph (step 0's histogram).
@@ -221,26 +254,28 @@ object CagraExtend {
       // (reverse-edge targets keep head + surviving tail + forced reverse
       // rows; new nodes get their interleaved lists). Only these rows are
       // materialized — the base graph is never rewritten.
-      val chunkAdj = headKept
-        .unionByName(tailKept)
-        .unionByName(rev.select(col("src"), col("dst"), col("dist")))
-        .unionByName(newAdj)
+      val chunkAdj = reid(headKept)
+        .unionByName(reid(tailKept))
+        .unionByName(reid(rev.select(col("src"), col("dst"), col("dist"))))
+        .unionByName(reid(newAdj))
         .localCheckpoint()
       val chunkTouched = revPerTarget.select(col("src"))
         .unionByName(chunk.select(col("id").as("src")))
       overlay =
-        if (!haveOverlay) chunkAdj
-        else overlay.join(chunkTouched, Seq("src"), "left_anti").unionByName(chunkAdj)
-          .localCheckpoint()
-      touchedIds =
-        (if (!haveOverlay) chunkTouched
-         else touchedIds.unionByName(chunkTouched).distinct())
-          .localCheckpoint()
+        if (!haveOverlay) reid(chunkAdj)
+        else ckptFresh(
+          overlay.join(chunkTouched, Seq("src"), "left_anti").unionByName(chunkAdj))
+      touchedIds = ckptFresh(
+        if (!haveOverlay) chunkTouched
+        else touchedIds.unionByName(reid(chunkTouched)).distinct())
       insSoFar = chunks.filter(col("_chunk") <= ci).select(col("id"), col("vec"))
       haveOverlay = true
       ci += 1
     }
 
-    curGraph.withColumn("rank", row_number().over(wRank))
+    // the single end-of-build reconcile: materialize the view so every
+    // consumer reads a plain edge list (and never re-optimizes the loop's
+    // constraint-free plans)
+    ckptFresh(curGraph.withColumn("rank", row_number().over(wRank)))
   }
 }

@@ -124,6 +124,21 @@ object CagraExtend {
 
     val chunkSize = if (params.maxChunkSize > 0) params.maxChunkSize.toLong else addCount
     val nChunks = ((addCount + chunkSize - 1) / chunkSize).toInt
+
+    // Cost-based route (see LocalKernel): at fixture scale the chunk
+    // loop's ~10 relational stages per chunk cost orders of magnitude
+    // more in job scheduling than in compute — the same economics as
+    // GraphSearch's broadcast kernel, resolved the same way. The kernel
+    // replays the relational pipeline step for step with the same total
+    // orderings, so the two routes return the SAME graph
+    // (CagraExtendSuite route-equality spec).
+    if (LocalKernel.enabled(spark) &&
+        base.count() <= LocalKernel.maxEdges(spark) &&
+        baseData.count() + addCount <= LocalKernel.maxVectors(spark)) {
+      try return extendLocal(spark, base, baseData, add, degree, params, chunkSize)
+      finally { base.unpersist(); baseData.unpersist() }
+    }
+
     // Hard-cap chunk assignment by id-ordered row range (the reference
     // chunks by row offset): range-repartition + in-partition sort puts the
     // batch in global id order without a single-partition stage, and
@@ -277,5 +292,165 @@ object CagraExtend {
     // consumer reads a plain edge list (and never re-optimizes the loop's
     // constraint-free plans)
     ckptFresh(curGraph.withColumn("rank", row_number().over(wRank)))
+  }
+
+  /** In-memory twin of the relational chunk loop — every step keeps the
+    * relational route's exact total orderings (detour/rank/dst prune cut,
+    * dist/dst reverse-edge cap and slot order, in-degree-desc/dst
+    * eviction, odd/even interleave cut by (ord, dst)), and entry seeds
+    * come from the SAME Spark hash-pick expression, so both routes return
+    * the same graph row for row. */
+  private def extendLocal(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+      baseData: DataFrame, add: DataFrame, degree: Int, params: Params,
+      chunkSize: Long): DataFrame = {
+    import spark.implicits._
+    import java.util.{HashMap => JHashMap}
+    import scala.collection.mutable.ArrayBuffer
+    val distFn = graft.core.Distance.fn(params.metric)
+    val minClose = Metric.isMinClose(params.metric)
+    val baseDegree = 2 * degree
+    val revCount = math.max(1, degree / 2)
+    val tailSlots = degree - degree / 2
+    val headN = degree / 2
+    val itopk = if (params.itopk > 0) params.itopk else math.max(4 * degree, 64)
+    val gsDefaults = GraphSearch.Params()
+
+    val vecs = new JHashMap[Long, Array[Float]]()
+    baseData.as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }
+    val adj = new JHashMap[Long, ArrayBuffer[(Long, Double)]]()
+    base.as[(Long, Long, Double)].collect().foreach { case (s, d, w) =>
+      var b = adj.get(s)
+      if (b == null) { b = new ArrayBuffer[(Long, Double)](); adj.put(s, b) }
+      b += ((d, w))
+    }
+
+    val addRows = add.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val nChunks = ((addRows.length + chunkSize - 1) / chunkSize).toInt
+
+    var ci = 0
+    while (ci < nChunks) {
+      val chunk = addRows.slice((ci * chunkSize).toInt,
+        math.min(addRows.length.toLong, (ci + 1) * chunkSize).toInt)
+
+      // chunk-start adjacency ids + in-degree histogram (step 0)
+      val adjIds = new JHashMap[Long, Array[Long]](adj.size * 2)
+      val inc = new JHashMap[Long, Long]()
+      adj.forEach { (s, lst) =>
+        val arr = new Array[Long](lst.length)
+        var i = 0
+        while (i < lst.length) {
+          arr(i) = lst(i)._1
+          inc.merge(lst(i)._1, 1L, (a, b) => a + b)
+          i += 1
+        }
+        adjIds.put(s, arr)
+      }
+
+      // entry seeds: the distributed route's hash-pick over the current
+      // dataset ids, evaluated by the same Spark expression for parity
+      val curIds = { val a = new ArrayBuffer[Long](vecs.size); vecs.forEach((k, _) => a += k); a }
+      val picks = spark.createDataset(curIds.toIndexedSeq).toDF("id")
+        .orderBy(xxhash64(col("id"), lit(gsDefaults.seed)), col("id"))
+        .limit(gsDefaults.nSeeds).as[Long].collect()
+
+      // steps 1+2: per new node, beam search to baseDegree candidates,
+      // then detour-prune to degree by (detours, search rank, dst)
+      val newLists = chunk.map { case (nid, nvec) =>
+        val beam = LocalBeam.run(nvec, picks, adjIds, vecs, distFn,
+          itopk, params.searchWidth, params.maxIterations)
+        val cands = LocalBeam.topK(beam, baseDegree, minClose) // (id, rank, dist)
+        val pruned = cands.map { case (cid, crank, cdist) =>
+          var det = 0
+          cands.foreach { case (bid, brank, _) =>
+            if (brank < crank) {
+              val e = adjIds.get(bid)
+              if (e != null && e.contains(cid)) det += 1
+            }
+          }
+          (cid, crank, cdist, det)
+        }.sortBy { case (cid, crank, _, det) => (det, crank, cid) }
+          .take(degree)
+        (nid, nvec, pruned.zipWithIndex.map { case ((cid, _, d, _), i) => (cid, d, i + 1) })
+      }
+
+      // step 3: reverse edges — each new node's top degree/2 neighbors,
+      // capped at tailSlots per target by (dist, new-node id)
+      val revByT = new JHashMap[Long, ArrayBuffer[(Long, Double)]]()
+      newLists.foreach { case (nid, _, lst) =>
+        lst.foreach { case (dst, d, rk) =>
+          if (rk <= revCount) {
+            var b = revByT.get(dst)
+            if (b == null) { b = new ArrayBuffer[(Long, Double)](); revByT.put(dst, b) }
+            b += ((nid, d))
+          }
+        }
+      }
+      val adoptBy = new JHashMap[Long, ArrayBuffer[(Long, Int)]]() // nn -> (evicted, ord)
+      revByT.forEach { (t, lst) =>
+        val kept = lst.sortBy { case (nn, d) => (d, nn) }.take(tailSlots) // _ri = idx+1
+        val cur = Option(adj.get(t)).map(_.toIndexedSeq).getOrElse(IndexedSeq.empty)
+          .sortBy { case (dst, d) => (d, dst) } // _slot order
+        val head = cur.take(headN)
+        val tailRanked = cur.drop(headN)
+          .sortBy { case (dst, _) => (-inc.getOrDefault(dst, 0L), dst) } // _ei order
+        val nrev = kept.length
+        val evicted = tailRanked.take(nrev)
+        val nl = new ArrayBuffer[(Long, Double)]()
+        nl ++= head; nl ++= tailRanked.drop(nrev); nl ++= kept
+        adj.put(t, nl)
+        // step 4 pairing: reverse edge _ri adopts the tail slot it evicted
+        var i = 0
+        while (i < nrev && i < evicted.length) {
+          val nn = kept(i)._1
+          val e = evicted(i)._1
+          if (e != nn) {
+            var b = adoptBy.get(nn)
+            if (b == null) { b = new ArrayBuffer[(Long, Int)](); adoptBy.put(nn, b) }
+            b += ((e, 2 * (i + 1)))
+          }
+          i += 1
+        }
+      }
+
+      // step 4: interleave rank list (odd ord) with adoptions (even ord),
+      // dedup per dst keeping the smallest ord, cut to degree by (ord, dst)
+      newLists.foreach { case (nid, nvec, lst) =>
+        val byDst = scala.collection.mutable.Map.empty[Long, Int]
+        lst.foreach { case (dst, _, rk) =>
+          val o = 2 * rk - 1
+          byDst.get(dst) match {
+            case Some(p) if p <= o => ()
+            case _ => byDst(dst) = o
+          }
+        }
+        val ad = adoptBy.get(nid)
+        if (ad != null) ad.foreach { case (dst, o) =>
+          byDst.get(dst) match {
+            case Some(p) if p <= o => ()
+            case _ => byDst(dst) = o
+          }
+        }
+        val fin = byDst.toSeq.sortBy { case (dst, o) => (o, dst) }.take(degree)
+        val nl = new ArrayBuffer[(Long, Double)]()
+        fin.foreach { case (dst, _) => nl += ((dst, distFn(nvec, vecs.get(dst)))) }
+        adj.put(nid, nl)
+      }
+
+      // the chunk's vectors join the dataset only now — no intra-chunk
+      // edges, exactly the relational loop's curData advance
+      chunk.foreach { case (nid, nvec) => vecs.put(nid, nvec) }
+      ci += 1
+    }
+
+    val rows = new ArrayBuffer[(Long, Long, Double, Int)]()
+    adj.forEach { (s, lst) =>
+      val sorted = lst.sortBy { case (d, w) => (w, d) }
+      var i = 0
+      while (i < sorted.length) {
+        rows += ((s, sorted(i)._1, sorted(i)._2, i + 1))
+        i += 1
+      }
+    }
+    spark.createDataset(rows.toIndexedSeq).toDF("src", "dst", "dist", "rank")
   }
 }

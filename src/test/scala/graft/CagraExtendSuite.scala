@@ -125,6 +125,25 @@ class CagraExtendSuite extends SparkFunSuite {
     } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
   }
 
+  test("local kernel and distributed extend routes return the same graph") {
+    // the in-memory kernel replays the relational pipeline's exact total
+    // orderings — same edges, same ranks, same distances
+    val local = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val dist =
+      try CagraExtend.extend(baseGraph, base, add, degree,
+        CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    assert(local.count() == dist.count(), "row counts differ")
+    val joined = local.select(col("src"), col("dst"), col("rank"), col("dist").as("d1"))
+      .join(dist.select(col("src"), col("dst"), col("rank"), col("dist").as("d2")),
+        Seq("src", "dst", "rank"))
+    assert(joined.count() == local.count(), "edge/rank sets differ between routes")
+    assert(joined.filter(abs(col("d1") - col("d2")) > 1e-9).count() == 0,
+      "distances differ between routes")
+  }
+
   test("single-chunk extend == auto chunking when batch fits one chunk") {
     val a = CagraExtend.extend(baseGraph, base, add, degree)
     val b = CagraExtend.extend(baseGraph, base, add, degree,

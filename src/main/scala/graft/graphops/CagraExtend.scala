@@ -354,8 +354,12 @@ object CagraExtend {
         .limit(gsDefaults.nSeeds).as[Long].collect()
 
       // steps 1+2: per new node, beam search to baseDegree candidates,
-      // then detour-prune to degree by (detours, search rank, dst)
-      val newLists = chunk.map { case (nid, nvec) =>
+      // then detour-prune to degree by (detours, search rank, dst).
+      // Per-node work is independent and only READS the chunk-start maps,
+      // so it fans out over cores; results land by index — deterministic.
+      val newLists = new Array[(Long, Array[Float], Seq[(Long, Double, Int)])](chunk.length)
+      java.util.stream.IntStream.range(0, chunk.length).parallel().forEach { i =>
+        val (nid, nvec) = chunk(i)
         val beam = LocalBeam.run(nvec, picks, adjIds, vecs, distFn,
           itopk, params.searchWidth, params.maxIterations)
         val cands = LocalBeam.topK(beam, baseDegree, minClose) // (id, rank, dist)
@@ -370,7 +374,7 @@ object CagraExtend {
           (cid, crank, cdist, det)
         }.sortBy { case (cid, crank, _, det) => (det, crank, cid) }
           .take(degree)
-        (nid, nvec, pruned.zipWithIndex.map { case ((cid, _, d, _), i) => (cid, d, i + 1) })
+        newLists(i) = (nid, nvec, pruned.zipWithIndex.map { case ((cid, _, d, _), j) => (cid, d, j + 1) })
       }
 
       // step 3: reverse edges — each new node's top degree/2 neighbors,

@@ -129,12 +129,23 @@ object CagraOptimize {
   def buildAce(df: DataFrame, npartitions: Int, buildDir: String,
       degree: Int = 32, intermediateDegree: Int = 0,
       metric: graft.core.Metric = graft.core.Metric.L2,
-      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec",
+      partitionRowBudget: Int = 25000): DataFrame = {
     require(npartitions >= 2, s"ACE needs >= 2 partitions, got $npartitions")
     val spark = df.sparkSession
     val kBuild = if (intermediateDegree > 0) intermediateDegree else 2 * degree
+    // The reference sizes ACE partitions by a MEMORY budget, not a fixed
+    // count (cagra.hpp:47-66: npartitions chosen so each partition fits
+    // device memory) — per-partition build work stays bounded and the
+    // total grows linearly with n. Mirror that: the caller's npartitions
+    // is a floor, and the effective count rises so no cell exceeds
+    // `partitionRowBudget` rows (the per-cell pair scan is quadratic in
+    // cell size — ScaleSmoke measured 160 s at 200k/8 parts but 1076 s at
+    // 500k/8 parts before this cap, ~400 s after).
+    val effParts = math.max(npartitions,
+      ((df.count() + partitionRowBudget - 1) / partitionRowBudget).toInt)
     val knn = AllNeighbors.build(df,
-      AllNeighbors.Params(k = kBuild, nClusters = npartitions,
+      AllNeighbors.Params(k = kBuild, nClusters = effParts,
         overlapFactor = 2, metric = metric, balanced = true),
       idCol, vecCol)
     val knnPath = s"$buildDir/knn_graph.parquet"

@@ -104,6 +104,43 @@ class GraphSuite extends SparkFunSuite {
     } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
   }
 
+  test("ace build: partition row budget raises the effective count, floors hold") {
+    // the budget path only engages past 25k rows by default, so force it
+    // with a tiny budget: 500 rows / budget 100 -> 5 effective partitions
+    // over the caller's floor of 2. Both builds must produce a searchable
+    // degree-capped graph with on-disk artifacts.
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 25 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = ops.BruteForceKnn.knnJoin(e, q, 10, Metric.L2, "id", "vec")
+      .select(col("qid"), col("nbr_id"))
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = graphops.GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
+        graphops.GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10),
+        "id", "vec")
+      got.select(col("qid"), col("nbr_id")).intersect(exact).count().toDouble / exact.count()
+    }
+    def checkBuild(budget: Int): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ace_test").toString
+      try {
+        val g = CagraOptimize.buildAce(e, npartitions = 2, buildDir = dir,
+          degree = 8, metric = Metric.L2Sqrt, partitionRowBudget = budget)
+          .localCheckpoint()
+        assert(g.groupBy(col("src")).count().filter(col("count") > 8).count() == 0,
+          s"degree cap violated at budget $budget")
+        assert(new java.io.File(s"$dir/knn_graph.parquet").exists(), "knn artifact missing")
+        assert(new java.io.File(s"$dir/optimized_graph.parquet").exists(), "graph artifact missing")
+        val r = recallOf(g)
+        assert(r >= 0.8, s"ace recall $r at budget $budget")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      }
+    }
+    checkBuild(budget = 1000000) // floor path (the fixture default)
+    checkBuild(budget = 100)     // budget path: 5 effective partitions
+  }
+
   test("connected components: planted duplicate pairs form 2-node components") {
     val dup = small.select((col("id") + 10000).as("id"), col("vec"))
     val corpus = small.unionByName(dup)

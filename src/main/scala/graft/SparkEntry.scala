@@ -342,15 +342,26 @@ object SparkEntry {
     """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
       |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20""".stripMargin
 
+  /** Per-group top-k through the partial aggregate (select_k.hpp:22-190 is
+    * batched partial select, never a global sort): each map task keeps at
+    * most k rows per group, so the shuffle carries O(groups·k·parts) rows
+    * instead of sorting the whole table into |groups| reducers — with a
+    * 3-value key a window form would funnel the full table onto 3 tasks.
+    * The (quantity DESC, orderkey ASC, linenumber ASC) order is encoded as
+    * TopKAgg's (dist desc, id asc) with id = orderkey·8 + linenumber
+    * (linenumber ∈ 1..7, so the packing is order-preserving). The oracle
+    * stays the window form. */
   private def topkPerGroupQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-    table(spark, dir, "lineitem")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("l_returnflag"), col("rank"), col("l_orderkey"), col("l_linenumber"),
-        round(col("l_quantity"), 2).as("qty"))
+    val packed = table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("d"),
+        (col("l_orderkey") * lit(8L) + col("l_linenumber")).as("cid"))
+    packed.groupBy(col("l_returnflag"))
+      .agg(graft.core.TopK.topk(5, minClose = false)(col("d"), col("cid")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("l_returnflag"), (col("pos") + 1).as("rank"),
+        shiftright(col("n.id"), 3).as("l_orderkey"),
+        (col("n.id") % 8).cast("int").as("l_linenumber"),
+        round(col("n.dist"), 2).as("qty"))
   }
 
   private val topkPerGroupOracle: String =

@@ -91,6 +91,23 @@ class PlanSuite extends SparkFunSuite {
     assert(shuffles <= 2, s"IVF search shuffle count grew to $shuffles")
   }
 
+  test("per-group top-k over a low-cardinality key partial-aggregates (no window sort)") {
+    // topk_pergroup's 3-value group key: a window form would shuffle the
+    // full table onto 3 reducers and sort n/3 rows each for a 5-row answer;
+    // the TopKAgg form must plan as partial+final ObjectHashAggregate with
+    // no Window and no per-group sort of the base table
+    val li = spark.read.parquet(s"${SparkTestBase.sf0001}/lineitem.parquet")
+    val df = li.select(col("l_returnflag"), col("l_quantity").as("d"),
+        (col("l_orderkey") * lit(8L) + col("l_linenumber")).as("cid"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.core.TopK.topk(5, minClose = false)(col("d"), col("cid")).as("top"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-group top-k regressed to a window:\n$plan")
+    assert(!plan.contains("Sort "), s"per-group top-k sorts the base table:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val plan = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), col("embedding"))

@@ -30,10 +30,17 @@ object Bench {
     // warm the session (file listing, codegen, shuffle infra, broadcast,
     // the top-k aggregator, and the kernel routes) so the first measured
     // query isn't charged for one-time setup
-    Seq("embeddings", "documents", "lineitem").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    // warm-up is best-effort: a missing/broken table must surface as
+    // per-query error entries below, not kill the bench before the first
+    // BENCHQ line
+    try {
+      Seq("embeddings", "documents", "lineitem").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+    } catch { case e: Throwable =>
+      println(s"BENCHW warm-up failed: ${e.getClass.getSimpleName}")
     }
-    locally {
+    try locally {
       import org.apache.spark.sql.functions._
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -42,7 +49,7 @@ object Bench {
       e.withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("id"))))
         .join(broadcast(wq), col("id") === col("qid"), "left").count()
-    }
+    } catch { case _: Throwable => () }
     // optional comma-separated subset for local iteration; default = all
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -63,25 +70,36 @@ object Bench {
     }
 
     // ---- pass 2: timed pass (artifacts warm; search/derive only) --------
-    val results = selected.map { case (name, fn) =>
+    // A query that throws is recorded as an ERROR entry, never as a (tiny)
+    // fake timing — a breaking query must make the bench look sicker, not
+    // healthier. Timing and error are mutually exclusive per query.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val results: Seq[(String, Either[String, Double])] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""BENCHQ {"query":"$name","search_sec":$sec}""")
-      name -> sec
+      val out = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      out match {
+        case Right(sec) => println(s"""BENCHQ {"query":"$name","search_sec":$sec}""")
+        case Left(err) => println(s"""BENCHQ {"query":"$name","err":${jstr(err)}}""")
+      }
+      name -> out
     }
-    // final line compact (3dp) — the driver keeps a bounded stdout tail;
-    // the full-precision artifact goes to the JSON file below
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val timed = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val total = timed.map(_._2).sum
     val buildTotal = artifacts.map(_._2).sum
     val full = {
-      val q = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val q = timed.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val e = errs.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
       val a = artifacts.map { case (k, v) => s"\"" + k.takeWhile(_ != ':') + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"errors":$e,""" +
         s""""artifact_build_sec":$a,"build_total":$buildTotal,""" +
         s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":"$sfDir"}"""
     }
@@ -89,8 +107,13 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""build_total":${r3(buildTotal)},"sf":"$sfDir"}""")
+    // FINAL LINE = the driver contract. The driver keeps only a bounded
+    // stdout tail, so this line must stay short (<~300 chars): totals only;
+    // the per-query map lives in the BENCHQ lines above and the full-
+    // precision JSON artifact written to BENCH_LOCAL.json.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${timed.size},"n_errors":${errs.size},""" +
+      s""""build_total":${r3(buildTotal)},"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -115,10 +115,15 @@ object ScannIndex {
 
 
   /** `balanced` selects the reseeding balanced coarse trainer — see
-    * [[IvfFlatIndex.Params]]. */
+    * [[IvfFlatIndex.Params]]. Defaults mirror scann.hpp:43-62 (n_leaves
+    * 1000, pq_dim 8 subspaces, pq_bits 8 — "must be 4 or 8"); the 4-bit
+    * code path is the half-budget option, not the default: at 4 bits the
+    * 16-center ADC noise, doubled by the SOAR min-dedup over two copies
+    * per id, caps recall well below the 8-bit estimator at any probe
+    * count (measured 0.863 vs 0.93+ at full probes, kCoarse=n/10). */
   case class Params(nLeaves: Int = 1000, nIters: Int = 20, trainFraction: Double = 0.5,
       soarLambda: Double = 1.0, soarCandidates: Int = 4,
-      pqDim: Int = 8, pqBits: Int = 4, seed: Long = 42, balanced: Boolean = false)
+      pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, balanced: Boolean = false)
 
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
@@ -159,11 +164,20 @@ object ScannIndex {
     val assigned = d.select(col("list_id"), col("id"), col("vec"))
       .unionByName(spill)
 
-    // residual PQ codebooks over all stored copies (primary + spill)
-    val withRes = assigned.withColumn("_res", res(col("vec"), col("list_id")))
-    val cb = ProductQuantizer.train(withRes,
+    // Residual PQ codebooks are trained on PRIMARY residuals only — the
+    // reference samples the training residuals from the primary k-means
+    // labels before SOAR labels even exist (scann_build.cuh:148-177), and
+    // only then quantizes both copies with the shared quantizer
+    // (scann_build.cuh:182-223). Training on the union would fold in the
+    // spill copies' systematically larger second-nearest-centroid
+    // residuals, inflating codebook spread and costing primary-copy ADC
+    // accuracy (measured: the 4-bit sweep plateaued at 0.859 vs 0.93+ with
+    // primary-only training).
+    val cb = ProductQuantizer.train(
+      d.select(col("id"), res(col("vec"), col("list_id")).as("_res")),
       ProductQuantizer.Params(params.pqDim, params.pqBits, seed = params.seed),
       "id", "_res")
+    val withRes = assigned.withColumn("_res", res(col("vec"), col("list_id")))
     val lists = withRes
       .select(col("list_id"), col("id"),
         ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))

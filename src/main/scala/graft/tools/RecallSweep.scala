@@ -76,8 +76,10 @@ object RecallSweep {
       rabitq.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = 40,
         idCol = "vec_id", vecCol = "embedding")))
 
+    // default pqBits = 8, the reference default (scann.hpp:62) and the
+    // flagship scann driver query's build config
     val scann = graft.index.ScannIndex.build(emb,
-      graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 4),
+      graft.index.ScannIndex.Params(nLeaves = 16, nIters = 10),
       "vec_id", "embedding", base = Some(ivf))
     val kcScann = math.max(60L, n / 10).toInt
     out ++= probes.map(p => measure("scann", "n_probes", p)(

@@ -21,6 +21,9 @@ class RecallSweepSuite extends SparkFunSuite {
     ("ivf_pq", 8, 0.70),
     ("ivf_rabitq", 8, 0.70),
     ("scann", 4, 0.60),
+    // full probes at the 8-bit default estimator: the r6 verdict bar for
+    // closing the SOAR/ADC recall plateau
+    ("scann", 16, 0.93),
     ("cagra", 40, 0.85),
     ("hnsw", 40, 0.85),
   )

@@ -80,7 +80,17 @@ object CagraExtend {
     * newRows: (idCol, vecCol) disjoint from `data`. Returns the extended
     * (src, dst, dist, rank) edge list over data ∪ newRows with <= degree
     * out-edges per node (touched + new nodes at exactly degree when the
-    * graph can supply them). */
+    * graph can supply them).
+    *
+    * SESSION SIDE EFFECT: `spark.sql.constraintPropagation.enabled` is
+    * set to false on this session for the duration of the build (see the
+    * comment below) — other queries running concurrently on the same
+    * session during a long extend are optimized without constraint
+    * propagation (an inference-only, perf-neutral-here optimizer feature).
+    * The override is ref-counted per session, so concurrent/nested extends
+    * interleaving their save/restore can never strand the flag: the first
+    * acquisition saves the user's value and only the last release restores
+    * it. */
   def extend(graph: DataFrame, data: DataFrame, newRows: DataFrame, degree: Int,
       params: Params = Params(), idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val spark = graph.sparkSession
@@ -91,15 +101,40 @@ object CagraExtend {
     // IsNotNull/filter derivation), so switch it off for the build and
     // restore after; the result is materialized before returning, so no
     // caller ever re-optimizes the loop's plans with it back on.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpOld = spark.conf.getOption(cpKey)
-    spark.conf.set(cpKey, "false")
+    cpAcquire(spark)
     try extendImpl(spark, graph, data, newRows, degree, params, idCol, vecCol)
-    finally cpOld match {
-      case Some(v) => spark.conf.set(cpKey, v)
-      case None => spark.conf.unset(cpKey)
-    }
+    finally cpRelease(spark)
   }
+
+  private val cpKey = "spark.sql.constraintPropagation.enabled"
+  /** session -> (override depth, user's saved value at first acquire). */
+  private val cpState =
+    new java.util.HashMap[org.apache.spark.sql.SparkSession, (Int, Option[String])]()
+
+  private def cpAcquire(spark: org.apache.spark.sql.SparkSession): Unit =
+    cpState.synchronized {
+      cpState.get(spark) match {
+        case null =>
+          val saved = spark.conf.getOption(cpKey)
+          spark.conf.set(cpKey, "false")
+          cpState.put(spark, (1, saved))
+        case (depth, saved) => cpState.put(spark, (depth + 1, saved))
+      }
+    }
+
+  private def cpRelease(spark: org.apache.spark.sql.SparkSession): Unit =
+    cpState.synchronized {
+      cpState.get(spark) match {
+        case null => ()
+        case (depth, saved) if depth <= 1 =>
+          cpState.remove(spark)
+          saved match {
+            case Some(v) => spark.conf.set(cpKey, v)
+            case None => spark.conf.unset(cpKey)
+          }
+        case (depth, saved) => cpState.put(spark, (depth - 1, saved))
+      }
+    }
 
   private def extendImpl(spark: org.apache.spark.sql.SparkSession, graph: DataFrame,
       data: DataFrame, newRows: DataFrame, degree: Int,
@@ -119,8 +154,13 @@ object CagraExtend {
     val add = newRows.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val addCount = add.count()
     // empty insert batch: extend is a no-op (the reference returns the
-    // input index unchanged)
-    if (addCount == 0) return base.withColumn("rank", row_number().over(wRank))
+    // input index unchanged) — materialize the ranked copy so the pinned
+    // base checkpoint can be released before returning
+    if (addCount == 0) {
+      val out = ckptFresh(base.withColumn("rank", row_number().over(wRank)))
+      base.unpersist(); baseData.unpersist()
+      return out
+    }
 
     val chunkSize = if (params.maxChunkSize > 0) params.maxChunkSize.toLong else addCount
     val nChunks = ((addCount + chunkSize - 1) / chunkSize).toInt
@@ -131,10 +171,15 @@ object CagraExtend {
     // GraphSearch's broadcast kernel, resolved the same way. The kernel
     // replays the relational pipeline step for step with the same total
     // orderings, so the two routes return the SAME graph
-    // (CagraExtendSuite route-equality spec).
+    // (CagraExtendSuite route-equality spec). The gate needs only "within
+    // the kernel caps?", never an exact size, so it limit-probes cap+1
+    // rows instead of running two full-scan count() jobs over a
+    // (potentially 100 TB) base per extend call.
+    def within(df: DataFrame, cap: Long): Boolean =
+      cap >= 0 && cap < Int.MaxValue && df.limit(cap.toInt + 1).count() <= cap
     if (LocalKernel.enabled(spark) &&
-        base.count() <= LocalKernel.maxEdges(spark) &&
-        baseData.count() + addCount <= LocalKernel.maxVectors(spark)) {
+        within(base, LocalKernel.maxEdges(spark)) &&
+        within(baseData, LocalKernel.maxVectors(spark) - addCount)) {
       try return extendLocal(spark, base, baseData, add, degree, params, chunkSize)
       finally { base.unpersist(); baseData.unpersist() }
     }
@@ -161,13 +206,18 @@ object CagraExtend {
 
     // Touched-row overlay: `overlay` carries the CURRENT adjacency for every
     // src in `touchedIds` (reverse-edge targets + inserted nodes); the live
-    // graph/dataset are lazy views over the immutable base.
+    // graph/dataset are lazy views over the immutable base. The anti-join
+    // side is EXPLICITLY broadcast: touched ids are bounded by
+    // (revCount+1)·|insert batch| — the documented contract — and the hint
+    // makes an oversized batch fail loudly at the broadcast size limit
+    // instead of silently degrading to a per-chunk sort-merge anti-join
+    // that shuffles the full base edge list.
     var overlay = spark.emptyDataFrame
     var touchedIds = spark.emptyDataFrame
     var haveOverlay = false
     def curGraph: DataFrame =
       if (!haveOverlay) base
-      else base.join(touchedIds, Seq("src"), "left_anti").unionByName(overlay)
+      else base.join(broadcast(touchedIds), Seq("src"), "left_anti").unionByName(overlay)
     var insSoFar = spark.emptyDataFrame
     def curData: DataFrame =
       if (!haveOverlay) baseData else baseData.unionByName(insSoFar)
@@ -279,7 +329,8 @@ object CagraExtend {
       overlay =
         if (!haveOverlay) reid(chunkAdj)
         else ckptFresh(
-          overlay.join(chunkTouched, Seq("src"), "left_anti").unionByName(chunkAdj))
+          overlay.join(broadcast(chunkTouched), Seq("src"), "left_anti")
+            .unionByName(chunkAdj))
       touchedIds = ckptFresh(
         if (!haveOverlay) chunkTouched
         else touchedIds.unionByName(reid(chunkTouched)).distinct())
@@ -290,8 +341,12 @@ object CagraExtend {
 
     // the single end-of-build reconcile: materialize the view so every
     // consumer reads a plain edge list (and never re-optimizes the loop's
-    // constraint-free plans)
-    ckptFresh(curGraph.withColumn("rank", row_number().over(wRank)))
+    // constraint-free plans); the result no longer depends on the pinned
+    // base/dataset/chunk checkpoints, so release them (mirrors the
+    // local-kernel route's unpersist)
+    val out = ckptFresh(curGraph.withColumn("rank", row_number().over(wRank)))
+    base.unpersist(); baseData.unpersist(); chunks.unpersist()
+    out
   }
 
   /** In-memory twin of the relational chunk loop — every step keeps the

@@ -132,6 +132,8 @@ object CagraOptimize {
       idCol: String = "id", vecCol: String = "vec",
       partitionRowBudget: Int = 25000): DataFrame = {
     require(npartitions >= 2, s"ACE needs >= 2 partitions, got $npartitions")
+    require(partitionRowBudget > 0,
+      s"partitionRowBudget must be positive, got $partitionRowBudget")
     val spark = df.sparkSession
     val kBuild = if (intermediateDegree > 0) intermediateDegree else 2 * degree
     // The reference sizes ACE partitions by a MEMORY budget, not a fixed
@@ -141,15 +143,20 @@ object CagraOptimize {
     // is a floor, and the effective count rises so no cell exceeds
     // `partitionRowBudget` rows (the per-cell pair scan is quadratic in
     // cell size — ScaleSmoke measured 160 s at 200k/8 parts but 1076 s at
-    // 500k/8 parts before this cap, ~400 s after).
+    // 500k/8 parts before this cap, ~400 s after). The input is
+    // materialized first so the sizing count() doesn't evaluate an
+    // expensive upstream pipeline a second time — this path exists for
+    // exactly the out-of-core inputs where that matters.
+    val input = graft.core.Frames.materialize(df)
     val effParts = math.max(npartitions,
-      ((df.count() + partitionRowBudget - 1) / partitionRowBudget).toInt)
-    val knn = AllNeighbors.build(df,
+      ((input.count() + partitionRowBudget - 1) / partitionRowBudget).toInt)
+    val knn = AllNeighbors.build(input,
       AllNeighbors.Params(k = kBuild, nClusters = effParts,
         overlapFactor = 2, metric = metric, balanced = true),
       idCol, vecCol)
     val knnPath = s"$buildDir/knn_graph.parquet"
     knn.write.mode("overwrite").parquet(knnPath)
+    graft.core.Frames.release(input)
     val opt = optimize(
       spark.read.parquet(knnPath).select(col("src"), col("dst"), col("dist")),
       degree)

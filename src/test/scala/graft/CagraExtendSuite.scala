@@ -144,6 +144,48 @@ class CagraExtendSuite extends SparkFunSuite {
       "distances differ between routes")
   }
 
+  test("overlay anti-join broadcasts even with auto-broadcast disabled") {
+    // the base▷touched view's anti-join side carries an explicit
+    // broadcast() hint: with the session threshold forced to -1 (which
+    // would otherwise silently degrade every chunk to a sort-merge
+    // anti-join over the full base edge list), the distributed route must
+    // still broadcast — and still equal the local-kernel route row for row
+    val local = CagraExtend.extend(baseGraph, base, add, degree,
+      CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dist =
+      try CagraExtend.extend(baseGraph, base, add, degree,
+        CagraExtend.Params(maxChunkSize = 40)).localCheckpoint()
+      finally {
+        spark.conf.set("spark.graft.localKernel.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    assert(local.count() == dist.count(), "row counts differ")
+    val joined = local.select(col("src"), col("dst"), col("rank"), col("dist").as("d1"))
+      .join(dist.select(col("src"), col("dst"), col("rank"), col("dist").as("d2")),
+        Seq("src", "dst", "rank"))
+    assert(joined.count() == local.count(),
+      "edge/rank sets differ with auto-broadcast disabled")
+  }
+
+  test("concurrent extends never strand the constraint-propagation flag") {
+    // the session-conf override is ref-counted: two interleaved extends on
+    // one session must leave the user's setting exactly as it was
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (1 to 2).map { _ => Future {
+      CagraExtend.extend(baseGraph, base, add, degree,
+        CagraExtend.Params(maxChunkSize = 40)).count()
+    } }
+    runs.foreach(Await.result(_, 10.minutes))
+    assert(spark.conf.get("spark.sql.constraintPropagation.enabled") == "true",
+      "extend left constraint propagation off after completion")
+    spark.conf.unset("spark.sql.constraintPropagation.enabled")
+  }
+
   test("single-chunk extend == auto chunking when batch fits one chunk") {
     val a = CagraExtend.extend(baseGraph, base, add, degree)
     val b = CagraExtend.extend(baseGraph, base, add, degree,

@@ -589,19 +589,23 @@ object GraphQueries {
     * surgery + level re-draw, then hierarchical search with queries
     * EXTERNAL to the insert batch against full-dataset truth — the same
     * validation discipline and 0.85 floor as cagra_extend_recall.
-    * The hierarchy is rebuilt over the SHARED extended layer 0 (`ext8`);
-    * `Hnsw.extend` produces exactly this hierarchy (GraphIndexSuite
-    * asserts the equivalence edge-for-edge), the query just avoids paying
-    * the chunked insert a second time. `new_full_degree`: every inserted
-    * node present at layer 0 with exactly the base degree. */
+    * The artifact is the REAL `Hnsw.extend` entry point (base hierarchy
+    * over the 80%, then extend) — the bench consumer for the operator,
+    * not just its composed parts; GraphIndexSuite separately asserts
+    * extend ≡ fromGraph over the extended layer 0 edge-for-edge.
+    * `new_full_degree`: every inserted node present at layer 0 with
+    * exactly the base degree. */
   private def hnswExtendQuery(spark: SparkSession, dir: String): DataFrame = {
     val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val addRows = s.filter(col("id") % 10 === 0)
-    val ext = ext8(spark, dir)
     val idx = SparkEntry.memoize(spark, s"hnswExt8:$dir") {
-      val built = Hnsw.fromGraph(ext, s,
+      val baseRows = s.filter(col("id") % 10 =!= 0)
+      val baseIdx = Hnsw.fromGraph(extBase8(spark, dir), baseRows,
         Hnsw.Params(m = 16, metric = Metric.L2Sqrt), "id", "vec")
+      val nAdd = addRows.count()
+      val built = Hnsw.extend(baseIdx, baseRows, addRows,
+        maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt)
       built.copy(levels = built.levels.localCheckpoint(),
         edges = built.edges.localCheckpoint())
     }

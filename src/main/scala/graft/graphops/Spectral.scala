@@ -164,13 +164,19 @@ object Spectral {
     * map-side linear combination. Rounds: O(m) jobs, m = lanczosSteps.
     */
   def embeddingLanczos(df: DataFrame, params: Params, lanczosSteps: Int = 0,
-      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec",
+      knnGraph: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     val wanted = if (lanczosSteps > 0) lanczosSteps
       else math.max(2 * params.nComponents + 2, params.nComponents + 6)
     val m = math.min(wanted, (df.count() - 1).toInt.max(1))
-    val knn = AllNeighbors.exact(df, params.nNeighbors, params.metric, idCol, vecCol)
-      .select(col("src"), col("dst"))
+    // `knnGraph` (src, dst) overrides the affinity graph — at scale pass an
+    // [[AllNeighbors.build]] graph (cell-bounded) instead of letting this
+    // default to the exact O(n^2) self-join, same contract as
+    // [[Vamana.build]]'s candidate pool
+    val knn = knnGraph.map(_.select(col("src"), col("dst")))
+      .getOrElse(AllNeighbors.exact(df, params.nNeighbors, params.metric, idCol, vecCol)
+        .select(col("src"), col("dst")))
     val adj = knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))

@@ -40,6 +40,11 @@ object RecallSweep {
       .select(col("qid"), col("nbr_id")).localCheckpoint()
 
     def measure(family: String, knob: String, value: Int)(f: => DataFrame): Point = {
+      // warm pass first (Bench's two-pass discipline): the first evaluation
+      // of each family/knob shape pays codegen + JIT + shuffle setup, which
+      // otherwise lands on whichever point runs first and makes the timing
+      // curve non-monotone (r6: itopk 20 appeared 3x slower than 40)
+      f.select(col("qid"), col("nbr_id")).count()
       val t0 = System.nanoTime()
       val approx = f.select(col("qid"), col("nbr_id"))
       val recall = graft.core.Recall.matched(approx, exact) / denom

@@ -18,6 +18,9 @@ import graft.core.Metric
   *           connected components
   *   ace     ACE partitioned/disk CAGRA build + search over the result
   *   extend  CAGRA graph extend: 95% base build, 5% chunked insert
+  *   vamana  Vamana robust prune over a cell-bounded candidate pool
+  *   hnsw    HNSW hierarchy build + hierarchical (descent + beam) search
+  *   spectral distributed Lanczos embedding over a cell-bounded kNN graph
   *   text    minhash-LSH dedup over a near-dup corpus
   *
   * Run: SPARK_GRAFT_SCALE_N=200000 sbt "runMain graft.tools.ScaleSmoke"
@@ -29,7 +32,8 @@ object ScaleSmoke {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
-      "core,family,graph,ace,extend,text").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "core,family,graph,ace,extend,vamana,hnsw,spectral,text")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.maxResultSize", "2g")
@@ -240,6 +244,57 @@ object ScaleSmoke {
         graft.graphops.CagraExtend.extend(baseOpt, baseData, newRows,
           degree = 8,
           graft.graphops.CagraExtend.Params(maxChunkSize = chunkCap)).count()
+      }
+    }
+
+    // The r7 graph-family deep smoke (the IVF family's r6 treatment):
+    // each route on its distributed plan, each with a cell-bounded
+    // candidate/affinity graph — cell size is the fixed knob
+    // (nClusters ~ n/cellSize), so per-cell pair work stays bounded and
+    // the builds grow linearly in n.
+    val cells = math.max(64, (n / 3000).toInt)
+
+    phase("vamana") {
+      // the documented at-scale route (Vamana.scala:33-35): the candidate
+      // pool comes from AllNeighbors, the alpha-RNG prune is per-node local
+      val pool = time(s"vamana_pool_${cells}cells_k32") {
+        graft.graphops.AllNeighbors.build(data,
+          graft.graphops.AllNeighbors.Params(k = 32, nClusters = cells,
+            overlapFactor = 2, kmeansIters = 5), "id", "vec").localCheckpoint()
+      }
+      time("vamana_robust_prune") {
+        graft.graphops.Vamana.build(data,
+          graft.graphops.Vamana.Params(graphDegree = 16, visitedSize = 32),
+          "id", "vec", candidates = Some(pool)).count()
+      }
+    }
+
+    phase("hnsw") {
+      val baseKnn = time(s"hnsw_base_knn_${cells}cells") {
+        graft.graphops.AllNeighbors.build(data,
+          graft.graphops.AllNeighbors.Params(k = 16, nClusters = cells,
+            overlapFactor = 2, kmeansIters = 5), "id", "vec").localCheckpoint()
+      }
+      val idx = time("hnsw_from_graph") {
+        graft.index.Hnsw.fromGraph(baseKnn, data,
+          graft.index.Hnsw.Params(m = 16), "id", "vec")
+      }
+      time("hnsw_hier_search_200q") {
+        graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
+      }
+      idx.edges.unpersist()
+    }
+
+    phase("spectral") {
+      val knng = time(s"spectral_knn_${cells}cells") {
+        graft.graphops.AllNeighbors.build(data,
+          graft.graphops.AllNeighbors.Params(k = 10, nClusters = cells,
+            overlapFactor = 2, kmeansIters = 5), "id", "vec").localCheckpoint()
+      }
+      time("spectral_lanczos_embedding") {
+        graft.graphops.Spectral.embeddingLanczos(data,
+          graft.graphops.Spectral.Params(nComponents = 2, nNeighbors = 10),
+          idCol = "id", vecCol = "vec", knnGraph = Some(knng)).count()
       }
     }
 

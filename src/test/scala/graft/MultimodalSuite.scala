@@ -86,6 +86,67 @@ class MultimodalSuite extends SparkFunSuite {
     }
   }
 
+  // ===== the REAL codec (ImageCodec): same contract, actual pixels ======
+
+  private def testImage(w: Int, h: Int, seed: Int): graft.multimodal.ImageCodec.Image =
+    graft.multimodal.ImageCodec.Image(w, h,
+      Array.tabulate(w * h * 3)(i => ((i * 31 + seed * 17) % 256).toByte))
+
+  test("ImageCodec: PPM and BMP encode/decode round-trip pixel-exact") {
+    import graft.multimodal.ImageCodec._
+    for (img <- Seq(testImage(5, 3, 1), testImage(7, 7, 2), testImage(1, 1, 3))) {
+      val viaPpm = decode(encodePpm(img)).get
+      assert(viaPpm.width == img.width && viaPpm.height == img.height)
+      assert(viaPpm.rgb.sameElements(img.rgb), "PPM roundtrip lost pixels")
+      // width 5 and 7 exercise BMP's 4-byte row stride padding
+      val viaBmp = decode(encodeBmp(img)).get
+      assert(viaBmp.width == img.width && viaBmp.height == img.height)
+      assert(viaBmp.rgb.sameElements(img.rgb), "BMP roundtrip lost pixels")
+    }
+    // a PPM header comment must be skipped
+    val commented = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(7))
+    assert(decode(commented).exists(i => i.width == 2 && i.height == 2))
+  }
+
+  test("ImageCodec.grayEmbedding satisfies the codec contract") {
+    import graft.multimodal.ImageCodec._
+    val codec = grayEmbedding(4)
+    // fixed dim for every payload: real images, empty, garbage, truncated
+    assert(codec(encodePpm(testImage(8, 8, 4))).length == 16)
+    assert(codec(encodeBmp(testImage(3, 5, 5))).length == 16)
+    assert(codec(Array.emptyByteArray).length == 16)
+    assert(codec("not an image".getBytes).length == 16)
+    assert(codec(encodePpm(testImage(8, 8, 4)).take(10)).length == 16)
+    // undecodable -> zero vector (deterministic, not an exception)
+    assert(codec("junk".getBytes).forall(_ == 0.0f))
+    // same pixels through either container -> same embedding
+    val img = testImage(6, 4, 6)
+    assert(codec(encodePpm(img)).sameElements(codec(encodeBmp(img))))
+    // values are normalized luma
+    assert(codec(encodePpm(img)).forall(v => v >= 0.0f && v <= 1.0f))
+  }
+
+  test("swap point: the REAL image codec runs the same pipeline unchanged") {
+    import graft.multimodal.ImageCodec._
+    val s = spark
+    import s.implicits._
+    // five 8x8 images, two of them near-duplicates (seeds 1 and 1)
+    val imgs = Seq(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 3, 5 -> 4).map { case (id, seed) =>
+      (id.toLong, encodePpm(testImage(8, 8, seed)))
+    }.toDF("media_id", "payload")
+    val m = imgs.select(col("media_id"),
+      embedWith(grayEmbedding(4))(col("payload")).as("vec"))
+    val q = m.filter(col("media_id") % 2 === 1)
+      .select(col("media_id").as("qid"), col("vec").as("qvec"))
+    val got = graft.ops.BruteForceKnn.knnJoin(m, q, 2, graft.core.Metric.L2,
+      "media_id", "vec")
+    assert(got.groupBy("qid").count().collect().forall(_.getLong(1) == 2))
+    // identical pixels -> distance 0 at rank 2 (rank 1 is self)
+    val nn1 = got.filter(col("qid") === 1 && col("rank") === 2).head()
+    assert(nn1.getAs[Long]("nbr_id") == 2L && nn1.getAs[Double]("dist") == 0.0)
+  }
+
   test("mediaSchema round-trip: full typed table drives the embed column") {
     val s = spark
     val rows = media.select(col("media_id"), lit("text").as("modality"), col("payload"),

@@ -197,6 +197,38 @@ object MiscQueries {
        |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** The REAL image codec end-to-end with an exact oracle: each doc's
+    * first 48 bytes pack a 4x4 RGB raster, encoded as an actual binary
+    * PPM file (ImageCodec.encodePpm), decoded back through the swap-point
+    * codec (grayEmbedding, grid 4 — at grid == raster dims the resample
+    * is the identity), emitting per-pixel BT.601 luma. DuckDB replays the
+    * arithmetic from the text bytes, so the query proves the byte-level
+    * container format (header, raw RGB payload) round-trips exactly;
+    * float32 parity via an explicit FLOAT cast on both sides. */
+  private def multimodalImageDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf { (text: String) =>
+      val bytes = java.util.Arrays.copyOf(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 48)
+      graft.multimodal.ImageCodec.encodePpm(
+        graft.multimodal.ImageCodec.Image(4, 4, bytes))
+    }
+    SparkEntry.table(spark, dir, "documents")
+      .filter(length(col("text")) >= 48)
+      .select(col("doc_id").as("media_id"),
+        Multimodal.embedWith(graft.multimodal.ImageCodec.grayEmbedding(4))(
+          enc(col("text"))).as("vec"))
+      .select(col("media_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .select(col("media_id"), col("pos"), round(col("v").cast("double"), 4).as("luma"))
+  }
+
+  private val multimodalImageDecodeOracle: String =
+    """SELECT doc_id AS media_id, CAST(s.i - 1 AS INT) AS pos,
+      |  round(CAST(CAST((0.299 * ascii(substr(text, 3 * (s.i - 1) + 1, 1))
+      |    + 0.587 * ascii(substr(text, 3 * (s.i - 1) + 2, 1))
+      |    + 0.114 * ascii(substr(text, 3 * (s.i - 1) + 3, 1))) / 255.0 AS FLOAT) AS DOUBLE), 4) AS luma
+      |FROM documents, generate_series(1, 16) s(i)
+      |WHERE length(text) >= 48""".stripMargin
+
   // ===== event-time windowed aggregation (the batch twin of the
   // Structured Streaming watermark+window path; TieredIndexSuite drives
   // the streaming runtime itself) ========================================
@@ -376,6 +408,7 @@ object MiscQueries {
     "multimodal_stats" -> (multimodalStatsQuery(_, _)),
     "multimodal_frame_sample" -> (frameSampleQuery(_, _)),
     "multimodal_embed_knn" -> (mediaEmbedKnnQuery(_, _)),
+    "multimodal_image_decode" -> (multimodalImageDecodeQuery(_, _)),
   )
 
   private val knnPrecomputedOracle: String =
@@ -400,5 +433,6 @@ object MiscQueries {
     "multimodal_stats" -> multimodalStatsOracle,
     "multimodal_frame_sample" -> frameSampleOracle,
     "multimodal_embed_knn" -> mediaEmbedKnnOracle,
+    "multimodal_image_decode" -> multimodalImageDecodeOracle,
   )
 }

@@ -96,7 +96,8 @@ object KMeans {
       // same reason — kmeans.hpp trainset_fraction).
       val sparkS = df.sparkSession
       if (graft.graphops.LocalKernel.enabled(sparkS) &&
-          data.count() <= graft.graphops.LocalKernel.maxVectors(sparkS))
+          graft.graphops.LocalKernel.within(data,
+            graft.graphops.LocalKernel.maxVectors(sparkS)))
         return fitLocal(data, initRows, dim, params)
 
       var centroids = pack(initRows, dim, params.metric)

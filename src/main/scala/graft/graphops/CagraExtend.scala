@@ -171,15 +171,12 @@ object CagraExtend {
     // GraphSearch's broadcast kernel, resolved the same way. The kernel
     // replays the relational pipeline step for step with the same total
     // orderings, so the two routes return the SAME graph
-    // (CagraExtendSuite route-equality spec). The gate needs only "within
-    // the kernel caps?", never an exact size, so it limit-probes cap+1
-    // rows instead of running two full-scan count() jobs over a
-    // (potentially 100 TB) base per extend call.
-    def within(df: DataFrame, cap: Long): Boolean =
-      cap >= 0 && cap < Int.MaxValue && df.limit(cap.toInt + 1).count() <= cap
+    // (CagraExtendSuite route-equality spec). The gate limit-probes
+    // (LocalKernel.within) instead of running two full-scan count() jobs
+    // over a (potentially 100 TB) base per extend call.
     if (LocalKernel.enabled(spark) &&
-        within(base, LocalKernel.maxEdges(spark)) &&
-        within(baseData, LocalKernel.maxVectors(spark) - addCount)) {
+        LocalKernel.within(base, LocalKernel.maxEdges(spark)) &&
+        LocalKernel.within(baseData, LocalKernel.maxVectors(spark) - addCount)) {
       try return extendLocal(spark, base, baseData, add, degree, params, chunkSize)
       finally { base.unpersist(); baseData.unpersist() }
     }

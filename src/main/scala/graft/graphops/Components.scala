@@ -27,8 +27,8 @@ object Components {
     if (LocalKernel.enabled(sparkL)) {
       val vs = vertices.select(col(idCol).cast("long").as("id"))
       val es = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-      if (vs.count() <= LocalKernel.maxVectors(sparkL) &&
-          es.count() <= LocalKernel.maxEdges(sparkL)) {
+      if (LocalKernel.within(vs, LocalKernel.maxVectors(sparkL)) &&
+          LocalKernel.within(es, LocalKernel.maxEdges(sparkL))) {
         val ids = vs.collect().map(_.getLong(0))
         val parent = scala.collection.mutable.Map(ids.map(v => v -> v): _*)
         def find(x: Long): Long = {
@@ -93,7 +93,7 @@ object Components {
     if (LocalKernel.enabled(sparkL)) {
       val eCheap = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("dist").cast("double"))
-      if (eCheap.count() <= LocalKernel.maxEdges(sparkL)) {
+      if (LocalKernel.within(eCheap, LocalKernel.maxEdges(sparkL))) {
         val all = eCheap.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .filter(t => parent.contains(t._1) && parent.contains(t._2))
         val mstL = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

@@ -50,8 +50,8 @@ object GraphSearch {
     // round-for-round.
     val sparkS = dataset.sparkSession
     if (LocalKernel.enabled(sparkS) &&
-        edges.count() <= LocalKernel.maxEdges(sparkS) &&
-        data.count() <= LocalKernel.maxVectors(sparkS)) {
+        LocalKernel.within(edges, LocalKernel.maxEdges(sparkS)) &&
+        LocalKernel.within(data, LocalKernel.maxVectors(sparkS))) {
       try return searchLocal(data, q, edges, k, params, entrySeeds)
       finally { data.unpersist(); q.unpersist(); edges.unpersist() }
     }

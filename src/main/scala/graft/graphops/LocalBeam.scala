@@ -31,6 +31,15 @@ object LocalKernel {
   /** Max vectors the broadcast route may collect (~4·dim B/vec). */
   def maxVectors(spark: SparkSession): Long =
     spark.conf.get("spark.graft.localKernel.maxVectors", "400000").toLong
+
+  /** True iff `df` holds at most `cap` rows. The gate only ever needs
+    * "within the cap?", never an exact size, so this limit-probes cap+1
+    * rows instead of a full-scan count() — on the at-scale branch (where
+    * the answer is "no") the probe stops after cap+1 rows rather than
+    * paying a full pass over a huge operand just to decide the route
+    * (the r6 verdict's CagraExtend finding, applied engine-wide). */
+  def within(df: org.apache.spark.sql.DataFrame, cap: Long): Boolean =
+    cap >= 0 && cap < Int.MaxValue && df.limit(cap.toInt + 1).count() <= cap
 }
 
 /** Per-query greedy beam traversal — the in-memory twin of

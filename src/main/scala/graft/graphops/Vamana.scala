@@ -88,7 +88,8 @@ object Vamana {
       kept.iterator.zipWithIndex.map { case ((dst, dist), rk) => (src, dst, dist, rk + 1) }
     }
 
-    if (LocalKernel.enabled(spark) && data.count() <= LocalKernel.maxVectors(spark)) {
+    if (LocalKernel.enabled(spark) &&
+        LocalKernel.within(data, LocalKernel.maxVectors(spark))) {
       val vecs = new java.util.HashMap[Long, Array[Float]]()
       data.select(col("id").cast("long"), col("vec"))
         .as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }

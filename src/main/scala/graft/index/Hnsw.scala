@@ -66,7 +66,8 @@ object Hnsw {
         col("dst").cast("long").as("dst"), col("dist"), col("rank"))
 
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        d.count() <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        graft.graphops.LocalKernel.within(d,
+          graft.graphops.LocalKernel.maxVectors(spark))) {
       import spark.implicits._
       val rows = d.as[(Long, Array[Float])].collect()
       def levelOf(id: Long): Int = {
@@ -181,8 +182,10 @@ object Hnsw {
     // below (LocalBeam mirrors GraphSearch round-for-round).
     val spark = data.sparkSession
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        idx.edges.count() <= graft.graphops.LocalKernel.maxEdges(spark) &&
-        data.count() <= graft.graphops.LocalKernel.maxVectors(spark))
+        graft.graphops.LocalKernel.within(idx.edges,
+          graft.graphops.LocalKernel.maxEdges(spark)) &&
+        graft.graphops.LocalKernel.within(data,
+          graft.graphops.LocalKernel.maxVectors(spark)))
       return searchLocal(idx, data, q, k, ef, idCol, vecCol)
 
     var cur = q.select(col("qid"), lit(idx.entryPoint).as("id"))

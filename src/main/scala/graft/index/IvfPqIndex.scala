@@ -299,7 +299,8 @@ object IvfPqIndex {
       // argmin of PqClusterOps.encode, double-sum means in id order).
       val sparkS = dataset.sparkSession
       if (graft.graphops.LocalKernel.enabled(sparkS) &&
-          withRes.count() <= graft.graphops.LocalKernel.maxVectors(sparkS)) {
+          graft.graphops.LocalKernel.within(withRes,
+            graft.graphops.LocalKernel.maxVectors(sparkS))) {
         val rows = withRes.select(col("list_id"), col("id").cast("long"), col("_res"))
           .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
           .sortBy(_._2)

@@ -57,7 +57,8 @@ object ProductQuantizer {
       // at-scale path.
       val sparkS = df.sparkSession
       if (graft.graphops.LocalKernel.enabled(sparkS) &&
-          data.count() <= graft.graphops.LocalKernel.maxVectors(sparkS))
+          graft.graphops.LocalKernel.within(data,
+            graft.graphops.LocalKernel.maxVectors(sparkS)))
         return trainLocal(data, books, params, nCenters, subLen)
 
       for (_ <- 1 to params.kmeansIters) {

@@ -48,9 +48,9 @@ class IvfFlatIndex(
     // distance kernel, same (dist, id) merge order. At scale the
     // partition-pruned join runs unchanged.
     val spark = queries.sparkSession
-    val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        graft.graphops.LocalKernel.within(q,
+          graft.graphops.LocalKernel.maxVectors(spark))) {
       try return searchLocal(q, k, nProbes)
       finally q.unpersist()
     }

@@ -48,9 +48,9 @@ class IvfPqIndex(
     val spark = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
       .transform(graft.core.Frames.materialize(_))
-    val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        graft.graphops.LocalKernel.within(q,
+          graft.graphops.LocalKernel.maxVectors(spark))) {
       try return BruteForceKnn.topKPerQuery(
         AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, k, "pq_codes"),
         k, Metric.L2)
@@ -125,9 +125,9 @@ class IvfPqClusterIndex(
     val spark = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        graft.graphops.LocalKernel.within(q,
+          graft.graphops.LocalKernel.maxVectors(spark))) {
       val ccb = codebooks
       try return BruteForceKnn.topKPerQuery(
         AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes", ccb.nCenters)(

@@ -42,9 +42,9 @@ class ScannIndex(
     val spark = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
       .transform(graft.core.Frames.materialize(_))
-    val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        graft.graphops.LocalKernel.within(q,
+          graft.graphops.LocalKernel.maxVectors(spark))) {
       try return BruteForceKnn.topKPerQuery(
         AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, 2 * k, "pq_codes")
           .groupBy(col("qid"), col("_nid")).agg(min(col("dist")).as("dist")),

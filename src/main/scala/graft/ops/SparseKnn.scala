@@ -58,9 +58,9 @@ object SparseKnn {
     val qk = queries.select(col(qidCol).cast("long").as("qid"),
       col(qidxCol).as("qindices"), col(qvalCol).as("qvalues"))
       .transform(graft.core.Frames.materialize(_))
-    val qCount = qk.count()
     if (graft.graphops.LocalKernel.enabled(spark) &&
-        qCount <= graft.graphops.LocalKernel.maxVectors(spark)) {
+        graft.graphops.LocalKernel.within(qk,
+          graft.graphops.LocalKernel.maxVectors(spark))) {
       try return knnJoinLocal(dataset, qk, k, metric, idCol, idxCol, valCol)
       finally qk.unpersist()
     }

@@ -33,13 +33,40 @@ object LocalKernel {
     spark.conf.get("spark.graft.localKernel.maxVectors", "400000").toLong
 
   /** True iff `df` holds at most `cap` rows. The gate only ever needs
-    * "within the cap?", never an exact size, so this limit-probes cap+1
-    * rows instead of a full-scan count() — on the at-scale branch (where
-    * the answer is "no") the probe stops after cap+1 rows rather than
-    * paying a full pass over a huge operand just to decide the route
-    * (the r6 verdict's CagraExtend finding, applied engine-wide). */
-  def within(df: org.apache.spark.sql.DataFrame, cap: Long): Boolean =
-    cap >= 0 && cap < Int.MaxValue && df.limit(cap.toInt + 1).count() <= cap
+    * "within the cap?", never an exact size, so this probes partitions
+    * incrementally (executeTake's 8-then-4x scan pattern, but shipping
+    * per-partition COUNTS — never rows — to the driver) and stops as soon
+    * as cap+1 rows are seen. On the at-scale branch the probe ends after
+    * the first few partitions instead of paying a full pass over a huge
+    * operand just to decide the route (the r6 verdict's CagraExtend
+    * finding, applied engine-wide). Each task also stops iterating at
+    * cap+1 rows, so a single giant partition can't make one task scan
+    * past the answer. NOTE: a plain `limit(cap+1).count()` would NOT do —
+    * its GlobalLimit plans a single-partition shuffle of every
+    * local-limited partition, a full-data funnel at scale. */
+  def within(df: org.apache.spark.sql.DataFrame, cap: Long): Boolean = {
+    if (cap < 0 || cap >= Int.MaxValue) return false
+    val rdd = df.queryExecution.toRdd
+    val sc = df.sparkSession.sparkContext
+    val nParts = rdd.partitions.length
+    var seen = 0L
+    var scanned = 0
+    var batch = 8
+    while (scanned < nParts && seen <= cap) {
+      val upTo = math.min(nParts, scanned + batch)
+      val need = cap + 1 - seen
+      val counts = sc.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var c = 0L
+          while (it.hasNext && c < need) { it.next(); c += 1 }
+          c
+        }, scanned until upTo)
+      seen += counts.sum
+      scanned = upTo
+      batch *= 4
+    }
+    seen <= cap
+  }
 }
 
 /** Per-query greedy beam traversal — the in-memory twin of

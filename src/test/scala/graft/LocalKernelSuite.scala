@@ -18,6 +18,23 @@ class LocalKernelSuite extends SparkFunSuite {
   private lazy val queries = emb.filter(col("id") % 50 === 0)
     .select(col("id").as("qid"), col("vec").as("qvec"))
 
+  test("within: exact at the cap boundary across partition shapes") {
+    import graft.graphops.LocalKernel.within
+    // one partition, many partitions, empty, skewed (all rows in one part)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.range(0, 100, 1, parts).toDF("id")
+      assert(within(df, 100), s"100 rows / $parts parts should be within 100")
+      assert(!within(df, 99), s"100 rows / $parts parts should exceed 99")
+      assert(within(df, 1000))
+      assert(!within(df, 0))
+    }
+    assert(within(spark.range(0).toDF("id"), 0), "empty frame is within 0")
+    assert(!within(spark.range(1).toDF("id"), -1), "negative cap is never within")
+    val skew = spark.range(0, 500, 1, 1).toDF("id")
+      .union(spark.range(0, 0, 1, 9).toDF("id"))
+    assert(within(skew, 500) && !within(skew, 499))
+  }
+
   private def bothRoutes(run: => DataFrame): (Array[String], Array[String]) = {
     def rows(df: DataFrame): Array[String] =
       df.collect().map(_.toString).sorted

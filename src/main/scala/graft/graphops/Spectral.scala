@@ -169,7 +169,11 @@ object Spectral {
     val spark = df.sparkSession
     val wanted = if (lanczosSteps > 0) lanczosSteps
       else math.max(2 * params.nComponents + 2, params.nComponents + 6)
-    val m = math.min(wanted, (df.count() - 1).toInt.max(1))
+    // the full count only matters when n < wanted (a handful of rows) —
+    // probe wanted+1 rows instead of scanning a huge input
+    val m =
+      if (LocalKernel.within(df, wanted.toLong)) (df.count() - 1).toInt.max(1)
+      else wanted
     // `knnGraph` (src, dst) overrides the affinity graph — at scale pass an
     // [[AllNeighbors.build]] graph (cell-bounded) instead of letting this
     // default to the exact O(n^2) self-join, same contract as

@@ -141,6 +141,9 @@ object ScannIndex {
     // is an array transform over the (few) candidate leaves and the argmin
     // is the head of a lexicographic (loss, cand) sort — no explode, no
     // per-id window shuffle.
+    // `d` feeds three consumers (spill pick, primary assignment, codebook
+    // training) — materialize so the dataset scan + 5-candidate
+    // nearest-centroid argmin runs once, not per consumer
     val d = dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         KMeans.nearestCol(cs, col(vecCol), params.soarCandidates + 1)
           .getField("list_id").as("_cands"))
@@ -148,6 +151,7 @@ object ScannIndex {
       .withColumn("_r1", res(col("vec"), col("list_id")))
       .withColumn("_r1n2", aggregate(col("_r1"), lit(0.0),
         (s, x) => s + x.cast("double") * x.cast("double")))
+      .transform(graft.core.Frames.materialize(_))
     val spillPick = sort_array(
       transform(slice(col("_cands"), 2, params.soarCandidates), c => {
         val rc = res(col("vec"), c)
@@ -183,6 +187,8 @@ object ScannIndex {
         ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
       .repartition(col("list_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    lists.count() // materialize before releasing the shared assignment frame
+    graft.core.Frames.release(d)
     new ScannIndex(cs, cb, lists, Metric.L2)
   }
 }

@@ -188,6 +188,61 @@ object Hnsw {
           graft.graphops.LocalKernel.maxVectors(spark)))
       return searchLocal(idx, data, q, k, ef, idCol, vecCol)
 
+    // HYBRID route: the hierarchy shrinks geometrically (n/M + n/M² + …
+    // rows above the base), so the upper layers usually fit the broadcast
+    // caps even when the base layer doesn't. Run the whole greedy descent
+    // in ONE broadcast pass over the query side (identical rows to the
+    // per-level loop — LocalBeam mirrors GraphSearch round-for-round) to
+    // produce per-query entry seeds, and only the base-layer ef-beam runs
+    // as the distributed loop: maxLevel·2 join rounds collapse into one
+    // map pass plus a single column-pruned scan of the upper vectors.
+    if (idx.maxLevel >= 1 && graft.graphops.LocalKernel.enabled(spark)) {
+      val upperIds = idx.levels.filter(col("level") >= 1).select(col("id").cast("long").as("id"))
+      val upperEdges = idx.edges.filter(col("level") >= 1)
+        .select(col("level").cast("int"), col("src").cast("long"), col("dst").cast("long"))
+      if (graft.graphops.LocalKernel.within(upperIds,
+            graft.graphops.LocalKernel.maxVectors(spark)) &&
+          graft.graphops.LocalKernel.within(upperEdges,
+            graft.graphops.LocalKernel.maxEdges(spark))) {
+        import spark.implicits._
+        import graft.graphops.LocalBeam
+        val vecs = new java.util.HashMap[Long, Array[Float]]()
+        data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+          .join(upperIds, "id")
+          .as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }
+        val levelAdj: Map[Int, java.util.HashMap[Long, Array[Long]]] =
+          upperEdges.as[(Int, Long, Long)].collect()
+            .groupBy(_._1)
+            .map { case (l, es) => l -> LocalBeam.buildAdj(es.map(e => (e._2, e._3))) }
+        val bcVecs = spark.sparkContext.broadcast(vecs)
+        val bcAdj = spark.sparkContext.broadcast(levelAdj)
+        val metric = idx.params.metric
+        val minClose = Metric.isMinClose(metric)
+        val (maxLevel, entry) = (idx.maxLevel, idx.entryPoint)
+        val seeds = q.as[(Long, Array[Float])].map { case (qid, qvec) =>
+          val distFn = graft.core.Distance.fn(metric)
+          val adj = bcAdj.value; val vs = bcVecs.value
+          var cur = entry
+          var l = maxLevel
+          while (l >= 1) {
+            adj.get(l).foreach { a =>
+              val beam = LocalBeam.run(qvec, Array(cur), a, vs, distFn,
+                itopk = 4, searchWidth = 1, maxIterations = 2)
+              LocalBeam.topK(beam, 1, minClose).headOption.foreach { case (id, _, _) => cur = id }
+            }
+            l -= 1
+          }
+          (qid, cur)
+        }.toDF("qid", "id")
+        return GraphSearch.search(
+          idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
+          data, q, k,
+          GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
+            metric = idx.params.metric),
+          idCol, vecCol, entrySeeds = Some(seeds))
+      }
+    }
+
     var cur = q.select(col("qid"), lit(idx.entryPoint).as("id"))
     for (l <- idx.maxLevel to 1 by -1) {
       cur = GraphSearch.search(

@@ -46,9 +46,9 @@ class IvfRabitqIndex(
     val sparkS = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
       .transform(graft.core.Frames.materialize(_))
-    val qCount = q.count()
     if (graft.graphops.LocalKernel.enabled(sparkS) &&
-        qCount <= graft.graphops.LocalKernel.maxVectors(sparkS)) {
+        graft.graphops.LocalKernel.within(q,
+          graft.graphops.LocalKernel.maxVectors(sparkS))) {
       try return searchLocal(q, kCoarse, nProbes)
       finally q.unpersist()
     }

@@ -118,6 +118,29 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("hnsw search: hybrid descent route == per-level route, row for row") {
+    // force the caps between "upper layers fit" and "whole hierarchy
+    // fits": the one-pass route is off (base layer over maxEdges), the
+    // hybrid broadcast-descent + distributed-base-beam route fires, and
+    // it must equal the pure per-level loop exactly
+    val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
+    val nUpper = idx.edges.filter(col("level") >= 1).count()
+    val nBase = idx.edges.filter(col("level") === 0).count()
+    assert(nUpper > 0 && nBase > nUpper, "fixture must have a real hierarchy")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
+    val hybrid =
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      finally spark.conf.unset("spark.graft.localKernel.maxEdges")
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val loop =
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    assert(hybrid.length > 0)
+    assert(hybrid.sameElements(loop))
+  }
+
   test("hnsw build: broadcast hierarchy == per-level distributed build") {
     val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     val (local, dist) = bothRoutes {

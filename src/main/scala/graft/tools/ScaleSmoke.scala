@@ -282,6 +282,15 @@ object ScaleSmoke {
       time("hnsw_hier_search_200q") {
         graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
       }
+      // the DEFAULT-config route at this scale: the base layer exceeds the
+      // kernel caps (no one-pass route) but the upper layers fit, so the
+      // hybrid broadcast-descent + distributed-base-beam path fires — the
+      // realistic at-scale shape, timed alongside the pure loop above
+      time("hnsw_hier_search_200q_hybrid") {
+        spark.conf.set("spark.graft.localKernel.enabled", "true")
+        try graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
+        finally spark.conf.set("spark.graft.localKernel.enabled", "false")
+      }
       idx.edges.unpersist()
     }
 

@@ -110,6 +110,11 @@ object Hnsw {
     }
     val edges = uppers.foldLeft(base)(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the hierarchy NOW: the upper-level builds (exact M-NN
+    // per level) are build work and must not lazily land inside the first
+    // search's wall time — the local route below is eager for the same
+    // reason (it collects before constructing)
+    edges.count()
     // deterministic entry point: smallest id on the top layer
     val entry = levels.filter(col("level") >= maxLevel).agg(min(col("id"))).head().getLong(0)
     d.unpersist()
@@ -243,22 +248,31 @@ object Hnsw {
       }
     }
 
-    var cur = q.select(col("qid"), lit(idx.entryPoint).as("id"))
-    for (l <- idx.maxLevel to 1 by -1) {
-      cur = GraphSearch.search(
-          idx.edges.filter(col("level") === l).select(col("src"), col("dst")),
-          data, q, 1,
-          GraphSearch.Params(itopk = 4, searchWidth = 1, maxIterations = 2,
-            metric = idx.params.metric),
-          idCol, vecCol, entrySeeds = Some(cur))
-        .select(col("qid"), col("nbr_id").as("id"))
-    }
-    GraphSearch.search(
-      idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
-      data, q, k,
-      GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
-        metric = idx.params.metric),
-      idCol, vecCol, entrySeeds = Some(cur))
+    // cache the shaped dataset/query frames ONCE around the per-level
+    // loop — GraphSearch detects caller-cached inputs and skips its own
+    // materialize/unpersist, so the loop stops paying a full dataset
+    // cache populate+drop per level (measured 130 s/level at 1M)
+    val dShaped = graft.core.Frames.materialize(
+      data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
+    val qShaped = graft.core.Frames.materialize(q)
+    try {
+      var cur = qShaped.select(col("qid"), lit(idx.entryPoint).as("id"))
+      for (l <- idx.maxLevel to 1 by -1) {
+        cur = GraphSearch.search(
+            idx.edges.filter(col("level") === l).select(col("src"), col("dst")),
+            dShaped, qShaped, 1,
+            GraphSearch.Params(itopk = 4, searchWidth = 1, maxIterations = 2,
+              metric = idx.params.metric),
+            "id", "vec", entrySeeds = Some(cur))
+          .select(col("qid"), col("nbr_id").as("id"))
+      }
+      GraphSearch.search(
+        idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
+        dShaped, qShaped, k,
+        GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
+          metric = idx.params.metric),
+        "id", "vec", entrySeeds = Some(cur))
+    } finally { graft.core.Frames.release(dShaped); graft.core.Frames.release(qShaped) }
   }
 
   /** One-pass broadcast search: per-level adjacency + vectors broadcast

@@ -103,10 +103,24 @@ object Hnsw {
     val maxLevel = levels.agg(max(col("level"))).head().getInt(0)
     val uppers = (1 to maxLevel).map { l =>
       val members = d.join(levels.filter(col("level") >= l), "id")
-      graft.graphops.AllNeighbors
-        .exact(members, math.min(params.m, (members.count() - 1).toInt.max(1)),
-          params.metric, "id", "vec")
-        .select(lit(l).as("level"), col("src"), col("dst"), col("dist"), col("rank"))
+      val mCount = members.count()
+      val mk = math.min(params.m, (mCount - 1).toInt.max(1))
+      // Level 1 holds n/M rows — at large n an exact M-NN self-join over
+      // it is the one quadratic stage left in the build. Past the kernel
+      // cap (where the in-memory route can't run anyway, so the two
+      // routes stay equal by construction below it) the level graph comes
+      // from the cell-bounded AllNeighbors build instead: same
+      // (src, dst, dist, rank) shape, approximate top-M per node, linear
+      // in level size at fixed cell size.
+      val g =
+        if (mCount <= graft.graphops.LocalKernel.maxVectors(spark))
+          graft.graphops.AllNeighbors.exact(members, mk, params.metric, "id", "vec")
+        else
+          graft.graphops.AllNeighbors.build(members,
+            graft.graphops.AllNeighbors.Params(k = mk,
+              nClusters = math.max(16, (mCount / 3000).toInt), overlapFactor = 2,
+              metric = params.metric, seed = params.seed), "id", "vec")
+      g.select(lit(l).as("level"), col("src"), col("dst"), col("dist"), col("rank"))
     }
     val edges = uppers.foldLeft(base)(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -606,8 +606,16 @@ object GraphQueries {
       val nAdd = addRows.count()
       val built = Hnsw.extend(baseIdx, baseRows, addRows,
         maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt)
-      built.copy(levels = built.levels.localCheckpoint(),
+      val out = built.copy(levels = built.levels.localCheckpoint(),
         edges = built.edges.localCheckpoint())
+      // the intermediate hierarchies (base, and the pre-checkpoint
+      // extended frames) are consumed above and would otherwise stay
+      // cached for the whole session
+      graft.core.Frames.release(baseIdx.edges)
+      graft.core.Frames.release(baseIdx.levels)
+      graft.core.Frames.release(built.edges)
+      graft.core.Frames.release(built.levels)
+      out
     }
     val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = Hnsw.search(idx, s, q, 10, ef = 40, "id", "vec")

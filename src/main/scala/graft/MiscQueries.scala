@@ -212,8 +212,12 @@ object MiscQueries {
       graft.multimodal.ImageCodec.encodePpm(
         graft.multimodal.ImageCodec.Image(4, 4, bytes))
     }
+    // printable-ASCII guard: the Spark side packs BYTES (UTF-8) while the
+    // oracle reads CHAR code points — identical only for ASCII text, so
+    // both sides filter to it explicitly rather than relying on the
+    // current fixture happening to be ASCII-clean
     SparkEntry.table(spark, dir, "documents")
-      .filter(length(col("text")) >= 48)
+      .filter(length(col("text")) >= 48 && col("text").rlike("^[ -~]*$"))
       .select(col("doc_id").as("media_id"),
         Multimodal.embedWith(graft.multimodal.ImageCodec.grayEmbedding(4))(
           enc(col("text"))).as("vec"))
@@ -227,7 +231,7 @@ object MiscQueries {
       |    + 0.587 * ascii(substr(text, 3 * (s.i - 1) + 2, 1))
       |    + 0.114 * ascii(substr(text, 3 * (s.i - 1) + 3, 1))) / 255.0 AS FLOAT) AS DOUBLE), 4) AS luma
       |FROM documents, generate_series(1, 16) s(i)
-      |WHERE length(text) >= 48""".stripMargin
+      |WHERE length(text) >= 48 AND regexp_matches(text, '^[ -~]*$')""".stripMargin
 
   // ===== event-time windowed aggregation (the batch twin of the
   // Structured Streaming watermark+window path; TieredIndexSuite drives

@@ -53,4 +53,20 @@ object Frames {
   /** Release a frame obtained from `materialize` (no-op for the
     * checkpointed route — its blocks are freed by the ContextCleaner). */
   def release(df: DataFrame): Unit = df.unpersist()
+
+  /** Release a frame's storage INCLUDING localCheckpoint blocks.
+    * `Dataset.unpersist` only removes CacheManager entries; a
+    * localCheckpoint's blocks belong to the underlying RDD (behind a
+    * LogicalRDD leaf), which unpersist never sees — without this, the
+    * blocks stay pinned until the Dataset is GC'd and the ContextCleaner
+    * runs. Only call when the frame — and everything derived from it that
+    * is not yet materialized — is truly done: a released checkpoint has no
+    * lineage to recompute from. */
+  def releaseCheckpoint(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
 }

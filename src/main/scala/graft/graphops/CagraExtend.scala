@@ -101,40 +101,11 @@ object CagraExtend {
     // IsNotNull/filter derivation), so switch it off for the build and
     // restore after; the result is materialized before returning, so no
     // caller ever re-optimizes the loop's plans with it back on.
-    cpAcquire(spark)
-    try extendImpl(spark, graph, data, newRows, degree, params, idCol, vecCol)
-    finally cpRelease(spark)
+    graft.core.ConfGuard.withOverride(spark,
+      "spark.sql.constraintPropagation.enabled", "false") {
+      extendImpl(spark, graph, data, newRows, degree, params, idCol, vecCol)
+    }
   }
-
-  private val cpKey = "spark.sql.constraintPropagation.enabled"
-  /** session -> (override depth, user's saved value at first acquire). */
-  private val cpState =
-    new java.util.HashMap[org.apache.spark.sql.SparkSession, (Int, Option[String])]()
-
-  private def cpAcquire(spark: org.apache.spark.sql.SparkSession): Unit =
-    cpState.synchronized {
-      cpState.get(spark) match {
-        case null =>
-          val saved = spark.conf.getOption(cpKey)
-          spark.conf.set(cpKey, "false")
-          cpState.put(spark, (1, saved))
-        case (depth, saved) => cpState.put(spark, (depth + 1, saved))
-      }
-    }
-
-  private def cpRelease(spark: org.apache.spark.sql.SparkSession): Unit =
-    cpState.synchronized {
-      cpState.get(spark) match {
-        case null => ()
-        case (depth, saved) if depth <= 1 =>
-          cpState.remove(spark)
-          saved match {
-            case Some(v) => spark.conf.set(cpKey, v)
-            case None => spark.conf.unset(cpKey)
-          }
-        case (depth, saved) => cpState.put(spark, (depth - 1, saved))
-      }
-    }
 
   private def extendImpl(spark: org.apache.spark.sql.SparkSession, graph: DataFrame,
       data: DataFrame, newRows: DataFrame, degree: Int,
@@ -158,7 +129,8 @@ object CagraExtend {
     // base checkpoint can be released before returning
     if (addCount == 0) {
       val out = ckptFresh(base.withColumn("rank", row_number().over(wRank)))
-      base.unpersist(); baseData.unpersist()
+      graft.core.Frames.releaseCheckpoint(base)
+      graft.core.Frames.releaseCheckpoint(baseData)
       return out
     }
 
@@ -178,7 +150,12 @@ object CagraExtend {
         LocalKernel.within(base, LocalKernel.maxEdges(spark)) &&
         LocalKernel.within(baseData, LocalKernel.maxVectors(spark) - addCount)) {
       try return extendLocal(spark, base, baseData, add, degree, params, chunkSize)
-      finally { base.unpersist(); baseData.unpersist() }
+      finally {
+        // releaseCheckpoint, not unpersist: these are localCheckpoints,
+        // whose blocks a plain Dataset.unpersist never frees
+        graft.core.Frames.releaseCheckpoint(base)
+        graft.core.Frames.releaseCheckpoint(baseData)
+      }
     }
 
     // Hard-cap chunk assignment by id-ordered row range (the reference
@@ -342,7 +319,9 @@ object CagraExtend {
     // base/dataset/chunk checkpoints, so release them (mirrors the
     // local-kernel route's unpersist)
     val out = ckptFresh(curGraph.withColumn("rank", row_number().over(wRank)))
-    base.unpersist(); baseData.unpersist(); chunks.unpersist()
+    graft.core.Frames.releaseCheckpoint(base)
+    graft.core.Frames.releaseCheckpoint(baseData)
+    graft.core.Frames.releaseCheckpoint(chunks)
     out
   }
 

@@ -98,9 +98,11 @@ object GraphSearch {
     // are bounded by maxIterations, so no termination action is needed.
     // AQE is suspended for the loop — its per-shuffle materialization adds
     // latency on the tiny per-round state and has nothing to re-plan.
+    // ref-counted override (ConfGuard): concurrent searches on one session
+    // (e.g. two extends' chunk loops) must not interleave a plain
+    // save/restore and strand AQE off for the session
     val spark = dataset.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.core.ConfGuard.acquire(spark, "spark.sql.adaptive.enabled", "false")
     try {
       // rank among unexpanded entries: one window serves both the frontier
       // pick and the expanded-marking (no extra join against the frontier)
@@ -128,7 +130,7 @@ object GraphSearch {
           .localCheckpoint()
         it += 1
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally graft.core.ConfGuard.release(spark, "spark.sql.adaptive.enabled")
     release()
     BruteForceKnn.topKPerQuery(
       beam.select(col("qid"), col("id").as("_nid"), col("dist")), k, params.metric)

@@ -45,7 +45,9 @@ object LocalKernel {
     * its GlobalLimit plans a single-partition shuffle of every
     * local-limited partition, a full-data funnel at scale. */
   def within(df: org.apache.spark.sql.DataFrame, cap: Long): Boolean = {
-    if (cap < 0 || cap >= Int.MaxValue) return false
+    // a huge configured cap must still be honored (the arithmetic below is
+    // Long throughout); only a negative cap is an automatic "over"
+    if (cap < 0) return false
     val rdd = df.queryExecution.toRdd
     val sc = df.sparkSession.sparkContext
     val nParts = rdd.partitions.length

@@ -50,9 +50,13 @@ object ImageCodec {
     val (w, h, maxval) = (token(), token(), token())
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 || i >= b.length) return None
     i += 1 // the single whitespace byte after maxval
-    val need = w.toInt * h.toInt * 3
-    if (b.length - i < need) return None
-    Some(Image(w.toInt, h.toInt, java.util.Arrays.copyOfRange(b, i, i + need)))
+    // size math in Long: a crafted "P6 100000 100000" header must fail the
+    // bounds check, not overflow Int and crash the copy — decode() maps
+    // every malformed payload to None (the zero-vector contract)
+    val need = w * h * 3L
+    if (need > b.length - i) return None
+    Some(Image(w.toInt, h.toInt,
+      java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
   }
 
   /** Encode as binary PPM — the writer half of the roundtrip (and a usable
@@ -82,11 +86,16 @@ object ImageCodec {
     val hRaw = le32(b, 22)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 ||
+      compression != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val stride = ((w * 3 + 3) / 4) * 4 // rows padded to 4-byte boundaries
-    if (pixelOff < 0 || b.length - pixelOff < stride.toLong * h) return None
+    // stride/size math in Long: a width like 0x40000000 must fail bounds,
+    // not overflow Int into a negative allocation
+    val strideL = ((w * 3L + 3) / 4) * 4 // rows padded to 4-byte boundaries
+    if (pixelOff < 0 || b.length - pixelOff < strideL * h ||
+      w * 3L * h > Int.MaxValue) return None
+    val stride = strideL.toInt // <= b.length after the bounds check
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

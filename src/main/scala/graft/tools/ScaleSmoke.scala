@@ -282,14 +282,21 @@ object ScaleSmoke {
       time("hnsw_hier_search_200q") {
         graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
       }
-      // the DEFAULT-config route at this scale: the base layer exceeds the
-      // kernel caps (no one-pass route) but the upper layers fit, so the
-      // hybrid broadcast-descent + distributed-base-beam path fires — the
-      // realistic at-scale shape, timed alongside the pure loop above
+      // the at-scale default route: base layer over the kernel caps, upper
+      // layers under, so the hybrid broadcast-descent + distributed-base-
+      // beam path fires. maxEdges is pinned just above the upper-layer
+      // edge count so the label is accurate at ANY smoke N — at N <= 400k
+      // the default caps would admit the whole hierarchy and this would
+      // otherwise time the one-pass local route under a hybrid name.
+      val nUpper = idx.edges.filter(col("level") >= 1).count()
       time("hnsw_hier_search_200q_hybrid") {
         spark.conf.set("spark.graft.localKernel.enabled", "true")
+        spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
         try graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
-        finally spark.conf.set("spark.graft.localKernel.enabled", "false")
+        finally {
+          spark.conf.set("spark.graft.localKernel.enabled", "false")
+          spark.conf.unset("spark.graft.localKernel.maxEdges")
+        }
       }
       idx.edges.unpersist()
     }

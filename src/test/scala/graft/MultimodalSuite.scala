@@ -120,6 +120,17 @@ class MultimodalSuite extends SparkFunSuite {
     assert(codec(encodePpm(testImage(8, 8, 4)).take(10)).length == 16)
     // undecodable -> zero vector (deterministic, not an exception)
     assert(codec("junk".getBytes).forall(_ == 0.0f))
+    // crafted headers whose size math would overflow Int must map to the
+    // zero vector, not throw inside the UDF (size checks are Long)
+    assert(codec("P6\n100000 100000\n255\n".getBytes ++ Array.fill[Byte](64)(1))
+      .forall(_ == 0.0f))
+    val hugeBmp = {
+      val b = encodeBmp(testImage(2, 2, 7))
+      // overwrite width with 0x40000000: stride*h and w*h*3 overflow Int
+      b(18) = 0; b(19) = 0; b(20) = 0; b(21) = 0x40.toByte
+      b
+    }
+    assert(codec(hugeBmp).forall(_ == 0.0f))
     // same pixels through either container -> same embedding
     val img = testImage(6, 4, 6)
     assert(codec(encodePpm(img)).sameElements(codec(encodeBmp(img))))

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver tail-parses the LAST stdout line as JSON. Two sbt
+// defaults break that: the logger prefixes forked-process output with
+// "[info] ", and "[success] Total time: ..." prints after the program exits.
+// StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess := false drops the trailing success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — silence the
+// unused-key lint so the banner stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,7 +101,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"errors":$e,""" +
         s""""artifact_build_sec":$a,"build_total":$buildTotal,""" +
-        s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":"$sfDir"}"""
+        s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -113,7 +113,7 @@ object Bench {
     // precision JSON artifact written to BENCH_LOCAL.json.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n_queries":${timed.size},"n_errors":${errs.size},""" +
-      s""""build_total":${r3(buildTotal)},"sf":"$sfDir","detail":"$outPath"}""")
+      s""""build_total":${r3(buildTotal)},"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}""")
     spark.stop()
   }
 }

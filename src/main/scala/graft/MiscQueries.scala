@@ -215,9 +215,12 @@ object MiscQueries {
     // printable-ASCII guard: the Spark side packs BYTES (UTF-8) while the
     // oracle reads CHAR code points — identical only for ASCII text, so
     // both sides filter to it explicitly rather than relying on the
-    // current fixture happening to be ASCII-clean
+    // current fixture happening to be ASCII-clean. \A..\z anchors: Java's
+    // `$` also matches just BEFORE a final newline while DuckDB's RE2 `$`
+    // matches only at end-of-text, so `$` would admit a trailing-newline
+    // doc on the Spark side that the oracle excludes.
     SparkEntry.table(spark, dir, "documents")
-      .filter(length(col("text")) >= 48 && col("text").rlike("^[ -~]*$"))
+      .filter(length(col("text")) >= 48 && col("text").rlike("\\A[ -~]*\\z"))
       .select(col("doc_id").as("media_id"),
         Multimodal.embedWith(graft.multimodal.ImageCodec.grayEmbedding(4))(
           enc(col("text"))).as("vec"))

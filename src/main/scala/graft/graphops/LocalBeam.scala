@@ -43,7 +43,13 @@ object LocalKernel {
     * cap+1 rows, so a single giant partition can't make one task scan
     * past the answer. NOTE: a plain `limit(cap+1).count()` would NOT do —
     * its GlobalLimit plans a single-partition shuffle of every
-    * local-limited partition, a full-data funnel at scale. */
+    * local-limited partition, a full-data funnel at scale. AQE caveat:
+    * on a shuffle-bearing uncheckpointed plan, `queryExecution.toRdd`
+    * (AdaptiveSparkPlanExec) materializes the upstream shuffle stages
+    * before the first probe job, so the early exit only short-circuits
+    * the FINAL scan there — never worse than a full count(), but the
+    * full win needs a shuffle-free (scanned/checkpointed) input, which
+    * is what the gated call sites pass. */
   def within(df: org.apache.spark.sql.DataFrame, cap: Long): Boolean = {
     // a huge configured cap must still be honored (the arithmetic below is
     // Long throughout); only a negative cap is an automatic "over"

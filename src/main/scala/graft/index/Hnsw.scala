@@ -31,6 +31,13 @@ object Hnsw {
 
   private val P31 = 2147483647L // 2^31-1, the portable-hash modulus used across graft
 
+  /** Max members at which an upper level is built as the EXACT M-NN
+    * self-join; larger levels use the cell-bounded approximate
+    * AllNeighbors build. A build-semantics knob, deliberately separate
+    * from the LocalKernel broadcast caps. */
+  def exactLevelCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.hnsw.exactLevelCap", "400000").toLong
+
   /** (id, level): geometric level assignment from a portable affine hash,
     * applied twice so small consecutive ids spread over the full modulus —
     * h = affine(affine(id)), affine(x) = (x·1000003 + 12345 + seed) mod
@@ -100,20 +107,33 @@ object Hnsw {
       return Index(levels, edges, maxLevel, entry, params)
     }
 
-    val maxLevel = levels.agg(max(col("level"))).head().getInt(0)
+    // ONE pass over the tiny (id, level) table sizes every level: members
+    // at level >= l is a suffix sum of the per-level histogram. The
+    // previous shape re-joined and re-counted the VECTOR table once per
+    // level (~log_M(n) avoidable full scans of the big side per build).
+    val levelHist: Map[Int, Long] = levels.groupBy("level").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxLevel = if (levelHist.isEmpty) 0 else levelHist.keys.max
+    val atLeast: Map[Int, Long] = {
+      var acc = 0L
+      (maxLevel to 0 by -1).map { l =>
+        acc += levelHist.getOrElse(l, 0L); l -> acc
+      }.toMap
+    }
     val uppers = (1 to maxLevel).map { l =>
       val members = d.join(levels.filter(col("level") >= l), "id")
-      val mCount = members.count()
+      val mCount = atLeast(l)
       val mk = math.min(params.m, (mCount - 1).toInt.max(1))
       // Level 1 holds n/M rows — at large n an exact M-NN self-join over
-      // it is the one quadratic stage left in the build. Past the kernel
-      // cap (where the in-memory route can't run anyway, so the two
-      // routes stay equal by construction below it) the level graph comes
-      // from the cell-bounded AllNeighbors build instead: same
-      // (src, dst, dist, rank) shape, approximate top-M per node, linear
-      // in level size at fixed cell size.
+      // it is the one quadratic stage left in the build. Past
+      // `exactLevelCap` the level graph comes from the cell-bounded
+      // AllNeighbors build instead: same (src, dst, dist, rank) shape,
+      // approximate top-M per node, linear in level size at fixed cell
+      // size. The cap is its OWN knob (not LocalKernel.maxVectors): the
+      // kernel cap is a broadcast-capacity performance setting, and
+      // re-tuning it must never silently change index CONTENTS/recall.
       val g =
-        if (mCount <= graft.graphops.LocalKernel.maxVectors(spark))
+        if (mCount <= exactLevelCap(spark))
           graft.graphops.AllNeighbors.exact(members, mk, params.metric, "id", "vec")
         else
           graft.graphops.AllNeighbors.build(members,

@@ -154,7 +154,25 @@ object GraphSearch {
     val allowIds = allow.select(col(idCol).cast("long").as("id")).distinct()
     val rate =
       if (filteringRate >= 0) filteringRate
-      else 1.0 - allowIds.count().toDouble / math.max(1L, dataset.count())
+      else {
+        // The at-scale contract is the explicit hint — the reference
+        // treats filtering_rate as user-supplied (cagra.hpp:355). The
+        // auto-estimate must not full-scan the big side: count only the
+        // allow-list (the small side), take |dataset| from catalog/cached
+        // plan stats when known, else probe the dataset scan and STOP at
+        // 20x|allow| rows — past that point the keep-clamp below pins the
+        // widening at its 0.05 floor regardless of the exact count, so
+        // the probe's work is bounded by the small side either way.
+        val nAllow = math.max(1L, allowIds.count())
+        val nData: Double =
+          dataset.queryExecution.optimizedPlan.stats.rowCount match {
+            case Some(rc) => rc.toDouble
+            case None =>
+              val cap = 20L * nAllow
+              LocalKernel.countUpTo(dataset.select(col(idCol)), cap).toDouble
+          }
+        1.0 - nAllow.toDouble / math.max(nAllow.toDouble, nData)
+      }
     // clamp to [0.05, 1]: cap the widening at 20x, and never NARROW the
     // beam when allow covers (or out-of-dataset ids overcount) the dataset
     val keep = math.min(1.0, math.max(0.05, 1.0 - rate))

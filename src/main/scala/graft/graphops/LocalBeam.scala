@@ -54,6 +54,15 @@ object LocalKernel {
     // a huge configured cap must still be honored (the arithmetic below is
     // Long throughout); only a negative cap is an automatic "over"
     if (cap < 0) return false
+    countUpTo(df, cap) <= cap
+  }
+
+  /** min-work row count: the incremental partition probe behind `within`,
+    * exposed for callers that need the bounded count itself. Returns the
+    * exact row count when it is <= cap, and some value > cap (not the
+    * exact count) as soon as cap is exceeded — work is bounded by the cap,
+    * never by the operand's size. */
+  def countUpTo(df: org.apache.spark.sql.DataFrame, cap: Long): Long = {
     val rdd = df.queryExecution.toRdd
     val sc = df.sparkSession.sparkContext
     val nParts = rdd.partitions.length
@@ -73,7 +82,7 @@ object LocalKernel {
       scanned = upTo
       batch *= 4
     }
-    seen <= cap
+    seen
   }
 }
 

@@ -101,6 +101,19 @@ object RecallSweep {
         graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 10),
         "id", "vec")))
 
+    // Vamana (DiskANN): same 16-NN candidate pool as the CAGRA build;
+    // search is the greedy beam over the alpha-pruned graph, so the
+    // search knob is itopk — the DiskANN search-list size L
+    // (vamana.hpp:70-74's visited_size at search time)
+    val vamana = graft.graphops.Vamana.build(e,
+      graft.graphops.Vamana.Params(graphDegree = 8, visitedSize = 16), "id", "vec",
+      candidates = Some(knn16.select(col("src"), col("dst"), col("dist"))))
+      .localCheckpoint()
+    out ++= Seq(10, 20, 40, 60).map(t => measure("vamana", "itopk", t)(
+      graft.graphops.GraphSearch.search(vamana.select(col("src"), col("dst")), e, q, 10,
+        graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 10),
+        "id", "vec")))
+
     val hnsw = graft.index.Hnsw.fromGraph(knn16, e, graft.index.Hnsw.Params(m = 16),
       "id", "vec")
     out ++= Seq(10, 20, 40, 60).map(ef => measure("hnsw", "ef", ef)(

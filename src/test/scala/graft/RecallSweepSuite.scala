@@ -26,6 +26,7 @@ class RecallSweepSuite extends SparkFunSuite {
     ("scann", 16, 0.93),
     ("cagra", 40, 0.85),
     ("hnsw", 40, 0.85),
+    ("vamana", 40, 0.85),
   )
 
   test("every family clears its driver floor at the default search knob") {

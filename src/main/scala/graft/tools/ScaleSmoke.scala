@@ -22,6 +22,9 @@ import graft.core.Metric
   *   hnsw    HNSW hierarchy build + hierarchical (descent + beam) search
   *   spectral distributed Lanczos embedding over a cell-bounded kNN graph
   *   text    minhash-LSH dedup over a near-dup corpus
+  *   multimodal  REAL-codec decode at scale: distributed PPM/BMP payloads
+  *           through grayEmbedding + downstream kNN, with an executed-plan
+  *           assert that payload bytes never cross an exchange
   *
   * Run: SPARK_GRAFT_SCALE_N=200000 sbt "runMain graft.tools.ScaleSmoke"
   *      SPARK_GRAFT_SCALE_N=1000000 SPARK_GRAFT_SCALE_PHASES=family \
@@ -32,7 +35,7 @@ object ScaleSmoke {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
-      "core,family,graph,ace,extend,vamana,hnsw,spectral,text")
+      "core,family,graph,ace,extend,vamana,hnsw,spectral,text,multimodal")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -343,7 +346,80 @@ object ScaleSmoke {
       docs.unpersist()
     }
 
+    phase("multimodal") {
+      // n REAL binary rasters (PPM P6 / 24bpp BMP written by the actual
+      // codec), generated DISTRIBUTED — the driver never holds a payload.
+      // ~1/32 are truncated mid-header to exercise the zero-vector
+      // contract on the at-scale route. Payloads are the wide column:
+      // the phase asserts they are consumed inside the scan stage and
+      // never cross an exchange (shuffle OR broadcast).
+      val enc = udf { (id: Long) =>
+        val w = 32; val h = 32
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = ((id * 31 + i * 7) % 251).toByte; i += 1 }
+        val img = graft.multimodal.ImageCodec.Image(w, h, rgb)
+        val full = if (id % 2 == 0) graft.multimodal.ImageCodec.encodePpm(img)
+          else graft.multimodal.ImageCodec.encodeBmp(img)
+        if (id % 32 == 0) java.util.Arrays.copyOf(full, 10) else full
+      }
+      val media = spark.range(0, n, 1, 64)
+        .select(col("id").as("media_id"), enc(col("id")).as("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("media_materialize")(media.count())
+      val totalMb = media.agg(sum(length(col("payload")))).head().getLong(0) / 1e6
+      val embedded = media.select(col("media_id"),
+        graft.multimodal.Multimodal.embedWith(
+          graft.multimodal.ImageCodec.grayEmbedding(8))(col("payload")).as("vec"))
+      val t0 = System.nanoTime()
+      time(f"media_decode_embed_${totalMb}%.0fMB") {
+        embedded.agg(sum(element_at(col("vec"), 1))).head()
+      }
+      val decSec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE   decode throughput ${n / decSec}%.0f imgs/s  ${totalMb / decSec}%.1f MB/s")
+
+      val mq = embedded.filter(col("media_id") % math.max(1L, n / 200) === 0)
+        .select(col("media_id").as("qid"), col("vec").as("qvec"))
+      val knn = graft.ops.BruteForceKnn.knnJoin(
+        embedded.select(col("media_id").as("id"), col("vec")), mq, 10,
+        Metric.L2, "id", "vec")
+      time("media_embed_knn_200q")(knn.count())
+      val (offenders, nExchanges) = payloadExchanges(knn.queryExecution.executedPlan)
+      require(nExchanges > 0, "audit walked zero exchanges — vacuous check")
+      require(offenders.isEmpty, s"payload bytes crossed an exchange: $offenders")
+      println(s"SCALE   payload-exchange audit: 0 of $nExchanges exchanges carry payload bytes")
+      media.unpersist()
+    }
+
     println("SCALE done — all selected phases executed")
     spark.stop()
+  }
+
+  /** (exchanges whose output carries a `payload` column, total exchanges
+    * walked) for an executed plan. A media pipeline at 100 TB must keep
+    * the first empty: the bytes are consumed by the decode inside the
+    * scan stage, and only compact features may cross stage boundaries.
+    * The total count lets callers reject a vacuously-clean audit. */
+  private[tools] def payloadExchanges(
+      plan: org.apache.spark.sql.execution.SparkPlan): (Seq[String], Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case e: Exchange =>
+        total += 1
+        if (e.output.exists(_.name == "payload")) found += e.nodeName
+        e.children.foreach(walk)
+      case r: ReusedExchangeExec =>
+        total += 1
+        if (r.output.exists(_.name == "payload")) found += r.nodeName
+      case o => o.children.foreach(walk)
+    }
+    walk(plan)
+    (found.toSeq.distinct, total)
   }
 }

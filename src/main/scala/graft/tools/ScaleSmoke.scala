@@ -21,6 +21,9 @@ import graft.core.Metric
   *   vamana  Vamana robust prune over a cell-bounded candidate pool
   *   hnsw    HNSW hierarchy build + hierarchical (descent + beam) search
   *   spectral distributed Lanczos embedding over a cell-bounded kNN graph
+  *   tiered  streaming-ingest lifecycle: ANN base + delta tier, union
+  *           search, min_ann_rows-triggered compaction rewrite timed
+  *           apart from search
   *   text    minhash-LSH dedup over a near-dup corpus
   *   multimodal  REAL-codec decode at scale: distributed PPM/BMP payloads
   *           through grayEmbedding + downstream kNN, with an executed-plan
@@ -35,7 +38,7 @@ object ScaleSmoke {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
-      "core,family,graph,ace,extend,vamana,hnsw,spectral,text,multimodal")
+      "core,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,multimodal")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -67,12 +70,13 @@ object ScaleSmoke {
     })
 
     // deterministic blobs: 32 centers on hash rays, points = center + hash noise
-    val data = spark.range(0, n, 1, 64)
+    def hashVecs(from: Long, to: Long): DataFrame = spark.range(from, to, 1, 64)
       .select(col("id"),
         transform(sequence(lit(0), lit(dim - 1)), j =>
           (pmod(xxhash64(col("id") % 32, j), lit(1000)).cast("double") / 100.0 +
             pmod(xxhash64(col("id"), j), lit(97)).cast("double") / 97.0)
             .cast("float")).as("vec"))
+    val data = hashVecs(0, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("generate+materialize")(data.count())
 
@@ -321,6 +325,41 @@ object ScaleSmoke {
           graft.graphops.Spectral.Params(nComponents = 2, nNeighbors = 10),
           idCol = "id", vecCol = "vec", knnGraph = Some(knng)).count()
       }
+    }
+
+    phase("tiered") {
+      // the streaming-ingest lifecycle at scale (tiered_index.hpp:59-136):
+      // ANN base tier + append-only delta, search = pruned base search
+      // UNION exact delta scan, then the min_ann_rows promotion trigger
+      // fires and the compaction REWRITE is timed apart from search so
+      // the maintenance job's cost is attributable on its own.
+      val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
+      val probes = math.max(8, nLists / 32)
+      val tiered0 = time(s"tiered_base_build_${nLists}lists") {
+        graft.stream.TieredIndex.build(data,
+          graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
+            balanced = true), minAnnRows = n / 20, "id", "vec")
+      }
+      // 10% fresh rows from the same generator, ids disjoint from the base
+      val delta = hashVecs(n, n + n / 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      delta.count()
+      val extended = tiered0.extend(delta, "id", "vec")
+      time("tiered_search_pre_compact_200q") {
+        extended.search(q, 10, nProbes = probes).count()
+      }
+      val compacted = time("tiered_compact_rewrite") {
+        val c = extended.maybeCompact() // delta (n/10) >= minAnnRows (n/20)
+        require(c.delta.isEmpty, "maybeCompact did not fire above minAnnRows")
+        c.base.lists.count() // materialize the rewritten ANN tier
+        c
+      }
+      time("tiered_search_post_compact_200q") {
+        compacted.search(q, 10, nProbes = probes).count()
+      }
+      delta.unpersist()
+      compacted.base.lists.unpersist()
+      tiered0.base.lists.unpersist()
     }
 
     // release the vector phase's cached state before the text phase — the

@@ -171,7 +171,25 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
 
+      // Plan-time statistics gate — the search_plan.cuh:113-133 analog:
+      // the route is a cost decision on relation statistics, not just
+      // index availability. Below `minIndexRows` the brute partial-top-k
+      // pipeline (one scan stage) beats any index route (centroid join +
+      // pruned list join + exact refine join), so a registered index is
+      // bypassed. Row count comes from the logical plan's stats when the
+      // catalog knows it; otherwise a bounded incremental probe that
+      // stops at the threshold — never a full count of the data side.
+      // minIndexRows <= 0 disables the gate (always trust registration).
+      val minIndexRows =
+        spark.conf.get("spark.graft.knnJoin.minIndexRows", "100000").toLong
+      def bigEnoughForIndex: Boolean =
+        minIndexRows <= 0 ||
+          kj.left.stats.rowCount.map(_ >= BigInt(minIndexRows)).getOrElse(
+            !graft.graphops.LocalKernel.within(
+              data.select(col(kj.idCol)), minIndexRows - 1))
+
       val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
+        .filter(_ => bigEnoughForIndex)
         .flatMap(e => layoutOf(e.indexPath) match {
           case Some("hnsw") => hnswRoute(e)
           case Some("ivf") => ivfRoute(e)

@@ -20,6 +20,14 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
 
+  /** The index-route tests exercise the LOWERING, so the plan-time stats
+    * gate (which would route the tiny fixture to brute force) is disabled
+    * for their duration; the gate has its own routing-decision test. */
+  private def withIndexGateOff[T](body: => T): T = {
+    spark.conf.set("spark.graft.knnJoin.minIndexRows", "0")
+    try body finally spark.conf.unset("spark.graft.knnJoin.minIndexRows")
+  }
+
   test("declarative node lowers to the same rows as the direct API") {
     ensureRule()
     val declared = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
@@ -49,7 +57,7 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
     idx.save(idxPath)
     graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
-    try {
+    try withIndexGateOff {
       val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
         "vec_id", "embedding")
       // full probes + refine == exact brute force, via the index route
@@ -72,7 +80,7 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
     idx.save(idxPath)
     graft.plans.GraftIndexCatalog.register(dataPath, idxPath) // nProbes = 0 = auto
-    try {
+    try withIndexGateOff {
       val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
         "vec_id", "embedding")
       val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
@@ -95,7 +103,7 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     val idx = graft.index.Hnsw.fromGraph(base, e, graft.index.Hnsw.Params(m = 16), "id", "vec")
     graft.index.Hnsw.save(idx, idxPath)
     graft.plans.GraftIndexCatalog.register(dataPath, idxPath, kCoarse = 40)
-    try {
+    try withIndexGateOff {
       val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
         "vec_id", "embedding")
       assert(routed.count() == queries.count() * 10)
@@ -127,6 +135,37 @@ class KnnJoinPlanSuite extends SparkFunSuite {
         .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
       assert(routed.exceptAll(direct).count() == 0)
       assert(direct.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
+  test("stats gate: a small relation bypasses its registered index; conf opt-out restores it") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knngate").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try {
+      // default minIndexRows (100k) >> fixture rows: the planner's stats
+      // gate must choose brute force even though an index is registered
+      val gated = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(gated.exceptAll(direct).count() == 0 && direct.exceptAll(gated).count() == 0)
+      assert(!gated.queryExecution.executedPlan.toString.contains("list_id"),
+        "stats gate should have routed the small relation to brute force")
+      // threshold below the fixture size: the index route comes back
+      spark.conf.set("spark.graft.knnJoin.minIndexRows", "1")
+      try {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(routed.queryExecution.executedPlan.toString.contains("list_id"),
+          "low threshold should restore the index route")
+        assert(routed.count() == queries.count() * 10)
+      } finally spark.conf.unset("spark.graft.knnJoin.minIndexRows")
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 

@@ -24,6 +24,10 @@ import graft.core.Metric
   *   tiered  streaming-ingest lifecycle: ANN base + delta tier, union
   *           search, min_ann_rows-triggered compaction rewrite timed
   *           apart from search
+  *   flagship  the decade-scaling set (run at 1M AND 10M for ratios):
+  *           brute search, IVF-Flat build/search at nLists=sqrt(n),
+  *           all_neighbors at fixed cell size — the scan-shaped routes
+  *           whose wall time must stay ~linear in n
   *   text    minhash-LSH dedup over a near-dup corpus
   *   multimodal  REAL-codec decode at scale: distributed PPM/BMP payloads
   *           through grayEmbedding + downstream kNN, with an executed-plan
@@ -324,6 +328,34 @@ object ScaleSmoke {
         graft.graphops.Spectral.embeddingLanczos(data,
           graft.graphops.Spectral.Params(nComponents = 2, nNeighbors = 10),
           idCol = "id", vecCol = "vec", knnGraph = Some(knng)).count()
+      }
+    }
+
+    phase("flagship") {
+      // the decade-scaling probe (1M -> 10M): each route here is
+      // scan-shaped (one pass over the data side per stage, partial
+      // aggregation, no quadratic stage), so its wall time must scale
+      // ~linearly in n at fixed config knobs. Configs match the at-scale
+      // defaults: nLists = sqrt(n) (the reference's sizing), probes =
+      // nLists/32, all_neighbors at fixed ~3000-row cells.
+      time("flagship_brute_search_200q") {
+        graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
+      }
+      val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
+      val ivf = time(s"flagship_ivf_build_${nLists}lists") {
+        graft.index.IvfFlatIndex.build(data,
+          graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
+            balanced = true), "id", "vec")
+      }
+      time(s"flagship_ivf_search_${math.max(8, nLists / 32)}probes_200q") {
+        ivf.search(q, 10, nProbes = math.max(8, nLists / 32)).count()
+      }
+      ivf.lists.unpersist()
+      val fcells = math.max(64, (n / 3000).toInt)
+      time(s"flagship_all_neighbors_${fcells}cells") {
+        graft.graphops.AllNeighbors.build(data,
+          graft.graphops.AllNeighbors.Params(k = 10, nClusters = fcells,
+            overlapFactor = 2, kmeansIters = 5), "id", "vec").count()
       }
     }
 

@@ -41,10 +41,18 @@ object KMeans {
 
   /** nInit (kmeans.hpp n_init): independent seeded restarts; fit keeps the
     * lowest-inertia model (first wins ties, so the result is
-    * deterministic). */
+    * deterministic).
+    *
+    * `trainsetCap` (0 = off) bounds the rows the Lloyd ITERATIONS see —
+    * the absolute-cap form of the reference's `kmeans_trainset_fraction`
+    * (ivf_flat.hpp:31-33) / `max_train_points_per_pq_code` (pq.hpp:97)
+    * discipline: at fixed k, a fraction still grows the per-iteration
+    * cost as n·k, while a cap keeps training flat in n and only the
+    * final assignment/cost pass is O(n·k). The subset is a deterministic
+    * hash pick, so results are reproducible and shuffle-free. */
   case class Params(k: Int, maxIter: Int = 20, tol: Double = 1e-4,
       seed: Long = 42, metric: Metric = Metric.L2, nInit: Int = 1,
-      init: Init = RandomInit)
+      init: Init = RandomInit, trainsetCap: Long = 0)
 
   case class Model(centroids: CentroidSet, inertia: Double, iterations: Int) {
     def centroidArrays: Array[Array[Float]] = centroids.centroids
@@ -100,28 +108,50 @@ object KMeans {
             graft.graphops.LocalKernel.maxVectors(sparkS)))
         return fitLocal(data, initRows, dim, params)
 
-      var centroids = pack(initRows, dim, params.metric)
-      var it = 0
-      var moved = Double.MaxValue
-      while (it < params.maxIter && moved > params.tol) {
-        val (cl, _) = assignCols(centroids, col("_vec"))
-        val updated = data
-          .groupBy(cl.as("cluster"))
-          .agg(VectorAgg.vectorAvg(col("_vec")).as("mean"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-        val next = Array.tabulate(params.k) { c =>
-          updated.get(c).filter(_.nonEmpty).getOrElse(centroids.centroid(c))
+      // iterations see at most trainsetCap rows (Params doc); the final
+      // cost pass below always sees every row
+      val (train, subsetted) = cappedTrainset(data, params)
+      try {
+        var centroids = pack(initRows, dim, params.metric)
+        var it = 0
+        var moved = Double.MaxValue
+        while (it < params.maxIter && moved > params.tol) {
+          val (cl, _) = assignCols(centroids, col("_vec"))
+          val updated = train
+            .groupBy(cl.as("cluster"))
+            .agg(VectorAgg.vectorAvg(col("_vec")).as("mean"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+          val next = Array.tabulate(params.k) { c =>
+            updated.get(c).filter(_.nonEmpty).getOrElse(centroids.centroid(c))
+          }
+          moved = next.zipWithIndex.map { case (v, c) =>
+            Distance.l2Sqrt(v, centroids.centroid(c))
+          }.max
+          centroids = pack(next, dim, params.metric)
+          it += 1
         }
-        moved = next.zipWithIndex.map { case (v, c) =>
-          Distance.l2Sqrt(v, centroids.centroid(c))
-        }.max
-        centroids = pack(next, dim, params.metric)
-        it += 1
-      }
-      Model(centroids, clusterCost(data, centroids, "_vec"), it)
+        Model(centroids, clusterCost(data, centroids, "_vec"), it)
+      } finally if (subsetted) train.unpersist()
     } finally data.unpersist()
   }
+
+  /** Deterministic hash-capped trainset for the Lloyd iterations (see
+    * Params.trainsetCap). Returns `data` itself when the cap is off or
+    * not exceeded; else a materialized ~cap-row hash-picked subset and a
+    * flag telling the caller to release it. */
+  private def cappedTrainset(data: DataFrame, params: Params): (DataFrame, Boolean) =
+    if (params.trainsetCap <= 0) (data, false)
+    else {
+      val n = data.count()
+      if (n <= params.trainsetCap) (data, false)
+      else {
+        val den = 1000000L
+        val num = math.max(1L, den * params.trainsetCap / n)
+        (data.filter(pmod(xxhash64(col("_id"), lit(params.seed + 13)), lit(den)) < num)
+          .transform(graft.core.Frames.materialize(_)), true)
+      }
+    }
 
   /** In-memory Lloyd over the collected trainset — the LocalKernel twin of
     * the distributed loop in fit(), sharing its Spark-computed init.
@@ -228,12 +258,19 @@ object KMeans {
           n <= graft.graphops.LocalKernel.maxVectors(sparkS))
         return fitBalancedLocal(data, initRows, dim, params, floor)
 
+      // iterations (and the size floor they balance against) see at most
+      // trainsetCap rows; the final cost pass sees every row. The floor
+      // is proportional (balanceRatio·n/k), so balancing the subset
+      // balances the population it represents.
+      val (train, subsetted) = cappedTrainset(data, params)
+      val floorT = if (subsetted) balanceRatio * train.count() / params.k else floor
+
       var centroids = pack(initRows, dim, params.metric)
       var it = 0
       var moved = Double.MaxValue
       while (it < params.maxIter && moved > params.tol) {
         val (cl, d) = assignCols(centroids, col("_vec"))
-        val assigned = data.select(col("_id"), col("_vec"),
+        val assigned = train.select(col("_id"), col("_vec"),
           cl.as("cluster"), d.as("_d"))
         val stats = assigned
           .groupBy(col("cluster"))
@@ -244,7 +281,7 @@ object KMeans {
           stats.get(c).map(_._1).filter(_.nonEmpty).getOrElse(centroids.centroid(c))
         }
         val sizes = Array.tabulate(params.k)(c => stats.get(c).map(_._2).getOrElse(0L))
-        val small = sizes.indices.filter(sizes(_) < floor)
+        val small = sizes.indices.filter(sizes(_) < floorT)
         if (small.nonEmpty) {
           val biggest = sizes.indices.maxBy(c => (sizes(c), c))
           val donors = assigned.filter(col("cluster") === biggest)
@@ -270,11 +307,11 @@ object KMeans {
       var settled = false
       while (!settled && extra < 10) {
         val (cl, d) = assignCols(centroids, col("_vec"))
-        val assigned = data.select(col("_id"), col("_vec"), cl.as("cluster"), d.as("_d"))
+        val assigned = train.select(col("_id"), col("_vec"), cl.as("cluster"), d.as("_d"))
         val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val sizes = Array.tabulate(params.k)(c => counts.getOrElse(c, 0L))
-        val small = sizes.indices.filter(sizes(_) < floor)
+        val small = sizes.indices.filter(sizes(_) < floorT)
         if (small.isEmpty) settled = true
         else {
           val biggest = sizes.indices.maxBy(c => (sizes(c), c))
@@ -288,7 +325,9 @@ object KMeans {
           extra += 1
         }
       }
-      Model(centroids, clusterCost(data, centroids, "_vec"), it + extra)
+      val out = Model(centroids, clusterCost(data, centroids, "_vec"), it + extra)
+      if (subsetted) train.unpersist()
+      out
     } finally data.unpersist()
   }
 

@@ -24,9 +24,13 @@ object AllNeighbors {
     * (KMeans.fitBalanced) instead of plain Lloyd — the coarse trainer the
     * reference's ACE build mode uses (cagra_build.cuh:116-118,
     * kmeans::balanced_params). */
+  /** `trainsetCap` (0 = off) bounds the rows the cell-trainer's Lloyd
+    * iterations see (KMeans.Params.trainsetCap): with nClusters ~ n/cell
+    * the training term is otherwise n²/cell — the one superlinear stage
+    * in an otherwise linear build. */
   case class Params(k: Int = 10, nClusters: Int = 16, overlapFactor: Int = 2,
       kmeansIters: Int = 10, seed: Long = 42, metric: Metric = Metric.L2,
-      balanced: Boolean = false)
+      balanced: Boolean = false, trainsetCap: Long = 0)
 
   /** Edge list (src, dst, dist, rank), rank 1..k best-first, self excluded. */
   def build(df: DataFrame, params: Params,
@@ -34,7 +38,7 @@ object AllNeighbors {
     val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .transform(graft.core.Frames.materialize(_))
     val kp = KMeans.Params(params.nClusters, params.kmeansIters,
-      seed = params.seed, metric = params.metric)
+      seed = params.seed, metric = params.metric, trainsetCap = params.trainsetCap)
     val model =
       if (params.balanced) KMeans.fitBalanced(data, kp, idCol = "id", vecCol = "vec")
       else KMeans.fit(data, kp, "id", "vec")

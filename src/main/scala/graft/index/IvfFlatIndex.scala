@@ -202,9 +202,13 @@ object IvfFlatIndex {
     * trainer), enforcing a size floor so boilerplate-dense regions don't
     * produce hot lists at scale. Default false keeps the historical
     * plain-Lloyd centers the existing oracles replay. */
+  /** `trainsetCap` (0 = off) additionally bounds the rows the Lloyd
+    * iterations see to an absolute count (KMeans.Params.trainsetCap) —
+    * at 10M+ rows a FRACTION still scales the coarse training as n·k,
+    * an absolute cap keeps it flat in n. */
   case class Params(nLists: Int = 1024, nIters: Int = 20,
       trainFraction: Double = 0.5, seed: Long = 42, metric: Metric = Metric.L2,
-      balanced: Boolean = false)
+      balanced: Boolean = false, trainsetCap: Long = 0)
 
   private[index] def assign(df: DataFrame, centroids: CentroidSet,
       idCol: String, vecCol: String): DataFrame = {
@@ -221,7 +225,7 @@ object IvfFlatIndex {
       else dataset.filter(
         pmod(xxhash64(col(idCol), lit(params.seed)), lit(1000)) < (params.trainFraction * 1000).toInt)
     val kp = KMeans.Params(params.nLists, params.nIters, seed = params.seed,
-      metric = params.metric)
+      metric = params.metric, trainsetCap = params.trainsetCap)
     val model =
       if (params.balanced) KMeans.fitBalanced(trainset, kp, idCol = idCol, vecCol = vecCol)
       else KMeans.fit(trainset, kp, idCol, vecCol)

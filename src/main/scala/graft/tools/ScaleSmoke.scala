@@ -341,11 +341,16 @@ object ScaleSmoke {
       time("flagship_brute_search_200q") {
         graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
       }
+      // trainsetCap = 128 rows/center: the absolute-cap form of the
+      // reference's sampled-trainset discipline — the ONLY stage in these
+      // routes whose cost would otherwise grow as n·k (n·sqrt(n) /
+      // n²/cell) is the coarse Lloyd, and the cap flattens it; the final
+      // full-data assignment pass stays O(n·k) by design.
       val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
       val ivf = time(s"flagship_ivf_build_${nLists}lists") {
         graft.index.IvfFlatIndex.build(data,
           graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
-            balanced = true), "id", "vec")
+            balanced = true, trainsetCap = 128L * nLists), "id", "vec")
       }
       time(s"flagship_ivf_search_${math.max(8, nLists / 32)}probes_200q") {
         ivf.search(q, 10, nProbes = math.max(8, nLists / 32)).count()
@@ -355,7 +360,8 @@ object ScaleSmoke {
       time(s"flagship_all_neighbors_${fcells}cells") {
         graft.graphops.AllNeighbors.build(data,
           graft.graphops.AllNeighbors.Params(k = 10, nClusters = fcells,
-            overlapFactor = 2, kmeansIters = 5), "id", "vec").count()
+            overlapFactor = 2, kmeansIters = 5, trainsetCap = 128L * fcells),
+          "id", "vec").count()
       }
     }
 

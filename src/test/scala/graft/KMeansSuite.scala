@@ -124,6 +124,25 @@ class KMeansSuite extends SparkFunSuite {
     assert(minSize >= ratio * n / k, s"min cluster size $minSize below floor")
   }
 
+  test("trainsetCap: capped training is deterministic, valid, and close in cost") {
+    // the cap only bounds what the Lloyd ITERATIONS see; the model must
+    // stay a valid full-data model (inertia over every row) and the
+    // hash-picked subset must make reruns bit-identical. The distributed
+    // path is forced so the cap's subset logic actually runs.
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    try {
+      val p = KMeans.Params(k = 8, maxIter = 10, trainsetCap = 64)
+      val a = KMeans.fit(emb, p, "vec_id", "embedding")
+      val b = KMeans.fit(emb, p, "vec_id", "embedding")
+      assert(a.centroidArrays.zip(b.centroidArrays)
+        .forall { case (x, y) => x.sameElements(y) },
+        "capped training not deterministic")
+      val full = KMeans.fit(emb, p.copy(trainsetCap = 0), "vec_id", "embedding")
+      assert(a.inertia > 0 && a.inertia <= full.inertia * 2.0,
+        s"capped inertia ${a.inertia} vs full ${full.inertia}")
+    } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+  }
+
   test("transform emits k positional distances, min matches predict dist") {
     val model = KMeans.fit(emb, KMeans.Params(k = 4, maxIter = 3), "vec_id", "embedding")
     val t = KMeans.transform(emb, model.centroids, "embedding")

@@ -75,16 +75,13 @@ object Components {
     * outgoing edge per round; proposals (≤ #components, shrinking
     * geometrically) collect to the driver where union-find merges them —
     * the reference's host-side dendrogram build, distributed edge scan.
-    * Returns MST edges (src, dst, dist). */
+    * Per-vertex labels stay distributed: the driver never collects the
+    * vertex set (its union-find populates lazily from proposal endpoints,
+    * i.e. at the dendrogram's own output scale) and per round ships back
+    * only the merged-roots remap (≤ 2·#merges rows, broadcast), never an
+    * O(n) id→component frame. Returns MST edges (src, dst, dist). */
   def boruvkaMst(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", maxRounds: Int = 20): Seq[(Long, Long, Double)] = {
-    val vs = vertices.select(col(idCol).cast("long").as("id")).collect().map(_.getLong(0))
-    val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
-    def find(x: Long): Long = {
-      var r = x
-      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-      r
-    }
     // Cost-based route (LocalKernel): the per-round work is a per-component
     // min-edge pick — on a collectable edge list the same rounds run in
     // memory (same (dist, src, dst) proposal ordering, same union order),
@@ -94,6 +91,13 @@ object Components {
       val eCheap = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("dist").cast("double"))
       if (LocalKernel.within(eCheap, LocalKernel.maxEdges(sparkL))) {
+        val vs = vertices.select(col(idCol).cast("long").as("id")).collect().map(_.getLong(0))
+        val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
         val all = eCheap.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .filter(t => parent.contains(t._1) && parent.contains(t._2))
         val mstL = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
@@ -126,17 +130,32 @@ object Components {
       }
     }
 
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"), col("dist"))
+    // Distributed route: `labels` (id → current root) lives in a DataFrame
+    // and is advanced per round by a broadcast join with just the roots
+    // that merged — equivalent to the driver-side find() relabel because
+    // the remap is emitted fully path-compressed after the round's unions.
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("dist").cast("double").as("dist"))
       .localCheckpoint()
+    var labels = vertices.select(col(idCol).cast("long").as("id"))
+      .withColumn("comp", col("id")).localCheckpoint()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
     val mst = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var rounds = 0
     var merged = 1
     while (merged > 0 && rounds < maxRounds) {
-      val comp = parent.keys.map(v => v -> find(v)).toMap
-      val compDf = e.sparkSession.createDataFrame(comp.toSeq).toDF("id", "comp")
+      // inner joins also drop edges touching ids outside `vertices`, as the
+      // old per-round comp-map join did
       val prop = e
-        .join(compDf.select(col("id").as("src"), col("comp").as("csrc")), "src")
-        .join(compDf.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+        .join(labels.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(labels.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
         .filter(col("csrc") =!= col("cdst"))
         .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("csrc"))
@@ -144,13 +163,22 @@ object Components {
         .filter(col("rk") === 1)
         .select(col("src"), col("dst"), col("dist")).collect()
       merged = 0
+      val touched = scala.collection.mutable.Set.empty[Long]
       prop.sortBy(r => (r.getDouble(2), r.getLong(0), r.getLong(1))).foreach { r =>
         val (s, d) = (find(r.getLong(0)), find(r.getLong(1)))
         if (s != d) {
           parent(math.max(s, d)) = math.min(s, d)
+          touched += s; touched += d
           mst += ((r.getLong(0), r.getLong(1), r.getDouble(2)))
           merged += 1
         }
+      }
+      if (merged > 0) {
+        val remap = touched.toSeq.map(c => (c, find(c))).filter(t => t._1 != t._2)
+        val remapDf = broadcast(e.sparkSession.createDataFrame(remap).toDF("comp", "newComp"))
+        labels = labels.join(remapDf, Seq("comp"), "left")
+          .select(col("id"), coalesce(col("newComp"), col("comp")).as("comp"))
+          .localCheckpoint()
       }
       rounds += 1
     }

@@ -182,6 +182,22 @@ class GraphSuite extends SparkFunSuite {
     }
   }
 
+  test("boruvka MST: distributed route == in-memory kernel route, edge for edge") {
+    // the distributed route keeps labels in a DataFrame and ships only the
+    // per-round merged-roots remap; the ordering contract ((dist, src, dst)
+    // proposals, sorted union order) must make its MST edge SEQUENCE
+    // identical to the kernel route's
+    val pts = small.limit(60).localCheckpoint()
+    val knn = AllNeighbors.exact(pts, 12, Metric.L2Sqrt, "id", "vec")
+      .select(col("src"), col("dst"), col("dist")).localCheckpoint()
+    val kernel = Components.boruvkaMst(pts, knn, "id")
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    try {
+      val dist = Components.boruvkaMst(pts, knn, "id")
+      assert(dist == kernel, s"route mismatch: ${dist.size} vs ${kernel.size} edges")
+    } finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+  }
+
   test("mutual reachability: MR weights and cut match a naive driver-side oracle") {
     val pts = small.limit(40).localCheckpoint()
     val knn = AllNeighbors.exact(pts, 12, Metric.L2Sqrt, "id", "vec").localCheckpoint()

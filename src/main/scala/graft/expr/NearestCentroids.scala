@@ -25,6 +25,126 @@ case class CentroidSet(flat: Array[Float], k: Int, dim: Int, metricName: String)
     out
   }
   def centroids: Array[Array[Float]] = Array.tabulate(k)(centroid)
+
+  /** Two-level pruning index over the centroids (null when k is small or
+    * the metric has no usable triangle inequality). Non-transient lazy:
+    * forced on the driver at expression construction so the built index
+    * ships inside the task binary instead of being rebuilt per executor. */
+  lazy val mesoIndex: MesoIndex = MesoIndex.buildOrNull(this)
+}
+
+/** Mesocluster prune structure for exact nearest-centroid scans at large k —
+  * the same two-level scheme the reference's balanced k-means uses to avoid
+  * the full n·k argmin (kmeans_balanced.cuh mesocluster assignment), except
+  * ours is EXACT: mesos are visited in lower-bound order
+  * (d(v, mesocenter) − radius, valid by the triangle inequality in the
+  * prune space) and the scan stops once the bound cannot beat the current
+  * p-th best, with an epsilon slack so float rounding can never change the
+  * selected set. Candidate distances are still computed by the same
+  * `distTo` as the flat scan, so results are bit-identical.
+  *
+  * Prune spaces: L2SQRT/L1 prune in the metric itself; L2 prunes in sqrt
+  * space (monotone); COSINE prunes in plain L2 over unit-normalized
+  * centroids (cosDist = ||â−b̂||²/2; zero-norm rows only make the bound
+  * conservative, never invalid). Other metrics get no index. */
+case class MesoIndex(mesoFlat: Array[Float], m: Int, dim: Int,
+    members: Array[Array[Int]], radius: Array[Double], space: Int)
+    extends Serializable
+
+object MesoIndex {
+  val SpaceIdentity = 0 // metric is itself the prune metric (L2SQRT, L1)
+  val SpaceSqrtL2 = 1   // output = prune², prune = L2SQRT over raw vectors
+  val SpaceCosine = 2   // prune = L2SQRT over unit-normalized vectors
+
+  /** Engage only where the flat scan is actually expensive. */
+  val minK = 512
+
+  def buildOrNull(cs: CentroidSet): MesoIndex = {
+    if (cs.k < minK) return null
+    val space = cs.metricId match {
+      case VectorDistanceOps.L2 => SpaceSqrtL2
+      case VectorDistanceOps.L2SQRT => SpaceIdentity
+      case VectorDistanceOps.L1 => SpaceIdentity
+      case VectorDistanceOps.COSINE => SpaceCosine
+      case _ => return null
+    }
+    val dim = cs.dim
+    // centroids mapped into the prune space
+    val pts = Array.tabulate(cs.k) { c =>
+      val v = cs.centroid(c)
+      if (space == SpaceCosine) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+      }
+      v
+    }
+    def pruneDist(a: Array[Float], off: Array[Float], o: Int): Double =
+      if (space == SpaceIdentity && cs.metricId == VectorDistanceOps.L1) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += math.abs(a(i).toDouble - off(o + i)); i += 1 }
+        s
+      } else {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = a(i).toDouble - off(o + i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+    // deterministic small Lloyd over the k centroid points: m = ceil(sqrt(k))
+    val m = math.ceil(math.sqrt(cs.k.toDouble)).toInt
+    var centers = Array.tabulate(m)(j => pts(((j.toLong * cs.k) / m).toInt).clone())
+    val assign = new Array[Int](cs.k)
+    var it = 0
+    while (it < 5) {
+      val flatC = new Array[Float](m * dim)
+      var j = 0
+      while (j < m) { System.arraycopy(centers(j), 0, flatC, j * dim, dim); j += 1 }
+      var c = 0
+      while (c < cs.k) {
+        var best = 0; var bestD = Double.MaxValue
+        j = 0
+        while (j < m) {
+          val d = pruneDist(pts(c), flatC, j * dim)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = Array.fill(m)(new Array[Double](dim))
+      val cnt = new Array[Int](m)
+      c = 0
+      while (c < cs.k) {
+        val s = sums(assign(c)); val v = pts(c)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        cnt(assign(c)) += 1
+        c += 1
+      }
+      centers = Array.tabulate(m) { jj =>
+        if (cnt(jj) == 0) centers(jj)
+        else { val o = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { o(i) = (sums(jj)(i) / cnt(jj)).toFloat; i += 1 }
+          o }
+      }
+      it += 1
+    }
+    val mesoFlat = new Array[Float](m * dim)
+    var j = 0
+    while (j < m) { System.arraycopy(centers(j), 0, mesoFlat, j * dim, dim); j += 1 }
+    val memB = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var c = 0
+    while (c < cs.k) { memB(assign(c)) += c; c += 1 } // ascending ids per meso
+    val radius = new Array[Double](m)
+    c = 0
+    while (c < cs.k) {
+      val d = pruneDist(pts(c), mesoFlat, assign(c) * dim)
+      if (d > radius(assign(c))) radius(assign(c)) = d
+      c += 1
+    }
+    MesoIndex(mesoFlat, m, dim, memB.map(_.toArray), radius, space)
+  }
 }
 
 object CentroidOps {
@@ -36,6 +156,17 @@ object CentroidOps {
     val v = new Array[Float](dim)
     var i = 0
     while (i < dim) { v(i) = vec.getFloat(i); i += 1 }
+    val mi = cs.mesoIndex
+    if (mi != null) {
+      val out = nearestPruned(cs, mi, v, p)
+      if (out != null) return out
+    }
+    nearestFlat(cs, v, p)
+  }
+
+  /** The reference flat scan (also the fallback when no meso index
+    * applies); package-visible so tests can pin pruned == flat. */
+  private[graft] def nearestFlat(cs: CentroidSet, v: Array[Float], p: Int): ArrayData = {
     val n = math.min(p, cs.k)
     val bestId = new Array[Int](n)
     val bestD = new Array[Double](n)
@@ -55,9 +186,101 @@ object CentroidOps {
       c += 1
     }
     val rows = new Array[Any](size)
-    i = 0
+    var i = 0
     while (i < size) {
       rows(i) = new GenericInternalRow(Array[Any](bestId(i), sign * bestD(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** Meso-pruned exact top-p: same result set and order as the flat scan
+    * (the flat scan's insertion keeps first-seen on ties, i.e. it selects
+    * top-p by (dist, list_id) lexicographic — replicated here explicitly).
+    * Returns null to signal "fall back to the flat scan" (zero-norm query
+    * under cosine). */
+  private def nearestPruned(cs: CentroidSet, mi: MesoIndex, v0: Array[Float],
+      p: Int): ArrayData = {
+    val dim = cs.dim
+    // query mapped into the prune space
+    val v = if (mi.space == MesoIndex.SpaceCosine) {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v0(i).toDouble * v0(i); i += 1 }
+      if (s == 0.0) return null
+      val nrm = math.sqrt(s)
+      val o = new Array[Float](dim)
+      i = 0
+      while (i < dim) { o(i) = (v0(i) / nrm).toFloat; i += 1 }
+      o
+    } else v0
+    val l1 = mi.space == MesoIndex.SpaceIdentity && cs.metricId == VectorDistanceOps.L1
+    def pruneDistTo(o: Int): Double =
+      if (l1) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += math.abs(v(i).toDouble - mi.mesoFlat(o + i)); i += 1 }
+        s
+      } else {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i).toDouble - mi.mesoFlat(o + i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+    // mesos in ascending lower-bound order
+    val lb = new Array[Double](mi.m)
+    val ord = new Array[Integer](mi.m)
+    var j = 0
+    while (j < mi.m) {
+      lb(j) = pruneDistTo(j * dim) - mi.radius(j); ord(j) = j; j += 1
+    }
+    java.util.Arrays.sort(ord, (a: Integer, b: Integer) =>
+      java.lang.Double.compare(lb(a), lb(b)))
+    val n = math.min(p, cs.k)
+    val bestId = new Array[Int](n)
+    val bestD = new Array[Double](n)
+    var size = 0
+    // current worst, converted into the prune space (monotone per space)
+    def worstPrune: Double = {
+      val w = bestD(size - 1)
+      mi.space match {
+        case MesoIndex.SpaceSqrtL2 => math.sqrt(math.max(w, 0.0))
+        case MesoIndex.SpaceCosine => math.sqrt(math.max(2.0 * w, 0.0))
+        case _ => w
+      }
+    }
+    // slack so float rounding can never flip the skip decision: cosine's
+    // prune points are float-rounded unit vectors (~1e-6 absolute error);
+    // the other spaces share distTo's own arithmetic (1ulp-level)
+    val eps = if (mi.space == MesoIndex.SpaceCosine) 1e-4 else 1e-9
+    var oi = 0
+    var done = false
+    while (oi < mi.m && !done) {
+      val jj = ord(oi).intValue()
+      if (size == n && lb(jj) > worstPrune * (1.0 + eps) + eps) done = true
+      else {
+        val mem = mi.members(jj)
+        var t = 0
+        while (t < mem.length) {
+          val c = mem(t)
+          val d = distTo(cs, v0, c)
+          // strict (dist, list_id) lexicographic top-p
+          if (size < n || d < bestD(size - 1) ||
+              (d == bestD(size - 1) && c < bestId(size - 1))) {
+            var pos = if (size < n) size else n - 1
+            while (pos > 0 && (bestD(pos - 1) > d ||
+                (bestD(pos - 1) == d && bestId(pos - 1) > c))) {
+              bestD(pos) = bestD(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
+            }
+            bestD(pos) = d; bestId(pos) = c
+            if (size < n) size += 1
+          }
+          t += 1
+        }
+      }
+      oi += 1
+    }
+    val rows = new Array[Any](size)
+    var i = 0
+    while (i < size) {
+      rows(i) = new GenericInternalRow(Array[Any](bestId(i), bestD(i)))
       i += 1
     }
     new GenericArrayData(rows)
@@ -156,6 +379,11 @@ case class CentroidVector(child: Expression, centroids: CentroidSet)
   */
 case class NearestCentroids(child: Expression, centroids: CentroidSet, p: Int)
     extends UnaryExpression {
+
+  // force the meso build on the driver (expressions are constructed there)
+  // so the index serializes into the task binary instead of being rebuilt
+  // by every executor
+  centroids.mesoIndex
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("list_id", IntegerType, nullable = false),

@@ -94,24 +94,30 @@ object KMeans {
             .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
       }
 
-      // Cost-based route (graft.graphops.LocalKernel): Lloyd's loop is
-      // k·dim driver-side state and two jobs per iteration — on a trainset
-      // small enough to collect, the iterations are pure job-scheduling
-      // overhead. Same init (the Spark-computed hash pick above), same
-      // strict-argmin assignment, same double-sum/mean update, same
-      // tol/maxIter termination; the distributed loop below is the
-      // at-scale path (the reference trains on a sampled fraction for the
-      // same reason — kmeans.hpp trainset_fraction).
-      val sparkS = df.sparkSession
-      if (graft.graphops.LocalKernel.enabled(sparkS) &&
-          graft.graphops.LocalKernel.within(data,
-            graft.graphops.LocalKernel.maxVectors(sparkS)))
-        return fitLocal(data, initRows, dim, params)
-
-      // iterations see at most trainsetCap rows (Params doc); the final
-      // cost pass below always sees every row
+      // iterations see at most trainsetCap rows (Params doc) on EVERY
+      // route — the cap is semantics-bearing (it changes the trained
+      // model), so it is applied before the kernel-route choice and a
+      // pure perf conf can never change model contents. The final cost
+      // pass below always sees every row.
       val (train, subsetted) = cappedTrainset(data, params)
       try {
+        // Cost-based route (graft.graphops.LocalKernel): Lloyd's loop is
+        // k·dim driver-side state and two jobs per iteration — on a
+        // trainset small enough to collect, the iterations are pure
+        // job-scheduling overhead. Same init (the Spark-computed hash pick
+        // above), same strict-argmin assignment, same double-sum/mean
+        // update, same tol/maxIter termination; the distributed loop below
+        // is the at-scale path (the reference trains on a sampled fraction
+        // for the same reason — kmeans.hpp trainset_fraction).
+        val sparkS = df.sparkSession
+        if (graft.graphops.LocalKernel.enabled(sparkS) &&
+            graft.graphops.LocalKernel.within(train,
+              graft.graphops.LocalKernel.maxVectors(sparkS))) {
+          val m = fitLocal(train, initRows, dim, params)
+          return if (subsetted)
+            Model(m.centroids, clusterCost(data, m.centroids, "_vec"), m.iterations)
+          else m
+        }
         var centroids = pack(initRows, dim, params.metric)
         var it = 0
         var moved = Double.MaxValue
@@ -251,19 +257,26 @@ object KMeans {
         .limit(params.k)
         .select(col("_vec")).collect().map(_.getSeq[Float](0).toArray)
 
+      // iterations (and the size floor they balance against) see at most
+      // trainsetCap rows ON EVERY ROUTE (the cap is semantics-bearing, so
+      // it precedes the kernel-route choice); the final cost pass sees
+      // every row. The floor is proportional (balanceRatio·n/k), so
+      // balancing the subset balances the population it represents.
+      val (train, subsetted) = cappedTrainset(data, params)
+      try {
+      val trainN = if (subsetted) train.count() else n
+      val floorT = if (subsetted) balanceRatio * trainN / params.k else floor
+
       // LocalKernel route — same economics and mirrored semantics as
       // fitLocal, plus the reseed/adjust logic (see fitBalancedLocal).
       val sparkS = df.sparkSession
       if (graft.graphops.LocalKernel.enabled(sparkS) &&
-          n <= graft.graphops.LocalKernel.maxVectors(sparkS))
-        return fitBalancedLocal(data, initRows, dim, params, floor)
-
-      // iterations (and the size floor they balance against) see at most
-      // trainsetCap rows; the final cost pass sees every row. The floor
-      // is proportional (balanceRatio·n/k), so balancing the subset
-      // balances the population it represents.
-      val (train, subsetted) = cappedTrainset(data, params)
-      val floorT = if (subsetted) balanceRatio * train.count() / params.k else floor
+          trainN <= graft.graphops.LocalKernel.maxVectors(sparkS)) {
+        val m = fitBalancedLocal(train, initRows, dim, params, floorT)
+        return if (subsetted)
+          Model(m.centroids, clusterCost(data, m.centroids, "_vec"), m.iterations)
+        else m
+      }
 
       var centroids = pack(initRows, dim, params.metric)
       var it = 0
@@ -325,9 +338,8 @@ object KMeans {
           extra += 1
         }
       }
-      val out = Model(centroids, clusterCost(data, centroids, "_vec"), it + extra)
-      if (subsetted) train.unpersist()
-      out
+      Model(centroids, clusterCost(data, centroids, "_vec"), it + extra)
+      } finally if (subsetted) train.unpersist()
     } finally data.unpersist()
   }
 

@@ -59,6 +59,23 @@ object MesoIndex {
   /** Engage only where the flat scan is actually expensive. */
   val minK = 512
 
+  /** Prune-space distance between `a` and the dim-vector at
+    * `flat[o..o+dim)`. Shared by the index build (radii) and the query
+    * scan so both sides of the lower-bound argument use the SAME
+    * arithmetic — two drifting copies would silently invalidate the
+    * prune. */
+  def pruneDist(l1: Boolean, a: Array[Float], flat: Array[Float], o: Int,
+      dim: Int): Double =
+    if (l1) {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += math.abs(a(i).toDouble - flat(o + i)); i += 1 }
+      s
+    } else {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - flat(o + i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+
   def buildOrNull(cs: CentroidSet): MesoIndex = {
     if (cs.k < minK) return null
     val space = cs.metricId match {
@@ -80,16 +97,9 @@ object MesoIndex {
       }
       v
     }
+    val l1 = space == SpaceIdentity && cs.metricId == VectorDistanceOps.L1
     def pruneDist(a: Array[Float], off: Array[Float], o: Int): Double =
-      if (space == SpaceIdentity && cs.metricId == VectorDistanceOps.L1) {
-        var s = 0.0; var i = 0
-        while (i < dim) { s += math.abs(a(i).toDouble - off(o + i)); i += 1 }
-        s
-      } else {
-        var s = 0.0; var i = 0
-        while (i < dim) { val d = a(i).toDouble - off(o + i); s += d * d; i += 1 }
-        math.sqrt(s)
-      }
+      MesoIndex.pruneDist(l1, a, off, o, dim)
     // deterministic small Lloyd over the k centroid points: m = ceil(sqrt(k))
     val m = math.ceil(math.sqrt(cs.k.toDouble)).toInt
     var centers = Array.tabulate(m)(j => pts(((j.toLong * cs.k) / m).toInt).clone())
@@ -214,25 +224,24 @@ object CentroidOps {
       o
     } else v0
     val l1 = mi.space == MesoIndex.SpaceIdentity && cs.metricId == VectorDistanceOps.L1
-    def pruneDistTo(o: Int): Double =
-      if (l1) {
-        var s = 0.0; var i = 0
-        while (i < dim) { s += math.abs(v(i).toDouble - mi.mesoFlat(o + i)); i += 1 }
-        s
-      } else {
-        var s = 0.0; var i = 0
-        while (i < dim) { val d = v(i).toDouble - mi.mesoFlat(o + i); s += d * d; i += 1 }
-        math.sqrt(s)
-      }
-    // mesos in ascending lower-bound order
+    // mesos in ascending lower-bound order — primitive-packed sort, no
+    // boxing on the per-row hot path: the top 48 bits of the key are the
+    // sign-rectified double bits of lb (monotone), the low 16 the meso id
+    // (m = ceil(sqrt(k)) <= 46341 < 2^16). Truncating 16 mantissa bits can
+    // only reorder lbs closer than ~2^-37 relative — absorbed by the
+    // stop-check's epsilon slack, and the stop check reads the TRUE lb.
     val lb = new Array[Double](mi.m)
-    val ord = new Array[Integer](mi.m)
+    val packed = new Array[Long](mi.m)
     var j = 0
     while (j < mi.m) {
-      lb(j) = pruneDistTo(j * dim) - mi.radius(j); ord(j) = j; j += 1
+      val d = MesoIndex.pruneDist(l1, v, mi.mesoFlat, j * dim, dim) - mi.radius(j)
+      lb(j) = d
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      val key = bits ^ ((bits >> 63) >>> 1) // ascending-double = ascending-signed-long
+      packed(j) = (key & 0xFFFFFFFFFFFF0000L) | j.toLong
+      j += 1
     }
-    java.util.Arrays.sort(ord, (a: Integer, b: Integer) =>
-      java.lang.Double.compare(lb(a), lb(b)))
+    java.util.Arrays.sort(packed)
     val n = math.min(p, cs.k)
     val bestId = new Array[Int](n)
     val bestD = new Array[Double](n)
@@ -253,7 +262,7 @@ object CentroidOps {
     var oi = 0
     var done = false
     while (oi < mi.m && !done) {
-      val jj = ord(oi).intValue()
+      val jj = (packed(oi) & 0xFFFFL).toInt
       if (size == n && lb(jj) > worstPrune * (1.0 + eps) + eps) done = true
       else {
         val mem = mi.members(jj)

@@ -123,7 +123,9 @@ object Hnsw {
     val uppers = (1 to maxLevel).map { l =>
       val members = d.join(levels.filter(col("level") >= l), "id")
       val mCount = atLeast(l)
-      val mk = math.min(params.m, (mCount - 1).toInt.max(1))
+      // clamp in Long space BEFORE narrowing: past 2^31 members a raw
+      // .toInt wraps negative and would silently pin the level degree to 1
+      val mk = math.min(params.m.toLong, (mCount - 1).max(1L)).toInt
       // Level 1 holds n/M rows — at large n an exact M-NN self-join over
       // it is the one quadratic stage left in the build. Past
       // `exactLevelCap` the level graph comes from the cell-bounded

@@ -64,13 +64,30 @@ object GraftIndexCatalog {
   private val byPath = scala.collection.concurrent.TrieMap.empty[String, Entry]
   /** nProbes = 0 opts into cost-based probe selection: the planner derives
     * the probe count from the index statistics at rewrite time. */
-  def register(dataPath: String, indexPath: String, nProbes: Int = 0, kCoarse: Int = 0): Unit =
+  def register(dataPath: String, indexPath: String, nProbes: Int = 0, kCoarse: Int = 0): Unit = {
     byPath.put(normalize(dataPath), Entry(indexPath, nProbes, kCoarse))
-  def unregister(dataPath: String): Unit = byPath.remove(normalize(dataPath))
+    clearProbeCache()
+  }
+  def unregister(dataPath: String): Unit = {
+    byPath.remove(normalize(dataPath))
+    clearProbeCache()
+  }
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.flatMap(p => byPath.get(normalize(p))).headOption
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
+
+  /** Memoized outcomes of the bounded row-count probe, keyed by
+    * (scan paths, threshold). A registered path's population is stable for
+    * the life of the registration (new data means a stale index anyway),
+    * so the probe job runs once per path — not on every re-optimization
+    * of every query over it. Cleared when the registration changes. */
+  private val probeOutcomes =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
+  private[plans] def cachedProbe(paths: Seq[String], threshold: Long)(
+      probe: => Boolean): Boolean =
+    probeOutcomes.getOrElseUpdate((paths.map(normalize).sorted.mkString(","), threshold), probe)
+  private[plans] def clearProbeCache(): Unit = probeOutcomes.clear()
 }
 
 /** Lowers KnnJoinPlan into a physical route chosen by the planner:
@@ -185,8 +202,10 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       def bigEnoughForIndex: Boolean =
         minIndexRows <= 0 ||
           kj.left.stats.rowCount.map(_ >= BigInt(minIndexRows)).getOrElse(
-            !graft.graphops.LocalKernel.within(
-              data.select(col(kj.idCol)), minIndexRows - 1))
+            GraftIndexCatalog.cachedProbe(scanPaths(kj.left), minIndexRows) {
+              !graft.graphops.LocalKernel.within(
+                data.select(col(kj.idCol)), minIndexRows - 1)
+            })
 
       val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
         .filter(_ => bigEnoughForIndex)

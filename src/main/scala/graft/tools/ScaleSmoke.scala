@@ -460,7 +460,11 @@ object ScaleSmoke {
       val knn = graft.ops.BruteForceKnn.knnJoin(
         embedded.select(col("media_id").as("id"), col("vec")), mq, 10,
         Metric.L2, "id", "vec")
-      time("media_embed_knn_200q")(knn.count())
+      // materialize through the SAME QueryExecution that the audit walks:
+      // Dataset.count() builds its own QE, which under AQE would leave
+      // knn.queryExecution's adaptive plan un-executed (initial stages) —
+      // the audit must see the runtime-finalized stage graph
+      time("media_embed_knn_200q")(knn.queryExecution.toRdd.count())
       val (offenders, nExchanges) = payloadExchanges(knn.queryExecution.executedPlan)
       require(nExchanges > 0, "audit walked zero exchanges — vacuous check")
       require(offenders.isEmpty, s"payload bytes crossed an exchange: $offenders")

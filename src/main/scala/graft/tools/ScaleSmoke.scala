@@ -290,9 +290,13 @@ object ScaleSmoke {
         graft.index.Hnsw.fromGraph(baseKnn, data,
           graft.index.Hnsw.Params(m = 16), "id", "vec")
       }
-      time("hnsw_hier_search_200q") {
+      // the kernel-off pure per-level loop is the known-slower reference
+      // route (r7: 137.6 s at 1M vs 30.6 hybrid); past 2M its measurement
+      // adds half an hour without new information, so only the default
+      // (hybrid) route is timed there
+      if (n <= 2000000) time("hnsw_hier_search_200q") {
         graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
-      }
+      } else println("SCALE   hnsw pure-loop search skipped at n > 2M (hybrid is the default route)")
       // the at-scale default route: base layer over the kernel caps, upper
       // layers under, so the hybrid broadcast-descent + distributed-base-
       // beam path fires. BOTH caps are pinned just above the upper-layer

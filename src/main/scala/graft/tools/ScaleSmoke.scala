@@ -111,9 +111,13 @@ object ScaleSmoke {
       }
 
       val ivf = time("ivf_flat_build_128lists_balanced") {
-        graft.index.IvfFlatIndex.build(data,
+        // builds persist their lists lazily; materialize INSIDE the build
+        // timer (here and for every index build below) so the full-data
+        // assignment pass is attributed to the build, not the first search
+        val b = graft.index.IvfFlatIndex.build(data,
           graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5,
             balanced = true), "id", "vec")
+        b.lists.count(); b
       }
       time("ivf_flat_search_8probes") {
         ivf.search(q, 10, nProbes = 8).count()
@@ -127,16 +131,18 @@ object ScaleSmoke {
       // per encoding. nLists ~ sqrt(n) (the reference's default sizing).
       val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
       val coarse = time(s"family_coarse_${nLists}lists") {
-        graft.index.IvfFlatIndex.build(data,
+        val b = graft.index.IvfFlatIndex.build(data,
           graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
             balanced = true), "id", "vec")
+        b.lists.count(); b
       }
       val probes = math.max(8, nLists / 32)
 
       val pq = time("ivf_pq_build") {
-        graft.index.IvfPqIndex.build(data,
+        val b = graft.index.IvfPqIndex.build(data,
           graft.index.IvfPqIndex.Params(nLists = nLists, pqDim = 8, pqBits = 8),
           "id", "vec", base = Some(coarse))
+        b.lists.count(); b
       }
       time("ivf_pq_search_refine_200q") {
         pq.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
@@ -144,9 +150,10 @@ object ScaleSmoke {
       pq.lists.unpersist()
 
       val sq = time("ivf_sq_build") {
-        graft.index.IvfSqIndex.build(data,
+        val b = graft.index.IvfSqIndex.build(data,
           graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5),
           idCol = "id", vecCol = "vec", base = Some(coarse))
+        b.lists.count(); b
       }
       time("ivf_sq_search_refine_200q") {
         sq.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
@@ -154,9 +161,10 @@ object ScaleSmoke {
       sq.lists.unpersist()
 
       val rq = time("ivf_rabitq_build") {
-        graft.index.IvfRabitqIndex.build(data,
+        val b = graft.index.IvfRabitqIndex.build(data,
           graft.index.IvfRabitqIndex.Params(nLists = nLists),
           "id", "vec", base = Some(coarse))
+        b.lists.count(); b
       }
       time("ivf_rabitq_search_refine_200q") {
         rq.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
@@ -165,9 +173,10 @@ object ScaleSmoke {
       coarse.lists.unpersist()
 
       val sc = time("scann_build") {
-        graft.index.ScannIndex.build(data,
+        val b = graft.index.ScannIndex.build(data,
           graft.index.ScannIndex.Params(nLeaves = nLists, nIters = 5,
             balanced = true), "id", "vec")
+        b.lists.count(); b
       }
       time("scann_search_refine_200q") {
         sc.searchWithRefine(q, data, 10, nProbes = probes, kCoarse = 40).count()
@@ -352,9 +361,10 @@ object ScaleSmoke {
       // full-data assignment pass stays O(n·k) by design.
       val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
       val ivf = time(s"flagship_ivf_build_${nLists}lists") {
-        graft.index.IvfFlatIndex.build(data,
+        val b = graft.index.IvfFlatIndex.build(data,
           graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
             balanced = true, trainsetCap = 128L * nLists), "id", "vec")
+        b.lists.count(); b
       }
       time(s"flagship_ivf_search_${math.max(8, nLists / 32)}probes_200q") {
         ivf.search(q, 10, nProbes = math.max(8, nLists / 32)).count()
@@ -378,9 +388,10 @@ object ScaleSmoke {
       val nLists = math.max(128, math.sqrt(n.toDouble).toInt)
       val probes = math.max(8, nLists / 32)
       val tiered0 = time(s"tiered_base_build_${nLists}lists") {
-        graft.stream.TieredIndex.build(data,
+        val b = graft.stream.TieredIndex.build(data,
           graft.index.IvfFlatIndex.Params(nLists = nLists, nIters = 5,
             balanced = true), minAnnRows = n / 20, "id", "vec")
+        b.base.lists.count(); b
       }
       // 10% fresh rows from the same generator, ids disjoint from the base
       val delta = hashVecs(n, n + n / 10)

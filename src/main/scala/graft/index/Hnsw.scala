@@ -241,10 +241,20 @@ object Hnsw {
       val upperIds = idx.levels.filter(col("level") >= 1).select(col("id").cast("long").as("id"))
       val upperEdges = idx.edges.filter(col("level") >= 1)
         .select(col("level").cast("int"), col("src").cast("long"), col("dst").cast("long"))
-      if (graft.graphops.LocalKernel.within(upperIds,
-            graft.graphops.LocalKernel.maxVectors(spark)) &&
-          graft.graphops.LocalKernel.within(upperEdges,
-            graft.graphops.LocalKernel.maxEdges(spark))) {
+      // The hybrid's broadcast budget is its OWN pair of knobs, not the
+      // generic LocalKernel caps: the upper layers hold n/M + n/M² + …
+      // rows, so at n = 10M (M=16) they already exceed the 400k generic
+      // cap while remaining a perfectly broadcastable ~170 MB — keying the
+      // route on the generic cap made the better plan unreachable exactly
+      // where it matters. Defaults budget ~512 MB of vectors at dim 64
+      // (2M ids) and ~512 MB of adjacency (32M edges); LocalKernel.enabled
+      // stays the kill switch.
+      val maxUpperIds =
+        spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", "2000000").toLong
+      val maxUpperEdges =
+        spark.conf.get("spark.graft.hnsw.hybridMaxUpperEdges", "32000000").toLong
+      if (graft.graphops.LocalKernel.within(upperIds, maxUpperIds) &&
+          graft.graphops.LocalKernel.within(upperEdges, maxUpperEdges)) {
         import spark.implicits._
         import graft.graphops.LocalBeam
         val vecs = new java.util.HashMap[Long, Array[Float]]()

@@ -306,26 +306,21 @@ object ScaleSmoke {
       if (n <= 2000000) time("hnsw_hier_search_200q") {
         graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
       } else println("SCALE   hnsw pure-loop search skipped at n > 2M (hybrid is the default route)")
-      // the at-scale default route: base layer over the kernel caps, upper
-      // layers under, so the hybrid broadcast-descent + distributed-base-
-      // beam path fires. BOTH caps are pinned just above the upper-layer
-      // sizes so the label is accurate at ANY smoke N: maxEdges above the
-      // upper edge count (at N <= 400k the default would admit the whole
-      // hierarchy and time the one-pass local route under a hybrid name),
-      // and maxVectors above the upper ID count (past ~6.4M the default
-      // 400k would fail the hybrid gate and time the per-level loop
-      // under the hybrid name).
+      // the at-scale default route: the hybrid gate runs on its own caps
+      // (spark.graft.hnsw.hybridMaxUpper{Ids,Edges}, defaults that admit
+      // the upper layers up to ~30M base rows), so only two pins are
+      // needed for an accurate label at ANY smoke N: enabled=true (the
+      // smoke globally disables the kernel) and maxEdges just above the
+      // upper edge count so the one-pass whole-hierarchy local route
+      // cannot fire at small N and be timed under the hybrid name.
       val nUpper = idx.edges.filter(col("level") >= 1).count()
-      val nUpperIds = idx.levels.filter(col("level") >= 1).count()
       time("hnsw_hier_search_200q_hybrid") {
         spark.conf.set("spark.graft.localKernel.enabled", "true")
         spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
-        spark.conf.set("spark.graft.localKernel.maxVectors", (nUpperIds + 1).toString)
         try graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
         finally {
           spark.conf.set("spark.graft.localKernel.enabled", "false")
           spark.conf.unset("spark.graft.localKernel.maxEdges")
-          spark.conf.unset("spark.graft.localKernel.maxVectors")
         }
       }
       idx.edges.unpersist()

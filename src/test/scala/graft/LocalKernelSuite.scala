@@ -141,6 +141,31 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(hybrid.sameElements(loop))
   }
 
+  test("hnsw hybrid gate runs on its own caps, decoupled from the generic kernel caps") {
+    // the 10M regime in miniature: the generic maxVectors cap is far below
+    // the upper-layer id count, which used to silently demote the search
+    // to the per-level loop; the hybrid's dedicated budget must keep the
+    // route live (and row-identical to the loop)
+    val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
+    val nUpper = idx.edges.filter(col("level") >= 1).count()
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
+    spark.conf.set("spark.graft.localKernel.maxVectors", "1")
+    val hybrid =
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      finally {
+        spark.conf.unset("spark.graft.localKernel.maxEdges")
+        spark.conf.unset("spark.graft.localKernel.maxVectors")
+      }
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val loop =
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    assert(hybrid.length > 0)
+    assert(hybrid.sameElements(loop))
+  }
+
   test("hnsw build: broadcast hierarchy == per-level distributed build") {
     val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     val (local, dist) = bothRoutes {

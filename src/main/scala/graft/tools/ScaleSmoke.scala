@@ -349,6 +349,13 @@ object ScaleSmoke {
       time("flagship_brute_search_200q") {
         graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
       }
+      // second pass = steady-state scan cost with JIT/codegen amortized;
+      // the cold first pass overstates it 2-5x (tools/BruteVariance: 1M
+      // cold 17-45 s across sessions vs ~9 s steady) — the same reason
+      // Bench times a warm pass
+      time("flagship_brute_search_200q_warm") {
+        graft.ops.BruteForceKnn.knnJoin(data, q, 10, Metric.L2, "id", "vec").count()
+      }
       // trainsetCap = 128 rows/center: the absolute-cap form of the
       // reference's sampled-trainset discipline — the ONLY stage in these
       // routes whose cost would otherwise grow as n·k (n·sqrt(n) /

@@ -529,6 +529,40 @@ object SparkEntry {
        |SELECT piv.id, piv.d0, piv.d1, piv.d2, piv.d3, best.cluster, tot.cost
        |FROM piv JOIN best ON piv.id = best.id CROSS JOIN tot""".stripMargin
 
+  /** Nearest-centroid assignment against 600 fixed centroids — k ≥
+    * MesoIndex.minK (512), so the meso-pruned NearestCentroids scan runs
+    * under the DuckDB hash gate end-to-end (MesoIndexSuite pins it
+    * bit-equal to the flat scan; this pins it against an independent
+    * oracle). Centroids are the first 300 embeddings scaled ×0.5 and ×2 —
+    * both exact in float AND double arithmetic, so Spark's Float centroid
+    * store and DuckDB's double list math see identical values. */
+  private def kmeansMesoAssignQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") < 300).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+    val cents = base.map(_.map(_ * 0.5f)) ++ base.map(_.map(_ * 2f))
+    val cs = graft.expr.CentroidSet(cents.flatten, cents.length, cents.head.length,
+      Metric.L2.name)
+    val (cl, d) = graft.cluster.KMeans.assignCols(cs, col("embedding"))
+    emb.select(col("vec_id").as("id"), cl.cast("int").as("cluster"),
+      round(d, 4).as("dist"))
+  }
+
+  private val kmeansMesoAssignOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> x * 0.5) AS cvec
+       |  FROM embeddings WHERE vec_id < 300
+       |  UNION ALL
+       |  SELECT vec_id + 300 AS cid, list_transform(embedding, x -> x * 2) AS cvec
+       |  FROM embeddings WHERE vec_id < 300),
+       |d AS (SELECT e.vec_id AS id, c.cid, ${O.l2("e.embedding", "c.cvec")} AS dist
+       |      FROM embeddings e CROSS JOIN c)
+       |SELECT id, CAST(cid AS INT) AS cluster, round(dist, 4) AS dist
+       |FROM (SELECT id, cid, dist,
+       |      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk FROM d)
+       |WHERE rk = 1""".stripMargin
+
   private def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val (model, labeled) = graft.cluster.KMeans.fitPredict(emb,
@@ -913,6 +947,7 @@ object SparkEntry {
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
     "kmeans_plusplus" -> (kmeansPlusPlusQuery(_, _)),
     "kmeans_transform_cost" -> (kmeansTransformQuery(_, _)),
+    "kmeans_meso_assign" -> (kmeansMesoAssignQuery(_, _)),
     "kmeans_balanced" -> (kmeansBalancedQuery(_, _)),
     "ivf_flat_search" -> (ivfSearchQuery(_, _)),
     "ivf_filtered_search" -> (ivfFilteredQuery(_, _)),
@@ -969,6 +1004,7 @@ object SparkEntry {
     "kmeans_fit_predict" -> kmeansOracle,
     "kmeans_plusplus" -> kmeansPlusPlusOracle,
     "kmeans_transform_cost" -> kmeansTransformOracle,
+    "kmeans_meso_assign" -> kmeansMesoAssignOracle,
     "kmeans_balanced" -> kmeansBalancedOracle,
     "ivf_flat_recall" -> ivfRecallOracle,
     "ivf_filtered_search" -> ivfFilteredOracle,

@@ -226,8 +226,12 @@ object Hnsw {
         graft.graphops.LocalKernel.within(idx.edges,
           graft.graphops.LocalKernel.maxEdges(spark)) &&
         graft.graphops.LocalKernel.within(data,
-          graft.graphops.LocalKernel.maxVectors(spark)))
+          graft.graphops.LocalKernel.maxVectors(spark))) {
+      // route marker (driver-side diagnostic; lets tests and smokes assert
+      // WHICH route actually ran rather than inferring it from timings)
+      spark.conf.set("spark.graft.hnsw.lastSearchRoute", "local")
       return searchLocal(idx, data, q, k, ef, idCol, vecCol)
+    }
 
     // HYBRID route: the hierarchy shrinks geometrically (n/M + n/M² + …
     // rows above the base), so the upper layers usually fit the broadcast
@@ -244,17 +248,22 @@ object Hnsw {
       // The hybrid's broadcast budget is its OWN pair of knobs, not the
       // generic LocalKernel caps: the upper layers hold n/M + n/M² + …
       // rows, so at n = 10M (M=16) they already exceed the 400k generic
-      // cap while remaining a perfectly broadcastable ~170 MB — keying the
-      // route on the generic cap made the better plan unreachable exactly
-      // where it matters. Defaults budget ~512 MB of vectors at dim 64
-      // (2M ids) and ~512 MB of adjacency (32M edges); LocalKernel.enabled
-      // stays the kill switch.
+      // cap while remaining comfortably collectable — keying the route on
+      // the generic cap made the better plan unreachable exactly where it
+      // matters. Budget honestly: beyond the ~300 MB of settled primitive
+      // state at the default caps (1M ids × dim floats + 16M edges), the
+      // driver transiently holds the boxed collect results (~100 B/edge),
+      // so the defaults assume the multi-GB driver a batch-ANN job runs
+      // on; a small-driver deployment must lower these caps (the generic
+      // LocalKernel caps no longer bound this route) or disable the
+      // kernel. LocalKernel.enabled stays the kill switch.
       val maxUpperIds =
-        spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", "2000000").toLong
+        spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", "1000000").toLong
       val maxUpperEdges =
-        spark.conf.get("spark.graft.hnsw.hybridMaxUpperEdges", "32000000").toLong
+        spark.conf.get("spark.graft.hnsw.hybridMaxUpperEdges", "16000000").toLong
       if (graft.graphops.LocalKernel.within(upperIds, maxUpperIds) &&
           graft.graphops.LocalKernel.within(upperEdges, maxUpperEdges)) {
+        spark.conf.set("spark.graft.hnsw.lastSearchRoute", "hybrid")
         import spark.implicits._
         import graft.graphops.LocalBeam
         val vecs = new java.util.HashMap[Long, Array[Float]]()
@@ -294,6 +303,7 @@ object Hnsw {
       }
     }
 
+    spark.conf.set("spark.graft.hnsw.lastSearchRoute", "loop")
     // cache the shaped dataset/query frames ONCE around the per-level
     // loop — GraphSearch detects caller-cached inputs and skips its own
     // materialize/unpersist, so the loop stops paying a full dataset

@@ -15,12 +15,7 @@ object BruteVariance {
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val n = 1000000L
     val dim = 64
-    val data = spark.range(0, n, 1, 64)
-      .select(col("id"),
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          (pmod(xxhash64(col("id") % 32, j), lit(1000)).cast("double") / 100.0 +
-            pmod(xxhash64(col("id"), j), lit(97)).cast("double") / 97.0)
-            .cast("float")).as("vec"))
+    val data = ScaleSmoke.hashVecs(spark, 0, n, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     data.count()
     val q = data.filter(col("id") % (n / 200) === 0)

@@ -38,6 +38,18 @@ import graft.core.Metric
   *        sbt "runMain graft.tools.ScaleSmoke"   # 1M IVF-family run
   */
 object ScaleSmoke {
+  /** Deterministic blobs: 32 centers on hash rays, points = center + hash
+    * noise. Shared with `tools.BruteVariance` — the variance probe's
+    * attribution only describes the smoke's workload while the two use
+    * the SAME generator. */
+  private[tools] def hashVecs(spark: SparkSession, from: Long, to: Long,
+      dim: Int): DataFrame = spark.range(from, to, 1, 64)
+    .select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (pmod(xxhash64(col("id") % 32, j), lit(1000)).cast("double") / 100.0 +
+          pmod(xxhash64(col("id"), j), lit(97)).cast("double") / 97.0)
+          .cast("float")).as("vec"))
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
@@ -73,13 +85,8 @@ object ScaleSmoke {
       }
     })
 
-    // deterministic blobs: 32 centers on hash rays, points = center + hash noise
-    def hashVecs(from: Long, to: Long): DataFrame = spark.range(from, to, 1, 64)
-      .select(col("id"),
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          (pmod(xxhash64(col("id") % 32, j), lit(1000)).cast("double") / 100.0 +
-            pmod(xxhash64(col("id"), j), lit(97)).cast("double") / 97.0)
-            .cast("float")).as("vec"))
+    def hashVecs(from: Long, to: Long): DataFrame =
+      ScaleSmoke.hashVecs(spark, from, to, dim)
     val data = hashVecs(0, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("generate+materialize")(data.count())
@@ -306,21 +313,30 @@ object ScaleSmoke {
       if (n <= 2000000) time("hnsw_hier_search_200q") {
         graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
       } else println("SCALE   hnsw pure-loop search skipped at n > 2M (hybrid is the default route)")
-      // the at-scale default route: the hybrid gate runs on its own caps
-      // (spark.graft.hnsw.hybridMaxUpper{Ids,Edges}, defaults that admit
-      // the upper layers up to ~30M base rows), so only two pins are
-      // needed for an accurate label at ANY smoke N: enabled=true (the
-      // smoke globally disables the kernel) and maxEdges just above the
-      // upper edge count so the one-pass whole-hierarchy local route
-      // cannot fire at small N and be timed under the hybrid name.
+      // the at-scale default route. Pins for an accurate label at ANY
+      // smoke N: enabled=true (the smoke globally disables the kernel),
+      // the generic maxEdges just above the upper edge count so the
+      // one-pass whole-hierarchy local route cannot fire at small N, and
+      // the hybrid's own caps just above the measured upper sizes so the
+      // gate cannot silently demote past its defaults at huge N — plus
+      // the route marker asserted afterward, so a mislabel is an error,
+      // never a wrong data point.
       val nUpper = idx.edges.filter(col("level") >= 1).count()
+      val nUpperIds = idx.levels.filter(col("level") >= 1).count()
       time("hnsw_hier_search_200q_hybrid") {
         spark.conf.set("spark.graft.localKernel.enabled", "true")
         spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
-        try graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
-        finally {
+        spark.conf.set("spark.graft.hnsw.hybridMaxUpperIds", (nUpperIds + 1).toString)
+        spark.conf.set("spark.graft.hnsw.hybridMaxUpperEdges", (nUpper + 1).toString)
+        try {
+          graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
+          require(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "hybrid",
+            "hybrid label would be inaccurate: a different route ran")
+        } finally {
           spark.conf.set("spark.graft.localKernel.enabled", "false")
           spark.conf.unset("spark.graft.localKernel.maxEdges")
+          spark.conf.unset("spark.graft.hnsw.hybridMaxUpperIds")
+          spark.conf.unset("spark.graft.hnsw.hybridMaxUpperEdges")
         }
       }
       idx.edges.unpersist()

@@ -133,10 +133,14 @@ class LocalKernelSuite extends SparkFunSuite {
     val hybrid =
       try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
       finally spark.conf.unset("spark.graft.localKernel.maxEdges")
+    // the route marker makes this non-vacuous: a demoted search would
+    // produce identical rows via the loop, so pin WHICH route ran
+    assert(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "hybrid")
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val loop =
       try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
       finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    assert(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "loop")
     assert(hybrid.length > 0)
     assert(hybrid.sameElements(loop))
   }
@@ -149,6 +153,7 @@ class LocalKernelSuite extends SparkFunSuite {
     val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
     val nUpper = idx.edges.filter(col("level") >= 1).count()
+    assert(nUpper > 0 && idx.maxLevel >= 1, "fixture must have a real hierarchy")
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted
     spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
     spark.conf.set("spark.graft.localKernel.maxVectors", "1")
@@ -158,6 +163,11 @@ class LocalKernelSuite extends SparkFunSuite {
         spark.conf.unset("spark.graft.localKernel.maxEdges")
         spark.conf.unset("spark.graft.localKernel.maxVectors")
       }
+    // the route marker is what makes this non-vacuous: a regression that
+    // re-couples the hybrid gate to the generic caps would demote to the
+    // (row-identical) loop and row equality alone could never catch it
+    assert(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "hybrid",
+      "tiny generic maxVectors demoted the hybrid route")
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val loop =
       try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))

@@ -256,9 +256,15 @@ object CentroidOps {
       }
     }
     // slack so float rounding can never flip the skip decision: cosine's
-    // prune points are float-rounded unit vectors (~1e-6 absolute error);
-    // the other spaces share distTo's own arithmetic (1ulp-level)
-    val eps = if (mi.space == MesoIndex.SpaceCosine) 1e-4 else 1e-9
+    // prune points are float-rounded unit vectors (~1e-6 per-component
+    // absolute error); the dot product accumulates ~sqrt(dim) of that for
+    // independent roundings, so the slack scales with sqrt(dim) from its
+    // empirically-pinned dim=24 base (MesoIndexSuite pins dim=24 and a
+    // 1536-dim case). Larger slack is exactness-safe — it only visits more
+    // mesos. The other spaces share distTo's own arithmetic (1ulp-level).
+    val eps =
+      if (mi.space == MesoIndex.SpaceCosine) 1e-4 * math.max(1.0, math.sqrt(dim / 24.0))
+      else 1e-9
     var oi = 0
     var done = false
     while (oi < mi.m && !done) {

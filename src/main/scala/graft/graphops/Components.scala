@@ -65,9 +65,16 @@ object Components {
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.component") =!= col("o.component")).count()
+      // the superseded round's checkpoint blocks are dead once `next` is
+      // materialized and the change count read — free them, or a
+      // long-lived session accumulates one O(n) cached frame per round
+      graft.core.Frames.releaseCheckpoint(labels)
       labels = next
       it += 1
     }
+    graft.core.Frames.releaseCheckpoint(und)
+    // the returned frame stays checkpointed (callers iterate over it);
+    // release it with Frames.releaseCheckpoint when done
     labels
   }
 
@@ -176,12 +183,19 @@ object Components {
       if (merged > 0) {
         val remap = touched.toSeq.map(c => (c, find(c))).filter(t => t._1 != t._2)
         val remapDf = broadcast(e.sparkSession.createDataFrame(remap).toDF("comp", "newComp"))
-        labels = labels.join(remapDf, Seq("comp"), "left")
+        val next = labels.join(remapDf, Seq("comp"), "left")
           .select(col("id"), coalesce(col("newComp"), col("comp")).as("comp"))
           .localCheckpoint()
+        // eager checkpoint: `next` is materialized, so the previous
+        // round's blocks are dead — free them instead of accumulating one
+        // O(n) cached frame per merging round
+        graft.core.Frames.releaseCheckpoint(labels)
+        labels = next
       }
       rounds += 1
     }
+    graft.core.Frames.releaseCheckpoint(labels)
+    graft.core.Frames.releaseCheckpoint(e)
     mst.toSeq
   }
 
@@ -234,6 +248,7 @@ object Components {
       }
       rounds += 1
     }
+    graft.core.Frames.releaseCheckpoint(e)
     mst.toSeq
   }
 

@@ -38,6 +38,33 @@ object Hnsw {
   def exactLevelCap(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get("spark.graft.hnsw.exactLevelCap", "400000").toLong
 
+  /** Route taken by the most recent [[search]] call ON THIS THREAD
+    * ("local" | "hybrid" | "loop"). Race-free under concurrent searches,
+    * unlike the session-conf mirror (kept for smoke/notebook visibility)
+    * which interleaves when two threads search one session. */
+  def lastSearchRoute: Option[String] = Option(lastRouteTl.get)
+
+  private val lastRouteTl = new ThreadLocal[String]
+
+  private def markRoute(spark: org.apache.spark.sql.SparkSession, route: String): Unit = {
+    lastRouteTl.set(route)
+    spark.conf.set("spark.graft.hnsw.lastSearchRoute", route)
+  }
+
+  /** Default broadcast budget for the hybrid descent's upper-layer collect,
+    * derived from the driver heap actually present rather than a literal:
+    * 1/8 of max heap, costed at ~100 B per boxed edge and ~200 B per id
+    * (vector payload + boxing at typical dims), floored at the generic
+    * LocalKernel caps so the hybrid route is never *narrower* than the
+    * fully-local one. A 48 GiB driver gets ~60M edges; a 1 GiB driver is
+    * held to ~1.3M — small drivers no longer inherit a 16M-edge default
+    * they cannot hold. Override: spark.graft.hnsw.hybridMaxUpper{Ids,Edges}. */
+  private def hybridDefaultCaps(spark: org.apache.spark.sql.SparkSession): (Long, Long) = {
+    val budget = Runtime.getRuntime.maxMemory / 8
+    (math.max(graft.graphops.LocalKernel.maxVectors(spark), budget / 200),
+      math.max(graft.graphops.LocalKernel.maxEdges(spark), budget / 100))
+  }
+
   /** (id, level): geometric level assignment from a portable affine hash,
     * applied twice so small consecutive ids spread over the full modulus —
     * h = affine(affine(id)), affine(x) = (x·1000003 + 12345 + seed) mod
@@ -229,7 +256,7 @@ object Hnsw {
           graft.graphops.LocalKernel.maxVectors(spark))) {
       // route marker (driver-side diagnostic; lets tests and smokes assert
       // WHICH route actually ran rather than inferring it from timings)
-      spark.conf.set("spark.graft.hnsw.lastSearchRoute", "local")
+      markRoute(spark, "local")
       return searchLocal(idx, data, q, k, ef, idCol, vecCol)
     }
 
@@ -250,20 +277,20 @@ object Hnsw {
       // rows, so at n = 10M (M=16) they already exceed the 400k generic
       // cap while remaining comfortably collectable — keying the route on
       // the generic cap made the better plan unreachable exactly where it
-      // matters. Budget honestly: beyond the ~300 MB of settled primitive
-      // state at the default caps (1M ids × dim floats + 16M edges), the
-      // driver transiently holds the boxed collect results (~100 B/edge),
-      // so the defaults assume the multi-GB driver a batch-ANN job runs
-      // on; a small-driver deployment must lower these caps (the generic
-      // LocalKernel caps no longer bound this route) or disable the
-      // kernel. LocalKernel.enabled stays the kill switch.
+      // matters. The DEFAULT budget is derived from the driver heap
+      // (hybridDefaultCaps: 1/8 of max heap at ~100 B/boxed edge,
+      // ~200 B/id, floored at the generic caps), so a small-driver
+      // deployment is bounded out of the box instead of inheriting a
+      // fixed 16M-edge default; explicit conf overrides both.
+      // LocalKernel.enabled stays the kill switch.
+      val (defaultIds, defaultEdges) = hybridDefaultCaps(spark)
       val maxUpperIds =
-        spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", "1000000").toLong
+        spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", defaultIds.toString).toLong
       val maxUpperEdges =
-        spark.conf.get("spark.graft.hnsw.hybridMaxUpperEdges", "16000000").toLong
+        spark.conf.get("spark.graft.hnsw.hybridMaxUpperEdges", defaultEdges.toString).toLong
       if (graft.graphops.LocalKernel.within(upperIds, maxUpperIds) &&
           graft.graphops.LocalKernel.within(upperEdges, maxUpperEdges)) {
-        spark.conf.set("spark.graft.hnsw.lastSearchRoute", "hybrid")
+        markRoute(spark, "hybrid")
         import spark.implicits._
         import graft.graphops.LocalBeam
         val vecs = new java.util.HashMap[Long, Array[Float]]()
@@ -303,7 +330,7 @@ object Hnsw {
       }
     }
 
-    spark.conf.set("spark.graft.hnsw.lastSearchRoute", "loop")
+    markRoute(spark, "loop")
     // cache the shaped dataset/query frames ONCE around the per-level
     // loop — GraphSearch detects caller-cached inputs and skips its own
     // materialize/unpersist, so the loop stops paying a full dataset

@@ -81,12 +81,22 @@ object GraftIndexCatalog {
     * (scan paths, threshold). A registered path's population is stable for
     * the life of the registration (new data means a stale index anyway),
     * so the probe job runs once per path — not on every re-optimization
-    * of every query over it. Cleared when the registration changes. */
+    * of every query over it. Cleared when any registration changes.
+    *
+    * CONTRACT: appending files under an already-registered path without
+    * re-registering keeps the memoized small/large verdict (and, worse, a
+    * stale index) — call `register` again after appending; it drops both.
+    * The memo is bounded: past `probeCacheCap` distinct (paths, threshold)
+    * keys the whole map resets (it is a pure perf memo, so a reset only
+    * costs one re-probe per live key). */
   private val probeOutcomes =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
+  private val probeCacheCap = 1024
   private[plans] def cachedProbe(paths: Seq[String], threshold: Long)(
-      probe: => Boolean): Boolean =
+      probe: => Boolean): Boolean = {
+    if (probeOutcomes.size >= probeCacheCap) probeOutcomes.clear()
     probeOutcomes.getOrElseUpdate((paths.map(normalize).sorted.mkString(","), threshold), probe)
+  }
   private[plans] def clearProbeCache(): Unit = probeOutcomes.clear()
 }
 

@@ -330,7 +330,7 @@ object ScaleSmoke {
         spark.conf.set("spark.graft.hnsw.hybridMaxUpperEdges", (nUpper + 1).toString)
         try {
           graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
-          require(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "hybrid",
+          require(graft.index.Hnsw.lastSearchRoute.contains("hybrid"),
             "hybrid label would be inaccurate: a different route ran")
         } finally {
           spark.conf.set("spark.graft.localKernel.enabled", "false")

@@ -135,12 +135,12 @@ class LocalKernelSuite extends SparkFunSuite {
       finally spark.conf.unset("spark.graft.localKernel.maxEdges")
     // the route marker makes this non-vacuous: a demoted search would
     // produce identical rows via the loop, so pin WHICH route ran
-    assert(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "hybrid")
+    assert(Hnsw.lastSearchRoute.contains("hybrid"))
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val loop =
       try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
       finally spark.conf.set("spark.graft.localKernel.enabled", "true")
-    assert(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "loop")
+    assert(Hnsw.lastSearchRoute.contains("loop"))
     assert(hybrid.length > 0)
     assert(hybrid.sameElements(loop))
   }
@@ -166,7 +166,7 @@ class LocalKernelSuite extends SparkFunSuite {
     // the route marker is what makes this non-vacuous: a regression that
     // re-couples the hybrid gate to the generic caps would demote to the
     // (row-identical) loop and row equality alone could never catch it
-    assert(spark.conf.get("spark.graft.hnsw.lastSearchRoute") == "hybrid",
+    assert(Hnsw.lastSearchRoute.contains("hybrid"),
       "tiny generic maxVectors demoted the hybrid route")
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val loop =

@@ -60,6 +60,27 @@ class MesoIndexSuite extends AnyFunSuite {
     }
   }
 
+  // The cosine slack is empirically pinned at dim=24 and derived as
+  // sqrt(dim)-scaled past it — this high-dim case (1536, embedding-sized)
+  // pins the derived margin: rounding error in the float-normalized prune
+  // points grows with dim, and exactness must survive it.
+  test("pruned == flat at high dim (1536), metric=cosine and l2") {
+    val hiDim = 1536
+    val hiK = 600
+    val rnd = new scala.util.Random(7L)
+    val flat = Array.fill(hiK * hiDim)((rnd.nextDouble() * 2 - 1).toFloat)
+    for (i <- 0 until hiDim) flat(123 * hiDim + i) = flat(9 * hiDim + i)
+    val qs = Seq.fill(40)(Array.fill(hiDim)((rnd.nextDouble() * 2 - 1).toFloat)) ++
+      Seq(Array.tabulate(hiDim)(i => flat(9 * hiDim + i)), Array.fill(hiDim)(0.0f))
+    for (metric <- Seq("cosine", "l2")) {
+      val cs = CentroidSet(flat.clone(), hiK, hiDim, metric)
+      assert(cs.mesoIndex != null, s"meso index should engage at k=$hiK")
+      for (v <- qs; p <- Seq(1, 17)) {
+        assert(run(cs, v, p) == runFlat(cs, v, p), s"metric=$metric p=$p")
+      }
+    }
+  }
+
   test("no meso index for inner product or small k") {
     assert(CentroidSet(mkCentroids(1L), k, dim, "ip").mesoIndex == null)
     val smallK = MesoIndex.minK - 1

@@ -973,7 +973,7 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"),
           count(lit(1)).as("n"))),
-  ) ++ TextQueries.queries ++ StatsQueries.queries ++ GraphQueries.queries ++ MiscQueries.queries
+  ) ++ TextQueries.queries ++ StatsQueries.queries ++ GraphQueries.queries ++ MiscQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1017,5 +1017,5 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
-  ) ++ TextQueries.oracles ++ StatsQueries.oracles ++ GraphQueries.oracles ++ MiscQueries.oracles
+  ) ++ TextQueries.oracles ++ StatsQueries.oracles ++ GraphQueries.oracles ++ MiscQueries.oracles ++ StreamQueries.oracles
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stream.StreamPipeline
+
+/** The streaming pipelines must match their batch equivalents row for row
+  * on a bounded input — including the trailing windows that only the
+  * sentinel flush finalizes (the append-mode trap this suite pins). */
+class StreamPipelineSuite extends SparkFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowAgg == batch group-by, including the final (sentinel-flushed) windows") {
+    val got = StreamPipeline.windowAgg(spark, s"$dir/events.parquet")
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    assert(got.count() == want.count(), "append mode must emit EVERY window")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the batch's last hour must be present — the exact rows append mode
+    // drops when no sentinel pushes the watermark past end-of-input
+    val lastWin = want.agg(max(col("win_start"))).head().getLong(0)
+    assert(got.filter(col("win_start") === lastWin).count() > 0,
+      "trailing windows missing: the sentinel flush regressed")
+    assert(got.filter(col("event_type").startsWith("__")).isEmpty,
+      "sentinel rows must not leak into the result")
+  }
+
+  test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {
+    val got = StreamPipeline.dedupExact(spark, s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val want = docs.select(md5(col("text")).as("text_hash")).distinct()
+    assert(got.count() == want.count())
+    assert(got.distinct().count() == got.count(), "stream emitted a duplicate key")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+}

@@ -264,6 +264,41 @@ object SparkEntry {
        |FROM a CROSS JOIN b""".stripMargin
   }
 
+  /** The SQL-registered function surface (SqlFunctions): the same pairs
+    * as `distance_metrics`, but planned from `spark.sql` TEXT through the
+    * session function registry — gating that a pure-SQL user gets the
+    * identical native expression (and values) the Column API plans. */
+  private def sqlVectorDistanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SqlFunctions.register(spark)
+    table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
+    spark.sql(
+      """SELECT a.aid, b.bid,
+        |  round(vector_distance('l2', a.avec, b.bvec), 4) AS d_l2,
+        |  round(l2_distance(a.avec, b.bvec), 4) AS d_l2sqrt,
+        |  round(cosine_distance(a.avec, b.bvec), 4) AS d_cosine,
+        |  round(inner_product(a.avec, b.bvec), 4) AS d_ip,
+        |  round(l1_distance(a.avec, b.bvec), 4) AS d_l1,
+        |  round(vector_distance('lp', a.avec, b.bvec, 3.0), 4) AS d_lp3
+        |FROM (SELECT vec_id AS aid, embedding AS avec FROM graft_emb WHERE vec_id % 25 = 0) a
+        |CROSS JOIN (SELECT vec_id AS bid, embedding AS bvec FROM graft_emb WHERE vec_id % 7 = 0) b
+        |""".stripMargin)
+  }
+
+  private def sqlVectorDistanceOracle: String = {
+    val cols = Seq(
+      "d_l2" -> O.l2("a.avec", "b.bvec"),
+      "d_l2sqrt" -> O.l2sqrt("a.avec", "b.bvec"),
+      "d_cosine" -> O.cosine("a.avec", "b.bvec"),
+      "d_ip" -> O.ip("a.avec", "b.bvec"),
+      "d_l1" -> O.l1("a.avec", "b.bvec"),
+      "d_lp3" -> O.lp("a.avec", "b.bvec", 3),
+    ).map { case (nm, e) => s"round($e, 4) + 0.0 AS $nm" }
+    s"""WITH a AS (SELECT vec_id AS aid, embedding AS avec FROM embeddings WHERE vec_id % 25 = 0),
+       |b AS (SELECT vec_id AS bid, embedding AS bvec FROM embeddings WHERE vec_id % 7 = 0)
+       |SELECT a.aid, b.bid, ${cols.mkString(",\n  ")}
+       |FROM a CROSS JOIN b""".stripMargin
+  }
+
   private def pairwiseQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     PairwiseDistance.pairwise(
@@ -937,6 +972,7 @@ object SparkEntry {
     "knn_bruteforce_ip" -> knnQuery(Metric.InnerProduct),
     "knn_bruteforce_l1" -> knnQuery(Metric.L1),
     "distance_metrics" -> (distanceMetricsQuery(_, _)),
+    "sql_vector_distance" -> (sqlVectorDistanceQuery(_, _)),
     "pairwise_distance" -> (pairwiseQuery(_, _)),
     "range_eps_join" -> (rangeEpsQuery(_, _)),
     "refine" -> (refineQuery(_, _)),
@@ -983,6 +1019,7 @@ object SparkEntry {
     "knn_bruteforce_ip" -> knnOracle(Metric.InnerProduct),
     "knn_bruteforce_l1" -> knnOracle(Metric.L1),
     "distance_metrics" -> distanceMetricsOracle,
+    "sql_vector_distance" -> sqlVectorDistanceOracle,
     "pairwise_distance" -> pairwiseOracle,
     "range_eps_join" -> rangeEpsOracle,
     "refine" -> refineOracle,

@@ -238,10 +238,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** `SparkSessionExtensions` installer:
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
+  * installs the kNN-join lowering rule and the SQL distance functions
+  * (`vector_distance` + fixed-metric shorthands, native expressions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => ResolveKnnJoin(session))
+    graft.functions.SqlFunctions.descriptions.foreach(ext.injectFunction)
+  }
 }
 
 /** Dataset-side entry: a DataFrame whose plan is the declarative node. */

@@ -27,4 +27,18 @@ object bridge {
     * in-flight optimization pass. */
   def optimizedPlanOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.optimizedPlan
+
+  /** The session's SQL function registry (sessionState is private[sql]) —
+    * lets the library register native expressions as SQL functions at
+    * runtime, the same registry `spark.sql.extensions` feeds at startup. */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+
+  /** Materialize an extensions object's injected functions into `reg` —
+    * the step session startup runs; exposed (registerFunctions is
+    * private[sql]) so tests can pin the installer without a second
+    * SparkContext. */
+  def applyExtensionFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.functions.SqlFunctions
+
+/** The SQL-registered distance functions must plan the SAME native
+  * expression as the Column API — identical values, no UDF in the plan —
+  * and reject non-literal metrics at plan time. */
+class SqlFunctionsSuite extends SparkFunSuite {
+
+  private lazy val emb = {
+    SqlFunctions.register(spark)
+    val df = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    df.createOrReplaceTempView("sqlfn_emb")
+    df
+  }
+
+  test("SQL text and Column API plan the same values, metric by metric") {
+    emb // force registration + view
+    val sql = spark.sql(
+      """SELECT vec_id,
+        |  vector_distance('l2', embedding, embedding) AS z,
+        |  l2_distance(embedding, embedding) AS zs,
+        |  cosine_distance(embedding, embedding) AS zc
+        |FROM sqlfn_emb WHERE vec_id < 50""".stripMargin)
+    // self-distance: 0 under l2/l2sqrt/cosine — quick but real codegen run
+    assert(sql.filter(col("z") =!= 0.0 || col("zs") =!= 0.0).isEmpty)
+    assert(sql.agg(max(abs(col("zc")))).head().getDouble(0) < 1e-9)
+
+    // cross pairs: SQL == Column API bit for bit
+    val a = emb.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("aid"), col("embedding").as("avec"))
+    val b = emb.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+    val viaCol = a.crossJoin(b).select(col("aid"), col("bid"),
+      graft.functions.vector_distance(Metric.Lp, col("avec"), col("bvec"), 3.0).as("d"))
+    a.createOrReplaceTempView("sqlfn_a"); b.createOrReplaceTempView("sqlfn_b")
+    val viaSql = spark.sql(
+      "SELECT aid, bid, vector_distance('lp', avec, bvec, 3.0) AS d " +
+        "FROM sqlfn_a CROSS JOIN sqlfn_b")
+    assert(viaSql.except(viaCol).isEmpty && viaCol.except(viaSql).isEmpty)
+  }
+
+  test("the planned expression is the native VectorDistance, not a UDF") {
+    emb
+    val plan = spark.sql(
+      "SELECT l1_distance(embedding, embedding) FROM sqlfn_emb").queryExecution
+      .analyzed.expressions.map(_.toString).mkString
+    assert(plan.contains("vectordistance") || plan.toLowerCase.contains("vectordistance"),
+      s"expected VectorDistance in $plan")
+  }
+
+  test("non-literal or unknown metric fails at plan time") {
+    emb
+    intercept[Exception] {
+      spark.sql("SELECT vector_distance(CAST(vec_id AS STRING), embedding, embedding) " +
+        "FROM sqlfn_emb").queryExecution.analyzed
+    }
+    intercept[Exception] {
+      spark.sql("SELECT vector_distance('no_such_metric', embedding, embedding) " +
+        "FROM sqlfn_emb").queryExecution.analyzed
+    }
+  }
+
+  test("GraftExtensions injects every SQL function into a session registry") {
+    // a second SparkContext can't be built in this JVM, so exercise the
+    // same path session startup runs: apply the installer to a fresh
+    // extensions object and materialize its registry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.bridge.applyExtensionFunctions(ext,
+      new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
+    for (name <- Seq("vector_distance", "l2_distance", "l2_squared",
+        "cosine_distance", "inner_product", "l1_distance")) {
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name missing from the extension-installed registry")
+    }
+  }
+}

@@ -129,6 +129,90 @@ object StreamPipeline {
     res
   }
 
+  /** Open-session state for [[sessionize]]: timestamps in event-time
+    * MICROS (exact — no float rounding against the oracle). Public:
+    * encoder codegen must reach the accessors. */
+  case class OpenSession(start: Long, last: Long, n: Long, idx: Long)
+  case class SessionRow(user_id: Long, session_idx: Long,
+      session_start: Long, session_end: Long, n_events: Long)
+
+  /** Gap-based sessionization over the events stream via
+    * `flatMapGroupsWithState` + event-time timeout — the custom-state
+    * streaming surface: state = the one OPEN session per user, closed
+    * sessions emit immediately (append-mode final), and the LAST session
+    * of each user emits on timeout once the watermark passes its gap —
+    * driven past end-of-input by the same sentinel flush as [[windowAgg]].
+    * Output: (user_id, session_idx (1-based), session_start/end in epoch
+    * micros, n_events); row-equal to the batch lag/cumsum window SQL.
+    *
+    * Scale + ordering contract: state is O(users), evicted by timeout;
+    * events must arrive event-time-ordered ACROSS micro-batches per user
+    * (in-batch order is sorted here; cross-batch reordering is exactly
+    * what the watermark bounds — a production feed relies on
+    * within-watermark ordering or reorders in a pre-stage). The bounded
+    * drain stages a single data file so the backfill is one batch. */
+  def sessionize(spark: SparkSession, eventsPath: String,
+      gap: String = "30 minutes", delay: String = "30 minutes"): DataFrame = {
+    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+      .microseconds
+    val batch = spark.read.parquet(eventsPath)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id").cast("long").as("user_id"))
+    val stage = tempDir("sess_stage")
+    val dataTmp = tempDir("sess_data")
+    batch.coalesce(1).write.mode("overwrite").parquet(dataTmp)
+    copyParts(spark, dataTmp, stage, "a-data")
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentTmp = tempDir("sess_sent")
+    import spark.implicits._
+    // sentinel far enough out that watermark = sentTs − delay clears every
+    // real session's timeout (≤ maxTs + gap)
+    Seq((new java.sql.Timestamp(maxTs.getTime + gapMicros / 1000 + 7200 * 1000L), -1L))
+      .toDF("ts", "user_id").coalesce(1).write.mode("overwrite").parquet(sentTmp)
+    copyParts(spark, sentTmp, stage, "z-sentinel")
+
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked `ts` column must flow INTO the stateful operator
+    // (projecting it away strips the event-time tag and fails analysis),
+    // so rows carry (user_id, ts, micros) and the logic reads the micros
+    def fold(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        state: GroupState[OpenSession]): Iterator[SessionRow] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionRow(user, s.idx, s.start, s.last, s.n))
+      } else {
+        val evs = rows.map(_._3).toArray.sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        var cur = state.getOption.orNull
+        evs.foreach { t =>
+          if (cur == null) cur = OpenSession(t, t, 1, 1)
+          else if (t - cur.last > gapMicros) {
+            out += SessionRow(user, cur.idx, cur.start, cur.last, cur.n)
+            cur = OpenSession(t, t, 1, cur.idx + 1)
+          } else cur = OpenSession(cur.start, t, cur.n + 1, cur.idx)
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.last / 1000 + gapMicros / 1000 + 1)
+        }
+        out.iterator
+      }
+    }
+
+    val in = spark.readStream.schema(batch.schema).parquet(stage)
+    val sessions = in
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("micros"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+      .toDF()
+    val res = drain(sessions, "sess").filter(col("user_id") >= 0)
+    Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
+    res
+  }
+
   /** Streaming exact-dedup filter over a doubled documents corpus: the
     * distinct md5 fingerprint set, emitted by first arrival through
     * `dropDuplicates` state. Collapses the 2n-row corpus to its n

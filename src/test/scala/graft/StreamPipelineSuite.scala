@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.stream.StreamPipeline
 
 /** The streaming pipelines must match their batch equivalents row for row
@@ -25,6 +26,29 @@ class StreamPipelineSuite extends SparkFunSuite {
       "trailing windows missing: the sentinel flush regressed")
     assert(got.filter(col("event_type").startsWith("__")).isEmpty,
       "sentinel rows must not leak into the result")
+  }
+
+  test("sessionize == batch lag/cumsum sessions, including timeout-emitted finals") {
+    val got = StreamPipeline.sessionize(spark, s"$dir/events.parquet")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val want = ev
+      .withColumn("brk", when(lag(col("t"), 1).over(w).isNull ||
+        col("t") - lag(col("t"), 1).over(w) > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("t")).as("session_start"), max(col("t")).as("session_end"),
+        count(lit(1)).as("n_events"))
+    assert(got.count() == want.count(),
+      "every session must emit exactly once (finals via event-time timeout)")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // per-user totals must cover every event exactly once
+    val evTotal = ev.count()
+    assert(got.agg(sum(col("n_events"))).head().getLong(0) == evTotal)
   }
 
   test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {

@@ -29,6 +29,8 @@ import graft.core.Metric
   *           all_neighbors at fixed cell size — the scan-shaped routes
   *           whose wall time must stay ~linear in n
   *   text    minhash-LSH dedup over a near-dup corpus
+  *   streaming  readStream pipelines at scale: watermarked window agg +
+  *           flatMapGroupsWithState sessionize over synthetic events
   *   multimodal  REAL-codec decode at scale: distributed PPM/BMP payloads
   *           through grayEmbedding + downstream kNN, with an executed-plan
   *           assert that payload bytes never cross an exchange
@@ -54,7 +56,7 @@ object ScaleSmoke {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
-      "core,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,multimodal")
+      "core,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,streaming,multimodal")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -454,6 +456,32 @@ object ScaleSmoke {
         graft.text.Dedup.minhashLshPairs(docs, "id", "text").count()
       }
       docs.unpersist()
+    }
+
+    phase("streaming") {
+      // the readStream surfaces at scale: n synthetic events over
+      // n/2000 users spread across 30 days, through the real pipelines
+      // (stage -> file stream -> watermark/state -> append sink -> drain).
+      // Sessionize state is O(users); window-agg state is O(live windows).
+      val nUsers = math.max(100L, n / 2000)
+      val base = 1704067200000000L // 2024-01-01 UTC, micros
+      val span = 30L * 24 * 3600 * 1000000L
+      val ev = spark.range(0, n, 1, 64).select(
+        timestamp_micros(lit(base) + pmod(xxhash64(col("id"), lit(1)), lit(span))).as("ts"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nUsers)).as("user_id"),
+        lit("e").as("event_type"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("double") / 10.0).as("value"),
+        lit("").as("props"))
+      val evDir = java.nio.file.Files.createTempDirectory("graft_smoke_events").toString
+      time("events_stage_write")(ev.write.mode("overwrite").parquet(evDir))
+      time(s"streaming_window_agg_${n}ev") {
+        val r = graft.stream.StreamPipeline.windowAgg(spark, evDir)
+        println(s"  windows: ${r.count()}")
+      }
+      time(s"streaming_sessionize_${nUsers}users") {
+        val r = graft.stream.StreamPipeline.sessionize(spark, evDir)
+        println(s"  sessions: ${r.count()}")
+      }
     }
 
     phase("multimodal") {

@@ -250,13 +250,19 @@ object MiscQueries {
     * sides. */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = SparkEntry.table(spark, dir, "events")
+    normalizeEventTs(SparkEntry.table(spark, dir, "events"))
+  }
+
+  /** The LongType(nanos) → micros branch of the dispatch above, shared
+    * with the streaming pipelines (graft.stream.StreamPipeline) so both
+    * read the same `ts` whichever physical type the fixture carries.
+    * Caller sets `spark.sql.legacy.parquet.nanosAsLong` before reading. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
-  }
 
   private def eventsWindowQuery(spark: SparkSession, dir: String): DataFrame = {
     eventsWithTs(spark, dir)

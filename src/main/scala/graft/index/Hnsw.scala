@@ -53,15 +53,22 @@ object Hnsw {
 
   /** Default broadcast budget for the hybrid descent's upper-layer collect,
     * derived from the driver heap actually present rather than a literal:
-    * 1/8 of max heap, costed at ~100 B per boxed edge and ~200 B per id
-    * (vector payload + boxing at typical dims), floored at the generic
-    * LocalKernel caps so the hybrid route is never *narrower* than the
-    * fully-local one. A 48 GiB driver gets ~60M edges; a 1 GiB driver is
-    * held to ~1.3M — small drivers no longer inherit a 16M-edge default
-    * they cannot hold. Override: spark.graft.hnsw.hybridMaxUpper{Ids,Edges}. */
-  private def hybridDefaultCaps(spark: org.apache.spark.sql.SparkSession): (Long, Long) = {
+    * 1/8 of max heap, costed at ~100 B per boxed edge and — because the id
+    * collect materializes the VECTORS, whose size is dim-dependent — at
+    * `4·dim + 64` B per id (float payload + array header + map entry), so
+    * a dim=1536 index is admitted at ~30× fewer ids than a dim=32 one
+    * rather than sharing a dim-blind "~200 B" estimate. Both caps are
+    * FLOORED at the generic LocalKernel caps (400k ids / 4M edges stock):
+    * the fully-local route already collects up to those amounts, so the
+    * hybrid is never narrower than it — which also means a sub-GiB driver
+    * is held to the floor, not to the smaller heap-derived figure; lower
+    * `spark.graft.localKernel.*` too on drivers that small. A 48 GiB
+    * driver gets ~60M edges. Override:
+    * spark.graft.hnsw.hybridMaxUpper{Ids,Edges}. */
+  private def hybridDefaultCaps(spark: org.apache.spark.sql.SparkSession,
+      dim: Int): (Long, Long) = {
     val budget = Runtime.getRuntime.maxMemory / 8
-    (math.max(graft.graphops.LocalKernel.maxVectors(spark), budget / 200),
+    (math.max(graft.graphops.LocalKernel.maxVectors(spark), budget / (4L * dim + 64L)),
       math.max(graft.graphops.LocalKernel.maxEdges(spark), budget / 100))
   }
 
@@ -277,13 +284,15 @@ object Hnsw {
       // rows, so at n = 10M (M=16) they already exceed the 400k generic
       // cap while remaining comfortably collectable — keying the route on
       // the generic cap made the better plan unreachable exactly where it
-      // matters. The DEFAULT budget is derived from the driver heap
-      // (hybridDefaultCaps: 1/8 of max heap at ~100 B/boxed edge,
-      // ~200 B/id, floored at the generic caps), so a small-driver
-      // deployment is bounded out of the box instead of inheriting a
-      // fixed 16M-edge default; explicit conf overrides both.
-      // LocalKernel.enabled stays the kill switch.
-      val (defaultIds, defaultEdges) = hybridDefaultCaps(spark)
+      // matters. The DEFAULT budget is derived from the driver heap and
+      // the vector dim (hybridDefaultCaps), floored at the generic caps;
+      // explicit conf overrides both. LocalKernel.enabled stays the kill
+      // switch. dim comes from one probe row of the query side — with no
+      // queries the search is empty-result and the route choice is moot.
+      val qProbe = q.take(1)
+      val dim = if (qProbe.isEmpty) 1
+        else qProbe(0).getAs[scala.collection.Seq[Float]]("qvec").length
+      val (defaultIds, defaultEdges) = hybridDefaultCaps(spark, dim)
       val maxUpperIds =
         spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", defaultIds.toString).toLong
       val maxUpperEdges =

@@ -21,8 +21,12 @@ import org.apache.spark.sql.streaming.Trigger
   *    mode re-emission). A bounded backfill leaves its trailing windows
   *    un-finalized (the watermark only advances on new data), so the
   *    stage step appends one SENTINEL row past the horizon — the standard
-  *    end-of-backfill flush pattern — and the sentinel's own rows are
-  *    filtered from the result.
+  *    end-of-backfill flush pattern. The horizon scales with the
+  *    caller's watermark delay (a fixed offset would silently re-open the
+  *    append-mode trap for delays past it), and the sentinel can never
+  *    surface: its own window is beyond the final watermark, and the
+  *    result is additionally bounded to windows that start at or before
+  *    the real data's last hour.
   *  - `dedupExact`: file stream → fingerprint → `dropDuplicates` →
   *    append sink. Streaming state = one entry per distinct fingerprint,
   *    i.e. exactly the shuffle footprint of the batch groupBy; at scale
@@ -39,10 +43,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamPipeline {
 
-  /** Copy every data file of a written parquet directory into `destDir`
+  /** Move every data file of a written parquet directory into `destDir`
     * under a distinct `prefix` (flat layout — the file stream source
-    * lists non-recursively by default). */
-  private def copyParts(spark: SparkSession, srcDir: String, destDir: String,
+    * lists non-recursively by default). Rename, not copy: both dirs live
+    * on the same (tmp) filesystem, so staging costs a metadata op per
+    * part instead of a second full write of the dataset. */
+  private def stageParts(spark: SparkSession, srcDir: String, destDir: String,
       prefix: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcDir)
@@ -51,9 +57,7 @@ object StreamPipeline {
     fs.mkdirs(dest)
     val parts = fs.listStatus(src).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     parts.zipWithIndex.foreach { case (s, i) =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
-        new org.apache.hadoop.fs.Path(dest, f"$prefix-$i%05d.parquet"),
-        false, conf)
+      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dest, f"$prefix-$i%05d.parquet"))
     }
   }
 
@@ -67,6 +71,23 @@ object StreamPipeline {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  /** Sink dirs must outlive the (lazy) frames returned to callers, so they
+    * are reaped at JVM exit rather than synchronously — repeated
+    * invocations in one session (Bench runs every query twice) no longer
+    * accumulate results for the host's tmp reaper to find. */
+  private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val sinkReaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    sinkDirs.forEach(d => try deleteRecursively(d) catch { case _: Throwable => () })))
+
+  /** Interval string → millis. Month-bearing intervals have no fixed
+    * length and are rejected. */
+  private def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar-month interval not supported here: $s")
+    iv.days * 86400000L + iv.microseconds / 1000
   }
 
   /** Drain `df` (a streaming frame) through an append parquet sink with
@@ -84,38 +105,54 @@ object StreamPipeline {
       .start()
     q.awaitTermination()
     deleteRecursively(ckpt)
-    // `out` must outlive the returned (lazy) frame and is left to the OS
-    // temp reaper; the staged inputs are the caller's to delete
+    sinkReaper
+    sinkDirs.add(out)
     df.sparkSession.read.parquet(out)
   }
 
-  private val SentinelType = "__graft_sentinel__"
+  /** Events read shared by both event-time pipelines: same physical-type
+    * dispatch as the batch queries (MiscQueries.normalizeEventTs — the
+    * fixture has shipped both TIMESTAMP(NANOS) and MICROS `ts`), then one
+    * cast so the staged schema, watermark, and epoch conversion all run
+    * on TimestampType under the UTC session TZ. */
+  private def readEvents(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.MiscQueries.normalizeEventTs(spark.read.parquet(eventsPath))
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Watermarked tumbling-window aggregation over the events stream:
     * (win_start epoch-seconds, event_type, n_events, sum_value) per
     * 1-hour window, append mode, sentinel-flushed. Row-equal to the batch
-    * `GROUP BY date_trunc('hour', ts), event_type`. */
+    * `GROUP BY date_trunc('hour', ts), event_type` — including NULL
+    * event_type groups, which the sentinel scheme must not (and does
+    * not) swallow: the sentinel is excluded by its out-of-range window,
+    * never by an event_type comparison. */
   def windowAgg(spark: SparkSession, eventsPath: String,
       delay: String = "30 minutes"): DataFrame = {
-    // the driver's parquet carries a no-timezone timestamp (reads as
-    // TIMESTAMP_NTZ); cast once here so the staged schema, watermark, and
-    // epoch conversion all run on TimestampType under the UTC session TZ
-    val batch = spark.read.parquet(eventsPath)
-      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    import spark.implicits._
+    val batch = readEvents(spark, eventsPath)
+      .select(col("ts"), col("event_type"), col("value"))
+    val maxRow = batch.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, String, Long, Double)]
+        .toDF("win_start", "event_type", "n_events", "sum_value")
+    val maxTs = maxRow.getTimestamp(0)
     val stage = tempDir("winagg_stage")
     val dataTmp = tempDir("winagg_data")
     batch.write.mode("overwrite").parquet(dataTmp)
-    copyParts(spark, dataTmp, stage, "a-data")
-    // sentinel 2h past the max event time: watermark = maxTs + 2h − delay
-    // clears every real window end (≤ trunc(maxTs) + 1h), so the final
-    // no-data micro-batch finalizes the full window set
-    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    stageParts(spark, dataTmp, stage, "a-data")
+    // sentinel delay+2h past the max event time: the final watermark is
+    // sentTs − delay = maxTs + 2h, clearing every real window end
+    // (≤ trunc(maxTs) + 1h) for ANY caller-supplied delay; the sentinel's
+    // own window ends past that watermark, so append mode never emits it
+    val delayMs = intervalMs(delay)
     val sentTmp = tempDir("winagg_sent")
-    import spark.implicits._
-    Seq((new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000), SentinelType, 0.0))
+    Seq((new java.sql.Timestamp(maxTs.getTime + delayMs + 2L * 3600 * 1000),
+        null.asInstanceOf[String], 0.0))
       .toDF("ts", "event_type", "value")
       .coalesce(1).write.mode("overwrite").parquet(sentTmp)
-    copyParts(spark, sentTmp, stage, "z-sentinel")
+    stageParts(spark, sentTmp, stage, "z-sentinel")
 
     val in = spark.readStream.schema(batch.schema).parquet(stage)
     val agg = in
@@ -124,7 +161,9 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-    val res = drain(agg, "winagg").filter(col("event_type") =!= SentinelType)
+    // belt and braces: real windows start at or before maxTs's hour
+    val lastRealWinStart = maxTs.getTime / 3600000L * 3600L
+    val res = drain(agg, "winagg").filter(col("win_start") <= lastRealWinStart)
     Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
     res
   }
@@ -142,6 +181,9 @@ object StreamPipeline {
     * sessions emit immediately (append-mode final), and the LAST session
     * of each user emits on timeout once the watermark passes its gap —
     * driven past end-of-input by the same sentinel flush as [[windowAgg]].
+    * The sentinel travels under a dedicated marker column (never a magic
+    * id — every long, negative ids included, is a legal user_id) and is
+    * dropped inside the fold, so no output filter touches real rows.
     * Output: (user_id, session_idx (1-based), session_start/end in epoch
     * micros, n_events); row-equal to the batch lag/cumsum window SQL.
     *
@@ -153,36 +195,44 @@ object StreamPipeline {
     * drain stages a single data file so the backfill is one batch. */
   def sessionize(spark: SparkSession, eventsPath: String,
       gap: String = "30 minutes", delay: String = "30 minutes"): DataFrame = {
-    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-      .microseconds
-    val batch = spark.read.parquet(eventsPath)
-      .select(col("ts").cast("timestamp").as("ts"), col("user_id").cast("long").as("user_id"))
+    import spark.implicits._
+    val gapMs = intervalMs(gap)
+    val gapMicros = gapMs * 1000
+    val batch = readEvents(spark, eventsPath)
+      .select(col("ts"), col("user_id").cast("long").as("user_id"),
+        lit(false).as("sentinel"))
+    val maxRow = batch.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("user_id", "session_idx", "session_start", "session_end", "n_events")
+    val maxTs = maxRow.getTimestamp(0)
     val stage = tempDir("sess_stage")
     val dataTmp = tempDir("sess_data")
     batch.coalesce(1).write.mode("overwrite").parquet(dataTmp)
-    copyParts(spark, dataTmp, stage, "a-data")
-    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    stageParts(spark, dataTmp, stage, "a-data")
     val sentTmp = tempDir("sess_sent")
-    import spark.implicits._
-    // sentinel far enough out that watermark = sentTs − delay clears every
-    // real session's timeout (≤ maxTs + gap)
-    Seq((new java.sql.Timestamp(maxTs.getTime + gapMicros / 1000 + 7200 * 1000L), -1L))
-      .toDF("ts", "user_id").coalesce(1).write.mode("overwrite").parquet(sentTmp)
-    copyParts(spark, sentTmp, stage, "z-sentinel")
+    // sentinel gap+delay+1h out: final watermark = sentTs − delay =
+    // maxTs + gap + 1h, past every real session's timeout (≤ maxTs + gap)
+    // for ANY caller-supplied gap/delay combination
+    Seq((new java.sql.Timestamp(maxTs.getTime + gapMs + intervalMs(delay) + 3600 * 1000L),
+        0L, true))
+      .toDF("ts", "user_id", "sentinel")
+      .coalesce(1).write.mode("overwrite").parquet(sentTmp)
+    stageParts(spark, sentTmp, stage, "z-sentinel")
 
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // the watermarked `ts` column must flow INTO the stateful operator
     // (projecting it away strips the event-time tag and fails analysis),
-    // so rows carry (user_id, ts, micros) and the logic reads the micros
-    def fold(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+    // so rows carry (user_id, ts, micros, sentinel) and the logic reads
+    // the micros of non-sentinel rows
+    def fold(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Boolean)],
         state: GroupState[OpenSession]): Iterator[SessionRow] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
         Iterator.single(SessionRow(user, s.idx, s.start, s.last, s.n))
       } else {
-        val evs = rows.map(_._3).toArray.sorted
+        val evs = rows.collect { case (_, _, micros, false) => micros }.toArray.sorted
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
         var cur = state.getOption.orNull
         evs.foreach { t =>
@@ -194,7 +244,7 @@ object StreamPipeline {
         }
         if (cur != null) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.last / 1000 + gapMicros / 1000 + 1)
+          state.setTimeoutTimestamp(cur.last / 1000 + gapMs + 1)
         }
         out.iterator
       }
@@ -203,12 +253,13 @@ object StreamPipeline {
     val in = spark.readStream.schema(batch.schema).parquet(stage)
     val sessions = in
       .withWatermark("ts", delay)
-      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("micros"))
-      .as[(Long, java.sql.Timestamp, Long)]
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("micros"),
+        col("sentinel"))
+      .as[(Long, java.sql.Timestamp, Long, Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
       .toDF()
-    val res = drain(sessions, "sess").filter(col("user_id") >= 0)
+    val res = drain(sessions, "sess")
     Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
     res
   }
@@ -225,7 +276,7 @@ object StreamPipeline {
     val stage = tempDir("dedup_stage")
     val dataTmp = tempDir("dedup_data")
     corpus.write.mode("overwrite").parquet(dataTmp)
-    copyParts(spark, dataTmp, stage, "a-data")
+    stageParts(spark, dataTmp, stage, "a-data")
 
     val in = spark.readStream.schema(corpus.schema).parquet(stage)
     val deduped = in

@@ -47,7 +47,7 @@ class SqlFunctionsSuite extends SparkFunSuite {
     val plan = spark.sql(
       "SELECT l1_distance(embedding, embedding) FROM sqlfn_emb").queryExecution
       .analyzed.expressions.map(_.toString).mkString
-    assert(plan.contains("vectordistance") || plan.toLowerCase.contains("vectordistance"),
+    assert(plan.toLowerCase.contains("vectordistance"),
       s"expected VectorDistance in $plan")
   }
 

@@ -9,7 +9,7 @@ import graft.stream.StreamPipeline
   * sentinel flush finalizes (the append-mode trap this suite pins). */
 class StreamPipelineSuite extends SparkFunSuite {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = SparkTestBase.sf0001
 
   test("windowAgg == batch group-by, including the final (sentinel-flushed) windows") {
     val got = StreamPipeline.windowAgg(spark, s"$dir/events.parquet")
@@ -24,8 +24,59 @@ class StreamPipelineSuite extends SparkFunSuite {
     val lastWin = want.agg(max(col("win_start"))).head().getLong(0)
     assert(got.filter(col("win_start") === lastWin).count() > 0,
       "trailing windows missing: the sentinel flush regressed")
-    assert(got.filter(col("event_type").startsWith("__")).isEmpty,
+    assert(got.filter(col("win_start") > lastWin).isEmpty,
       "sentinel rows must not leak into the result")
+  }
+
+  test("windowAgg with a non-default delay still flushes the trailing windows") {
+    // the sentinel horizon must scale with the watermark delay — a fixed
+    // offset silently drops the final windows once delay reaches it
+    val got = StreamPipeline.windowAgg(spark, s"$dir/events.parquet", delay = "3 hours")
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    assert(got.count() == want.count(), "append mode must emit EVERY window")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("negative user ids and null event types are data, not sentinels") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_suite").toString
+    val path = s"$tmp/events.parquet"
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    Seq(
+      (ts(0), -5L, null.asInstanceOf[String], 1.0),
+      (ts(1), -5L, "click", 2.0),
+      (ts(90), -5L, null.asInstanceOf[String], 3.0), // second session, gap > 30m
+      (ts(2), 7L, "view", 4.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(path)
+
+    val sess = StreamPipeline.sessionize(spark, path)
+    // user −5: two sessions (gap 89m > 30m); user 7: one
+    assert(sess.count() == 3, s"expected 3 sessions, got ${sess.collect().mkString(";")}")
+    assert(sess.filter(col("user_id") === -5L).count() == 2,
+      "negative user ids must survive the sentinel flush")
+    assert(sess.agg(sum(col("n_events"))).head().getLong(0) == 4)
+
+    val agg = StreamPipeline.windowAgg(spark, path)
+    // null event_type forms its own group per window, like the batch GROUP BY
+    assert(agg.filter(col("event_type").isNull).count() == 2,
+      "null event_type groups must not be filtered with the sentinel")
+    assert(agg.agg(sum(col("n_events"))).head().getLong(0) == 4)
+    StreamPipeline.windowAgg(spark, path) // idempotent re-run on the same path
+  }
+
+  test("empty events input yields an empty frame, not an NPE") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_suite_empty").toString
+    val path = s"$tmp/events.parquet"
+    Seq.empty[(java.sql.Timestamp, Long, String, Double)]
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(path)
+    assert(StreamPipeline.windowAgg(spark, path).count() == 0)
+    assert(StreamPipeline.sessionize(spark, path).count() == 0)
   }
 
   test("sessionize == batch lag/cumsum sessions, including timeout-emitted finals") {

@@ -36,6 +36,14 @@ import org.apache.spark.sql.streaming.Trigger
   *    variant is the gated one; only the DISTINCT KEY SET is emitted —
   *    first-seen payload columns would be arrival-order-dependent).
   *
+  * Both event-time pipelines also run an INCREMENTAL backfill mode
+  * (`batches > 1`): the input is staged as time-range files ingested one
+  * per micro-batch (`maxFilesPerTrigger=1`), so the watermark advances —
+  * and state evicts — progressively across batches rather than in one
+  * end-of-input flush. That is the regime a production backfill actually
+  * runs in, and the gated incremental query pins that cross-batch state
+  * carry + mid-stream timeout emission stay row-equal to the batch SQL.
+  *
   * At 100 TB the file source's directory listing is the practical
   * bottleneck — production feeds this from a notification-based source,
   * and `maxFilesPerTrigger` back-pressures the backfill; neither changes
@@ -47,17 +55,25 @@ object StreamPipeline {
     * under a distinct `prefix` (flat layout — the file stream source
     * lists non-recursively by default). Rename, not copy: both dirs live
     * on the same (tmp) filesystem, so staging costs a metadata op per
-    * part instead of a second full write of the dataset. */
+    * part instead of a second full write of the dataset. Files get
+    * explicit, strictly-increasing mtimes from `mtimeBase` (in part-name
+    * order — for range-staged data that is time-range order): the file
+    * source orders its backlog by modification time, and a whole staging
+    * job can otherwise land inside one clock tick, making multi-batch
+    * ingest order nondeterministic. */
   private def stageParts(spark: SparkSession, srcDir: String, destDir: String,
-      prefix: String): Unit = {
+      prefix: String, mtimeBase: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val dest = new org.apache.hadoop.fs.Path(destDir)
     val fs = src.getFileSystem(conf)
     fs.mkdirs(dest)
     val parts = fs.listStatus(src).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (s, i) =>
-      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dest, f"$prefix-$i%05d.parquet"))
+      val dst = new org.apache.hadoop.fs.Path(dest, f"$prefix-$i%05d.parquet")
+      fs.rename(s.getPath, dst)
+      fs.setTimes(dst, mtimeBase + i * 1000L, -1)
     }
   }
 
@@ -90,6 +106,13 @@ object StreamPipeline {
     iv.days * 86400000L + iv.microseconds / 1000
   }
 
+  /** Micro-batch count of the most recent [[drain]] ON THIS THREAD —
+    * test/smoke diagnostic so incremental (`batches > 1`) runs can assert
+    * the backfill genuinely spanned several micro-batches instead of
+    * passing vacuously through one. */
+  def lastDrainBatches: Option[Long] = Option(lastDrainBatchesTl.get())
+  private val lastDrainBatchesTl = new ThreadLocal[Long]
+
   /** Drain `df` (a streaming frame) through an append parquet sink with
     * Trigger.AvailableNow and return the written rows as a batch frame.
     * The checkpoint is transient by design — each invocation is a fresh
@@ -104,6 +127,7 @@ object StreamPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastDrainBatchesTl.set(Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L))
     deleteRecursively(ckpt)
     sinkReaper
     sinkDirs.add(out)
@@ -129,7 +153,7 @@ object StreamPipeline {
     * not) swallow: the sentinel is excluded by its out-of-range window,
     * never by an event_type comparison. */
   def windowAgg(spark: SparkSession, eventsPath: String,
-      delay: String = "30 minutes"): DataFrame = {
+      delay: String = "30 minutes", batches: Int = 1): DataFrame = {
     import spark.implicits._
     val batch = readEvents(spark, eventsPath)
       .select(col("ts"), col("event_type"), col("value"))
@@ -140,8 +164,14 @@ object StreamPipeline {
     val maxTs = maxRow.getTimestamp(0)
     val stage = tempDir("winagg_stage")
     val dataTmp = tempDir("winagg_data")
-    batch.write.mode("overwrite").parquet(dataTmp)
-    stageParts(spark, dataTmp, stage, "a-data")
+    // batches > 1 = incremental backfill: stage the data as `batches`
+    // time-RANGE files and ingest one per micro-batch, so the watermark
+    // advances (and windows finalize) progressively across batches — the
+    // production shape — instead of in one end-of-input flush
+    val staged = if (batches > 1) batch.repartitionByRange(batches, col("ts")) else batch
+    staged.write.mode("overwrite").parquet(dataTmp)
+    val t0 = System.currentTimeMillis()
+    stageParts(spark, dataTmp, stage, "a-data", t0 - 3600L * 1000)
     // sentinel delay+2h past the max event time: the final watermark is
     // sentTs − delay = maxTs + 2h, clearing every real window end
     // (≤ trunc(maxTs) + 1h) for ANY caller-supplied delay; the sentinel's
@@ -152,9 +182,11 @@ object StreamPipeline {
         null.asInstanceOf[String], 0.0))
       .toDF("ts", "event_type", "value")
       .coalesce(1).write.mode("overwrite").parquet(sentTmp)
-    stageParts(spark, sentTmp, stage, "z-sentinel")
+    stageParts(spark, sentTmp, stage, "z-sentinel", t0)
 
-    val in = spark.readStream.schema(batch.schema).parquet(stage)
+    val reader = spark.readStream.schema(batch.schema)
+    if (batches > 1) reader.option("maxFilesPerTrigger", "1")
+    val in = reader.parquet(stage)
     val agg = in
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -187,14 +219,17 @@ object StreamPipeline {
     * Output: (user_id, session_idx (1-based), session_start/end in epoch
     * micros, n_events); row-equal to the batch lag/cumsum window SQL.
     *
-    * Scale + ordering contract: state is O(users), evicted by timeout;
+    * Scale + ordering contract: state is O(users) — open sessions plus a
+    * closed-counter marker per seen user that keeps lifetime session_idx
+    * numbering exact across mid-backfill timeouts (see `fold`);
     * events must arrive event-time-ordered ACROSS micro-batches per user
     * (in-batch order is sorted here; cross-batch reordering is exactly
     * what the watermark bounds — a production feed relies on
     * within-watermark ordering or reorders in a pre-stage). The bounded
     * drain stages a single data file so the backfill is one batch. */
   def sessionize(spark: SparkSession, eventsPath: String,
-      gap: String = "30 minutes", delay: String = "30 minutes"): DataFrame = {
+      gap: String = "30 minutes", delay: String = "30 minutes",
+      batches: Int = 1): DataFrame = {
     import spark.implicits._
     val gapMs = intervalMs(gap)
     val gapMicros = gapMs * 1000
@@ -208,8 +243,20 @@ object StreamPipeline {
     val maxTs = maxRow.getTimestamp(0)
     val stage = tempDir("sess_stage")
     val dataTmp = tempDir("sess_data")
-    batch.coalesce(1).write.mode("overwrite").parquet(dataTmp)
-    stageParts(spark, dataTmp, stage, "a-data")
+    // incremental backfill (batches > 1): time-RANGE staged files, one
+    // per micro-batch. Range staging preserves the cross-batch event-time
+    // ordering contract (batch i+1's events all follow batch i's), open
+    // sessions carry in state across batches, and sessions whose gap the
+    // advancing watermark has passed emit by TIMEOUT mid-backfill — the
+    // regime the single-file drain can't reach. Exactness holds because a
+    // timed-out session can never be extended by a later range: the next
+    // event is ≥ the range boundary > watermark > last + gap.
+    val staged =
+      if (batches > 1) batch.repartitionByRange(batches, col("ts"))
+      else batch.coalesce(1)
+    staged.write.mode("overwrite").parquet(dataTmp)
+    val t0 = System.currentTimeMillis()
+    stageParts(spark, dataTmp, stage, "a-data", t0 - 3600L * 1000)
     val sentTmp = tempDir("sess_sent")
     // sentinel gap+delay+1h out: final watermark = sentTs − delay =
     // maxTs + gap + 1h, past every real session's timeout (≤ maxTs + gap)
@@ -218,39 +265,62 @@ object StreamPipeline {
         0L, true))
       .toDF("ts", "user_id", "sentinel")
       .coalesce(1).write.mode("overwrite").parquet(sentTmp)
-    stageParts(spark, sentTmp, stage, "z-sentinel")
+    stageParts(spark, sentTmp, stage, "z-sentinel", t0)
 
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // the watermarked `ts` column must flow INTO the stateful operator
     // (projecting it away strips the event-time tag and fails analysis),
     // so rows carry (user_id, ts, micros, sentinel) and the logic reads
     // the micros of non-sentinel rows
+    // State encoding: n > 0 = one OPEN session; n == 0 = CLOSED marker
+    // carrying only the per-user session counter (idx of the last emitted
+    // session). The marker is what keeps session_idx exact across a
+    // mid-backfill timeout — emit-and-remove would restart a reappearing
+    // user at idx 1. It makes state O(users ever seen), which is what the
+    // batch semantics (lifetime per-user numbering) inherently cost; a
+    // production pipeline that keys output by (user, session_start)
+    // instead can drop the marker and keep state O(active users).
     def fold(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Boolean)],
         state: GroupState[OpenSession]): Iterator[SessionRow] = {
       if (state.hasTimedOut) {
         val s = state.get
-        state.remove()
+        state.update(s.copy(n = 0))
         Iterator.single(SessionRow(user, s.idx, s.start, s.last, s.n))
       } else {
+        // every invocation CLEARS a previously-armed timeout (GroupState
+        // contract), so an open session's timeout must be re-armed each
+        // time the key is touched — including a sentinel-only touch, or
+        // the user's final session is silently never emitted. Clamp past
+        // the current watermark: a timeout whose gap the watermark
+        // already passed re-arms at watermark+1 and fires in the next
+        // (no-data) batch instead of throwing on a stale timestamp.
+        def arm(last: Long): Unit = state.setTimeoutTimestamp(
+          math.max(last / 1000 + gapMs + 1, state.getCurrentWatermarkMs() + 1))
         val evs = rows.collect { case (_, _, micros, false) => micros }.toArray.sorted
-        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-        var cur = state.getOption.orNull
-        evs.foreach { t =>
-          if (cur == null) cur = OpenSession(t, t, 1, 1)
-          else if (t - cur.last > gapMicros) {
-            out += SessionRow(user, cur.idx, cur.start, cur.last, cur.n)
-            cur = OpenSession(t, t, 1, cur.idx + 1)
-          } else cur = OpenSession(cur.start, t, cur.n + 1, cur.idx)
-        }
-        if (cur != null) {
+        if (evs.isEmpty) {
+          state.getOption.foreach(s => if (s.n > 0) arm(s.last))
+          Iterator.empty
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          var cur = state.getOption.orNull
+          evs.foreach { t =>
+            if (cur == null) cur = OpenSession(t, t, 1, 1)
+            else if (cur.n == 0) cur = OpenSession(t, t, 1, cur.idx + 1)
+            else if (t - cur.last > gapMicros) {
+              out += SessionRow(user, cur.idx, cur.start, cur.last, cur.n)
+              cur = OpenSession(t, t, 1, cur.idx + 1)
+            } else cur = OpenSession(cur.start, t, cur.n + 1, cur.idx)
+          }
           state.update(cur)
-          state.setTimeoutTimestamp(cur.last / 1000 + gapMs + 1)
+          arm(cur.last)
+          out.iterator
         }
-        out.iterator
       }
     }
 
-    val in = spark.readStream.schema(batch.schema).parquet(stage)
+    val reader = spark.readStream.schema(batch.schema)
+    if (batches > 1) reader.option("maxFilesPerTrigger", "1")
+    val in = reader.parquet(stage)
     val sessions = in
       .withWatermark("ts", delay)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("micros"),
@@ -276,7 +346,7 @@ object StreamPipeline {
     val stage = tempDir("dedup_stage")
     val dataTmp = tempDir("dedup_data")
     corpus.write.mode("overwrite").parquet(dataTmp)
-    stageParts(spark, dataTmp, stage, "a-data")
+    stageParts(spark, dataTmp, stage, "a-data", System.currentTimeMillis() - 3600L * 1000)
 
     val in = spark.readStream.schema(corpus.schema).parquet(stage)
     val deduped = in

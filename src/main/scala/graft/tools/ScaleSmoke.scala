@@ -482,6 +482,12 @@ object ScaleSmoke {
         val r = graft.stream.StreamPipeline.sessionize(spark, evDir)
         println(s"  sessions: ${r.count()}")
       }
+      time(s"streaming_sessionize_incremental_8batches") {
+        val r = graft.stream.StreamPipeline.sessionize(spark, evDir, batches = 8)
+        val nb = graft.stream.StreamPipeline.lastDrainBatches.getOrElse(-1L)
+        require(nb >= 9, s"incremental drain collapsed to $nb micro-batches")
+        println(s"  sessions: ${r.count()} micro-batches: $nb")
+      }
     }
 
     phase("multimodal") {

@@ -102,6 +102,51 @@ class StreamPipelineSuite extends SparkFunSuite {
     assert(got.agg(sum(col("n_events"))).head().getLong(0) == evTotal)
   }
 
+  test("incremental backfill (multi-batch) matches the single-flush results") {
+    // time-range staging + maxFilesPerTrigger=1: the watermark advances
+    // per micro-batch, state carries open sessions across batches, and
+    // finals emit by mid-stream timeout — results must be identical to
+    // both the one-batch drain and the batch SQL
+    val sessOne = StreamPipeline.sessionize(spark, s"$dir/events.parquet")
+    val sessInc = StreamPipeline.sessionize(spark, s"$dir/events.parquet", batches = 4)
+    val nBatches = StreamPipeline.lastDrainBatches.getOrElse(0L)
+    assert(nBatches >= 5, s"expected >=5 micro-batches (4 ranges + sentinel), saw $nBatches")
+    assert(sessInc.count() == sessOne.count())
+    assert(sessInc.except(sessOne).isEmpty && sessOne.except(sessInc).isEmpty)
+
+    val aggOne = StreamPipeline.windowAgg(spark, s"$dir/events.parquet")
+    val aggInc = StreamPipeline.windowAgg(spark, s"$dir/events.parquet", batches = 4)
+    assert(StreamPipeline.lastDrainBatches.exists(_ >= 5))
+    assert(aggInc.count() == aggOne.count())
+    assert(aggInc.except(aggOne).isEmpty && aggOne.except(aggInc).isEmpty)
+  }
+
+  test("mid-backfill timeout keeps the per-user session counter (sparse user)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sparse").toString
+    val path = s"$tmp/events.parquet"
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1 is absent from the middle of the backfill: their first session
+    // times out mid-stream (watermark passes m0+gap while they have no
+    // data), then they reappear — session_idx must continue at 2, which
+    // requires the closed-counter state marker, not emit-and-remove
+    Seq(
+      (ts(0), 1L, "e", 1.0), (ts(300), 1L, "e", 1.0),
+      (ts(0), 2L, "e", 1.0), (ts(100), 2L, "e", 1.0),
+      (ts(200), 2L, "e", 1.0), (ts(300), 2L, "e", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(path)
+    val one = StreamPipeline.sessionize(spark, path)
+    val inc = StreamPipeline.sessionize(spark, path, batches = 4)
+    assert(inc.count() == one.count())
+    assert(inc.except(one).isEmpty && one.except(inc).isEmpty)
+    val a = inc.filter(col("user_id") === 1L).select("session_idx")
+      .as[Long].collect().sorted.toSeq
+    assert(a == Seq(1L, 2L),
+      s"sparse user's counter must survive the mid-stream timeout: $a")
+    assert(inc.filter(col("user_id") === 2L).count() == 4)
+  }
+
   test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {
     val got = StreamPipeline.dedupExact(spark, s"$dir/documents.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

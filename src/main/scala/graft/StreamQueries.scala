@@ -22,6 +22,12 @@ object StreamQueries {
     // by mid-stream timeout — gated against the same batch SQL
     "streaming_sessionize_incremental" -> ((s, dir) =>
       StreamPipeline.sessionize(s, s"$dir/events.parquet", batches = 4)),
+    // BOUNDED-state dedup: dropDuplicatesWithinWatermark over the doubled
+    // events stream, 4 time-range micro-batches so the watermark horizon
+    // genuinely evicts state mid-backfill; exact-equal to DISTINCT because
+    // duplicate pairs share one event time (co-resident in state)
+    "streaming_dedup_within_watermark" -> ((s, dir) =>
+      StreamPipeline.dedupWithinWatermark(s, s"$dir/events.parquet", batches = 4)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -29,6 +35,8 @@ object StreamQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "streaming_dedup_within_watermark" ->
+      "SELECT DISTINCT user_id, epoch_us(ts) AS micros, event_type FROM events",
     "streaming_dedup_exact" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)

@@ -29,12 +29,15 @@ import org.apache.spark.sql.streaming.Trigger
   *    the real data's last hour.
   *  - `dedupExact`: file stream → fingerprint → `dropDuplicates` →
   *    append sink. Streaming state = one entry per distinct fingerprint,
-  *    i.e. exactly the shuffle footprint of the batch groupBy; at scale
-  *    the state store is RocksDB and the horizon is bounded with
-  *    `dropDuplicatesWithinWatermark` over the ingest timestamp (the
-  *    test tables carry no event time on documents, so the unbounded
-  *    variant is the gated one; only the DISTINCT KEY SET is emitted —
-  *    first-seen payload columns would be arrival-order-dependent).
+  *    i.e. exactly the shuffle footprint of the batch groupBy (the
+  *    documents table carries no event time, so this variant is
+  *    unbounded; only the DISTINCT KEY SET is emitted — first-seen
+  *    payload columns would be arrival-order-dependent).
+  *  - `dedupWithinWatermark`: the BOUNDED-state variant over the events
+  *    stream — `dropDuplicatesWithinWatermark` evicts keys older than
+  *    the watermark horizon, so state is O(keys per horizon), not
+  *    O(all keys ever); separately gated, with eviction asserted via
+  *    [[lastDrainStateRows]]. At scale the state store is RocksDB.
   *
   * Both event-time pipelines also run an INCREMENTAL backfill mode
   * (`batches > 1`): the input is staged as time-range files ingested one
@@ -113,6 +116,14 @@ object StreamPipeline {
   def lastDrainBatches: Option[Long] = Option(lastDrainBatchesTl.get())
   private val lastDrainBatchesTl = new ThreadLocal[Long]
 
+  /** Total state rows at the final micro-batch of the most recent
+    * [[drain]] ON THIS THREAD — lets tests/smokes assert that a
+    * watermark-bounded operator's state was actually EVICTED (≪ keys
+    * seen) rather than accumulating the whole input. −1 if the query
+    * reported no state operators. */
+  def lastDrainStateRows: Option[Long] = Option(lastDrainStateRowsTl.get())
+  private val lastDrainStateRowsTl = new ThreadLocal[Long]
+
   /** Drain `df` (a streaming frame) through an append parquet sink with
     * Trigger.AvailableNow and return the written rows as a batch frame.
     * The checkpoint is transient by design — each invocation is a fresh
@@ -128,6 +139,9 @@ object StreamPipeline {
       .start()
     q.awaitTermination()
     lastDrainBatchesTl.set(Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L))
+    lastDrainStateRowsTl.set(Option(q.lastProgress)
+      .map(p => if (p.stateOperators.isEmpty) -1L else p.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(-1L))
     deleteRecursively(ckpt)
     sinkReaper
     sinkDirs.add(out)
@@ -331,6 +345,46 @@ object StreamPipeline {
       .toDF()
     val res = drain(sessions, "sess")
     Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
+    res
+  }
+
+  /** Streaming dedup with a BOUNDED state horizon — the 100 TB shape the
+    * unbounded [[dedupExact]] documents: `dropDuplicatesWithinWatermark`
+    * over the (doubled) events stream, keyed on
+    * (user_id, micros, event_type). State holds only keys younger than
+    * the watermark horizon and EVICTS the rest as the backfill advances —
+    * [[lastDrainStateRows]] exposes the final state size so callers can
+    * assert eviction actually happened. Exact-equal to global DISTINCT
+    * here because every duplicate pair shares one event time (same
+    * micro-batch under time-range staging, co-resident in state); a feed
+    * whose duplicates straddle the horizon would re-emit — that is the
+    * documented API contract, not an implementation gap. No sentinel
+    * needed: first-seen rows emit immediately (the watermark only drives
+    * eviction). */
+  def dedupWithinWatermark(spark: SparkSession, eventsPath: String,
+      delay: String = "30 minutes", batches: Int = 1): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, eventsPath)
+      .select(col("ts"), col("user_id").cast("long").as("user_id"), col("event_type"))
+    val corpus = ev.unionByName(ev)
+    if (corpus.isEmpty)
+      return Seq.empty[(Long, Long, String)].toDF("user_id", "micros", "event_type")
+    val stage = tempDir("dedupwm_stage")
+    val dataTmp = tempDir("dedupwm_data")
+    val staged = if (batches > 1) corpus.repartitionByRange(batches, col("ts")) else corpus
+    staged.write.mode("overwrite").parquet(dataTmp)
+    stageParts(spark, dataTmp, stage, "a-data", System.currentTimeMillis() - 3600L * 1000)
+
+    val reader = spark.readStream.schema(corpus.schema)
+    if (batches > 1) reader.option("maxFilesPerTrigger", "1")
+    val in = reader.parquet(stage)
+    val deduped = in
+      .withWatermark("ts", delay)
+      .withColumn("micros", unix_micros(col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "micros", "event_type")
+      .select(col("user_id"), col("micros"), col("event_type"))
+    val res = drain(deduped, "dedupwm")
+    Seq(stage, dataTmp).foreach(deleteRecursively)
     res
   }
 

@@ -147,6 +147,24 @@ class StreamPipelineSuite extends SparkFunSuite {
     assert(inc.filter(col("user_id") === 2L).count() == 4)
   }
 
+  test("dedupWithinWatermark: bounded state dedups the doubled stream exactly") {
+    val got = StreamPipeline.dedupWithinWatermark(spark, s"$dir/events.parquet", batches = 4)
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("micros"), col("event_type"))
+      .distinct()
+    val wantN = want.count()
+    assert(got.count() == wantN)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the point of the watermark horizon: final state must be EVICTED to
+    // (well) below the distinct-key count, not accumulate all of it
+    val stateRows = StreamPipeline.lastDrainStateRows.getOrElse(-1L)
+    assert(stateRows >= 0, "no state operator reported")
+    assert(stateRows < wantN / 2,
+      s"state not evicted: $stateRows rows held of $wantN keys")
+    assert(StreamPipeline.lastDrainBatches.exists(_ >= 4))
+  }
+
   test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {
     val got = StreamPipeline.dedupExact(spark, s"$dir/documents.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

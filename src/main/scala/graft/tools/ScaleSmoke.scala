@@ -536,6 +536,16 @@ object ScaleSmoke {
       require(nExchanges > 0, "audit walked zero exchanges — vacuous check")
       require(offenders.isEmpty, s"payload bytes crossed an exchange: $offenders")
       println(s"SCALE   payload-exchange audit: 0 of $nExchanges exchanges carry payload bytes")
+      // warm pass on a FRESH identical QueryExecution (same two-pass
+      // discipline as the flagship brute): the cold number above pays
+      // whatever the C2 compile queue holds when the phase starts — in a
+      // full sweep that backlog made the r9 cold read 66 s while the
+      // steady-state kernel is ~6.5 s — so the warm pass is the number
+      // that tracks the actual plan cost across rounds
+      val knnWarm = graft.ops.BruteForceKnn.knnJoin(
+        embedded.select(col("media_id").as("id"), col("vec")), mq, 10,
+        Metric.L2, "id", "vec")
+      time("media_embed_knn_200q_warm")(knnWarm.queryExecution.toRdd.count())
       media.unpersist()
     }
 

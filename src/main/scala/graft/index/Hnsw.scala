@@ -289,14 +289,18 @@ object Hnsw {
       // explicit conf overrides both. LocalKernel.enabled stays the kill
       // switch. dim comes from one probe row of the query side — with no
       // queries the search is empty-result and the route choice is moot.
-      val qProbe = q.take(1)
-      val dim = if (qProbe.isEmpty) 1
-        else qProbe(0).getAs[scala.collection.Seq[Float]]("qvec").length
-      val (defaultIds, defaultEdges) = hybridDefaultCaps(spark, dim)
-      val maxUpperIds =
-        spark.conf.get("spark.graft.hnsw.hybridMaxUpperIds", defaultIds.toString).toLong
-      val maxUpperEdges =
-        spark.conf.get("spark.graft.hnsw.hybridMaxUpperEdges", defaultEdges.toString).toLong
+      // The probe is a Spark job, so it only runs when a heap-derived
+      // default is actually needed: explicitly-configured searches skip it.
+      val confIds = spark.conf.getOption("spark.graft.hnsw.hybridMaxUpperIds").map(_.toLong)
+      val confEdges = spark.conf.getOption("spark.graft.hnsw.hybridMaxUpperEdges").map(_.toLong)
+      lazy val heapCaps: (Long, Long) = {
+        val qProbe = q.take(1)
+        val dim = if (qProbe.isEmpty) 1
+          else qProbe(0).getAs[scala.collection.Seq[Float]]("qvec").length
+        hybridDefaultCaps(spark, dim)
+      }
+      val maxUpperIds = confIds.getOrElse(heapCaps._1)
+      val maxUpperEdges = confEdges.getOrElse(heapCaps._2)
       if (graft.graphops.LocalKernel.within(upperIds, maxUpperIds) &&
           graft.graphops.LocalKernel.within(upperEdges, maxUpperEdges)) {
         markRoute(spark, "hybrid")

@@ -37,7 +37,12 @@ import org.apache.spark.sql.streaming.Trigger
   *    stream — `dropDuplicatesWithinWatermark` evicts keys older than
   *    the watermark horizon, so state is O(keys per horizon), not
   *    O(all keys ever); separately gated, with eviction asserted via
-  *    [[lastDrainStateRows]]. At scale the state store is RocksDB.
+  *    [[lastDrainStateRows]]. At scale the state store is RocksDB —
+  *    exercised, not just claimed: StreamPipelineSuite's RocksDB case
+  *    runs both the sessionize timeout path and this eviction path on
+  *    `RocksDBStateStoreProvider` (backend engagement asserted via the
+  *    rocksdb* state metrics) and pins row equality with the default
+  *    store; the 20M streaming smoke has a RocksDB leg.
   *
   * Both event-time pipelines also run an INCREMENTAL backfill mode
   * (`batches > 1`): the input is staged as time-range files ingested one
@@ -63,9 +68,13 @@ object StreamPipeline {
     * order — for range-staged data that is time-range order): the file
     * source orders its backlog by modification time, and a whole staging
     * job can otherwise land inside one clock tick, making multi-batch
-    * ingest order nondeterministic. */
+    * ingest order nondeterministic. Returns the number of parts staged so
+    * callers can place a LATER staging (the sentinel) at
+    * `mtimeBase + (n + 1) * 1000` — the ordering invariant is derived
+    * from the actual part count, never from a fixed offset a large
+    * staging could walk past. */
   private def stageParts(spark: SparkSession, srcDir: String, destDir: String,
-      prefix: String, mtimeBase: Long): Unit = {
+      prefix: String, mtimeBase: Long): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val dest = new org.apache.hadoop.fs.Path(destDir)
@@ -78,6 +87,7 @@ object StreamPipeline {
       fs.rename(s.getPath, dst)
       fs.setTimes(dst, mtimeBase + i * 1000L, -1)
     }
+    parts.length
   }
 
   private def tempDir(tag: String): String =
@@ -112,17 +122,28 @@ object StreamPipeline {
   /** Micro-batch count of the most recent [[drain]] ON THIS THREAD —
     * test/smoke diagnostic so incremental (`batches > 1`) runs can assert
     * the backfill genuinely spanned several micro-batches instead of
-    * passing vacuously through one. */
-  def lastDrainBatches: Option[Long] = Option(lastDrainBatchesTl.get())
-  private val lastDrainBatchesTl = new ThreadLocal[Long]
+    * passing vacuously through one. None until a drain ran on this thread
+    * (boxed Long, not primitive — a primitive ThreadLocal unboxes an
+    * unset null to 0, making "never drained" look like a 0-batch drain). */
+  def lastDrainBatches: Option[Long] = Option(lastDrainBatchesTl.get()).map(_.longValue)
+  private val lastDrainBatchesTl = new ThreadLocal[java.lang.Long]
 
   /** Total state rows at the final micro-batch of the most recent
     * [[drain]] ON THIS THREAD — lets tests/smokes assert that a
     * watermark-bounded operator's state was actually EVICTED (≪ keys
     * seen) rather than accumulating the whole input. −1 if the query
-    * reported no state operators. */
-  def lastDrainStateRows: Option[Long] = Option(lastDrainStateRowsTl.get())
-  private val lastDrainStateRowsTl = new ThreadLocal[Long]
+    * reported no state operators; None if no drain ran on this thread. */
+  def lastDrainStateRows: Option[Long] = Option(lastDrainStateRowsTl.get()).map(_.longValue)
+  private val lastDrainStateRowsTl = new ThreadLocal[java.lang.Long]
+
+  /** Custom-metric key set of the state operators at the final micro-batch
+    * of the most recent [[drain]] ON THIS THREAD — lets tests assert WHICH
+    * state-store backend actually ran (RocksDB providers report
+    * `rocksdb*` metrics; the default HDFS-backed provider reports none of
+    * them). Conf-is-set alone would be a vacuous check. */
+  def lastDrainStateMetricKeys: Set[String] =
+    Option(lastDrainStateMetricsTl.get()).getOrElse(Set.empty)
+  private val lastDrainStateMetricsTl = new ThreadLocal[Set[String]]
 
   /** Drain `df` (a streaming frame) through an append parquet sink with
     * Trigger.AvailableNow and return the written rows as a batch frame.
@@ -138,10 +159,18 @@ object StreamPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    lastDrainBatchesTl.set(Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L))
-    lastDrainStateRowsTl.set(Option(q.lastProgress)
+    val nBatches: Long = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+    val stateRows: Long = Option(q.lastProgress)
       .map(p => if (p.stateOperators.isEmpty) -1L else p.stateOperators.map(_.numRowsTotal).sum)
-      .getOrElse(-1L))
+      .getOrElse(-1L)
+    lastDrainBatchesTl.set(java.lang.Long.valueOf(nBatches))
+    lastDrainStateRowsTl.set(java.lang.Long.valueOf(stateRows))
+    lastDrainStateMetricsTl.set {
+      import scala.jdk.CollectionConverters._
+      Option(q.lastProgress)
+        .map(_.stateOperators.flatMap(_.customMetrics.keySet.asScala).toSet)
+        .getOrElse(Set.empty)
+    }
     deleteRecursively(ckpt)
     sinkReaper
     sinkDirs.add(out)
@@ -171,21 +200,29 @@ object StreamPipeline {
     import spark.implicits._
     val batch = readEvents(spark, eventsPath)
       .select(col("ts"), col("event_type"), col("value"))
-    val maxRow = batch.agg(max(col("ts"))).head()
-    if (maxRow.isNullAt(0))
-      return Seq.empty[(Long, String, Long, Double)]
-        .toDF("win_start", "event_type", "n_events", "sum_value")
-    val maxTs = maxRow.getTimestamp(0)
     val stage = tempDir("winagg_stage")
     val dataTmp = tempDir("winagg_data")
     // batches > 1 = incremental backfill: stage the data as `batches`
     // time-RANGE files and ingest one per micro-batch, so the watermark
     // advances (and windows finalize) progressively across batches — the
-    // production shape — instead of in one end-of-input flush
-    val staged = if (batches > 1) batch.repartitionByRange(batches, col("ts")) else batch
+    // production shape — instead of in one end-of-input flush.
+    // The sentinel placement needs max(ts); observe() folds that into the
+    // staging write itself — ONE pass over the backfill input, not a
+    // separate full scan before it.
+    val obs = org.apache.spark.sql.Observation("winagg_maxts")
+    val observed = batch.observe(obs, max(col("ts")).as("max_ts"))
+    val staged = if (batches > 1) observed.repartitionByRange(batches, col("ts")) else observed
     staged.write.mode("overwrite").parquet(dataTmp)
+    val maxTsAny = obs.get("max_ts")
+    if (maxTsAny == null) {
+      Seq(stage, dataTmp).foreach(deleteRecursively)
+      return Seq.empty[(Long, String, Long, Double)]
+        .toDF("win_start", "event_type", "n_events", "sum_value")
+    }
+    val maxTs = maxTsAny.asInstanceOf[java.sql.Timestamp]
     val t0 = System.currentTimeMillis()
-    stageParts(spark, dataTmp, stage, "a-data", t0 - 3600L * 1000)
+    val mtimeBase = t0 - 3600L * 1000
+    val nData = stageParts(spark, dataTmp, stage, "a-data", mtimeBase)
     // sentinel delay+2h past the max event time: the final watermark is
     // sentTs − delay = maxTs + 2h, clearing every real window end
     // (≤ trunc(maxTs) + 1h) for ANY caller-supplied delay; the sentinel's
@@ -196,7 +233,7 @@ object StreamPipeline {
         null.asInstanceOf[String], 0.0))
       .toDF("ts", "event_type", "value")
       .coalesce(1).write.mode("overwrite").parquet(sentTmp)
-    stageParts(spark, sentTmp, stage, "z-sentinel", t0)
+    stageParts(spark, sentTmp, stage, "z-sentinel", mtimeBase + (nData + 1) * 1000L)
 
     val reader = spark.readStream.schema(batch.schema)
     if (batches > 1) reader.option("maxFilesPerTrigger", "1")
@@ -250,11 +287,6 @@ object StreamPipeline {
     val batch = readEvents(spark, eventsPath)
       .select(col("ts"), col("user_id").cast("long").as("user_id"),
         lit(false).as("sentinel"))
-    val maxRow = batch.agg(max(col("ts"))).head()
-    if (maxRow.isNullAt(0))
-      return Seq.empty[(Long, Long, Long, Long, Long)]
-        .toDF("user_id", "session_idx", "session_start", "session_end", "n_events")
-    val maxTs = maxRow.getTimestamp(0)
     val stage = tempDir("sess_stage")
     val dataTmp = tempDir("sess_data")
     // incremental backfill (batches > 1): time-RANGE staged files, one
@@ -265,12 +297,24 @@ object StreamPipeline {
     // regime the single-file drain can't reach. Exactness holds because a
     // timed-out session can never be extended by a later range: the next
     // event is ≥ the range boundary > watermark > last + gap.
+    // max(ts) for the sentinel rides the staging write via observe() —
+    // one pass over the backfill input, no separate scan.
+    val obs = org.apache.spark.sql.Observation("sess_maxts")
+    val observed = batch.observe(obs, max(col("ts")).as("max_ts"))
     val staged =
-      if (batches > 1) batch.repartitionByRange(batches, col("ts"))
-      else batch.coalesce(1)
+      if (batches > 1) observed.repartitionByRange(batches, col("ts"))
+      else observed.coalesce(1)
     staged.write.mode("overwrite").parquet(dataTmp)
+    val maxTsAny = obs.get("max_ts")
+    if (maxTsAny == null) {
+      Seq(stage, dataTmp).foreach(deleteRecursively)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("user_id", "session_idx", "session_start", "session_end", "n_events")
+    }
+    val maxTs = maxTsAny.asInstanceOf[java.sql.Timestamp]
     val t0 = System.currentTimeMillis()
-    stageParts(spark, dataTmp, stage, "a-data", t0 - 3600L * 1000)
+    val mtimeBase = t0 - 3600L * 1000
+    val nData = stageParts(spark, dataTmp, stage, "a-data", mtimeBase)
     val sentTmp = tempDir("sess_sent")
     // sentinel gap+delay+1h out: final watermark = sentTs − delay =
     // maxTs + gap + 1h, past every real session's timeout (≤ maxTs + gap)
@@ -279,7 +323,7 @@ object StreamPipeline {
         0L, true))
       .toDF("ts", "user_id", "sentinel")
       .coalesce(1).write.mode("overwrite").parquet(sentTmp)
-    stageParts(spark, sentTmp, stage, "z-sentinel", t0)
+    stageParts(spark, sentTmp, stage, "z-sentinel", mtimeBase + (nData + 1) * 1000L)
 
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // the watermarked `ts` column must flow INTO the stateful operator
@@ -357,8 +401,12 @@ object StreamPipeline {
     * assert eviction actually happened. Exact-equal to global DISTINCT
     * here because every duplicate pair shares one event time (same
     * micro-batch under time-range staging, co-resident in state); a feed
-    * whose duplicates straddle the horizon would re-emit — that is the
-    * documented API contract, not an implementation gap. No sentinel
+    * whose duplicates straddle the horizon re-emits when the duplicate
+    * carries a fresh event time (state evicted, key forgotten) and drops
+    * it as LATE data when it carries the original now-late event time —
+    * both sides pinned by StreamPipelineSuite's "horizon-straddle
+    * contract" test, so a Spark version bump can't silently change them.
+    * That is the documented API contract, not a gap. No sentinel
     * needed: first-seen rows emit immediately (the watermark only drives
     * eviction). */
   def dedupWithinWatermark(spark: SparkSession, eventsPath: String,
@@ -367,12 +415,17 @@ object StreamPipeline {
     val ev = readEvents(spark, eventsPath)
       .select(col("ts"), col("user_id").cast("long").as("user_id"), col("event_type"))
     val corpus = ev.unionByName(ev)
-    if (corpus.isEmpty)
-      return Seq.empty[(Long, Long, String)].toDF("user_id", "micros", "event_type")
     val stage = tempDir("dedupwm_stage")
     val dataTmp = tempDir("dedupwm_data")
-    val staged = if (batches > 1) corpus.repartitionByRange(batches, col("ts")) else corpus
+    // emptiness check rides the staging write (observe), not a pre-scan
+    val obs = org.apache.spark.sql.Observation("dedupwm_n")
+    val observed = corpus.observe(obs, count(lit(1)).as("n"))
+    val staged = if (batches > 1) observed.repartitionByRange(batches, col("ts")) else observed
     staged.write.mode("overwrite").parquet(dataTmp)
+    if (obs.get("n").asInstanceOf[Long] == 0L) {
+      Seq(stage, dataTmp).foreach(deleteRecursively)
+      return Seq.empty[(Long, Long, String)].toDF("user_id", "micros", "event_type")
+    }
     stageParts(spark, dataTmp, stage, "a-data", System.currentTimeMillis() - 3600L * 1000)
 
     val reader = spark.readStream.schema(corpus.schema)

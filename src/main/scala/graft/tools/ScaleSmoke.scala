@@ -488,6 +488,27 @@ object ScaleSmoke {
         require(nb >= 9, s"incremental drain collapsed to $nb micro-batches")
         println(s"  sessions: ${r.count()} micro-batches: $nb")
       }
+      // the at-scale state backend the 100 TB claim names: same sessionize
+      // leg on RocksDBStateStoreProvider (timeout path through the RocksDB
+      // provider), engagement asserted via the rocksdb* metrics and the
+      // final state size printed — sessionize state is O(users)
+      time(s"streaming_sessionize_rocksdb_${nUsers}users") {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val r = graft.stream.StreamPipeline.sessionize(spark, evDir, batches = 8)
+          val metrics = graft.stream.StreamPipeline.lastDrainStateMetricKeys
+          require(metrics.exists(_.toLowerCase.contains("rocksdb")),
+            s"RocksDB provider did not engage: $metrics")
+          val stateRows = graft.stream.StreamPipeline.lastDrainStateRows.getOrElse(-1L)
+          println(s"  sessions: ${r.count()} stateRows: $stateRows (users: $nUsers)")
+        } finally spark.conf.unset(key)
+      }
+      // unlike StreamPipeline's own stage/data temp dirs, evDir is this
+      // phase's to reap — a full sweep otherwise leaves the n-event
+      // dataset in /tmp
+      new scala.reflect.io.Directory(new java.io.File(evDir)).deleteRecursively()
     }
 
     phase("multimodal") {

@@ -92,13 +92,29 @@ object RecallSweep {
         idCol = "vec_id", vecCol = "embedding")))
 
     val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val knn16 = graft.graphops.AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec")
+    // one exact pass builds the 32-NN pool; the 16-NN pool the
+    // driver-default rows use is its rank-prefix
+    val knn32 = graft.graphops.AllNeighbors.exact(e, 32, Metric.L2Sqrt, "id", "vec")
       .localCheckpoint()
+    val knn16 = knn32.filter(col("rank") <= 16)
     val cagra = graft.graphops.CagraOptimize.optimize(
       knn16.select(col("src"), col("dst"), col("dist")), degree = 8).localCheckpoint()
     out ++= Seq(10, 20, 40, 60).map(t => measure("cagra", "itopk", t)(
       graft.graphops.GraphSearch.search(cagra.select(col("src"), col("dst")), e, q, 10,
         graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 10),
+        "id", "vec")))
+
+    // reference-SHAPED build (cagra.hpp:149-153 disciplines a 2:1
+    // intermediate:output degree ratio, 128 -> 64 at its scale; here
+    // 32 -> 16 at sweep scale): the config whose Pareto ceiling must
+    // clear the reference's 0.95+ recall floors (ann_cagra.cuh:271,473) —
+    // the driver-default degree-8 row above measures the cheap build, not
+    // the engine's ceiling
+    val cagraRef = graft.graphops.CagraOptimize.optimize(
+      knn32.select(col("src"), col("dst"), col("dist")), degree = 16).localCheckpoint()
+    out ++= Seq(10, 20, 40, 60, 100).map(t => measure("cagra_ref", "itopk", t)(
+      graft.graphops.GraphSearch.search(cagraRef.select(col("src"), col("dst")), e, q, 10,
+        graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 12),
         "id", "vec")))
 
     // Vamana (DiskANN): same 16-NN candidate pool as the CAGRA build;
@@ -112,6 +128,19 @@ object RecallSweep {
     out ++= Seq(10, 20, 40, 60).map(t => measure("vamana", "itopk", t)(
       graft.graphops.GraphSearch.search(vamana.select(col("src"), col("dst")), e, q, 10,
         graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 10),
+        "id", "vec")))
+
+    // reference-default SHAPE (vamana.hpp:49-82: graph_degree 32,
+    // visited_size 64 = 2:1 visited:degree; here 16/32 at sweep scale,
+    // pool = the 32-NN graph) — the row whose ceiling must clear the 0.9
+    // floor the driver-default degree-8 build cannot reach
+    val vamanaRef = graft.graphops.Vamana.build(e,
+      graft.graphops.Vamana.Params(graphDegree = 16, visitedSize = 32), "id", "vec",
+      candidates = Some(knn32.select(col("src"), col("dst"), col("dist"))))
+      .localCheckpoint()
+    out ++= Seq(10, 20, 40, 60, 100).map(t => measure("vamana_ref", "itopk", t)(
+      graft.graphops.GraphSearch.search(vamanaRef.select(col("src"), col("dst")), e, q, 10,
+        graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 4, maxIterations = 12),
         "id", "vec")))
 
     val hnsw = graft.index.Hnsw.fromGraph(knn16, e, graft.index.Hnsw.Params(m = 16),

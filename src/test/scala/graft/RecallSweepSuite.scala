@@ -27,6 +27,12 @@ class RecallSweepSuite extends SparkFunSuite {
     ("cagra", 40, 0.85),
     ("hnsw", 40, 0.85),
     ("vamana", 40, 0.85),
+    // reference-shaped builds (2:1 intermediate:degree discipline,
+    // cagra.hpp:149-153 / vamana.hpp:49-82): ceilings must clear the
+    // reference's own floors — CAGRA 0.95 (ann_cagra.cuh:271,473),
+    // Vamana 0.9 at its default shape
+    ("cagra_ref", 60, 0.95),
+    ("vamana_ref", 60, 0.90),
   )
 
   test("every family clears its driver floor at the default search knob") {

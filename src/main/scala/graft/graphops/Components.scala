@@ -86,7 +86,21 @@ object Components {
     * vertex set (its union-find populates lazily from proposal endpoints,
     * i.e. at the dendrogram's own output scale) and per round ships back
     * only the merged-roots remap (≤ 2·#merges rows, broadcast), never an
-    * O(n) id→component frame. Returns MST edges (src, dst, dist). */
+    * O(n) id→component frame. Returns MST edges (src, dst, dist).
+    *
+    * DOCUMENTED DRIVER LIMIT: the dendrogram itself is O(n) driver state —
+    * the returned n−1 MST edges plus the union-find the merges populate
+    * (~150–300 B/vertex measured; ScaleSmoke's `linkage` phase asserts the
+    * bound and prints the constant). This is parity with the reference,
+    * whose dendrogram build is likewise host-side
+    * (agglomerative.hpp:251 "build the dendrogram on the host"), and is
+    * inherent to the OUTPUT (a driver-resident merge tree), not to the
+    * scan: edges stay distributed, per-round collects are ≤ #components.
+    * At 100 TB, callers that only need LABELS at a cut (not the tree)
+    * should cap the collected structure by pre-contracting with
+    * connectedComponents at the cut threshold — the
+    * CagraOptimize.optimizeConnected / boruvkaMstContracted route, whose
+    * driver state is O(#components). */
   def boruvkaMst(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", maxRounds: Int = 20): Seq[(Long, Long, Double)] = {
     // Cost-based route (LocalKernel): the per-round work is a per-component

@@ -29,6 +29,9 @@ import graft.core.Metric
   *           all_neighbors at fixed cell size — the scan-shaped routes
   *           whose wall time must stay ~linear in n
   *   text    minhash-LSH dedup over a near-dup corpus
+  *   linkage single-linkage MST (Borůvka distributed route) — asserts the
+  *           DOCUMENTED O(n) driver dendrogram bound and prints the
+  *           measured bytes/vertex constant
   *   streaming  readStream pipelines at scale: watermarked window agg +
   *           flatMapGroupsWithState sessionize over synthetic events
   *   multimodal  REAL-codec decode at scale: distributed PPM/BMP payloads
@@ -56,7 +59,7 @@ object ScaleSmoke {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
-      "core,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,streaming,multimodal")
+      "core,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,linkage,streaming,multimodal")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -456,6 +459,49 @@ object ScaleSmoke {
         graft.text.Dedup.minhashLshPairs(docs, "id", "text").count()
       }
       docs.unpersist()
+    }
+
+    phase("linkage") {
+      // single-linkage's documented driver limit, measured: the dendrogram
+      // (n−1 MST edges + lazily-populated union-find) is O(n) DRIVER state
+      // by design — reference parity, agglomerative.hpp:251 builds its
+      // dendrogram host-side too. This phase runs the distributed Borůvka
+      // route on a connected synthetic graph and ASSERTS the bound, so the
+      // constant is a committed number instead of prose.
+      val m = math.min(n, 1000000L)
+      val verts = spark.range(0, m, 1, 64).toDF("id")
+      // symmetric path edges keep the graph connected (chain merges);
+      // hash cross-edges at heavier weights give Borůvka real choices
+      val path = spark.range(0, m - 1, 1, 64).select(col("id").as("src"),
+        (col("id") + 1).as("dst"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double") / 10.0 + 1.0).as("dist"))
+      val cross = spark.range(0, m, 1, 64).select(col("id").as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(m)).as("dst"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("double") / 10.0 + 200.0).as("dist"))
+        .filter(col("src") =!= col("dst"))
+      val edges = path
+        .unionByName(path.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+        .unionByName(cross)
+      def usedHeap(): Long = {
+        System.gc(); Thread.sleep(300); System.gc()
+        Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+      }
+      val h0 = usedHeap()
+      val mst = time(s"single_linkage_mst_${m}v") {
+        // path components merge pairwise, so convergence needs ~log2(m)
+        // rounds — past the default cap at 1M+
+        graft.graphops.Components.boruvkaMst(verts, edges, "id", maxRounds = 64)
+      }
+      require(mst.length == m - 1, s"MST incomplete: ${mst.length} edges for $m vertices")
+      val h1 = usedHeap()
+      val perVertex = (h1 - h0).toDouble / m
+      println(f"  driver dendrogram: ${(h1 - h0) / 1e6}%.0f MB, $perVertex%.1f B/vertex")
+      // generous bound (GC noise + boxing): the documented limit is
+      // "grows linearly with n at a small constant", not a tight figure
+      require(h1 - h0 < 400L * m + (256L << 20),
+        f"single-linkage driver memory ${(h1 - h0) / 1e6}%.0f MB exceeded the documented O(n) bound")
+      // keep the dendrogram reachable until after the measurement
+      require(mst.nonEmpty)
     }
 
     phase("streaming") {

@@ -284,6 +284,26 @@ object SparkEntry {
         |""".stripMargin)
   }
 
+  /** Pure-SQL flagship: the `knn_join` table-valued function plans the
+    * SAME declarative KnnJoinPlan node as the Column API (SqlFunctions
+    * registers it; ResolveKnnJoin lowers it), so thriftserver/notebook
+    * users get the index-aware kNN join without a line of Scala. Gated
+    * against the identical DuckDB oracle as `knn_join_plan`. */
+  private def sqlKnnJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.ResolveKnnJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ResolveKnnJoin(spark)
+    graft.functions.SqlFunctions.register(spark)
+    table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
+    embQueries(spark, dir).createOrReplaceTempView("graft_embq")
+    spark.sql(
+      """SELECT qid, nbr_id, rank, round(dist, 4) AS dist
+        |FROM knn_join('graft_emb', 'graft_embq', 10, 'l2sqrt',
+        |              'vec_id', 'embedding', 'qid', 'qvec')
+        |""".stripMargin)
+  }
+
   private def sqlVectorDistanceOracle: String = {
     val cols = Seq(
       "d_l2" -> O.l2("a.avec", "b.bvec"),
@@ -973,6 +993,7 @@ object SparkEntry {
     "knn_bruteforce_l1" -> knnQuery(Metric.L1),
     "distance_metrics" -> (distanceMetricsQuery(_, _)),
     "sql_vector_distance" -> (sqlVectorDistanceQuery(_, _)),
+    "sql_knn_join" -> (sqlKnnJoinQuery(_, _)),
     "pairwise_distance" -> (pairwiseQuery(_, _)),
     "range_eps_join" -> (rangeEpsQuery(_, _)),
     "refine" -> (refineQuery(_, _)),
@@ -1020,6 +1041,7 @@ object SparkEntry {
     "knn_bruteforce_l1" -> knnOracle(Metric.L1),
     "distance_metrics" -> distanceMetricsOracle,
     "sql_vector_distance" -> sqlVectorDistanceOracle,
+    "sql_knn_join" -> knnOracle(Metric.L2Sqrt),
     "pairwise_distance" -> pairwiseOracle,
     "range_eps_join" -> rangeEpsOracle,
     "refine" -> refineOracle,

@@ -87,9 +87,65 @@ object SqlFunctions {
     fixed("l1_distance", Metric.L1),
   )
 
-  /** Register into `spark`'s live function registry (idempotent). */
+  /** SQL surface for the FLAGSHIP operator: `knn_join` as a table-valued
+    * function, planning the declarative [[graft.plans.KnnJoinPlan]] node —
+    * the same logical node the Column API builds, so the optimizer's route
+    * choice (registered index vs brute partial-top-k) applies to pure-SQL
+    * users identically. Relations are named (temp views / catalog tables):
+    *
+    * {{{
+    * SELECT * FROM knn_join('data_view', 'query_view', 10, 'l2sqrt',
+    *                        'id', 'vec', 'qid', 'qvec')
+    * }}}
+    *
+    * All eight arguments must be literals (the relation names resolve
+    * through the analyzer as multipart identifiers). Output is the node's
+    * fixed schema (qid, nbr_id, rank, dist). Requires the
+    * [[graft.plans.ResolveKnnJoin]] rule (installed by GraftExtensions, or
+    * per session via experimental.extraOptimizations) to lower the node. */
+  type TableBuilder = Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  type TableDescription = (FunctionIdentifier, ExpressionInfo, TableBuilder)
+
+  val knnJoinTable: TableDescription = {
+    def strLit(e: Expression, what: String): String = {
+      if (!e.foldable || e.dataType != StringType)
+        throw new IllegalArgumentException(s"knn_join: $what must be a string literal")
+      val v = e.eval()
+      if (v == null) throw new IllegalArgumentException(s"knn_join: $what must not be null")
+      v.toString
+    }
+    def intLit(e: Expression): Int = {
+      if (!e.foldable) throw new IllegalArgumentException("knn_join: k must be a literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"knn_join: non-integer k $other")
+      }
+    }
+    def rel(e: Expression, what: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+        strLit(e, what).split('.').toSeq)
+    (FunctionIdentifier("knn_join"),
+      new ExpressionInfo(classOf[graft.plans.KnnJoinPlan].getName, null, "knn_join",
+        "knn_join(data, queries, k, metric, id_col, vec_col, qid_col, qvec_col) - " +
+          "declarative k-nearest-neighbor join between two named relations; " +
+          "plans the same logical node as the Column API (index-aware lowering).", ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(d, q, k, m, idc, vc, qidc, qvc) =>
+          graft.plans.KnnJoinPlan(rel(d, "data"), rel(q, "queries"),
+            intLit(k), Metric.fromName(strLit(m, "metric")).name,
+            strLit(idc, "id_col"), strLit(vc, "vec_col"),
+            strLit(qidc, "qid_col"), strLit(qvc, "qvec_col"))
+        case _ => throw new IllegalArgumentException(
+          s"knn_join expects 8 arguments, got ${children.length}")
+      })
+  }
+
+  /** Register into `spark`'s live function registries (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.bridge.functionRegistry(spark)
     descriptions.foreach { case (id, i, b) => reg.registerFunction(id, i, b) }
+    val treg = org.apache.spark.sql.graft.bridge.tableFunctionRegistry(spark)
+    treg.registerFunction(knnJoinTable._1, knnJoinTable._2, knnJoinTable._3)
   }
 }

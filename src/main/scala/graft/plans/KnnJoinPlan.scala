@@ -239,12 +239,15 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `SparkSessionExtensions` installer:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
-  * installs the kNN-join lowering rule and the SQL distance functions
-  * (`vector_distance` + fixed-metric shorthands, native expressions). */
+  * installs the kNN-join lowering rule, the SQL distance functions
+  * (`vector_distance` + fixed-metric shorthands, native expressions), and
+  * the `knn_join` table-valued function (plans this file's logical node
+  * from pure SQL). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => ResolveKnnJoin(session))
     graft.functions.SqlFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectTableFunction(graft.functions.SqlFunctions.knnJoinTable)
   }
 }
 

@@ -34,6 +34,13 @@ object bridge {
   def functionRegistry(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
 
+  /** The session's TABLE-function registry (sessionState is private[sql])
+    * — lets the library register table-valued functions (e.g. `knn_join`)
+    * at runtime, the same registry `spark.sql.extensions` feeds via
+    * injectTableFunction at startup. */
+  def tableFunctionRegistry(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.tableFunctionRegistry
+
   /** Materialize an extensions object's injected functions into `reg` —
     * the step session startup runs; exposed (registerFunctions is
     * private[sql]) so tests can pin the installer without a second

@@ -63,6 +63,41 @@ class SqlFunctionsSuite extends SparkFunSuite {
     }
   }
 
+  test("knn_join TVF plans the declarative node and matches the Column API route") {
+    emb
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.ResolveKnnJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ResolveKnnJoin(spark)
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    q.createOrReplaceTempView("sqlfn_q")
+    val sqlDf = spark.sql(
+      "SELECT * FROM knn_join('sqlfn_emb', 'sqlfn_q', 5, 'l2sqrt', " +
+        "'vec_id', 'embedding', 'qid', 'qvec')")
+    // the ANALYZED plan must carry the same logical node the Column API
+    // builds — proof the SQL surface shares the index-aware lowering
+    assert(sqlDf.queryExecution.analyzed.collect {
+      case _: graft.plans.KnnJoinPlan => true }.nonEmpty,
+      "knn_join TVF did not plan KnnJoinPlan")
+    val colDf = graft.plans.KnnJoinPlan.knnJoin(emb, q, 5, Metric.L2Sqrt,
+      "vec_id", "embedding")
+    assert(sqlDf.collect().toSet == colDf.collect().toSet,
+      "SQL TVF route differs from the Column-API route")
+    assert(sqlDf.count() == q.count() * 5)
+  }
+
+  test("knn_join TVF rejects bad arity and non-literal args at plan time") {
+    emb
+    intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join('sqlfn_emb', 'sqlfn_q', 5)").queryExecution.analyzed
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join('sqlfn_emb', 'sqlfn_q', 5, 'no_such_metric', " +
+        "'vec_id', 'embedding', 'qid', 'qvec')").queryExecution.analyzed
+    }
+  }
+
   test("GraftExtensions injects every SQL function into a session registry") {
     // a second SparkContext can't be built in this JVM, so exercise the
     // same path session startup runs: apply the installer to a fresh

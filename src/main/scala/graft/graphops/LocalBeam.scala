@@ -164,6 +164,11 @@ object LocalBeam {
         beam ++= cand
         // re-top-k to itopk by (dist asc, id asc)
         if (beam.length > itopk) beam = beam.sorted(byDistId).take(itopk)
+      } else {
+        // converged: every beam entry expanded — further rounds are no-ops
+        // (the DataFrame loop keeps its fixed round count; its rows are
+        // identical because empty frontiers propose nothing there either)
+        it = maxIterations
       }
       it += 1
     }

@@ -245,9 +245,17 @@ object Hnsw {
 
   /** Hierarchical search: greedy descent through upper layers, then an
     * ef-beam on the base layer. (qid, nbr_id, rank, dist). */
+  /** `baseIterations` bounds the base-layer beam's expansion rounds (all
+    * three routes share it, preserving their row-identity contract). The
+    * default 10 caps the DISTRIBUTED route's job count; hnswlib's canon is
+    * expand-until-the-ef-queue-exhausts, so recall-critical callers with a
+    * local/hybrid route (or an ef past ~40) should raise it toward ef —
+    * past the cap the ef knob silently saturates (AnnBench measured the
+    * ceiling at 0.92 on held-out queries until the bound tracked ef). */
   def search(idx: Index, data: DataFrame, queries: DataFrame, k: Int, ef: Int = 40,
       idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      baseIterations: Int = 10): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
 
     // Cost-based route (graft.graphops.LocalKernel): when the whole
@@ -264,7 +272,7 @@ object Hnsw {
       // route marker (driver-side diagnostic; lets tests and smokes assert
       // WHICH route actually ran rather than inferring it from timings)
       markRoute(spark, "local")
-      return searchLocal(idx, data, q, k, ef, idCol, vecCol)
+      return searchLocal(idx, data, q, k, ef, idCol, vecCol, baseIterations)
     }
 
     // HYBRID route: the hierarchy shrinks geometrically (n/M + n/M² + …
@@ -337,8 +345,8 @@ object Hnsw {
         return GraphSearch.search(
           idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
           data, q, k,
-          GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
-            metric = idx.params.metric),
+          GraphSearch.Params(itopk = ef, searchWidth = 4,
+            maxIterations = baseIterations, metric = idx.params.metric),
           idCol, vecCol, entrySeeds = Some(seeds))
       }
     }
@@ -365,8 +373,8 @@ object Hnsw {
       GraphSearch.search(
         idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
         dShaped, qShaped, k,
-        GraphSearch.Params(itopk = ef, searchWidth = 4, maxIterations = 10,
-          metric = idx.params.metric),
+        GraphSearch.Params(itopk = ef, searchWidth = 4,
+          maxIterations = baseIterations, metric = idx.params.metric),
         "id", "vec", entrySeeds = Some(cur))
     } finally { graft.core.Frames.release(dShaped); graft.core.Frames.release(qShaped) }
   }
@@ -376,7 +384,7 @@ object Hnsw {
     * 2 rounds per upper layer — the hnswlib ef=1 descent) and base-layer
     * ef-beam (width=4, 10 rounds) inside a single mapPartitions. */
   private def searchLocal(idx: Index, data: DataFrame, q: DataFrame, k: Int, ef: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, baseIterations: Int): DataFrame = {
     import graft.graphops.LocalBeam
     val spark = data.sparkSession
     import spark.implicits._
@@ -409,7 +417,7 @@ object Hnsw {
       }
       val base = adj.getOrElse(0, new java.util.HashMap[Long, Array[Long]]())
       val beam = LocalBeam.run(qvec, Array(cur), base, vs, distFn,
-        itopk = ef, searchWidth = 4, maxIterations = 10)
+        itopk = ef, searchWidth = 4, maxIterations = baseIterations)
       LocalBeam.topK(beam, k, minClose).map { case (id, rank, dist) => (qid, id, rank, dist) }
     }.toDF("qid", "nbr_id", "rank", "dist")
   }

@@ -277,7 +277,10 @@ object StreamPipeline {
     * (in-batch order is sorted here; cross-batch reordering is exactly
     * what the watermark bounds — a production feed relies on
     * within-watermark ordering or reorders in a pre-stage). The bounded
-    * drain stages a single data file so the backfill is one batch. */
+    * drain (batches = 1) stages parallel part files; AvailableNow with no
+    * maxFilesPerTrigger ingests them as one micro-batch, and the fold
+    * sorts in-batch, so one-batch semantics hold without a single-file
+    * (single-task) staging write. */
   def sessionize(spark: SparkSession, eventsPath: String,
       gap: String = "30 minutes", delay: String = "30 minutes",
       batches: Int = 1): DataFrame = {
@@ -298,12 +301,18 @@ object StreamPipeline {
     // timed-out session can never be extended by a later range: the next
     // event is ≥ the range boundary > watermark > last + gap.
     // max(ts) for the sentinel rides the staging write via observe() —
-    // one pass over the backfill input, no separate scan.
+    // one pass over the backfill input, no separate scan. The batches=1
+    // staging is PARALLEL part files (like windowAgg's): the file source's
+    // AvailableNow run still ingests the whole staging as one micro-batch
+    // when maxFilesPerTrigger is unset, and the fold sorts each group's
+    // events in-batch, so single-batch semantics don't need a single file.
+    // (An earlier coalesce(1) here put the observe's per-row metric
+    // aggregate inside ONE task over the full input — 3.5× the leg at 20M.)
     val obs = org.apache.spark.sql.Observation("sess_maxts")
     val observed = batch.observe(obs, max(col("ts")).as("max_ts"))
     val staged =
       if (batches > 1) observed.repartitionByRange(batches, col("ts"))
-      else observed.coalesce(1)
+      else observed
     staged.write.mode("overwrite").parquet(dataTmp)
     val maxTsAny = obs.get("max_ts")
     if (maxTsAny == null) {

@@ -290,11 +290,7 @@ object SparkEntry {
     * users get the index-aware kNN join without a line of Scala. Gated
     * against the identical DuckDB oracle as `knn_join_plan`. */
   private def sqlKnnJoinQuery(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.experimental.extraOptimizations.exists(
-        _.isInstanceOf[graft.plans.ResolveKnnJoin]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.ResolveKnnJoin(spark)
-    graft.functions.SqlFunctions.register(spark)
+    graft.functions.SqlFunctions.register(spark) // also installs ResolveKnnJoin
     table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
     embQueries(spark, dir).createOrReplaceTempView("graft_embq")
     spark.sql(
@@ -429,10 +425,7 @@ object SparkEntry {
     * rule lowers it to the partial-top-k pipeline, so it takes the exact
     * kNN oracle. Registers the rule idempotently on the session. */
   private def knnJoinPlanQuery(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.experimental.extraOptimizations.exists(
-        _.isInstanceOf[graft.plans.ResolveKnnJoin]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.ResolveKnnJoin(spark)
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
     graft.plans.KnnJoinPlan.knnJoin(table(spark, dir, "embeddings"),
         embQueries(spark, dir), 10, Metric.L2Sqrt, "vec_id", "embedding")
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))

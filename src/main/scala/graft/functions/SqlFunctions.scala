@@ -141,11 +141,16 @@ object SqlFunctions {
       })
   }
 
-  /** Register into `spark`'s live function registries (idempotent). */
+  /** Register into `spark`'s live function registries (idempotent). Also
+    * installs the ResolveKnnJoin lowering rule: the knn_join TVF plans a
+    * KnnJoinPlan node, and registering the name without its lowering
+    * would hand pure-SQL users an opaque "No plan for KnnJoinPlan" crash
+    * at execution. */
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.bridge.functionRegistry(spark)
     descriptions.foreach { case (id, i, b) => reg.registerFunction(id, i, b) }
     val treg = org.apache.spark.sql.graft.bridge.tableFunctionRegistry(spark)
     treg.registerFunction(knnJoinTable._1, knnJoinTable._2, knnJoinTable._3)
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
   }
 }

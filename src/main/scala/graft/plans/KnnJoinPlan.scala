@@ -104,6 +104,18 @@ object GraftIndexCatalog {
   * a registered IVF layout on the data relation -> probe-pruned index
   * search + exact refine; otherwise the brute-force partial-top-k
   * pipeline. */
+object ResolveKnnJoin {
+  /** Install the lowering rule on a live session if absent — the runtime
+    * analog of GraftExtensions' injectOptimizerRule, shared by every
+    * entry point that plans a KnnJoinPlan outside an extensions-configured
+    * session (a planned-but-never-lowered node dies with Spark's opaque
+    * "No plan for" assertion at execution). */
+  def ensureInstalled(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveKnnJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
+}
+
 case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Same candidate ranking under both metrics (monotone transforms). */

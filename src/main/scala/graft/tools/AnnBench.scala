@@ -29,17 +29,22 @@ object AnnBench {
     * ground truth is the exact k-NN of each query over TRAIN POSITIONS
     * (the format indexes neighbors by row position, not by source id). */
   def buildFile(spark: SparkSession, sfDir: String, path: String, k: Int = 10): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val test = emb.filter(col("vec_id") % 20 === 0)
     val trainRaw = emb.filter(col("vec_id") % 20 =!= 0)
-    // export utility: the global row_number is the format's position
-    // contract (single contiguous matrix), same posture as Hdf5.write
-    val train = trainRaw
-      .withColumn("pos", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("pos").cast("long").as("pos"), col("embedding"))
-      .localCheckpoint()
+    // the format's position contract (row index into one contiguous
+    // matrix) comes from a distributed sort + zipWithIndex — an
+    // unpartitioned row_number window would drag the whole train side
+    // through one task, the slowest step of a real (millions-of-rows)
+    // ann-benchmarks export
+    val train = {
+      import spark.implicits._
+      trainRaw.orderBy(col("vec_id")).select(col("embedding")).as[Array[Float]]
+        .rdd.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("pos", "embedding")
+        .localCheckpoint()
+    }
     val q = test.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val gt = graft.ops.BruteForceKnn.knnJoin(
         train.select(col("pos").as("id"), col("embedding").as("vec")), q, k,
@@ -79,8 +84,11 @@ object AnnBench {
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Int](1).take(k).toSet).toMap
 
+    // lazy filters over the one checkpointed test frame — a checkpoint
+    // per batch would pay nQ/batchSize jobs and pin as many cached RDDs
+    // before any measurement (10k-query real files → ~1000 of each)
     val batches = (0L until nQ by batchSize).map { lo =>
-      test.filter(col("qid") >= lo && col("qid") < lo + batchSize).localCheckpoint()
+      test.filter(col("qid") >= lo && col("qid") < lo + batchSize)
     }
 
     def protocolRun(algo: String, knob: String, value: Int, buildSec: Double)(

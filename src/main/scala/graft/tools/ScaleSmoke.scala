@@ -486,22 +486,26 @@ object ScaleSmoke {
         System.gc(); Thread.sleep(300); System.gc()
         Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
       }
-      val h0 = usedHeap()
-      val mst = time(s"single_linkage_mst_${m}v") {
+      var mst: Seq[(Long, Long, Double)] = time(s"single_linkage_mst_${m}v") {
         // path components merge pairwise, so convergence needs ~log2(m)
         // rounds — past the default cap at 1M+
         graft.graphops.Components.boruvkaMst(verts, edges, "id", maxRounds = 64)
       }
       require(mst.length == m - 1, s"MST incomplete: ${mst.length} edges for $m vertices")
+      // retained size of the dendrogram = heap freed when it is released;
+      // the two adjacent readings isolate it from whole-JVM drift (async
+      // cleaner backlog, earlier phases' garbage) that a before/after-the-
+      // build delta would count against the bound
       val h1 = usedHeap()
-      val perVertex = (h1 - h0).toDouble / m
-      println(f"  driver dendrogram: ${(h1 - h0) / 1e6}%.0f MB, $perVertex%.1f B/vertex")
-      // generous bound (GC noise + boxing): the documented limit is
-      // "grows linearly with n at a small constant", not a tight figure
-      require(h1 - h0 < 400L * m + (256L << 20),
-        f"single-linkage driver memory ${(h1 - h0) / 1e6}%.0f MB exceeded the documented O(n) bound")
-      // keep the dendrogram reachable until after the measurement
-      require(mst.nonEmpty)
+      mst = null
+      val h2 = usedHeap()
+      val retained = math.max(0L, h1 - h2)
+      val perVertex = retained.toDouble / m
+      println(f"  driver dendrogram retained: ${retained / 1e6}%.0f MB, $perVertex%.1f B/vertex")
+      // generous bound (boxing + measurement slack): the documented limit
+      // is "grows linearly with n at a small constant", not a tight figure
+      require(retained < 400L * m + (64L << 20),
+        f"single-linkage driver memory ${retained / 1e6}%.0f MB exceeded the documented O(n) bound")
     }
 
     phase("streaming") {

@@ -64,11 +64,7 @@ class SqlFunctionsSuite extends SparkFunSuite {
   }
 
   test("knn_join TVF plans the declarative node and matches the Column API route") {
-    emb
-    if (!spark.experimental.extraOptimizations.exists(
-        _.isInstanceOf[graft.plans.ResolveKnnJoin]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.ResolveKnnJoin(spark)
+    emb // register() has already installed ResolveKnnJoin alongside the TVF
     val q = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     q.createOrReplaceTempView("sqlfn_q")

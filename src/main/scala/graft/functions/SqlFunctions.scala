@@ -122,9 +122,12 @@ object SqlFunctions {
         case other => throw new IllegalArgumentException(s"knn_join: non-integer k $other")
       }
     }
+    // real identifier parsing (backtick quoting, dotted parts) — a naive
+    // split('.') would shred `cat.`a.b`.tbl` into four bogus parts
     def rel(e: Expression, what: String) =
       org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
-        strLit(e, what).split('.').toSeq)
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseMultipartIdentifier(strLit(e, what)))
     (FunctionIdentifier("knn_join"),
       new ExpressionInfo(classOf[graft.plans.KnnJoinPlan].getName, null, "knn_join",
         "knn_join(data, queries, k, metric, id_col, vec_col, qid_col, qvec_col) - " +

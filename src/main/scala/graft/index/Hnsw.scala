@@ -244,8 +244,9 @@ object Hnsw {
   }
 
   /** Hierarchical search: greedy descent through upper layers, then an
-    * ef-beam on the base layer. (qid, nbr_id, rank, dist). */
-  /** `baseIterations` bounds the base-layer beam's expansion rounds (all
+    * ef-beam on the base layer. (qid, nbr_id, rank, dist).
+    *
+    * `baseIterations` bounds the base-layer beam's expansion rounds (all
     * three routes share it, preserving their row-identity contract). The
     * default 10 caps the DISTRIBUTED route's job count; hnswlib's canon is
     * expand-until-the-ef-queue-exhausts, so recall-critical callers with a

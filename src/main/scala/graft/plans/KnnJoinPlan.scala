@@ -109,11 +109,20 @@ object ResolveKnnJoin {
     * analog of GraftExtensions' injectOptimizerRule, shared by every
     * entry point that plans a KnnJoinPlan outside an extensions-configured
     * session (a planned-but-never-lowered node dies with Spark's opaque
-    * "No plan for" assertion at execution). */
-  def ensureInstalled(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveKnnJoin]))
+    * "No plan for" assertion at execution). A GraftExtensions-configured
+    * session already runs the rule via the optimizer's extended rules —
+    * detected so register()/query paths don't stack a second full-tree
+    * pass onto every query for the session's lifetime. */
+  def ensureInstalled(spark: SparkSession): Unit = {
+    val injected =
+      try org.apache.spark.sql.graft.bridge.optimizer(spark)
+        .extendedOperatorOptimizationRules.exists(_.isInstanceOf[ResolveKnnJoin])
+      catch { case _: Throwable => false }
+    if (!injected &&
+        !spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveKnnJoin]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
+  }
 }
 
 case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {

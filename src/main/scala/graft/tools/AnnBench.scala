@@ -79,10 +79,15 @@ object AnnBench {
     val test = Hdf5.read(spark, path, "test")
       .select(col("id").as("qid"), col("vec").as("qvec")).localCheckpoint()
     val nQ = test.count()
+    require(nQ > 0, s"$path: empty 'test' dataset — nothing to search")
     // ground truth: position-indexed rows, tiny (q x k ints) — driver map
     val gt: Map[Long, Set[Int]] = Hdf5.read(spark, path, "neighbors")
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Int](1).take(k).toSet).toMap
+    require(gt.size == nQ,
+      s"$path: 'neighbors' has ${gt.size} rows but 'test' has $nQ — inconsistent ground truth")
+    require(gt.values.forall(_.size == k),
+      s"$path: 'neighbors' rows narrower than k=$k")
 
     // lazy filters over the one checkpointed test frame — a checkpoint
     // per batch would pay nQ/batchSize jobs and pin as many cached RDDs

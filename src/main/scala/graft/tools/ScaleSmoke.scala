@@ -482,28 +482,22 @@ object ScaleSmoke {
       val edges = path
         .unionByName(path.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
         .unionByName(cross)
-      def usedHeap(): Long = {
-        System.gc(); Thread.sleep(300); System.gc()
-        Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
-      }
-      var mst: Seq[(Long, Long, Double)] = time(s"single_linkage_mst_${m}v") {
+      val mst = time(s"single_linkage_mst_${m}v") {
         // path components merge pairwise, so convergence needs ~log2(m)
         // rounds — past the default cap at 1M+
         graft.graphops.Components.boruvkaMst(verts, edges, "id", maxRounds = 64)
       }
       require(mst.length == m - 1, s"MST incomplete: ${mst.length} edges for $m vertices")
-      // retained size of the dendrogram = heap freed when it is released;
-      // the two adjacent readings isolate it from whole-JVM drift (async
-      // cleaner backlog, earlier phases' garbage) that a before/after-the-
-      // build delta would count against the bound
-      val h1 = usedHeap()
-      mst = null
-      val h2 = usedHeap()
-      val retained = math.max(0L, h1 - h2)
+      // retained size of the dendrogram, walked deterministically
+      // (SizeEstimator) — a GC-based heap diff is noise in both directions:
+      // concurrent cleaner frees can spuriously trip the bound mid-smoke,
+      // and a no-op System.gc passes it vacuously
+      val retained = org.apache.spark.util.SizeEstimator.estimate(
+        mst.asInstanceOf[AnyRef])
       val perVertex = retained.toDouble / m
       println(f"  driver dendrogram retained: ${retained / 1e6}%.0f MB, $perVertex%.1f B/vertex")
-      // generous bound (boxing + measurement slack): the documented limit
-      // is "grows linearly with n at a small constant", not a tight figure
+      // generous bound (boxing slack): the documented limit is "grows
+      // linearly with n at a small constant", not a tight figure
       require(retained < 400L * m + (64L << 20),
         f"single-linkage driver memory ${retained / 1e6}%.0f MB exceeded the documented O(n) bound")
     }
@@ -523,6 +517,7 @@ object ScaleSmoke {
         (pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("double") / 10.0).as("value"),
         lit("").as("props"))
       val evDir = java.nio.file.Files.createTempDirectory("graft_smoke_events").toString
+      try {
       time("events_stage_write")(ev.write.mode("overwrite").parquet(evDir))
       time(s"streaming_window_agg_${n}ev") {
         val r = graft.stream.StreamPipeline.windowAgg(spark, evDir)
@@ -555,10 +550,12 @@ object ScaleSmoke {
           println(s"  sessions: ${r.count()} stateRows: $stateRows (users: $nUsers)")
         } finally spark.conf.unset(key)
       }
-      // unlike StreamPipeline's own stage/data temp dirs, evDir is this
-      // phase's to reap — a full sweep otherwise leaves the n-event
-      // dataset in /tmp
-      new scala.reflect.io.Directory(new java.io.File(evDir)).deleteRecursively()
+      } finally {
+        // unlike StreamPipeline's own stage/data temp dirs, evDir is this
+        // phase's to reap — even on a failed leg, or a full sweep leaves
+        // the n-event dataset in /tmp
+        new scala.reflect.io.Directory(new java.io.File(evDir)).deleteRecursively()
+      }
     }
 
     phase("multimodal") {

@@ -34,6 +34,12 @@ object bridge {
   def functionRegistry(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
 
+  /** The session's optimizer (sessionState is private[sql]) — lets the
+    * library check whether an extensions-injected rule is already present
+    * before appending a runtime copy to experimental.extraOptimizations. */
+  def optimizer(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.catalyst.optimizer.Optimizer =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.optimizer
+
   /** The session's TABLE-function registry (sessionState is private[sql])
     * — lets the library register table-valued functions (e.g. `knn_join`)
     * at runtime, the same registry `spark.sql.extensions` feeds via

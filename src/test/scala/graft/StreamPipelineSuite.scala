@@ -258,6 +258,73 @@ class StreamPipelineSuite extends SparkFunSuite {
     assert(got.filter(col("k") === "B").count() == 1)
   }
 
+  test("backfill staging reads the source exactly once before streaming starts") {
+    // the r9->r10 one-pass contract: the sentinel max(ts) / emptiness
+    // probe must RIDE the staging write (Dataset.observe), never run as a
+    // separate batch scan of the backfill input. Counted per batch
+    // QueryExecution whose logical plan reads the source dir (streaming
+    // micro-batches don't notify the execution listener, and the sink
+    // re-read carries a different path).
+    import spark.implicits._
+    val marker = "graft_onepass_src"
+    val tmp = java.nio.file.Files.createTempDirectory(marker).toString
+    val path = s"$tmp/events.parquet"
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    (0 until 50).map(i => (ts(i), (i % 5).toLong, "e", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(path)
+
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        val hits = qe.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              l.relation.asInstanceOf[
+                  org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains(marker)) => l
+        }
+        if (hits.nonEmpty) reads.incrementAndGet()
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def sourceReadsDuring(run: => Unit): Int = {
+      reads.set(0)
+      spark.listenerManager.register(listener)
+      try {
+        run
+        // the execution listener is async on the listener bus — poll until
+        // the counter is stable instead of sleeping a fixed interval
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 100) {
+          Thread.sleep(100); waited += 1
+          val cur = reads.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        reads.get()
+      } finally spark.listenerManager.unregister(listener)
+    }
+
+    val winReads = sourceReadsDuring(StreamPipeline.windowAgg(spark, path).count())
+    assert(winReads == 1,
+      s"windowAgg ran $winReads batch scans of the source; the sentinel " +
+        "probe must ride the staging write")
+    val sessReads = sourceReadsDuring(StreamPipeline.sessionize(spark, path).count())
+    assert(sessReads == 1,
+      s"sessionize ran $sessReads batch scans of the source")
+    // the doubled corpus is one execution (two LogicalRelations, one QE):
+    // the emptiness probe rides the same staging write
+    val dedupReads = sourceReadsDuring(
+      StreamPipeline.dedupWithinWatermark(spark, path).count())
+    assert(dedupReads == 1,
+      s"dedupWithinWatermark ran $dedupReads batch scans of the source")
+  }
+
   test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {
     val got = StreamPipeline.dedupExact(spark, s"$dir/documents.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import graft.core.Metric
 
@@ -100,12 +100,22 @@ object VectorDistanceOps {
   * serialization per row). SURVEY.md §4 "custom physical pieces" item (2).
   */
 case class VectorDistance(metricName: String, left: Expression, right: Expression,
-    metricArg: Double = 2.0) extends BinaryExpression {
+    metricArg: Double = 2.0) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   private val metricId = VectorDistanceOps.id(Metric.fromName(metricName))
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  /** array<float> with ANALYZER-INSERTED widening: int8/int16/double
+    * vector columns (the §1.2 dtype surface) reach the kernel through an
+    * implicit element cast, exactly the `asFloatVec` boundary the Column
+    * API applies — so `l2_distance(tinyint_vec, ...)` works from pure SQL
+    * instead of failing the float-only type check. */
+  // return type inferred (Seq[ArrayType] <: Seq[AbstractDataType]) — the
+  // parent's type is private[sql] and can't be named here
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {

@@ -51,6 +51,22 @@ class SqlFunctionsSuite extends SparkFunSuite {
       s"expected VectorDistance in $plan")
   }
 
+  test("SQL distance functions widen int8/double vector columns (§1.2 dtypes)") {
+    emb
+    import spark.implicits._
+    // Seq[Byte] encodes as array<tinyint> (an Array[Byte] would be
+    // BinaryType — a different, deliberately-unsupported thing)
+    Seq((1L, Seq(1.toByte, 2.toByte, 3.toByte), Seq(4.toByte, 6.toByte, 8.toByte)))
+      .toDF("id", "a", "b").createOrReplaceTempView("sqlfn_i8")
+    val d8 = spark.sql("SELECT l2_distance(a, b) AS d FROM sqlfn_i8").head().getDouble(0)
+    assert(math.abs(d8 - math.sqrt(9 + 16 + 25)) < 1e-6,
+      s"int8 arrays must widen through the implicit cast, got $d8")
+    Seq((1L, Array(1.0, 2.0), Array(4.0, 6.0)))
+      .toDF("id", "a", "b").createOrReplaceTempView("sqlfn_f64")
+    val d64 = spark.sql("SELECT l2_distance(a, b) AS d FROM sqlfn_f64").head().getDouble(0)
+    assert(math.abs(d64 - 5.0) < 1e-6, s"double arrays must widen, got $d64")
+  }
+
   test("non-literal or unknown metric fails at plan time") {
     emb
     intercept[Exception] {

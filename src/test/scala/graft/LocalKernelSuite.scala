@@ -145,6 +145,32 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(hybrid.sameElements(loop))
   }
 
+  test("hnsw baseIterations threads identically through local, hybrid, and loop routes") {
+    // the r10 knob: a non-default beam bound must keep the three routes
+    // row-identical (the contract that makes it safe to raise toward ef)
+    val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+    val local = rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+      baseIterations = 25))
+    assert(Hnsw.lastSearchRoute.contains("local"))
+    val nUpper = idx.edges.filter(col("level") >= 1).count()
+    spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
+    val hybrid =
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+        baseIterations = 25))
+      finally spark.conf.unset("spark.graft.localKernel.maxEdges")
+    assert(Hnsw.lastSearchRoute.contains("hybrid"))
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    val loop =
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+        baseIterations = 25))
+      finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+    assert(Hnsw.lastSearchRoute.contains("loop"))
+    assert(local.length > 0)
+    assert(local.sameElements(hybrid) && local.sameElements(loop))
+  }
+
   test("hnsw hybrid gate runs on its own caps, decoupled from the generic kernel caps") {
     // the 10M regime in miniature: the generic maxVectors cap is far below
     // the upper-layer id count, which used to silently demote the search

@@ -39,14 +39,21 @@ object GraphQueries {
   private val l2 = (a: String, b: String) =>
     s"sqrt(list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) ^ 2)))"
 
-  /** Exact 16-NN graph over all embeddings — the shared base graph for the
-    * CAGRA and HNSW search pipelines (built once per dataset, like the
-    * reference's build/search split). */
-  private def exact16Graph(spark: SparkSession, dir: String): DataFrame =
-    SparkEntry.memoize(spark, s"exact16:$dir") {
+  /** Exact 32-NN graph over all embeddings — ONE exact pass feeds both
+    * build shapes: the reference-shaped CAGRA build consumes all 32 ranks
+    * (cagra.hpp:149-153 disciplines intermediate = 2× output degree), and
+    * the cheap degree-8 build's 16-NN pool is its rank prefix. */
+  private def exact32Graph(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"exact32:$dir") {
       val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      AllNeighbors.exact(e, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+      AllNeighbors.exact(e, 32, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     }
+
+  /** Exact 16-NN graph over all embeddings — the rank-16 prefix of the
+    * shared 32-NN pass (L2Sqrt ranks identically, so the prefix IS the
+    * exact 16-NN graph). Base pool for the cheap builds + ground truth. */
+  private def exact16Graph(spark: SparkSession, dir: String): DataFrame =
+    exact32Graph(spark, dir).filter(col("rank") <= 16)
 
   // ===== all_neighbors / nn_descent (approximate; recall reported) ======
 
@@ -374,8 +381,8 @@ object GraphQueries {
     """SELECT count(*) AS n_nodes, CAST(16 AS INT) AS graph_degree,
       |true AS degree_ok, true AS alpha_rng_ok FROM embeddings""".stripMargin
 
-  /** The degree-8 CAGRA-optimized graph over exact16Graph — a build
-    * artifact shared by the plain and filtered search queries (build
+  /** The degree-8 CAGRA-optimized graph over exact16Graph — the CHEAP
+    * build, shared by the cost row and the filtered search query (build
     * once / search many, the reference's index split). */
   private def cagraOpt8(spark: SparkSession, dir: String): DataFrame =
     SparkEntry.memoize(spark, s"cagraOpt8:$dir") {
@@ -384,15 +391,30 @@ object GraphQueries {
         .localCheckpoint()
     }
 
-  /** CAGRA pipeline end-to-end: optimize the exact 16-NN graph to degree 8
-    * and traverse it (itopk/search_width greedy) — recall-floor report. */
+  /** The reference-SHAPED CAGRA build — degree 16 pruned from the 32-NN
+    * pool (cagra.hpp:149-153's 2:1 intermediate:output ratio at fixture
+    * scale). This is the build the recall gates hold to the reference's
+    * own 0.95+ floors (ann_cagra.cuh:271,473); it is also the HNSW gate's
+    * layer 0 (hnsw.hpp:43-65 converts exactly this symmetrized CAGRA
+    * graph). Shared by cagra_search_recall and hnsw_search_recall. */
+  private def cagraOptRef16(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.memoize(spark, s"cagraOptRef16:$dir") {
+      CagraOptimize.optimize(
+        exact32Graph(spark, dir).select(col("src"), col("dst"), col("dist")), degree = 16)
+        .localCheckpoint()
+    }
+
+  /** CAGRA pipeline end-to-end at the REFERENCE build shape: optimize the
+    * exact 32-NN graph to degree 16 and traverse it — recall-floor report
+    * at the reference's own floor (ann_cagra.cuh:271,473 pins 0.95–0.995
+    * per config; RECALL_PARETO's cagra_ref rows measure 0.999 here). */
   private def cagraSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
     val knn = exact16Graph(spark, dir)
-    val g = cagraOpt8(spark, dir)
+    val g = cagraOptRef16(spark, dir)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
-      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
     // Self-inclusive exact top-10 ground truth: queries are dataset rows, so
     // the search legitimately returns the query itself at dist 0; truth is
     // {self} ∪ top-9 of the already-computed (self-exclusive) 16-NN graph.
@@ -402,12 +424,41 @@ object GraphQueries {
     val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
-      .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"),
-        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+      .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"), lit(16).as("degree"),
+        lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
   }
 
   private val cagraSearchOracle: String =
     """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS itopk,
+      |CAST(16 AS INT) AS degree,
+      |CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_met
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** The CHEAP-build cost row: the degree-8 graph pruned from the 16-NN
+    * pool, the config the filtered query and the bench's low-cost point
+    * use. Gated at its own (lower) floor so the cost/recall trade stays a
+    * measured row next to the reference-shaped gate above. */
+  private def cagraSearchCheapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
+    val knn = exact16Graph(spark, dir)
+    val g = cagraOpt8(spark, dir)
+    val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
+    // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
+    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
+      .select(col("src").as("qid"), col("dst").as("nbr_id"))
+      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
+    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
+      (q.count() * 10)
+    q.agg(count(lit(1)).as("n_queries"))
+      .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"), lit(8).as("degree"),
+        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+  }
+
+  private val cagraSearchCheapOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS itopk,
+      |CAST(8 AS INT) AS degree,
       |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
@@ -419,15 +470,18 @@ object GraphQueries {
   private def cagraAceQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val g = SparkEntry.memoize(spark, s"cagraAce8:$dir") {
+    val g = SparkEntry.memoize(spark, s"cagraAceRef16:$dir") {
       val buildDir = s"${System.getProperty("java.io.tmpdir")}/graft_ace_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       registerAceCleanup(buildDir)
-      CagraOptimize.buildAce(e, npartitions = 4, buildDir, degree = 8)
+      // reference shape: degree 16 from a 32-wide per-partition build
+      // (intermediateDegree defaults to 2*degree), held to the in-memory
+      // reference-shaped path's 0.95 floor
+      CagraOptimize.buildAce(e, npartitions = 4, buildDir, degree = 16)
     }
     val knn = exact16Graph(spark, dir)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
-      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
     // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
     val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
       .select(col("src").as("qid"), col("dst").as("nbr_id"))
@@ -436,26 +490,29 @@ object GraphQueries {
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(4).as("npartitions"),
-        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+        lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
   }
 
   private val cagraAceOracle: String =
     """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(4 AS INT) AS npartitions,
-      |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
   /** The shared 80%-of-%2 base graph for BOTH extend pipelines
     * (cagra_extend_recall and hnsw_extend_recall insert the same 20% into
-    * the same base): exact 16-NN over baseRows, detour-pruned to degree 8.
+    * the same base): exact 32-NN over baseRows, detour-pruned to degree 16
+    * — the reference build shape, so both extend gates hold the insert
+    * path to the reference's 0.95 floor.
     * Built once per dataset so the bench charges it to one artifact. */
   private def extBase8(spark: SparkSession, dir: String): DataFrame =
-    SparkEntry.memoize(spark, s"extBase8:$dir") {
+    SparkEntry.memoize(spark, s"extBaseRef16:$dir") {
       val baseRows = emb(spark, dir)
         .filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // reference shape (cagra.hpp:149-153): degree 16 from the 32-NN pool
       CagraOptimize.optimize(
-        AllNeighbors.exact(baseRows, 16, Metric.L2Sqrt, "id", "vec")
-          .select(col("src"), col("dst"), col("dist")), degree = 8)
+        AllNeighbors.exact(baseRows, 32, Metric.L2Sqrt, "id", "vec")
+          .select(col("src"), col("dst"), col("dist")), degree = 16)
         .localCheckpoint()
     }
 
@@ -467,7 +524,7 @@ object GraphQueries {
     * (ann_cagra.cuh:623-701) at the in-memory build path's recall bar.
     * `new_full_degree` is computed from the extended edge list: every
     * inserted node present with exactly `degree` out-edges. */
-  /** The chunk-extended degree-8 edge list over the %2 subset — the shared
+  /** The chunk-extended degree-16 edge list over the %2 subset — the shared
     * product of the CagraExtend surgery: consumed directly by
     * cagra_extend_recall and as the layer 0 of hnsw_extend_recall
     * (`Hnsw.extend` IS `fromGraph(CagraExtend.extend(layer0, …), all)` —
@@ -483,7 +540,7 @@ object GraphQueries {
       val addRows = s.filter(col("id") % 10 === 0)
       val baseRows = s.filter(col("id") % 10 =!= 0)
       val nAdd = addRows.count()
-      CagraExtend.extend(baseGraph, baseRows, addRows, 8,
+      CagraExtend.extend(baseGraph, baseRows, addRows, 16,
         CagraExtend.Params(maxChunkSize = math.max(1L, (nAdd + 2) / 3).toInt))
         .localCheckpoint()
     }
@@ -496,23 +553,23 @@ object GraphQueries {
     val ext = ext8(spark, dir)
     val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
     val got = GraphSearch.search(ext.select(col("src"), col("dst")), s, q, 10,
-      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
+      GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
     val exact = graft.ops.BruteForceKnn.knnJoin(s, q, 10, Metric.L2, "id", "vec")
     val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")),
       exact.select(col("qid"), col("nbr_id"))).toDouble / (q.count() * 10)
     val newDeg = ext.join(addRows.select(col("id").as("src")), "src")
       .groupBy(col("src")).count()
     val newFullDegree = newDeg.count() == addRows.count() &&
-      newDeg.filter(col("count") =!= 8).count() == 0
+      newDeg.filter(col("count") =!= 16).count() == 0
     q.agg(count(lit(1)).as("n_queries"))
-      .select(col("n_queries"), lit(10).as("k"), lit(8).as("degree"),
+      .select(col("n_queries"), lit(10).as("k"), lit(16).as("degree"),
         lit(newFullDegree).as("new_full_degree"),
-        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+        lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
   }
 
   private val cagraExtendOracle: String =
-    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS degree,
-      |true AS new_full_degree, CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(16 AS INT) AS degree,
+      |true AS new_full_degree, CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 2""".stripMargin
 
   /** Filtered CAGRA traversal (cagra.hpp sample_filter + filtering_rate):
@@ -560,35 +617,37 @@ object GraphQueries {
       |  % 2147483647 + 0.5) / 2147483647.0) / ln(16.0)) AS INT) AS level
       |FROM embeddings""".stripMargin
 
-  /** HNSW hierarchy search (greedy descent + base-layer ef beam) over a
-    * CAGRA-optimized base graph — recall-floor report. */
+  /** HNSW hierarchy search (greedy descent + base-layer ef beam) over the
+    * reference-shaped symmetrized CAGRA graph — the reference's own HNSW
+    * construction (hnsw.hpp:43-65 converts a CAGRA graph) — recall-floor
+    * report at the reference's 0.95 floor. baseIterations is left at auto
+    * so the base beam tracks ef instead of saturating at 10 rounds. */
   private def hnswSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val base = exact16Graph(spark, dir)
-    val idx = Hnsw.fromGraph(base, e, Hnsw.Params(m = 16), "id", "vec")
+    val idx = Hnsw.fromGraph(cagraOptRef16(spark, dir), e, Hnsw.Params(m = 16), "id", "vec")
     val got = Hnsw.search(idx, e, q, 10, ef = 40, "id", "vec")
     // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
-    val exact = base.filter(col("src") % 20 === 0 && col("rank") <= 9)
+    val exact = exact16Graph(spark, dir).filter(col("src") % 20 === 0 && col("rank") <= 9)
       .select(col("src").as("qid"), col("dst").as("nbr_id"))
       .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
     val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
       (q.count() * 10)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("ef"),
-        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+        lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
   }
 
   private val hnswSearchOracle: String =
     """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS ef,
-      |CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+      |CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
   /** HNSW extend end-to-end: hierarchy built over 80% of the %2 subset,
     * the other 20% chunk-inserted (3 chunks) via the CagraExtend layer-0
     * surgery + level re-draw, then hierarchical search with queries
     * EXTERNAL to the insert batch against full-dataset truth — the same
-    * validation discipline and 0.85 floor as cagra_extend_recall.
+    * validation discipline and 0.95 floor as cagra_extend_recall.
     * The artifact is the REAL `Hnsw.extend` entry point (base hierarchy
     * over the 80%, then extend) — the bench consumer for the operator,
     * not just its composed parts; GraphIndexSuite separately asserts
@@ -599,7 +658,7 @@ object GraphQueries {
     val s = emb(spark, dir).filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val addRows = s.filter(col("id") % 10 === 0)
-    val idx = SparkEntry.memoize(spark, s"hnswExt8:$dir") {
+    val idx = SparkEntry.memoize(spark, s"hnswExtRef16:$dir") {
       val baseRows = s.filter(col("id") % 10 =!= 0)
       val baseIdx = Hnsw.fromGraph(extBase8(spark, dir), baseRows,
         Hnsw.Params(m = 16, metric = Metric.L2Sqrt), "id", "vec")
@@ -626,16 +685,16 @@ object GraphQueries {
       .join(addRows.select(col("id").as("src")), "src")
       .groupBy(col("src")).count()
     val newFullDegree = newDeg.count() == addRows.count() &&
-      newDeg.filter(col("count") =!= 8).count() == 0
+      newDeg.filter(col("count") =!= 16).count() == 0
     q.agg(count(lit(1)).as("n_queries"))
-      .select(col("n_queries"), lit(10).as("k"), lit(8).as("degree"),
+      .select(col("n_queries"), lit(10).as("k"), lit(16).as("degree"),
         lit(newFullDegree).as("new_full_degree"),
-        lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
+        lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
   }
 
   private val hnswExtendOracle: String =
-    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(8 AS INT) AS degree,
-      |true AS new_full_degree, CAST(0.85 AS DOUBLE) AS recall_floor, true AS floor_met
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(16 AS INT) AS degree,
+      |true AS new_full_degree, CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -651,6 +710,7 @@ object GraphQueries {
     "spectral_embedding" -> (spectralEmbeddingQuery(_, _)),
     "vamana_build" -> (vamanaQuery(_, _)),
     "cagra_search_recall" -> (cagraSearchQuery(_, _)),
+    "cagra_search_cheap" -> (cagraSearchCheapQuery(_, _)),
     "cagra_ace_recall" -> (cagraAceQuery(_, _)),
     "cagra_extend_recall" -> (cagraExtendQuery(_, _)),
     "cagra_filtered_search" -> (cagraFilteredQuery(_, _)),
@@ -677,6 +737,7 @@ object GraphQueries {
     "spectral_embedding" -> spectralEmbeddingOracle,
     "vamana_build" -> vamanaOracle,
     "cagra_search_recall" -> cagraSearchOracle,
+    "cagra_search_cheap" -> cagraSearchCheapOracle,
     "cagra_ace_recall" -> cagraAceOracle,
     "cagra_extend_recall" -> cagraExtendOracle,
     "cagra_filtered_search" -> cagraFilteredOracle,

@@ -109,8 +109,16 @@ object GraphSearch {
       val wf = Window.partitionBy(col("qid"), col("expanded"))
         .orderBy(col("dist").asc, col("id").asc)
       val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("id").asc)
+      // The loop also exits when every beam entry is expanded: the
+      // frontier is empty and will stay empty, so remaining rounds are
+      // provable no-ops (LocalBeam's empty-frontier guard, mirrored) —
+      // rows are identical to running out the full bound, only the jobs
+      // are saved. This is what makes an ef-tracking round bound
+      // affordable on the distributed path: the job count follows the
+      // beam's actual drain, not the worst-case bound. The probe is one
+      // tiny scan of the checkpointed O(queries·itopk) state.
       var it = 0
-      while (it < params.maxIterations) {
+      while (it < params.maxIterations && !beam.filter(!col("expanded")).isEmpty) {
         val ranked = beam.withColumn("_rk", row_number().over(wf))
         val frontier = ranked
           .filter(!col("expanded") && col("_rk") <= params.searchWidth)

@@ -246,17 +246,27 @@ object Hnsw {
   /** Hierarchical search: greedy descent through upper layers, then an
     * ef-beam on the base layer. (qid, nbr_id, rank, dist).
     *
-    * `baseIterations` bounds the base-layer beam's expansion rounds (all
-    * three routes share it, preserving their row-identity contract). The
-    * default 10 caps the DISTRIBUTED route's job count; hnswlib's canon is
-    * expand-until-the-ef-queue-exhausts, so recall-critical callers with a
-    * local/hybrid route (or an ef past ~40) should raise it toward ef —
-    * past the cap the ef knob silently saturates (AnnBench measured the
-    * ceiling at 0.92 on held-out queries until the bound tracked ef). */
+    * `baseIterations` bounds the base-layer beam's expansion rounds. An
+    * explicit value > 0 is honored VERBATIM on all three routes — that is
+    * the row-identity contract (LocalKernelSuite pins it). The default 0
+    * means AUTO: `max(10, ef)` on the local and hybrid routes, where an
+    * extra round is a cheap in-memory step and hnswlib's canon is
+    * expand-until-the-ef-queue-exhausts; 10 on the distributed loop route,
+    * where every round is a Spark job and the bound is a job-count cap.
+    * Before auto, a fixed default of 10 silently saturated the ef knob
+    * past ~40 (AnnBench measured a 0.92 held-out ceiling at ANY ef until
+    * the bound tracked ef). */
   def search(idx: Index, data: DataFrame, queries: DataFrame, k: Int, ef: Int = 40,
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec",
-      baseIterations: Int = 10): DataFrame = {
+      baseIterations: Int = 0): DataFrame = {
+    require(baseIterations >= 0, s"baseIterations must be >= 0, got $baseIterations")
+    // 0 = auto per route: the in-memory routes track ef, the job-loop
+    // route keeps the bounded job count
+    def resolvedIters(distributedBase: Boolean): Int =
+      if (baseIterations > 0) baseIterations
+      else if (distributedBase) 10
+      else math.max(10, ef)
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
 
     // Cost-based route (graft.graphops.LocalKernel): when the whole
@@ -273,7 +283,8 @@ object Hnsw {
       // route marker (driver-side diagnostic; lets tests and smokes assert
       // WHICH route actually ran rather than inferring it from timings)
       markRoute(spark, "local")
-      return searchLocal(idx, data, q, k, ef, idCol, vecCol, baseIterations)
+      return searchLocal(idx, data, q, k, ef, idCol, vecCol,
+        resolvedIters(distributedBase = false))
     }
 
     // HYBRID route: the hierarchy shrinks geometrically (n/M + n/M² + …
@@ -347,7 +358,8 @@ object Hnsw {
           idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
           data, q, k,
           GraphSearch.Params(itopk = ef, searchWidth = 4,
-            maxIterations = baseIterations, metric = idx.params.metric),
+            maxIterations = resolvedIters(distributedBase = false),
+            metric = idx.params.metric),
           idCol, vecCol, entrySeeds = Some(seeds))
       }
     }
@@ -375,7 +387,8 @@ object Hnsw {
         idx.edges.filter(col("level") === 0).select(col("src"), col("dst")),
         dShaped, qShaped, k,
         GraphSearch.Params(itopk = ef, searchWidth = 4,
-          maxIterations = baseIterations, metric = idx.params.metric),
+          maxIterations = resolvedIters(distributedBase = true),
+          metric = idx.params.metric),
         "id", "vec", entrySeeds = Some(cur))
     } finally { graft.core.Frames.release(dShaped); graft.core.Frames.release(qShaped) }
   }

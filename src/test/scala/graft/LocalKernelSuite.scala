@@ -111,8 +111,10 @@ class LocalKernelSuite extends SparkFunSuite {
   test("hnsw search: one-pass route == per-level route, row for row") {
     val base = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
     val idx = Hnsw.fromGraph(base, emb, Hnsw.Params(m = 16), "id", "vec")
+    // explicit bound: row-identity across routes is the EXPLICIT contract
+    // (auto resolves per route — the in-memory routes track ef)
     val (local, dist) = bothRoutes {
-      Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec")
+      Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec", baseIterations = 10)
     }
     assert(local.length > 0)
     assert(local.sameElements(dist))
@@ -130,15 +132,19 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(nUpper > 0 && nBase > nUpper, "fixture must have a real hierarchy")
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted
     spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
+    // explicit bound: row-identity across routes is the EXPLICIT contract
+    // (auto resolves per route — the in-memory routes track ef)
     val hybrid =
-      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+        baseIterations = 10))
       finally spark.conf.unset("spark.graft.localKernel.maxEdges")
     // the route marker makes this non-vacuous: a demoted search would
     // produce identical rows via the loop, so pin WHICH route ran
     assert(Hnsw.lastSearchRoute.contains("hybrid"))
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val loop =
-      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+        baseIterations = 10))
       finally spark.conf.set("spark.graft.localKernel.enabled", "true")
     assert(Hnsw.lastSearchRoute.contains("loop"))
     assert(hybrid.length > 0)
@@ -171,6 +177,38 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(hybrid) && local.sameElements(loop))
   }
 
+  test("hnsw auto baseIterations tracks ef on the local route — no saturation") {
+    // A 50-node chain graph (each node linked only to its neighbors) with
+    // the entry pinned at one end: the beam advances ~1 node per round, so
+    // a fixed 10-round bound cannot reach the far end at ANY ef — the
+    // saturation AnnBench measured on held-out queries. Auto (the default,
+    // baseIterations = 0) must run max(10, ef) rounds on the local route
+    // and find the true top-k; an explicit 10 must keep the old bound.
+    import spark.implicits._
+    val n = 50
+    val data = (0 until n).map(i => (i.toLong, Array(i.toFloat, 0f)))
+      .toDF("id", "vec")
+    val chain = (0 until n).flatMap { i =>
+      Seq(i - 1, i + 1).filter(j => j >= 0 && j < n).zipWithIndex.map {
+        case (j, rk) => (0, i.toLong, j.toLong, 1.0, rk + 1)
+      }
+    }.toDF("level", "src", "dst", "dist", "rank")
+    val idx = Hnsw.Index(
+      levels = (0 until n).map(i => (i.toLong, 0)).toDF("id", "level"),
+      edges = chain, maxLevel = 0, entryPoint = 0L, params = Hnsw.Params(m = 2))
+    val q = Seq((99L, Array((n - 1).toFloat, 0f))).toDF("qid", "qvec")
+    def ids(bi: Int) = Hnsw.search(idx, data, q, 5, ef = 100, "id", "vec",
+        baseIterations = bi)
+      .select(col("nbr_id")).collect().map(_.getLong(0)).toSet
+    val pinned10 = ids(10)
+    assert(Hnsw.lastSearchRoute.contains("local"))
+    val auto = ids(0)
+    val want = ((n - 5) until n).map(_.toLong).toSet
+    assert(auto == want, s"auto bound must reach the far end, got $auto")
+    assert(pinned10 != want, "explicit 10 must keep the old job-cap bound " +
+      "(otherwise this fixture can't detect saturation at all)")
+  }
+
   test("hnsw hybrid gate runs on its own caps, decoupled from the generic kernel caps") {
     // the 10M regime in miniature: the generic maxVectors cap is far below
     // the upper-layer id count, which used to silently demote the search
@@ -184,7 +222,8 @@ class LocalKernelSuite extends SparkFunSuite {
     spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
     spark.conf.set("spark.graft.localKernel.maxVectors", "1")
     val hybrid =
-      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+        baseIterations = 10))
       finally {
         spark.conf.unset("spark.graft.localKernel.maxEdges")
         spark.conf.unset("spark.graft.localKernel.maxVectors")
@@ -196,7 +235,8 @@ class LocalKernelSuite extends SparkFunSuite {
       "tiny generic maxVectors demoted the hybrid route")
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     val loop =
-      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec"))
+      try rows(Hnsw.search(idx, emb, queries, 10, ef = 40, "id", "vec",
+        baseIterations = 10))
       finally spark.conf.set("spark.graft.localKernel.enabled", "true")
     assert(hybrid.length > 0)
     assert(hybrid.sameElements(loop))

@@ -300,6 +300,35 @@ object SparkEntry {
         |""".stripMargin)
   }
 
+  /** Pure-SQL filter surface (§2.8): the `knn_join_filtered` TVF with a
+    * deny-list relation — same KnnJoinPlan node with the filter composed
+    * as a Catalyst anti-join under it, so it hash-matches BOTH the
+    * Column route (`knn_filtered`, BruteForceKnn.knnJoinFiltered — the
+    * suite asserts row equality) and the same DuckDB oracle. */
+  private def sqlKnnJoinFilteredQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SqlFunctions.register(spark) // also installs ResolveKnnJoin
+    table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
+    embQueries(spark, dir).createOrReplaceTempView("graft_embq")
+    table(spark, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id")).createOrReplaceTempView("graft_deny")
+    spark.sql(
+      """SELECT qid, nbr_id, rank, round(dist, 4) AS dist
+        |FROM knn_join_filtered('graft_emb', 'graft_embq', 'graft_deny', 'deny',
+        |                       10, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')
+        |""".stripMargin)
+  }
+
+  private def sqlKnnJoinFilteredOracle: String = {
+    val distExpr = O.byMetric(Metric.L2Sqrt, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e WHERE e.vec_id % 3 <> 0),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist FROM r WHERE rank <= 10
+       |""".stripMargin
+  }
+
   private def sqlVectorDistanceOracle: String = {
     val cols = Seq(
       "d_l2" -> O.l2("a.avec", "b.bvec"),
@@ -987,6 +1016,7 @@ object SparkEntry {
     "distance_metrics" -> (distanceMetricsQuery(_, _)),
     "sql_vector_distance" -> (sqlVectorDistanceQuery(_, _)),
     "sql_knn_join" -> (sqlKnnJoinQuery(_, _)),
+    "sql_knn_join_filtered" -> (sqlKnnJoinFilteredQuery(_, _)),
     "pairwise_distance" -> (pairwiseQuery(_, _)),
     "range_eps_join" -> (rangeEpsQuery(_, _)),
     "refine" -> (refineQuery(_, _)),
@@ -1035,6 +1065,7 @@ object SparkEntry {
     "distance_metrics" -> distanceMetricsOracle,
     "sql_vector_distance" -> sqlVectorDistanceOracle,
     "sql_knn_join" -> knnOracle(Metric.L2Sqrt),
+    "sql_knn_join_filtered" -> sqlKnnJoinFilteredOracle,
     "pairwise_distance" -> pairwiseOracle,
     "range_eps_join" -> rangeEpsOracle,
     "refine" -> refineOracle,

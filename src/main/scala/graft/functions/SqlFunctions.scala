@@ -106,28 +106,42 @@ object SqlFunctions {
   type TableBuilder = Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   type TableDescription = (FunctionIdentifier, ExpressionInfo, TableBuilder)
 
+  private def strLit(fn: String)(e: Expression, what: String): String = {
+    if (!e.foldable || e.dataType != StringType)
+      throw new IllegalArgumentException(s"$fn: $what must be a string literal")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(s"$fn: $what must not be null")
+    v.toString
+  }
+
+  /** k as a positive Int literal: a Long outside Int range must FAIL the
+    * analysis, not wrap (4294967297 used to silently become k = 1), and
+    * k < 1 is a contract error the user should see at plan time. */
+  private def intLit(fn: String)(e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(s"$fn: k must be a literal")
+    val k = e.eval() match {
+      case i: Int => i
+      case l: Long =>
+        if (l < Int.MinValue || l > Int.MaxValue) throw new IllegalArgumentException(
+          s"$fn: k $l out of Int range")
+        l.toInt
+      case other => throw new IllegalArgumentException(s"$fn: non-integer k $other")
+    }
+    if (k < 1) throw new IllegalArgumentException(s"$fn: k must be >= 1, got $k")
+    k
+  }
+
+  // real identifier parsing (backtick quoting, dotted parts) — a naive
+  // split('.') would shred `cat.`a.b`.tbl` into four bogus parts
+  private def rel(fn: String)(e: Expression, what: String) =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseMultipartIdentifier(strLit(fn)(e, what)))
+
   val knnJoinTable: TableDescription = {
-    def strLit(e: Expression, what: String): String = {
-      if (!e.foldable || e.dataType != StringType)
-        throw new IllegalArgumentException(s"knn_join: $what must be a string literal")
-      val v = e.eval()
-      if (v == null) throw new IllegalArgumentException(s"knn_join: $what must not be null")
-      v.toString
-    }
-    def intLit(e: Expression): Int = {
-      if (!e.foldable) throw new IllegalArgumentException("knn_join: k must be a literal")
-      e.eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(s"knn_join: non-integer k $other")
-      }
-    }
-    // real identifier parsing (backtick quoting, dotted parts) — a naive
-    // split('.') would shred `cat.`a.b`.tbl` into four bogus parts
-    def rel(e: Expression, what: String) =
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
-        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseMultipartIdentifier(strLit(e, what)))
+    val strLit = SqlFunctions.strLit("knn_join") _
+    val intLit = SqlFunctions.intLit("knn_join") _
+    val rel = SqlFunctions.rel("knn_join") _
     (FunctionIdentifier("knn_join"),
       new ExpressionInfo(classOf[graft.plans.KnnJoinPlan].getName, null, "knn_join",
         "knn_join(data, queries, k, metric, id_col, vec_col, qid_col, qvec_col) - " +
@@ -144,6 +158,73 @@ object SqlFunctions {
       })
   }
 
+  /** Filtered kNN join from pure SQL — the §2.8 filter surface
+    * (bitset/deny-list filters, cagra.hpp sample_filter) as a TVF:
+    *
+    * {{{
+    * SELECT * FROM knn_join_filtered('data_view', 'query_view',
+    *   'filter_view', 'deny', 10, 'l2sqrt',
+    *   'id', 'vec', 'qid', 'qvec'[, 'filter_id_col'])
+    * }}}
+    *
+    * `mode` is 'deny' (rows whose id appears in the filter relation may
+    * never be returned) or 'allow' (only listed ids may be returned).
+    * The filter composes as a semi/anti JOIN on the data side UNDER the
+    * same [[graft.plans.KnnJoinPlan]] node the unfiltered TVF plans — so
+    * the lowering rule, route choice, and partial-top-k pipeline are
+    * shared, and Catalyst plans the id filter as an ordinary broadcast
+    * semi/anti join (the exact shape BruteForceKnn.knnJoinFiltered's
+    * Column route builds). `filter_id_col` defaults to `id_col`. */
+  val knnJoinFilteredTable: TableDescription = {
+    val fn = "knn_join_filtered"
+    val strLit = SqlFunctions.strLit(fn) _
+    val intLit = SqlFunctions.intLit(fn) _
+    val rel = SqlFunctions.rel(fn) _
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, SubqueryAlias}
+    def build(d: Expression, q: Expression, f: Expression, mode: Expression,
+        k: Expression, m: Expression, idc: Expression, vc: Expression,
+        qidc: Expression, qvc: Expression, fidc: Option[Expression]) = {
+      val joinType = strLit(mode, "mode") match {
+        case "deny" => LeftAnti
+        case "allow" => LeftSemi
+        case other => throw new IllegalArgumentException(
+          s"$fn: mode must be 'deny' or 'allow', got '$other'")
+      }
+      val idName = strLit(idc, "id_col")
+      val fidName = fidc.map(strLit(_, "filter_id_col")).getOrElse(idName)
+      // alias both sides so the join key resolves unambiguously even when
+      // the filter relation carries a column of the same name
+      val dataAliased = SubqueryAlias("__graft_knn_data", rel(d, "data"))
+      val filterAliased = SubqueryAlias("__graft_knn_filter", rel(f, "filter"))
+      val filtered = Join(dataAliased, filterAliased, joinType,
+        Some(EqualTo(
+          UnresolvedAttribute(Seq("__graft_knn_data", idName)),
+          UnresolvedAttribute(Seq("__graft_knn_filter", fidName)))),
+        JoinHint.NONE)
+      graft.plans.KnnJoinPlan(filtered, rel(q, "queries"),
+        intLit(k), Metric.fromName(strLit(m, "metric")).name,
+        idName, strLit(vc, "vec_col"),
+        strLit(qidc, "qid_col"), strLit(qvc, "qvec_col"))
+    }
+    (FunctionIdentifier(fn),
+      new ExpressionInfo(classOf[graft.plans.KnnJoinPlan].getName, null, fn,
+        s"$fn(data, queries, filter, mode, k, metric, id_col, vec_col, " +
+          "qid_col, qvec_col[, filter_id_col]) - kNN join where the filter " +
+          "relation's ids are excluded (mode 'deny') or required (mode " +
+          "'allow'); plans the same logical node as knn_join.", ""),
+      (children: Seq[Expression]) => children match {
+        case Seq(d, q, f, mode, k, m, idc, vc, qidc, qvc) =>
+          build(d, q, f, mode, k, m, idc, vc, qidc, qvc, None)
+        case Seq(d, q, f, mode, k, m, idc, vc, qidc, qvc, fidc) =>
+          build(d, q, f, mode, k, m, idc, vc, qidc, qvc, Some(fidc))
+        case _ => throw new IllegalArgumentException(
+          s"$fn expects 10 or 11 arguments, got ${children.length}")
+      })
+  }
+
   /** Register into `spark`'s live function registries (idempotent). Also
     * installs the ResolveKnnJoin lowering rule: the knn_join TVF plans a
     * KnnJoinPlan node, and registering the name without its lowering
@@ -153,7 +234,9 @@ object SqlFunctions {
     val reg = org.apache.spark.sql.graft.bridge.functionRegistry(spark)
     descriptions.foreach { case (id, i, b) => reg.registerFunction(id, i, b) }
     val treg = org.apache.spark.sql.graft.bridge.tableFunctionRegistry(spark)
-    treg.registerFunction(knnJoinTable._1, knnJoinTable._2, knnJoinTable._3)
+    Seq(knnJoinTable, knnJoinFilteredTable).foreach { case (id, i, b) =>
+      treg.registerFunction(id, i, b)
+    }
     graft.plans.ResolveKnnJoin.ensureInstalled(spark)
   }
 }

@@ -114,14 +114,24 @@ object ResolveKnnJoin {
     * detected so register()/query paths don't stack a second full-tree
     * pass onto every query for the session's lifetime. */
   def ensureInstalled(spark: SparkSession): Unit = {
+    // narrow catch: only the expected "not a classic optimizer" failures
+    // (cast/linkage on a connect/foreign session) mean "can't introspect";
+    // anything else should surface, not silently duplicate the rule
     val injected =
       try org.apache.spark.sql.graft.bridge.optimizer(spark)
         .extendedOperatorOptimizationRules.exists(_.isInstanceOf[ResolveKnnJoin])
-      catch { case _: Throwable => false }
-    if (!injected &&
-        !spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveKnnJoin]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
+      catch {
+        case _: ClassCastException | _: LinkageError | _: UnsupportedOperationException =>
+          false
+      }
+    // check-and-append must be atomic: two threads registering on one
+    // session used to stack duplicate rule instances (benign output, but
+    // a redundant full-tree optimizer pass per query, forever)
+    if (!injected) spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveKnnJoin]))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
+    }
   }
 }
 
@@ -269,6 +279,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => ResolveKnnJoin(session))
     graft.functions.SqlFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectTableFunction(graft.functions.SqlFunctions.knnJoinTable)
+    ext.injectTableFunction(graft.functions.SqlFunctions.knnJoinFilteredTable)
   }
 }
 

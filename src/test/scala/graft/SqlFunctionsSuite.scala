@@ -110,6 +110,63 @@ class SqlFunctionsSuite extends SparkFunSuite {
     }
   }
 
+  test("knn_join TVF rejects k < 1 and a Long k outside Int range") {
+    emb
+    for (k <- Seq("0", "-3", "4294967297L")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM knn_join('sqlfn_emb', 'sqlfn_q', $k, 'l2sqrt', " +
+          "'vec_id', 'embedding', 'qid', 'qvec')").queryExecution.analyzed
+      }
+      assert(e.getMessage != null, s"k=$k must fail analysis with a message")
+    }
+  }
+
+  test("knn_join_filtered TVF: deny == Column route, allow is its complement-side") {
+    emb
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    q.createOrReplaceTempView("sqlfn_q")
+    val deny = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    deny.createOrReplaceTempView("sqlfn_deny")
+    val sqlDeny = spark.sql(
+      "SELECT * FROM knn_join_filtered('sqlfn_emb', 'sqlfn_q', 'sqlfn_deny', " +
+        "'deny', 5, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+    // same declarative node as the unfiltered TVF (shared lowering)
+    assert(sqlDeny.queryExecution.analyzed.collect {
+      case _: graft.plans.KnnJoinPlan => true }.nonEmpty,
+      "knn_join_filtered TVF did not plan KnnJoinPlan")
+    val colDeny = graft.ops.BruteForceKnn.knnJoinFiltered(emb, q, 5, Metric.L2Sqrt,
+      deny = Some(deny), idCol = "vec_id", vecCol = "embedding")
+    assert(sqlDeny.collect().toSet == colDeny.collect().toSet,
+      "SQL deny route differs from the Column-API knnJoinFiltered route")
+    // allow-list over the SAME relation = kNN restricted to the listed ids
+    val sqlAllow = spark.sql(
+      "SELECT * FROM knn_join_filtered('sqlfn_emb', 'sqlfn_q', 'sqlfn_deny', " +
+        "'allow', 5, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+    val colAllow = graft.ops.BruteForceKnn.knnJoin(
+      emb.filter(col("vec_id") % 3 === 0), q, 5, Metric.L2Sqrt, "vec_id", "embedding")
+    assert(sqlAllow.collect().toSet == colAllow.collect().toSet,
+      "SQL allow route differs from the pre-filtered brute route")
+    // every returned id respects the deny list
+    import spark.implicits._
+    val denied = deny.as[Long].collect().toSet
+    assert(sqlDeny.select(col("nbr_id")).as[Long].collect().forall(!denied.contains(_)))
+    assert(sqlAllow.select(col("nbr_id")).as[Long].collect().forall(denied.contains))
+  }
+
+  test("knn_join_filtered TVF validates mode and arity") {
+    emb
+    intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join_filtered('sqlfn_emb', 'sqlfn_q', 'sqlfn_deny', " +
+        "'neither', 5, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+        .queryExecution.analyzed
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join_filtered('sqlfn_emb', 'sqlfn_q', 'sqlfn_deny')")
+        .queryExecution.analyzed
+    }
+  }
+
   test("GraftExtensions injects every SQL function into a session registry") {
     // a second SparkContext can't be built in this JVM, so exercise the
     // same path session startup runs: apply the installer to a fresh

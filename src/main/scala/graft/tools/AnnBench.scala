@@ -9,28 +9,36 @@ import graft.sources.Hdf5
   * (cuvs_bench, fern/pages/cuvs_bench/running.md:87,117): a dataset in the
   * ann-benchmarks HDF5 layout (`train`/`test` float32 matrices,
   * `neighbors` int32 + `distances` float32 ground truth, a root `distance`
-  * attribute), searched at `--batch-size 10 -k 10`, scored as recall@k
-  * against the FILE's ground truth — not against a gt recomputed by the
-  * engine under test. This closes the loop from fixture gates to the
-  * protocol a cuvs user actually accepts indexes with: the same [[Hdf5]]
-  * reader that ingests real ann-benchmarks files (glove/sift/deep) drives
-  * the run; with zero egress in this environment the file itself is
-  * exported from the sf fixture in the exact layout, so pointing `main` at
-  * a downloaded glove-100-angular.hdf5 is a path change, not a code
-  * change.
+  * attribute), searched in BOTH of the protocol's modes
+  * (ann_types.hpp:18) — `latency` (consecutive `--batch-size 10` batches,
+  * each its own job, as the harness submits them) and `throughput` (the
+  * whole test set as one batch, the engine's actual design target) — with
+  * recall scored against the FILE's ground truth, not against a gt
+  * recomputed by the engine under test. Results are additionally grouped
+  * into the reference's recall buckets (comparing_indexes.md:29-40:
+  * 80-89 / 90-94 / 95-98 / 99+ — "compare within a bucket, never
+  * across"), best-QPS point per (algo, mode, bucket).
+  *
+  * This closes the loop from fixture gates to the protocol a cuvs user
+  * actually accepts indexes with: the same [[Hdf5]] reader that ingests
+  * real ann-benchmarks files (glove/sift/deep) drives the run; with zero
+  * egress in this environment the files are exported from the sf fixture
+  * in the exact layout — at its native 64-dim geometry AND a derived
+  * 256-dim one (four permuted copies concatenated), so the harness is
+  * demonstrably not tuned to a single width. Pointing `main` at a
+  * downloaded glove-100-angular.hdf5 is a path change, not a code change.
   *
   * `runMain graft.tools.AnnBench [sfDir] [outJson]` writes ANN_BENCH.json
-  * and prints one `ANNBENCH` JSON line per (algo, knob) point.
+  * and prints one `ANNBENCH` JSON line per (dataset, algo, knob, mode).
   */
 object AnnBench {
 
-  /** Export an ann-benchmarks-layout HDF5 from the fixture embeddings:
-    * every 20th vector is a test query, the rest are train rows, and the
-    * ground truth is the exact k-NN of each query over TRAIN POSITIONS
-    * (the format indexes neighbors by row position, not by source id). */
-  def buildFile(spark: SparkSession, sfDir: String, path: String, k: Int = 10): Unit = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+  /** Export an ann-benchmarks-layout HDF5 from a (vec_id, embedding)
+    * frame: every 20th vector is a test query, the rest are train rows,
+    * and the ground truth is the exact k-NN of each query over TRAIN
+    * POSITIONS (the format indexes neighbors by row position, not by
+    * source id). */
+  def buildFileFrom(spark: SparkSession, emb: DataFrame, path: String, k: Int = 10): Unit = {
     val test = emb.filter(col("vec_id") % 20 === 0)
     val trainRaw = emb.filter(col("vec_id") % 20 =!= 0)
     // the format's position contract (row index into one contiguous
@@ -65,14 +73,70 @@ object AnnBench {
       attrs = Map("distance" -> "euclidean"))
   }
 
-  case class Result(algo: String, knob: String, value: Int,
+  /** Fixture export at the embeddings' native geometry. */
+  def buildFile(spark: SparkSession, sfDir: String, path: String, k: Int = 10): Unit =
+    buildFileFrom(spark, spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")), path, k)
+
+  /** A second geometry from the same fixture: each row's 4·dim vector is
+    * its own embedding concatenated with the embeddings of three rows
+    * under deterministic affine permutations of the dense id space
+    * (id -> (a·id + b) mod n, gcd(a, n) = 1). Unlike tiling one vector
+    * (which preserves the neighbor structure exactly) the mixed copies
+    * give a genuinely different high-dimensional neighborhood graph. */
+  def widened(emb: DataFrame, copies: Int = 4): DataFrame = {
+    val n = emb.count()
+    val perms = Seq((7L, 3L), (11L, 5L), (13L, 7L)).take(copies - 1)
+    require(perms.forall { case (a, _) => BigInt(a).gcd(BigInt(n)) == 1 },
+      s"permutation multipliers must be coprime with n=$n")
+    var out = emb.select(col("vec_id"), col("embedding").as("_e0"))
+    perms.zipWithIndex.foreach { case ((a, b), j) =>
+      val side = emb.select(col("vec_id").as(s"_jid$j"), col("embedding").as(s"_e${j + 1}"))
+      out = out.join(broadcast(side),
+        pmod(col("vec_id") * lit(a) + lit(b), lit(n)) === col(s"_jid$j"))
+        .drop(s"_jid$j")
+    }
+    out.select(col("vec_id"),
+      concat((0 until copies).map(j => col(s"_e$j")): _*).cast("array<float>")
+        .as("embedding"))
+  }
+
+  case class Result(algo: String, knob: String, value: Int, mode: String,
       recall: Double, qps: Double, buildSec: Double)
 
-  /** The canonical protocol: search the `test` set in consecutive
-    * `batchSize`-query batches (each batch its own job, as the harness
-    * submits them), k results per query, recall scored against the file's
-    * `neighbors` rows. One warm batch per config pays codegen/JIT so QPS
-    * measures steady state. */
+  /** Best-QPS representative of a reference recall bucket. */
+  case class Bucket(algo: String, mode: String, bucket: String,
+      value: Int, recall: Double, qps: Double)
+
+  /** recall@k with duplicate (qid, nbr_id) pairs counted ONCE — a route
+    * that emitted duplicates must not have each copy count as a match. */
+  def scoreRecall(pairs: Seq[(Long, Long)], gt: Map[Long, Set[Int]],
+      denom: Long): Double =
+    pairs.distinct.count { case (q, n) =>
+      gt.get(q).exists(_.contains(n.toInt)) }.toDouble / denom
+
+  /** Group points into the reference's recall buckets
+    * (comparing_indexes.md:29-40) and keep the best-QPS point of each
+    * (algo, mode, bucket) — the reference's fair-comparison framing. */
+  def toBuckets(points: Seq[Result]): Seq[Bucket] = {
+    val edges = Seq(("80-89", 0.80, 0.90), ("90-94", 0.90, 0.95),
+      ("95-98", 0.95, 0.99), ("99+", 0.99, 1.01))
+    points.groupBy(r => (r.algo, r.mode)).toSeq.sortBy(_._1).flatMap {
+      case ((algo, mode), rs) =>
+        edges.flatMap { case (label, lo, hi) =>
+          rs.filter(r => r.recall >= lo && r.recall < hi)
+            .sortBy(-_.qps).headOption
+            .map(b => Bucket(algo, mode, label, b.value, b.recall, b.qps))
+        }
+    }
+  }
+
+  /** Run the protocol over one exported file: every (algo, knob) point is
+    * measured in both modes. One warm batch per (config, mode) pays
+    * codegen/JIT so QPS measures steady state; the timed window covers
+    * search + collect ONLY — ground-truth matching happens outside the
+    * clock (the cuvs_bench harness does not charge scoring to the
+    * engine). */
   def run(spark: SparkSession, path: String, k: Int = 10,
       batchSize: Int = 10): Seq[Result] = {
     val train = Hdf5.read(spark, path, "train").localCheckpoint()  // (id, vec)
@@ -92,22 +156,33 @@ object AnnBench {
     // lazy filters over the one checkpointed test frame — a checkpoint
     // per batch would pay nQ/batchSize jobs and pin as many cached RDDs
     // before any measurement (10k-query real files → ~1000 of each)
-    val batches = (0L until nQ by batchSize).map { lo =>
+    val latencyBatches = (0L until nQ by batchSize).map { lo =>
       test.filter(col("qid") >= lo && col("qid") < lo + batchSize)
     }
+    val modes = Seq("latency" -> latencyBatches, "throughput" -> Seq(test))
 
-    def protocolRun(algo: String, knob: String, value: Int, buildSec: Double)(
+    def protocolRun(algo: String, knob: String, value: Int, buildSec: Double,
+        mode: String, batches: Seq[DataFrame])(
         search: DataFrame => DataFrame): Result = {
       search(batches.head).select(col("qid"), col("nbr_id")).count() // warm
-      var matched = 0L
+      val collected = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
       val t0 = System.nanoTime()
       batches.foreach { b =>
-        val got = search(b).select(col("qid"), col("nbr_id")).collect()
-        matched += got.count(r => gt(r.getLong(0)).contains(r.getLong(1).toInt))
+        collected += search(b).select(col("qid"), col("nbr_id")).collect()
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      Result(algo, knob, value, matched.toDouble / (nQ * k), nQ / wall, buildSec)
+      // scoring runs OUTSIDE the timed window, duplicates count once
+      val recall = scoreRecall(
+        collected.flatMap(_.iterator.map(r => (r.getLong(0), r.getLong(1)))).toSeq,
+        gt, nQ * k)
+      Result(algo, knob, value, mode, recall, nQ / wall, buildSec)
     }
+
+    def bothModes(algo: String, knob: String, value: Int, buildSec: Double)(
+        search: DataFrame => DataFrame): Seq[Result] =
+      modes.map { case (mode, batches) =>
+        protocolRun(algo, knob, value, buildSec, mode, batches)(search)
+      }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Result]
 
@@ -118,7 +193,7 @@ object AnnBench {
     ivf.lists.count()
     val ivfBuild = (System.nanoTime() - tIvf0) / 1e9
     Seq(4, 8, 16).foreach { p =>
-      out += protocolRun("ivf_flat", "n_probes", p, ivfBuild)(b =>
+      out ++= bothModes("ivf_flat", "n_probes", p, ivfBuild)(b =>
         ivf.search(b, k, nProbes = p))
     }
 
@@ -139,12 +214,14 @@ object AnnBench {
     // held-out queries (unlike the in-dataset RecallSweep workload) need
     // the wider beam end of the knob to converge — that IS the protocol's
     // point: the recall-vs-QPS tradeoff under a forced train/test split
-    Seq(20, 40, 100).foreach { t =>
-      out += protocolRun("cagra", "itopk", t, cagBuild)(b =>
+    Seq(20, 40, 100, 200).foreach { t =>
+      out ++= bothModes("cagra", "itopk", t, cagBuild)(b =>
         graft.graphops.GraphSearch.search(cagra.select(col("src"), col("dst")),
           train, b, k,
+          // round bound scales with the beam: the frontier-empty early
+          // exit makes the headroom free once the beam drains
           graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 8,
-            maxIterations = 30), "id", "vec"))
+            maxIterations = math.max(30, t / 2)), "id", "vec"))
     }
 
     val tH0 = System.nanoTime()
@@ -161,14 +238,11 @@ object AnnBench {
     val hnsw = graft.index.Hnsw.fromGraph(symBase, train,
       graft.index.Hnsw.Params(m = 16), "id", "vec")
     val hBuild = cagBuild + (System.nanoTime() - tH0) / 1e9
-    // hnswlib canon expands until the ef queue exhausts; the protocol run
-    // tracks that by scaling the beam's round bound with ef (the default
-    // 10-round cap is a distributed-job-count bound — under it the ef knob
-    // saturates at ~0.92 recall on held-out queries)
-    Seq(20, 40, 100).foreach { ef =>
-      out += protocolRun("hnsw", "ef", ef, hBuild)(b =>
-        graft.index.Hnsw.search(hnsw, train, b, k, ef = ef, "id", "vec",
-          baseIterations = math.max(10, ef)))
+    // baseIterations auto (0): hnswlib canon — the beam's round bound
+    // tracks ef on the in-memory routes instead of saturating at 10
+    Seq(20, 40, 100, 200).foreach { ef =>
+      out ++= bothModes("hnsw", "ef", ef, hBuild)(b =>
+        graft.index.Hnsw.search(hnsw, train, b, k, ef = ef, "id", "vec"))
     }
 
     out.toSeq
@@ -181,19 +255,36 @@ object AnnBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val h5 = java.nio.file.Files.createTempDirectory("graft_annbench").toString +
-      "/fixture-64-euclidean.hdf5"
-    buildFile(spark, sfDir, h5)
-    val results = run(spark, h5)
+    val emb64 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annbench").toString
+    val datasets = Seq(
+      ("fixture-64-euclidean", emb64),
+      ("fixture-256-euclidean", widened(emb64).localCheckpoint()))
+
     def js(r: Result): String =
       f"""{"algo":"${r.algo}","knob":"${r.knob}","value":${r.value},""" +
-        f""""recall":${r.recall}%.4f,"qps":${r.qps}%.1f,"build_sec":${r.buildSec}%.3f}"""
-    results.foreach(r => println(s"ANNBENCH ${js(r)}"))
-    val body = results.map(js).mkString("[\n  ", ",\n  ", "\n]")
+        f""""mode":"${r.mode}","recall":${r.recall}%.4f,"qps":${r.qps}%.1f,""" +
+        f""""build_sec":${r.buildSec}%.3f}"""
+    def jb(b: Bucket): String =
+      f"""{"algo":"${b.algo}","mode":"${b.mode}","bucket":"${b.bucket}",""" +
+        f""""value":${b.value},"recall":${b.recall}%.4f,"qps":${b.qps}%.1f}"""
+
+    val sections = datasets.map { case (name, emb) =>
+      val h5 = s"$tmp/$name.hdf5"
+      buildFileFrom(spark, emb, h5)
+      val results = run(spark, h5)
+      results.foreach(r => println(s"ANNBENCH $name ${js(r)}"))
+      val buckets = toBuckets(results)
+      s"""{"name":"$name","points":${results.map(js).mkString("[\n  ", ",\n  ", "\n]")},""" +
+        s""""buckets":${buckets.map(jb).mkString("[\n  ", ",\n  ", "\n]")}}"""
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (s"""{"protocol":{"k":10,"batch_size":10,"source":"$sfDir embeddings """ +
-        s"""exported to ann-benchmarks hdf5 layout"},"points":$body}""").getBytes("UTF-8"))
-    println(s"ANNBENCH written $outPath (${results.length} points)")
+      (s"""{"protocol":{"k":10,"batch_size":10,"modes":["latency","throughput"],""" +
+        s""""source":"$sfDir embeddings exported to ann-benchmarks hdf5 layout; """ +
+        s"""256-dim = four permuted copies concatenated"},""" +
+        s""""datasets":[${sections.mkString(",\n")}]}""").getBytes("UTF-8"))
+    println(s"ANNBENCH written $outPath (${sections.length} datasets)")
     spark.stop()
   }
 }

@@ -31,13 +31,65 @@ class AnnBenchSuite extends SparkFunSuite {
     assert(results.nonEmpty)
     val byAlgo = results.groupBy(_.algo)
     assert(byAlgo.keySet == Set("ivf_flat", "cagra", "hnsw"))
+    // BOTH protocol modes measured for every (algo, knob) point
+    assert(results.groupBy(r => (r.algo, r.knob, r.value))
+      .forall(_._2.map(_.mode).toSet == Set("latency", "throughput")),
+      "every point must carry a latency AND a throughput measurement")
     // exhaustive IVF (16 of 16 probes) must reproduce the file's own gt
-    val ivfFull = results.find(r => r.algo == "ivf_flat" && r.value == 16).get
-    assert(ivfFull.recall >= 0.999, s"exhaustive probes recall ${ivfFull.recall}")
+    val ivfFull = results.filter(r => r.algo == "ivf_flat" && r.value == 16)
+    assert(ivfFull.nonEmpty && ivfFull.forall(_.recall >= 0.999),
+      s"exhaustive probes recall ${ivfFull.map(_.recall)}")
     // reference-shaped graph builds clear the reference floors at the
     // protocol's k=10/batch=10
     assert(byAlgo("cagra").map(_.recall).max >= 0.95)
     assert(byAlgo("hnsw").map(_.recall).max >= 0.95)
     results.foreach(r => assert(r.qps > 0 && r.recall >= 0 && r.recall <= 1.0))
+
+    // bucket report: every row sits inside its declared bucket, is the
+    // best QPS of its (algo, mode) group within that bucket, and the
+    // exhaustive configs land a 99+ row
+    val buckets = AnnBench.toBuckets(results)
+    val edges = Map("80-89" -> (0.80, 0.90), "90-94" -> (0.90, 0.95),
+      "95-98" -> (0.95, 0.99), "99+" -> (0.99, 1.01))
+    buckets.foreach { b =>
+      val (lo, hi) = edges(b.bucket)
+      assert(b.recall >= lo && b.recall < hi, s"$b outside its bucket")
+      val peers = results.filter(r => r.algo == b.algo && r.mode == b.mode &&
+        r.recall >= lo && r.recall < hi)
+      assert(b.qps == peers.map(_.qps).max, s"$b is not its bucket's best QPS")
+    }
+    assert(buckets.exists(b => b.bucket == "99+" && b.algo == "ivf_flat"),
+      "exhaustive IVF must populate the 99+ bucket")
+  }
+
+  test("scoreRecall counts duplicate (qid, nbr_id) pairs once") {
+    val gt = Map(1L -> Set(10, 11), 2L -> Set(20, 21))
+    // q1 returns 10 three times + a miss; q2 returns both true neighbors
+    val pairs = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+    assert(AnnBench.scoreRecall(pairs, gt, denom = 4) == 0.75,
+      "triplicate match must count once: 3 distinct matches / 4")
+  }
+
+  test("widened fixture: 4x dim, same rows, a genuinely different neighborhood") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val wide = AnnBench.widened(emb)
+    assert(wide.count() == emb.count())
+    val dims = wide.select(size(col("embedding")).as("d")).distinct().collect()
+    val dim0 = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(dims.length == 1 && dims.head.getInt(0) == 4 * dim0)
+    // deterministic: two evaluations agree bit for bit
+    assert(wide.exceptAll(AnnBench.widened(emb)).isEmpty)
+    // the mixed copies change the neighbor structure (tiling would not):
+    // top-10 of a probe query differs between the two geometries
+    val q64 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val q256 = wide.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def top(d: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) =
+      graft.ops.BruteForceKnn.knnJoin(d, q, 10, graft.core.Metric.L2Sqrt,
+        "vec_id", "embedding").select("nbr_id").collect().map(_.getLong(0)).toSet
+    assert(top(emb, q64) != top(wide, q256),
+      "widened geometry must not preserve the 64-dim neighbor set verbatim")
   }
 }

@@ -74,6 +74,18 @@ object RecallSweep {
       pq.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = kcPq,
         idCol = "vec_id", vecCol = "embedding")))
 
+    // refine-backed rows at the reference's refine discipline (ivf_pq.hpp:
+    // search-then-refine with a deep reorder): the SAME 6-bit build, but
+    // kCoarse = n/3 (the flagship ivf_pq_search_refine gate's depth)
+    // instead of n/10 — the raw rows above cap at ~0.93 @ full probes
+    // because the noisy ADC ranks true neighbors below the shallow reorder
+    // horizon; the deeper refine recovers the >=0.95 bucket, which is the
+    // recall-recovery path the reference's methodology assumes
+    val kcPqRefine = math.max(200L, n / 3).toInt
+    out ++= probes.map(p => measure("ivf_pq_refine", "n_probes", p)(
+      pq.searchWithRefine(q, emb, 10, nProbes = p, kCoarse = kcPqRefine,
+        idCol = "vec_id", vecCol = "embedding")))
+
     val rabitq = graft.index.IvfRabitqIndex.build(emb,
       graft.index.IvfRabitqIndex.Params(nLists = 16, nIters = 10, bitsPerDim = 3),
       "vec_id", "embedding", base = Some(ivf))

@@ -19,6 +19,10 @@ class RecallSweepSuite extends SparkFunSuite {
     ("ivf_flat", 8, 0.70),
     ("ivf_sq", 8, 0.70),
     ("ivf_pq", 8, 0.70),
+    // refine-backed rows (kCoarse = n/3, the flagship gate's reorder
+    // depth): the exhaustive end must recover the reference's >=0.95
+    // bucket that the shallow n/10 reorder caps out under
+    ("ivf_pq_refine", 16, 0.95),
     ("ivf_rabitq", 8, 0.70),
     ("scann", 4, 0.60),
     // full probes at the 8-bit default estimator: the r6 verdict bar for

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Two passes so per-query numbers are attributable:
+/** Benchmark main. Three passes so per-query numbers are attributable:
   *
   *  1. PRE-PASS: every query runs once. All `SparkEntry.memoize` artifacts
   *     (indexes, ground truths, graphs) are built here and timed per
@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   *     artifact, not to whichever query happened to run it first.
   *  2. TIMED PASS: every query runs again with all artifacts warm; the
   *     per-query time is search/derive work only.
+  *  3. MEDIAN PASS: the slowest SPARK_GRAFT_MEDIAN_K queries re-run to
+  *     SPARK_GRAFT_MEDIAN_RUNS warm samples each; their per-query MEDIAN
+  *     (`BENCHM` lines, `medians` map, `median_total`) carries the
+  *     regression signal the host's ~1.26x session band hides from a
+  *     single sample. The `value`/`queries` totals keep their single-pass
+  *     meaning.
   *
   * Every per-query and per-artifact timing is printed ON ITS OWN LINE
   * (`BENCHQ`/`BENCHA` prefixed JSON) as it completes, so a bounded tail
@@ -93,6 +99,33 @@ object Bench {
     val timed = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(e)) => k -> e }
     val total = timed.map(_._2).sum
+
+    // ---- pass 3: median-of-N for the slowest queries ---------------------
+    // The host's session-to-session band (~1.26x, SURVEY §8) exceeds most
+    // real per-query deltas, so the single pass-2 sample can't expose a
+    // <1.3x regression on the expensive queries. Re-run the top
+    // SPARK_GRAFT_MEDIAN_K (default 10) timed queries to
+    // SPARK_GRAFT_MEDIAN_RUNS samples (default 3, pass-2's included) and
+    // report the per-query MEDIAN alongside — totals keep their
+    // single-pass meaning, the medians carry the regression signal.
+    val medianK = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_K", "10").toInt
+    val medianRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_MEDIAN_RUNS", "3").toInt)
+    val flagged = timed.sortBy(-_._2).take(math.max(0, medianK)).map(_._1).toSet
+    val byName = selected.toMap
+    val medians: Seq[(String, Double)] = timed.collect {
+      case (name, firstSec) if flagged(name) =>
+        val extra = (2 to medianRuns).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { byName(name)(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None } // pass-2 already recorded the error shape
+        }
+        val samples = (firstSec +: extra).sorted
+        val med = samples(samples.length / 2)
+        println(s"""BENCHM {"query":"$name","median_sec":$med,"samples":${samples.length}}""")
+        name -> med
+    }
+    val medianTotal = medians.map(_._2).sum
     // the streaming_* group is dominated by fixed micro-batch machinery
     // (checkpoint dirs, staged files, per-batch state-store passes), not
     // plans — reported separately so the BATCH total stays comparable
@@ -106,8 +139,10 @@ object Bench {
       val e = errs.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
       val a = artifacts.map { case (k, v) => s"\"" + k.takeWhile(_ != ':') + "\":" + v }
         .mkString("{", ",", "}")
+      val m = medians.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"errors":$e,""" +
         s""""streaming_sec":$streamingSec,"batch_sec":$batchSec,""" +
+        s""""medians":$m,"median_total":$medianTotal,"median_runs":$medianRuns,""" +
         s""""artifact_build_sec":$a,"build_total":$buildTotal,""" +
         s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     }
@@ -121,6 +156,7 @@ object Bench {
     // precision JSON artifact written to BENCH_LOCAL.json.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""streaming_sec":${r3(streamingSec)},"batch_sec":${r3(batchSec)},""" +
+      s""""median_total":${r3(medianTotal)},""" +
       s""""n_queries":${timed.size},"n_errors":${errs.size},""" +
       s""""build_total":${r3(buildTotal)},"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}""")
     spark.stop()

@@ -93,6 +93,70 @@ object StreamPipeline {
   private def tempDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_stream_$tag").toString
 
+  /** DIRECT-source streaming input — skip staging entirely: stream the
+    * caller's parquet directory IN PLACE, plus a one-row sentinel written
+    * to its own temp dir, both under ONE file source via a Hadoop brace
+    * glob rooted at `/` (glob alternation expands `/` inside `{…}`, so
+    * the two dirs need no common parent). The source data is never
+    * copied, moved, or touched — the only batch work is the
+    * column-pruned `max(ts)` probe the sentinel placement needs, which
+    * replaces the staged path's full-input rewrite.
+    *
+    * Contract (the caller asserts it): when `batches > 1` the source's
+    * part files must already be event-time-ordered by mtime — the
+    * incremental drain ingests one file per micro-batch in mtime order,
+    * exactly the ordering the staged path manufactures. The sentinel dir
+    * is created after the probe, so its mtime orders last. A production
+    * feed written by a time-partitioned job satisfies this naturally; a
+    * source that doesn't must use the staged path.
+    *
+    * `rawCols` are streamed in the SOURCE's physical types (nanos-long
+    * `ts` included — the same `nanosAsLong` dispatch as [[readEvents]])
+    * and normalized here, so callers see the staged path's schema. With
+    * `sentinelMarker` a boolean `sentinel` column is appended to the
+    * stream schema: absent from the data files (reads as null →
+    * coalesced false), true in the sentinel file.
+    * Returns None when the source has no rows; otherwise the normalized
+    * stream, max(ts), and a sentinel-dir cleanup. */
+  private def directInput(spark: SparkSession, eventsPath: String,
+      rawCols: Seq[String],
+      sentinelValues: Map[String, org.apache.spark.sql.Column],
+      sentinelMarker: Boolean, sentinelOffsetMs: Long, batches: Int)
+      : Option[(DataFrame, java.sql.Timestamp, () => Unit)] = {
+    require(eventsPath.startsWith("/") &&
+        !eventsPath.exists(c => c == ',' || c == '{' || c == '}'),
+      s"direct mode needs an absolute glob-safe path, got: $eventsPath")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(eventsPath)
+    val maxTsRow = readEvents(spark, eventsPath).agg(max(col("ts"))).head()
+    if (maxTsRow.isNullAt(0)) return None
+    val maxTs = maxTsRow.getTimestamp(0)
+    // the sentinel carries the SOURCE's physical ts type so one stream
+    // schema serves both dirs
+    val sentTsMs = maxTs.getTime + sentinelOffsetMs
+    val sentTs: org.apache.spark.sql.Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentTsMs * 1000000L) // nanos
+      case _ => lit(new java.sql.Timestamp(sentTsMs))
+    }
+    val sentCols = rawCols.map {
+      case "ts" => sentTs.as("ts")
+      case c => sentinelValues(c).cast(raw.schema(c).dataType).as(c)
+    } ++ (if (sentinelMarker) Seq(lit(true).as("sentinel")) else Nil)
+    val sentTmp = tempDir("direct_sent")
+    spark.range(1).select(sentCols: _*).coalesce(1).write.mode("overwrite").parquet(sentTmp)
+    val fields = rawCols.map(c => raw.schema(c)) ++
+      (if (sentinelMarker)
+        Seq(org.apache.spark.sql.types.StructField("sentinel",
+          org.apache.spark.sql.types.BooleanType, nullable = true))
+      else Nil)
+    val reader = spark.readStream.schema(org.apache.spark.sql.types.StructType(fields))
+    if (batches > 1) reader.option("maxFilesPerTrigger", "1")
+    val glob = s"/{${eventsPath.stripPrefix("/")},${sentTmp.stripPrefix("/")}}"
+    val normalized = graft.MiscQueries.normalizeEventTs(reader.parquet(glob))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    Some((normalized, maxTs, () => deleteRecursively(sentTmp)))
+  }
+
   private def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
@@ -196,8 +260,40 @@ object StreamPipeline {
     * not) swallow: the sentinel is excluded by its out-of-range window,
     * never by an event_type comparison. */
   def windowAgg(spark: SparkSession, eventsPath: String,
-      delay: String = "30 minutes", batches: Int = 1): DataFrame = {
+      delay: String = "30 minutes", batches: Int = 1,
+      direct: Boolean = false): DataFrame = {
     import spark.implicits._
+    val delayMs = intervalMs(delay)
+    def emptyResult = Seq.empty[(Long, String, Long, Double)]
+      .toDF("win_start", "event_type", "n_events", "sum_value")
+    // the windowed aggregation + sentinel-bounded drain, shared by the
+    // staged and direct input shapes
+    def finish(in: DataFrame, maxTs: java.sql.Timestamp, tag: String): DataFrame = {
+      val agg = in
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      // belt and braces: real windows start at or before maxTs's hour
+      val lastRealWinStart = maxTs.getTime / 3600000L * 3600L
+      drain(agg, tag).filter(col("win_start") <= lastRealWinStart)
+    }
+    if (direct) {
+      // DIRECT mode: the source dir streams in place (no staged copy);
+      // see directInput for the time-ordered-parts contract
+      return directInput(spark, eventsPath, Seq("ts", "event_type", "value"),
+          Map("event_type" -> lit(null), "value" -> lit(0.0)),
+          sentinelMarker = false, delayMs + 2L * 3600 * 1000, batches) match {
+        case None => emptyResult
+        case Some((stream, maxTs, cleanup)) =>
+          val res = finish(
+            stream.select(col("ts"), col("event_type"), col("value")),
+            maxTs, "winagg_direct")
+          cleanup()
+          res
+      }
+    }
     val batch = readEvents(spark, eventsPath)
       .select(col("ts"), col("event_type"), col("value"))
     val stage = tempDir("winagg_stage")
@@ -208,7 +304,11 @@ object StreamPipeline {
     // production shape — instead of in one end-of-input flush.
     // The sentinel placement needs max(ts); observe() folds that into the
     // staging write itself — ONE pass over the backfill input, not a
-    // separate full scan before it.
+    // separate full scan before it. (batches > 1: repartitionByRange adds
+    // a range-SAMPLING pass inside the same execution and re-fires the
+    // observe accumulator — harmless for max/emptiness; the "exactly one
+    // read" contract is per driver-issued batch execution, listener-
+    // asserted for both shapes in StreamPipelineSuite.)
     val obs = org.apache.spark.sql.Observation("winagg_maxts")
     val observed = batch.observe(obs, max(col("ts")).as("max_ts"))
     val staged = if (batches > 1) observed.repartitionByRange(batches, col("ts")) else observed
@@ -216,8 +316,7 @@ object StreamPipeline {
     val maxTsAny = obs.get("max_ts")
     if (maxTsAny == null) {
       Seq(stage, dataTmp).foreach(deleteRecursively)
-      return Seq.empty[(Long, String, Long, Double)]
-        .toDF("win_start", "event_type", "n_events", "sum_value")
+      return emptyResult
     }
     val maxTs = maxTsAny.asInstanceOf[java.sql.Timestamp]
     val t0 = System.currentTimeMillis()
@@ -227,7 +326,6 @@ object StreamPipeline {
     // sentTs − delay = maxTs + 2h, clearing every real window end
     // (≤ trunc(maxTs) + 1h) for ANY caller-supplied delay; the sentinel's
     // own window ends past that watermark, so append mode never emits it
-    val delayMs = intervalMs(delay)
     val sentTmp = tempDir("winagg_sent")
     Seq((new java.sql.Timestamp(maxTs.getTime + delayMs + 2L * 3600 * 1000),
         null.asInstanceOf[String], 0.0))
@@ -237,16 +335,7 @@ object StreamPipeline {
 
     val reader = spark.readStream.schema(batch.schema)
     if (batches > 1) reader.option("maxFilesPerTrigger", "1")
-    val in = reader.parquet(stage)
-    val agg = in
-      .withWatermark("ts", delay)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-      .select(unix_timestamp(col("window.start")).as("win_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
-    // belt and braces: real windows start at or before maxTs's hour
-    val lastRealWinStart = maxTs.getTime / 3600000L * 3600L
-    val res = drain(agg, "winagg").filter(col("win_start") <= lastRealWinStart)
+    val res = finish(reader.parquet(stage), maxTs, "winagg")
     Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
     res
   }
@@ -283,10 +372,31 @@ object StreamPipeline {
     * (single-task) staging write. */
   def sessionize(spark: SparkSession, eventsPath: String,
       gap: String = "30 minutes", delay: String = "30 minutes",
-      batches: Int = 1): DataFrame = {
+      batches: Int = 1, direct: Boolean = false): DataFrame = {
     import spark.implicits._
     val gapMs = intervalMs(gap)
     val gapMicros = gapMs * 1000
+    def emptyResult = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("user_id", "session_idx", "session_start", "session_end", "n_events")
+    if (direct) {
+      // DIRECT mode: the source dir streams in place (no staged copy);
+      // see directInput for the time-ordered-parts contract. The sentinel
+      // marker travels as a stream-schema-only column: data files lack it
+      // (null → false), the sentinel file carries true.
+      return directInput(spark, eventsPath, Seq("ts", "user_id"),
+          Map("user_id" -> lit(0L)),
+          sentinelMarker = true,
+          gapMs + intervalMs(delay) + 3600 * 1000L, batches) match {
+        case None => emptyResult
+        case Some((stream, _, cleanup)) =>
+          val in = stream.select(col("ts"),
+            col("user_id").cast("long").as("user_id"),
+            coalesce(col("sentinel"), lit(false)).as("sentinel"))
+          val res = sessionFold(in, gap, delay, "sess_direct")
+          cleanup()
+          res
+      }
+    }
     val batch = readEvents(spark, eventsPath)
       .select(col("ts"), col("user_id").cast("long").as("user_id"),
         lit(false).as("sentinel"))
@@ -301,7 +411,9 @@ object StreamPipeline {
     // timed-out session can never be extended by a later range: the next
     // event is ≥ the range boundary > watermark > last + gap.
     // max(ts) for the sentinel rides the staging write via observe() —
-    // one pass over the backfill input, no separate scan. The batches=1
+    // one pass over the backfill input, no separate scan (batches > 1
+    // adds repartitionByRange's sampling pass inside the same execution;
+    // see windowAgg's staging note). The batches=1
     // staging is PARALLEL part files (like windowAgg's): the file source's
     // AvailableNow run still ingests the whole staging as one micro-batch
     // when maxFilesPerTrigger is unset, and the fold sorts each group's
@@ -317,8 +429,7 @@ object StreamPipeline {
     val maxTsAny = obs.get("max_ts")
     if (maxTsAny == null) {
       Seq(stage, dataTmp).foreach(deleteRecursively)
-      return Seq.empty[(Long, Long, Long, Long, Long)]
-        .toDF("user_id", "session_idx", "session_start", "session_end", "n_events")
+      return emptyResult
     }
     val maxTs = maxTsAny.asInstanceOf[java.sql.Timestamp]
     val t0 = System.currentTimeMillis()
@@ -334,6 +445,22 @@ object StreamPipeline {
       .coalesce(1).write.mode("overwrite").parquet(sentTmp)
     stageParts(spark, sentTmp, stage, "z-sentinel", mtimeBase + (nData + 1) * 1000L)
 
+    val reader = spark.readStream.schema(batch.schema)
+    if (batches > 1) reader.option("maxFilesPerTrigger", "1")
+    val res = sessionFold(reader.parquet(stage), gap, delay, "sess")
+    Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
+    res
+  }
+
+  /** The sessionize state machine + drain over a prepared streaming input
+    * (ts timestamp, user_id long, sentinel boolean) — shared by the
+    * staged and direct input shapes. */
+  private def sessionFold(in: DataFrame, gap: String, delay: String,
+      tag: String): DataFrame = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    val gapMs = intervalMs(gap)
+    val gapMicros = gapMs * 1000
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // the watermarked `ts` column must flow INTO the stateful operator
     // (projecting it away strips the event-time tag and fails analysis),
@@ -385,9 +512,6 @@ object StreamPipeline {
       }
     }
 
-    val reader = spark.readStream.schema(batch.schema)
-    if (batches > 1) reader.option("maxFilesPerTrigger", "1")
-    val in = reader.parquet(stage)
     val sessions = in
       .withWatermark("ts", delay)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("micros"),
@@ -396,9 +520,7 @@ object StreamPipeline {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
       .toDF()
-    val res = drain(sessions, "sess")
-    Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
-    res
+    drain(sessions, tag)
   }
 
   /** Streaming dedup with a BOUNDED state horizon — the 100 TB shape the

@@ -539,6 +539,9 @@ object ScaleSmoke {
       // final state size printed — sessionize state is O(users)
       time(s"streaming_sessionize_rocksdb_${nUsers}users") {
         val key = "spark.sql.streaming.stateStore.providerClass"
+        // restore the PRIOR value, not unset — a pre-existing provider
+        // setting must survive the leg (the suite test does the same)
+        val prior = spark.conf.getOption(key)
         spark.conf.set(key,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
@@ -548,7 +551,10 @@ object ScaleSmoke {
             s"RocksDB provider did not engage: $metrics")
           val stateRows = graft.stream.StreamPipeline.lastDrainStateRows.getOrElse(-1L)
           println(s"  sessions: ${r.count()} stateRows: $stateRows (users: $nUsers)")
-        } finally spark.conf.unset(key)
+        } finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
       } finally {
         // unlike StreamPipeline's own stage/data temp dirs, evDir is this

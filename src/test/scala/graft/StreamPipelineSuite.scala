@@ -317,12 +317,111 @@ class StreamPipelineSuite extends SparkFunSuite {
     val sessReads = sourceReadsDuring(StreamPipeline.sessionize(spark, path).count())
     assert(sessReads == 1,
       s"sessionize ran $sessReads batch scans of the source")
+    // batches > 1: repartitionByRange adds a range-SAMPLING pass over the
+    // source, but it runs INSIDE the one staging execution (same QE, the
+    // observe accumulator fires once per pass — harmless for max) — still
+    // no separate driver-issued batch scan before streaming starts
+    val sessMultiReads = sourceReadsDuring(
+      StreamPipeline.sessionize(spark, path, batches = 3).count())
+    assert(sessMultiReads == 1,
+      s"sessionize(batches=3) ran $sessMultiReads batch executions over the " +
+        "source; the range sampling must ride the staging execution")
     // the doubled corpus is one execution (two LogicalRelations, one QE):
     // the emptiness probe rides the same staging write
     val dedupReads = sourceReadsDuring(
       StreamPipeline.dedupWithinWatermark(spark, path).count())
     assert(dedupReads == 1,
       s"dedupWithinWatermark ran $dedupReads batch scans of the source")
+  }
+
+  test("direct-source mode: zero staging writes, rows equal the staged path") {
+    // the r10 verdict's last full-input copy: direct mode streams the
+    // caller's parquet dir IN PLACE — the only batch touch of the source
+    // is the column-pruned max(ts) probe; no batch execution may both
+    // scan the source and write (that shape IS the staged copy)
+    import spark.implicits._
+    val marker = "graft_direct_src"
+    val tmp = java.nio.file.Files.createTempDirectory(marker).toString
+    val path = s"$tmp/events.parquet"
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // three time-range part files with strictly increasing mtimes — the
+    // "time-ordered parts" contract direct multi-batch mode asserts
+    (0 until 90).map(i => (ts(i), (i % 5).toLong, "e", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(path)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (s, i) =>
+        fs.setTimes(s.getPath, 1700000000000L + i * 1000L, -1) }
+    }
+
+    val srcReads = new java.util.concurrent.atomic.AtomicInteger
+    val srcWrites = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        val readsSource = qe.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              l.relation.asInstanceOf[
+                  org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains(marker)) => l
+        }.nonEmpty
+        val writes = qe.analyzed.isInstanceOf[
+          org.apache.spark.sql.execution.command.DataWritingCommand] ||
+          qe.analyzed.collectFirst {
+            case c: org.apache.spark.sql.execution.command.DataWritingCommand => c
+          }.nonEmpty
+        if (readsSource) {
+          srcReads.incrementAndGet()
+          if (writes) srcWrites.incrementAndGet()
+        }
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def watched[A](run: => A): A = {
+      srcReads.set(0); srcWrites.set(0)
+      spark.listenerManager.register(listener)
+      try { val r = run; Thread.sleep(500); r }
+      finally spark.listenerManager.unregister(listener)
+    }
+
+    // batch oracle rows via the staged path (the gated shape) — and the
+    // detector's non-vacuity check: the staged copy MUST trip it
+    val stagedWin = watched {
+      StreamPipeline.windowAgg(spark, path).collect().toSet
+    }
+    assert(srcWrites.get() >= 1,
+      "detector regression: the staged path's copy was not seen as a " +
+        "source-scanning write")
+    val stagedSess = StreamPipeline.sessionize(spark, path, batches = 3).collect().toSet
+
+    val directWin = watched {
+      val r = StreamPipeline.windowAgg(spark, path, direct = true).collect().toSet
+      r
+    }
+    assert(srcWrites.get() == 0,
+      "direct windowAgg ran a batch execution that scans the source AND writes " +
+        "— that is a staging copy")
+    assert(directWin == stagedWin, "direct windowAgg rows differ from staged")
+
+    val directSess = watched {
+      StreamPipeline.sessionize(spark, path, batches = 3, direct = true).collect().toSet
+    }
+    assert(srcWrites.get() == 0,
+      "direct sessionize(batches=3) staged a copy")
+    assert(directSess == stagedSess,
+      "direct incremental sessionize rows differ from staged")
+    assert(StreamPipeline.lastDrainBatches.exists(_ >= 3),
+      s"direct batches=3 drained in ${StreamPipeline.lastDrainBatches} micro-batches " +
+        "— the per-file ingest did not engage")
   }
 
   test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {

@@ -141,6 +141,19 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rankCompatible(a: Metric, b: Metric): Boolean =
     a == b || Set(a, b).subsetOf(Set[Metric](Metric.L2, Metric.L2Sqrt))
 
+  /** The relation whose index registration may route this join: a
+    * semi/anti join on the data side (the filtered-TVF shape) preserves
+    * left rows, so only the LEFT subtree's scan paths identify the data
+    * relation — collecting under the whole join would let an index
+    * registered on the FILTER table hijack the route. */
+  private def dataSide(plan: LogicalPlan): LogicalPlan = plan match {
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+           j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+      dataSide(j.left)
+    case other => other
+  }
+
   private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
     case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       l.relation match {
@@ -243,12 +256,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       def bigEnoughForIndex: Boolean =
         minIndexRows <= 0 ||
           kj.left.stats.rowCount.map(_ >= BigInt(minIndexRows)).getOrElse(
-            GraftIndexCatalog.cachedProbe(scanPaths(kj.left), minIndexRows) {
+            GraftIndexCatalog.cachedProbe(scanPaths(dataSide(kj.left)), minIndexRows) {
               !graft.graphops.LocalKernel.within(
                 data.select(col(kj.idCol)), minIndexRows - 1)
             })
 
-      val rewritten = GraftIndexCatalog.lookup(scanPaths(kj.left))
+      val rewritten = GraftIndexCatalog.lookup(scanPaths(dataSide(kj.left)))
         .filter(_ => bigEnoughForIndex)
         .flatMap(e => layoutOf(e.indexPath) match {
           case Some("hnsw") => hnswRoute(e)

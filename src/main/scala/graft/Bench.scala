@@ -108,6 +108,10 @@ object Bench {
     // SPARK_GRAFT_MEDIAN_RUNS samples (default 3, pass-2's included) and
     // report the per-query MEDIAN alongside — totals keep their
     // single-pass meaning, the medians carry the regression signal.
+    // Round-over-round comparison should diff the per-query `medians`
+    // MAP (keyed by name): the flagged SET is picked from noisy pass-2
+    // samples, so `median_total` can swap a boundary query between
+    // rounds — it is a convenience sum, not the comparison unit.
     val medianK = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_K", "10").toInt
     val medianRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_MEDIAN_RUNS", "3").toInt)
     val flagged = timed.sortBy(-_._2).take(math.max(0, medianK)).map(_._1).toSet
@@ -121,7 +125,10 @@ object Bench {
           catch { case _: Throwable => None } // pass-2 already recorded the error shape
         }
         val samples = (firstSec +: extra).sorted
-        val med = samples(samples.length / 2)
+        // LOWER median on an even sample count (a re-run that threw
+        // shrinks the set): the upper-middle would bias the flakiest
+        // queries high, the opposite of what a regression signal wants
+        val med = samples((samples.length - 1) / 2)
         println(s"""BENCHM {"query":"$name","median_sec":$med,"samples":${samples.length}}""")
         name -> med
     }

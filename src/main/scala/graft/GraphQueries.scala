@@ -381,6 +381,22 @@ object GraphQueries {
     """SELECT count(*) AS n_nodes, CAST(16 AS INT) AS graph_degree,
       |true AS degree_ok, true AS alpha_rng_ok FROM embeddings""".stripMargin
 
+  /** Recall of `got` against the self-inclusive exact top-10 truth over
+    * the %20 query subset: queries are dataset rows, so a search
+    * legitimately returns the query itself at dist 0 — truth is
+    * {self} ∪ top-9 of the (self-exclusive) exact 16-NN graph. One
+    * definition serves every full-dataset graph-search gate, so a fix to
+    * the truth construction can never drift between them. */
+  private def selfInclusiveRecall(spark: SparkSession, dir: String,
+      got: DataFrame, q: DataFrame): Double = {
+    val exact = exact16Graph(spark, dir)
+      .filter(col("src") % 20 === 0 && col("rank") <= 9)
+      .select(col("src").as("qid"), col("dst").as("nbr_id"))
+      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
+    graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
+      (q.count() * 10)
+  }
+
   /** The degree-8 CAGRA-optimized graph over exact16Graph — the CHEAP
     * build, shared by the cost row and the filtered search query (build
     * once / search many, the reference's index split). */
@@ -411,18 +427,10 @@ object GraphQueries {
   private def cagraSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val knn = exact16Graph(spark, dir)
     val g = cagraOptRef16(spark, dir)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
-    // Self-inclusive exact top-10 ground truth: queries are dataset rows, so
-    // the search legitimately returns the query itself at dist 0; truth is
-    // {self} ∪ top-9 of the already-computed (self-exclusive) 16-NN graph.
-    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
-      .select(col("src").as("qid"), col("dst").as("nbr_id"))
-      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
-    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
-      (q.count() * 10)
+    val recall = selfInclusiveRecall(spark, dir, got, q)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"), lit(16).as("degree"),
         lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
@@ -441,16 +449,10 @@ object GraphQueries {
   private def cagraSearchCheapQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val knn = exact16Graph(spark, dir)
     val g = cagraOpt8(spark, dir)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 10), "id", "vec")
-    // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
-    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
-      .select(col("src").as("qid"), col("dst").as("nbr_id"))
-      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
-    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
-      (q.count() * 10)
+    val recall = selfInclusiveRecall(spark, dir, got, q)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"), lit(8).as("degree"),
         lit(0.85).as("recall_floor"), lit(recall >= 0.85).as("floor_met"))
@@ -479,15 +481,9 @@ object GraphQueries {
       // reference-shaped path's 0.95 floor
       CagraOptimize.buildAce(e, npartitions = 4, buildDir, degree = 16)
     }
-    val knn = exact16Graph(spark, dir)
     val got = GraphSearch.search(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 12), "id", "vec")
-    // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
-    val exact = knn.filter(col("src") % 20 === 0 && col("rank") <= 9)
-      .select(col("src").as("qid"), col("dst").as("nbr_id"))
-      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
-    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
-      (q.count() * 10)
+    val recall = selfInclusiveRecall(spark, dir, got, q)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(4).as("npartitions"),
         lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
@@ -626,13 +622,11 @@ object GraphQueries {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
     val idx = Hnsw.fromGraph(cagraOptRef16(spark, dir), e, Hnsw.Params(m = 16), "id", "vec")
-    val got = Hnsw.search(idx, e, q, 10, ef = 40, "id", "vec")
-    // Self-inclusive exact top-10 ground truth (see cagraSearchQuery).
-    val exact = exact16Graph(spark, dir).filter(col("src") % 20 === 0 && col("rank") <= 9)
-      .select(col("src").as("qid"), col("dst").as("nbr_id"))
-      .unionAll(q.select(col("qid"), col("qid").as("nbr_id")))
-    val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")), exact).toDouble /
-      (q.count() * 10)
+    // explicit ef-tracking bound: the GATE's outcome must not depend on
+    // which route (local/hybrid/loop) the host's kernel caps pick — an
+    // auto bound resolves to 10 on the loop route, where ef 40 saturates
+    val got = Hnsw.search(idx, e, q, 10, ef = 40, "id", "vec", baseIterations = 40)
+    val recall = selfInclusiveRecall(spark, dir, got, q)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("ef"),
         lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
@@ -677,7 +671,8 @@ object GraphQueries {
       out
     }
     val q = s.filter(col("id") % 20 === 2).select(col("id").as("qid"), col("vec").as("qvec"))
-    val got = Hnsw.search(idx, s, q, 10, ef = 40, "id", "vec")
+    // explicit bound: route-independent gate (see hnswSearchQuery)
+    val got = Hnsw.search(idx, s, q, 10, ef = 40, "id", "vec", baseIterations = 40)
     val exact = graft.ops.BruteForceKnn.knnJoin(s, q, 10, Metric.L2, "id", "vec")
     val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")),
       exact.select(col("qid"), col("nbr_id"))).toDouble / (q.count() * 10)

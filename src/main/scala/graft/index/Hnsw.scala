@@ -248,14 +248,18 @@ object Hnsw {
     *
     * `baseIterations` bounds the base-layer beam's expansion rounds. An
     * explicit value > 0 is honored VERBATIM on all three routes — that is
-    * the row-identity contract (LocalKernelSuite pins it). The default 0
-    * means AUTO: `max(10, ef)` on the local and hybrid routes, where an
-    * extra round is a cheap in-memory step and hnswlib's canon is
-    * expand-until-the-ef-queue-exhausts; 10 on the distributed loop route,
-    * where every round is a Spark job and the bound is a job-count cap.
-    * Before auto, a fixed default of 10 silently saturated the ef knob
-    * past ~40 (AnnBench measured a 0.92 held-out ceiling at ANY ef until
-    * the bound tracked ef). */
+    * the row-identity contract (LocalKernelSuite pins it), and what a
+    * recall GATE should pass so its outcome can't change with the host's
+    * route choice. The default 0 means AUTO: `max(10, ef)` on the local
+    * route (an extra round is an in-memory step; hnswlib's canon is
+    * expand-until-the-ef-queue-exhausts) and on the hybrid route (whose
+    * base beam IS the distributed GraphSearch loop, but that loop exits
+    * as soon as the frontier drains, so the wider bound costs jobs only
+    * while the beam still improves); 10 on the per-level loop route,
+    * where the bound doubles as the legacy job-count cap. Before auto, a
+    * fixed default of 10 silently saturated the ef knob past ~40
+    * (AnnBench measured a 0.92 held-out ceiling at ANY ef until the
+    * bound tracked ef). */
   def search(idx: Index, data: DataFrame, queries: DataFrame, k: Int, ef: Int = 40,
       idCol: String = "id", vecCol: String = "vec",
       qidCol: String = "qid", qvecCol: String = "qvec",

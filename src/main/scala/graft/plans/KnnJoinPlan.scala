@@ -141,17 +141,27 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rankCompatible(a: Metric, b: Metric): Boolean =
     a == b || Set(a, b).subsetOf(Set[Metric](Metric.L2, Metric.L2Sqrt))
 
-  /** The relation whose index registration may route this join: a
-    * semi/anti join on the data side (the filtered-TVF shape) preserves
-    * left rows, so only the LEFT subtree's scan paths identify the data
-    * relation — collecting under the whole join would let an index
-    * registered on the FILTER table hijack the route. */
-  private def dataSide(plan: LogicalPlan): LogicalPlan = plan match {
-    case j: org.apache.spark.sql.catalyst.plans.logical.Join
-        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
-           j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
-      dataSide(j.left)
-    case other => other
+  /** Index routes are sound only when the node's data child IS the
+    * registered relation — its full row population, not a subset. The
+    * index routes search the CHILD frame: candidates generated from the
+    * (full-population) saved index are inner-joined back to it, so any
+    * row-reducing operator above the scan (a Filter, the filtered TVF's
+    * semi/anti join, a Limit/Sample) silently drops candidates BEFORE
+    * refine and the join under-returns k with no error — the exact
+    * failure GraphSearch.searchFiltered's rate-widening exists to
+    * prevent on the operator it serves. Only population-preserving
+    * wrappers (projections, aliases — including the Project that
+    * ColumnPruning inserts in the same optimizer batch) are admitted;
+    * anything else falls back to the brute route, which is EXACT over
+    * the filtered relation. This also closes the filter-table hijack:
+    * a non-preserving left never consults the catalog, so an index
+    * registered on the filter relation can't route the join. */
+  private def indexEligible(plan: LogicalPlan): Boolean = plan match {
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+    case p: Project => indexEligible(p.child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      indexEligible(s.child)
+    case _ => false
   }
 
   private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
@@ -256,12 +266,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       def bigEnoughForIndex: Boolean =
         minIndexRows <= 0 ||
           kj.left.stats.rowCount.map(_ >= BigInt(minIndexRows)).getOrElse(
-            GraftIndexCatalog.cachedProbe(scanPaths(dataSide(kj.left)), minIndexRows) {
+            GraftIndexCatalog.cachedProbe(scanPaths(kj.left), minIndexRows) {
               !graft.graphops.LocalKernel.within(
                 data.select(col(kj.idCol)), minIndexRows - 1)
             })
 
-      val rewritten = GraftIndexCatalog.lookup(scanPaths(dataSide(kj.left)))
+      val rewritten = Option(())
+        .filter(_ => indexEligible(kj.left))
+        .flatMap(_ => GraftIndexCatalog.lookup(scanPaths(kj.left)))
         .filter(_ => bigEnoughForIndex)
         .flatMap(e => layoutOf(e.indexPath) match {
           case Some("hnsw") => hnswRoute(e)

@@ -85,8 +85,19 @@ object AnnBench {
     * (which preserves the neighbor structure exactly) the mixed copies
     * give a genuinely different high-dimensional neighborhood graph. */
   def widened(emb: DataFrame, copies: Int = 4): DataFrame = {
-    val n = emb.count()
-    val perms = Seq((7L, 3L), (11L, 5L), (13L, 7L)).take(copies - 1)
+    val allPerms = Seq((7L, 3L), (11L, 5L), (13L, 7L))
+    require(copies >= 2 && copies <= allPerms.length + 1,
+      s"copies must be in [2, ${allPerms.length + 1}], got $copies")
+    // the affine maps permute [0, n) — a gapped or offset id space would
+    // make the inner joins silently DROP rows (shrinking the exported
+    // ground truth with nothing failing), so density is a hard require
+    val stats = emb.agg(count(lit(1)),
+      min(col("vec_id").cast("long")), max(col("vec_id").cast("long"))).head()
+    val n = stats.getLong(0)
+    require(n > 0 && stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"widened() needs dense vec_ids 0..n-1; got n=$n, " +
+        s"min=${stats.get(1)}, max=${stats.get(2)}")
+    val perms = allPerms.take(copies - 1)
     require(perms.forall { case (a, _) => BigInt(a).gcd(BigInt(n)) == 1 },
       s"permutation multipliers must be coprime with n=$n")
     var out = emb.select(col("vec_id"), col("embedding").as("_e0"))

@@ -527,6 +527,13 @@ object ScaleSmoke {
         val r = graft.stream.StreamPipeline.sessionize(spark, evDir)
         println(s"  sessions: ${r.count()}")
       }
+      // direct-source mode (r11): same pipeline with the source streamed
+      // in place — the staged path's full-input copy replaced by one
+      // column-pruned max(ts) probe; the wall-clock delta IS the copy
+      time(s"streaming_sessionize_direct_${nUsers}users") {
+        val r = graft.stream.StreamPipeline.sessionize(spark, evDir, direct = true)
+        println(s"  sessions: ${r.count()}")
+      }
       time(s"streaming_sessionize_incremental_8batches") {
         val r = graft.stream.StreamPipeline.sessionize(spark, evDir, batches = 8)
         val nb = graft.stream.StreamPipeline.lastDrainBatches.getOrElse(-1L)

@@ -72,6 +72,52 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("a row-reduced data child bypasses its registered index (exact fallback)") {
+    // the index routes search the node's CHILD frame: over a filtered
+    // child, index-generated candidates inner-join away and the result
+    // silently under-returns k — so any non-population-preserving left
+    // (a Filter, the filtered TVF's anti join) must take the brute
+    // route, which is exact over the filtered relation
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnfiltroute").toString
+    val idx = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+    idx.save(idxPath)
+    // deliberately CORRUPTING registration if routed: 1 probe, kCoarse =
+    // k — any index-route leakage shows up as missing/misranked rows
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 1, kCoarse = 10)
+    try withIndexGateOff {
+      // Column API over a filtered child
+      val filteredData = emb.filter(col("vec_id") % 3 =!= 0)
+      val viaNode = KnnJoinPlan.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val exact = BruteForceKnn.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(viaNode.collect().toSet == exact.collect().toSet,
+        "filtered child must take the exact brute route, not the index")
+      // SQL filtered TVF over the same registered relation
+      graft.functions.SqlFunctions.register(spark)
+      emb.createOrReplaceTempView("kjf_emb")
+      queries.createOrReplaceTempView("kjf_q")
+      emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+        .createOrReplaceTempView("kjf_deny")
+      val viaSql = spark.sql(
+        "SELECT * FROM knn_join_filtered('kjf_emb', 'kjf_q', 'kjf_deny', 'deny', " +
+          "10, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+      assert(viaSql.collect().toSet == exact.collect().toSet,
+        "filtered TVF must take the exact brute route, not the index")
+      // while an UNfiltered join over the same relation still routes
+      // (column-pruned Project wrappers are population-preserving)
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val physical = routed.queryExecution.executedPlan.toString
+      assert(physical.contains("list_id"),
+        s"unfiltered join lost its index route:\n$physical")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("cost-based probe selection (nProbes = 0) picks a sound probe count") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"

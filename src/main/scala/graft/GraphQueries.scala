@@ -576,11 +576,15 @@ object GraphQueries {
   private def cagraFilteredQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))
-    val g = cagraOpt8(spark, dir)
+    // reference-shaped graph (r11): the filter gate is held to the same
+    // 0.95 discipline as the plain search — the reference's filtering
+    // tests run on its standard builds, not a degraded one
+    val g = cagraOptRef16(spark, dir)
     val allow = e.filter(col("id") % 3 =!= 0).select(col("id"))
     // more rounds than the unfiltered query: the rate-widened beam (itopk
-    // 40 -> 60 at 1/3 filtered) drains slower — recall is iteration-bound,
-    // 0.785 at 10 rounds vs 0.86+ at 20 on the sf0.1 fixture (probe sweep)
+    // 40 -> 60 at 1/3 filtered) drains slower — recall is iteration-bound;
+    // with the frontier-empty early exit the headroom costs jobs only
+    // while the beam still improves
     val got = GraphSearch.searchFiltered(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 20), allow, "id", "vec")
       .localCheckpoint()
@@ -594,12 +598,12 @@ object GraphQueries {
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(40).as("itopk"),
         lit(allowedOnly).as("allowed_only"),
-        lit(0.8).as("recall_floor"), lit(recall >= 0.8).as("floor_met"))
+        lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
   }
 
   private val cagraFilteredOracle: String =
     """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k, CAST(40 AS INT) AS itopk,
-      |true AS allowed_only, CAST(0.8 AS DOUBLE) AS recall_floor, true AS floor_met
+      |true AS allowed_only, CAST(0.95 AS DOUBLE) AS recall_floor, true AS floor_met
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
   /** HNSW level layout — EXACT oracle: the geometric level draw runs on a

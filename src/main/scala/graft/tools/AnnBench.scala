@@ -197,6 +197,12 @@ object AnnBench {
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Result]
 
+    // exact brute force — the protocol's reference algo (cuvs_bench's
+    // cuvs_brute_force): recall 1.0 by construction, so its QPS is the
+    // exact baseline the bucketed rows compare against
+    out ++= bothModes("brute_force", "k", k, 0.0)(b =>
+      graft.ops.BruteForceKnn.knnJoin(train, b, k, Metric.L2Sqrt, "id", "vec"))
+
     // IVF-Flat at the driver build config, probe sweep
     val tIvf0 = System.nanoTime()
     val ivf = graft.index.IvfFlatIndex.build(train,
@@ -206,6 +212,27 @@ object AnnBench {
     Seq(4, 8, 16).foreach { p =>
       out ++= bothModes("ivf_flat", "n_probes", p, ivfBuild)(b =>
         ivf.search(b, k, nProbes = p))
+    }
+
+    // IVF-PQ at the flagship refine discipline (kCoarse = n/3, the
+    // reorder depth that recovers the >=95 bucket from the lossy codes).
+    // pq_dim scales with the vector width (the reference's auto default
+    // keeps sub-vectors a few dims wide — a fixed pqDim 8 over 256 dims
+    // would be 32 floats per code and cap recall at ~0.9 even refined)
+    val tPq0 = System.nanoTime()
+    val dim = train.select(col("vec")).head().getAs[scala.collection.Seq[Float]](0).length
+    val pq = graft.index.IvfPqIndex.build(train,
+      graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10,
+        pqDim = math.max(8, dim / 8), pqBits = 8),
+      "id", "vec", base = Some(ivf))
+    pq.lists.count()
+    val pqBuild = ivfBuild + (System.nanoTime() - tPq0) / 1e9
+    val nTrain = train.count()
+    val kcPq = math.max(200L, nTrain / 3).toInt
+    Seq(4, 8, 16).foreach { p =>
+      out ++= bothModes("ivf_pq", "n_probes", p, pqBuild)(b =>
+        pq.searchWithRefine(b, train, k, nProbes = p, kCoarse = kcPq,
+          idCol = "id", vecCol = "vec"))
     }
 
     // graph family over one 32-NN pool (reference-shaped 2:1 discipline)

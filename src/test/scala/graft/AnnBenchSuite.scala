@@ -30,7 +30,13 @@ class AnnBenchSuite extends SparkFunSuite {
     val results = AnnBench.run(spark, h5)
     assert(results.nonEmpty)
     val byAlgo = results.groupBy(_.algo)
-    assert(byAlgo.keySet == Set("ivf_flat", "cagra", "hnsw"))
+    assert(byAlgo.keySet == Set("brute_force", "ivf_flat", "ivf_pq", "cagra", "hnsw"))
+    // the exact-baseline algo IS exact: recall 1.0 in both modes
+    assert(byAlgo("brute_force").forall(_.recall == 1.0),
+      s"brute_force recall ${byAlgo("brute_force").map(_.recall)}")
+    // PQ at the flagship refine depth recovers the high bucket at full probes
+    assert(byAlgo("ivf_pq").filter(_.value == 16).forall(_.recall >= 0.95),
+      s"ivf_pq@16 recall ${byAlgo("ivf_pq").filter(_.value == 16).map(_.recall)}")
     // BOTH protocol modes measured for every (algo, knob) point
     assert(results.groupBy(r => (r.algo, r.knob, r.value))
       .forall(_._2.map(_.mode).toSet == Set("latency", "throughput")),

@@ -27,6 +27,24 @@ object RecallSweep {
   case class Point(family: String, knob: String, value: Int,
       recall: Double, searchSec: Double)
 
+  /** Fastest point of each family inside each of the reference's recall
+    * buckets (comparing_indexes.md:29-40) — the fair-comparison view:
+    * "compare within a bucket, never across". */
+  case class Bucket(family: String, bucket: String, value: Int,
+      recall: Double, searchSec: Double)
+
+  def toBuckets(points: Seq[Point]): Seq[Bucket] = {
+    val edges = Seq(("80-89", 0.80, 0.90), ("90-94", 0.90, 0.95),
+      ("95-98", 0.95, 0.99), ("99+", 0.99, 1.01))
+    points.groupBy(_.family).toSeq.sortBy(_._1).flatMap { case (family, ps) =>
+      edges.flatMap { case (label, lo, hi) =>
+        ps.filter(p => p.recall >= lo && p.recall < hi)
+          .sortBy(_.searchSec).headOption
+          .map(b => Bucket(family, label, b.value, b.recall, b.searchSec))
+      }
+    }
+  }
+
   /** All families, one build each, knob swept. */
   def sweep(spark: SparkSession, dir: String): Seq[Point] = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -177,8 +195,12 @@ object RecallSweep {
     points.foreach(p => println(s"SWEEP ${js(p)}"))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "/root/repo/RECALL_PARETO.json")
     val body = points.map(js).mkString("[\n  ", ",\n  ", "\n]")
+    def jb(b: Bucket): String =
+      f"""{"family":"${b.family}","bucket":"${b.bucket}","value":${b.value},""" +
+        f""""recall":${b.recall}%.4f,"search_sec":${b.searchSec}%.3f}"""
+    val buckets = toBuckets(points).map(jb).mkString("[\n  ", ",\n  ", "\n]")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      s"""{"sf":"$dir","k":10,"points":$body}""".getBytes("UTF-8"))
+      s"""{"sf":"$dir","k":10,"points":$body,"buckets":$buckets}""".getBytes("UTF-8"))
     println(s"SWEEP written $outPath (${points.length} points)")
     spark.stop()
   }

@@ -48,6 +48,23 @@ class RecallSweepSuite extends SparkFunSuite {
     }
   }
 
+  test("bucket rows sit inside their bucket and are their family's fastest") {
+    val buckets = RecallSweep.toBuckets(points)
+    assert(buckets.nonEmpty)
+    val edges = Map("80-89" -> (0.80, 0.90), "90-94" -> (0.90, 0.95),
+      "95-98" -> (0.95, 0.99), "99+" -> (0.99, 1.01))
+    buckets.foreach { b =>
+      val (lo, hi) = edges(b.bucket)
+      assert(b.recall >= lo && b.recall < hi, s"$b outside its bucket")
+      val peers = points.filter(p => p.family == b.family &&
+        p.recall >= lo && p.recall < hi)
+      assert(b.searchSec == peers.map(_.searchSec).min,
+        s"$b is not its bucket's fastest point")
+    }
+    // the reference-shaped builds must populate the top bucket
+    assert(buckets.exists(b => b.family == "cagra_ref" && b.bucket == "99+"))
+  }
+
   test("recall is non-decreasing along each family's knob (Pareto shape)") {
     points.groupBy(_.family).foreach { case (family, ps) =>
       val sorted = ps.sortBy(_.value)

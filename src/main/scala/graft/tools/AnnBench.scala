@@ -262,6 +262,24 @@ object AnnBench {
             maxIterations = math.max(30, t / 2)), "id", "vec"))
     }
 
+    // Vamana (DiskANN) at the reference's 2:1 visited:degree shape over
+    // the same 32-NN pool; search is the same greedy beam, knob = the
+    // DiskANN search-list size L (itopk here)
+    val tV0 = System.nanoTime()
+    val vamana = graft.graphops.Vamana.build(train,
+      graft.graphops.Vamana.Params(graphDegree = 16, visitedSize = 32), "id", "vec",
+      candidates = Some(knn32.select(col("src"), col("dst"), col("dist"))))
+      .localCheckpoint()
+    vamana.count()
+    val vamBuild = poolSec + (System.nanoTime() - tV0) / 1e9
+    Seq(20, 40, 100, 200).foreach { t =>
+      out ++= bothModes("vamana", "itopk", t, vamBuild)(b =>
+        graft.graphops.GraphSearch.search(vamana.select(col("src"), col("dst")),
+          train, b, k,
+          graft.graphops.GraphSearch.Params(itopk = t, searchWidth = 8,
+            maxIterations = math.max(30, t / 2)), "id", "vec"))
+    }
+
     val tH0 = System.nanoTime()
     // the reference's HNSW IS a converted CAGRA graph (hnsw.hpp:43-65);
     // hnswlib's links are bidirectional, so symmetrize — a raw directed

@@ -30,7 +30,8 @@ class AnnBenchSuite extends SparkFunSuite {
     val results = AnnBench.run(spark, h5)
     assert(results.nonEmpty)
     val byAlgo = results.groupBy(_.algo)
-    assert(byAlgo.keySet == Set("brute_force", "ivf_flat", "ivf_pq", "cagra", "hnsw"))
+    assert(byAlgo.keySet ==
+      Set("brute_force", "ivf_flat", "ivf_pq", "cagra", "vamana", "hnsw"))
     // the exact-baseline algo IS exact: recall 1.0 in both modes
     assert(byAlgo("brute_force").forall(_.recall == 1.0),
       s"brute_force recall ${byAlgo("brute_force").map(_.recall)}")

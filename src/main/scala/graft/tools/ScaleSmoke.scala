@@ -328,13 +328,19 @@ object ScaleSmoke {
       // never a wrong data point.
       val nUpper = idx.edges.filter(col("level") >= 1).count()
       val nUpperIds = idx.levels.filter(col("level") >= 1).count()
-      time("hnsw_hier_search_200q_hybrid") {
+      // two bounds, two legs: baseIterations = 10 is the legacy job-cap
+      // the r7-r10 decade points were measured at (comparable across
+      // rounds); the auto bound (max(10, ef) + frontier-empty early exit)
+      // is the recall-honest default — the delta between the legs is the
+      // price of un-saturating the ef knob at this scale
+      def hybridLeg(tag: String, bi: Int): Unit = time(tag) {
         spark.conf.set("spark.graft.localKernel.enabled", "true")
         spark.conf.set("spark.graft.localKernel.maxEdges", (nUpper + 1).toString)
         spark.conf.set("spark.graft.hnsw.hybridMaxUpperIds", (nUpperIds + 1).toString)
         spark.conf.set("spark.graft.hnsw.hybridMaxUpperEdges", (nUpper + 1).toString)
         try {
-          graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec").count()
+          graft.index.Hnsw.search(idx, data, q, 10, ef = 40, "id", "vec",
+            baseIterations = bi).count()
           require(graft.index.Hnsw.lastSearchRoute.contains("hybrid"),
             "hybrid label would be inaccurate: a different route ran")
         } finally {
@@ -344,6 +350,8 @@ object ScaleSmoke {
           spark.conf.unset("spark.graft.hnsw.hybridMaxUpperEdges")
         }
       }
+      hybridLeg("hnsw_hier_search_200q_hybrid_bi10", 10)
+      hybridLeg("hnsw_hier_search_200q_hybrid", 0)
       idx.edges.unpersist()
     }
 

@@ -154,6 +154,24 @@ class SqlFunctionsSuite extends SparkFunSuite {
     assert(sqlAllow.select(col("nbr_id")).as[Long].collect().forall(denied.contains))
   }
 
+  test("knn_join_filtered 11-arg form joins on the named filter_id_col") {
+    emb
+    val q = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    q.createOrReplaceTempView("sqlfn_q")
+    // the filter relation's ids live under a DIFFERENT column name
+    emb.filter(col("vec_id") % 3 === 0).select(col("vec_id").as("banned_id"))
+      .createOrReplaceTempView("sqlfn_deny_named")
+    val viaSql = spark.sql(
+      "SELECT * FROM knn_join_filtered('sqlfn_emb', 'sqlfn_q', 'sqlfn_deny_named', " +
+        "'deny', 5, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec', 'banned_id')")
+    val viaCol = graft.ops.BruteForceKnn.knnJoinFiltered(emb, q, 5, Metric.L2Sqrt,
+      deny = Some(emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))),
+      idCol = "vec_id", vecCol = "embedding")
+    assert(viaSql.collect().toSet == viaCol.collect().toSet,
+      "named filter_id_col route differs from the Column route")
+  }
+
   test("knn_join_filtered TVF validates mode and arity") {
     emb
     intercept[Exception] {

@@ -54,4 +54,9 @@ object bridge {
   def applyExtensionFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
+
+  /** Same, for the injected TABLE functions (knn_join / knn_join_filtered). */
+  def applyExtensionTableFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry): org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    ext.registerTableFunctions(reg)
 }

@@ -198,5 +198,11 @@ class SqlFunctionsSuite extends SparkFunSuite {
       assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name missing from the extension-installed registry")
     }
+    val treg = org.apache.spark.sql.graft.bridge.applyExtensionTableFunctions(ext,
+      new org.apache.spark.sql.catalyst.analysis.SimpleTableFunctionRegistry)
+    for (name <- Seq("knn_join", "knn_join_filtered")) {
+      assert(treg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name missing from the extension-installed TABLE function registry")
+    }
   }
 }

@@ -223,4 +223,27 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       physical.contains("ObjectHashAggregate") || physical.contains("SortAggregate"),
       s"unexpected physical plan:\n$physical")
   }
+
+  test("filtered TVF plans a BROADCAST anti join under the top-k, never sort-merge") {
+    // the deny list is the classic small side; at 100 TB a sort-merge
+    // anti join here would shuffle the whole data relation on id before
+    // the kNN even starts
+    ensureRule()
+    graft.functions.SqlFunctions.register(spark)
+    emb.createOrReplaceTempView("kjp_emb")
+    queries.createOrReplaceTempView("kjp_q")
+    emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      .createOrReplaceTempView("kjp_deny")
+    val df = spark.sql(
+      "SELECT * FROM knn_join_filtered('kjp_emb', 'kjp_q', 'kjp_deny', 'deny', " +
+        "5, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+    df.queryExecution.executedPlan.execute().count() // settle AQE
+    val physical = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+      s"expected a broadcast anti join in:\n$physical")
+    assert(!physical.contains("SortMergeJoin"),
+      s"filter must not sort-merge the data relation:\n$physical")
+    assert(!physical.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$physical")
+  }
 }

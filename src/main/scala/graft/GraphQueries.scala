@@ -398,8 +398,8 @@ object GraphQueries {
   }
 
   /** The degree-8 CAGRA-optimized graph over exact16Graph — the CHEAP
-    * build, shared by the cost row and the filtered search query (build
-    * once / search many, the reference's index split). */
+    * build, consumed by the cagra_search_cheap cost row (the filtered
+    * query moved to the reference-shaped graph in r11). */
   private def cagraOpt8(spark: SparkSession, dir: String): DataFrame =
     SparkEntry.memoize(spark, s"cagraOpt8:$dir") {
       CagraOptimize.optimize(
@@ -443,9 +443,9 @@ object GraphQueries {
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
   /** The CHEAP-build cost row: the degree-8 graph pruned from the 16-NN
-    * pool, the config the filtered query and the bench's low-cost point
-    * use. Gated at its own (lower) floor so the cost/recall trade stays a
-    * measured row next to the reference-shaped gate above. */
+    * pool — the bench's low-cost point. Gated at its own (lower) floor so
+    * the cost/recall trade stays a measured row next to the
+    * reference-shaped gate above. */
   private def cagraSearchCheapQuery(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") % 20 === 0).select(col("id").as("qid"), col("vec").as("qvec"))

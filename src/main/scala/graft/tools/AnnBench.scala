@@ -126,21 +126,13 @@ object AnnBench {
     pairs.distinct.count { case (q, n) =>
       gt.get(q).exists(_.contains(n.toInt)) }.toDouble / denom
 
-  /** Group points into the reference's recall buckets
-    * (comparing_indexes.md:29-40) and keep the best-QPS point of each
-    * (algo, mode, bucket) — the reference's fair-comparison framing. */
-  def toBuckets(points: Seq[Result]): Seq[Bucket] = {
-    val edges = Seq(("80-89", 0.80, 0.90), ("90-94", 0.90, 0.95),
-      ("95-98", 0.95, 0.99), ("99+", 0.99, 1.01))
-    points.groupBy(r => (r.algo, r.mode)).toSeq.sortBy(_._1).flatMap {
-      case ((algo, mode), rs) =>
-        edges.flatMap { case (label, lo, hi) =>
-          rs.filter(r => r.recall >= lo && r.recall < hi)
-            .sortBy(-_.qps).headOption
-            .map(b => Bucket(algo, mode, label, b.value, b.recall, b.qps))
-        }
-    }
-  }
+  /** Best-QPS point per (algo, mode, reference bucket) — the shared
+    * [[RecallBuckets]] edges, the protocol's fair-comparison framing. */
+  def toBuckets(points: Seq[Result]): Seq[Bucket] =
+    RecallBuckets.best(points, (_: Result).recall, (r: Result) => (r.algo, r.mode))(
+      _.maxBy(_.qps)).map { case ((algo, mode), label, b) =>
+        Bucket(algo, mode, label, b.value, b.recall, b.qps)
+      }
 
   /** Run the protocol over one exported file: every (algo, knob) point is
     * measured in both modes. One warm batch per (config, mode) pays
@@ -219,11 +211,15 @@ object AnnBench {
     // pq_dim scales with the vector width (the reference's auto default
     // keeps sub-vectors a few dims wide — a fixed pqDim 8 over 256 dims
     // would be 32 floats per code and cap recall at ~0.9 even refined)
+    // and must DIVIDE dim (IvfPqIndex's layout contract), so take the
+    // largest divisor at or under the dim/8 target — glove-100 gets 10,
+    // the 64/256-dim fixtures keep 8/32
     val tPq0 = System.nanoTime()
     val dim = train.select(col("vec")).head().getAs[scala.collection.Seq[Float]](0).length
+    val pqDim = (math.max(8, dim / 8) to 1 by -1).find(dim % _ == 0).get
     val pq = graft.index.IvfPqIndex.build(train,
       graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10,
-        pqDim = math.max(8, dim / 8), pqBits = 8),
+        pqDim = pqDim, pqBits = 8),
       "id", "vec", base = Some(ivf))
     pq.lists.count()
     val pqBuild = ivfBuild + (System.nanoTime() - tPq0) / 1e9

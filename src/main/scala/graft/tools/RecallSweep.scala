@@ -33,17 +33,11 @@ object RecallSweep {
   case class Bucket(family: String, bucket: String, value: Int,
       recall: Double, searchSec: Double)
 
-  def toBuckets(points: Seq[Point]): Seq[Bucket] = {
-    val edges = Seq(("80-89", 0.80, 0.90), ("90-94", 0.90, 0.95),
-      ("95-98", 0.95, 0.99), ("99+", 0.99, 1.01))
-    points.groupBy(_.family).toSeq.sortBy(_._1).flatMap { case (family, ps) =>
-      edges.flatMap { case (label, lo, hi) =>
-        ps.filter(p => p.recall >= lo && p.recall < hi)
-          .sortBy(_.searchSec).headOption
-          .map(b => Bucket(family, label, b.value, b.recall, b.searchSec))
+  def toBuckets(points: Seq[Point]): Seq[Bucket] =
+    RecallBuckets.best(points, (_: Point).recall, (_: Point).family)(
+      _.minBy(_.searchSec)).map { case (family, label, b) =>
+        Bucket(family, label, b.value, b.recall, b.searchSec)
       }
-    }
-  }
 
   /** All families, one build each, knob swept. */
   def sweep(spark: SparkSession, dir: String): Seq[Point] = {

@@ -460,6 +460,56 @@ object SparkEntry {
       .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
   }
 
+  /** The INDEX route of the declarative node under the oracle: a saved
+    * IVF-Flat layout registered on the data relation's path reroutes the
+    * join through probe-pruned candidates + exact refine. At FULL probes
+    * the candidate set is the true top-kCoarse, so refine's top-10 is
+    * exact and the same DuckDB kNN oracle gates the whole
+    * save→register→reroute→refine pipeline. `index_routed` is EARNED
+    * from the executed physical plan (it must read the saved lists), so
+    * a regression that silently demotes to brute force hash-fails even
+    * though brute rows would be identical. Registration and the
+    * stats-gate override are scoped to this query (restored in finally);
+    * the result is materialized before the unregister. */
+  private def knnJoinIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val idxPath = memoize(spark, s"ivfSaved:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft_knn_idx").toString
+      ivfIndex(spark, dir).save(p)
+      p
+    }
+    val gateKey = "spark.graft.knnJoin.minIndexRows"
+    val prior = spark.conf.getOption(gateKey)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 16, kCoarse = 30)
+    spark.conf.set(gateKey, "0") // fixture rows are far below the 100k default
+    try {
+      val out = graft.plans.KnnJoinPlan.knnJoin(table(spark, dir, "embeddings"),
+        embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
+      val routed = out.queryExecution.executedPlan.toString.contains("list_id")
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .localCheckpoint()
+    } finally {
+      graft.plans.GraftIndexCatalog.unregister(dataPath)
+      prior match {
+        case Some(v) => spark.conf.set(gateKey, v)
+        case None => spark.conf.unset(gateKey)
+      }
+    }
+  }
+
+  private def knnJoinIndexedOracle: String = {
+    val distExpr = O.byMetric(Metric.L2, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS index_routed
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   // ===== quantizers ====================================================
 
   private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -1022,6 +1072,7 @@ object SparkEntry {
     "refine" -> (refineQuery(_, _)),
     "knn_merge_parts" -> (knnMergeQuery(_, _)),
     "knn_join_plan" -> (knnJoinPlanQuery(_, _)),
+    "knn_join_indexed" -> (knnJoinIndexedQuery(_, _)),
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
     "kmeans_fit_predict" -> (kmeansQuery(_, _)),
@@ -1071,6 +1122,7 @@ object SparkEntry {
     "refine" -> refineOracle,
     "knn_merge_parts" -> knnOracle(Metric.L2Sqrt),
     "knn_join_plan" -> knnOracle(Metric.L2Sqrt),
+    "knn_join_indexed" -> knnJoinIndexedOracle,
     "ivf_flat_search" -> knnOracle(Metric.L2),
     "ivf_pq_search_refine" -> knnOracle(Metric.L2),
     "ivf_sq_search_refine" -> knnOracle(Metric.L2),

@@ -477,6 +477,17 @@ object SparkEntry {
     val idxPath = memoize(spark, s"ivfSaved:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft_knn_idx").toString
       ivfIndex(spark, dir).save(p)
+      // the layout must outlive the (lazy) frames this query returns, so
+      // reap at JVM exit — repeated bench/verify runs in one JVM reuse
+      // the memo and leave exactly one tree, deleted on shutdown
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root)) {
+          val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          try it.forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally it.close()
+        }
+      }))
       p
     }
     val gateKey = "spark.graft.knnJoin.minIndexRows"

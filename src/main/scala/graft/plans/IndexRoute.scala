@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+/** Structural "did this query actually read the saved index" check —
+  * replaces plan-STRING sniffing (`toString.contains("list_id")`), which a
+  * column rename or plan-format change flips vacuously true or false. The
+  * check walks the EXECUTED physical plan for a file scan whose root path
+  * lives under the registered index directory, descending through the
+  * leaf-like wrappers `SparkPlan.collect` stops at (AQE plan, query
+  * stages, exchange reuse, cached relations). Used by the
+  * `knn_join_indexed*` correctness gates and the route-shape suite pins.
+  */
+object IndexRoute {
+
+  /** Root paths of every parquet/file scan reachable from `plan`. */
+  def executedScanPaths(plan: SparkPlan): Seq[String] = {
+    val here = plan.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    // collect() does not descend into these wrappers' inner plans
+    val nested = plan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        executedScanPaths(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        executedScanPaths(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        executedScanPaths(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        executedScanPaths(m.relation.cachedPlan)
+    }.flatten
+    here ++ nested
+  }
+
+  private def normalize(p: String): String = p.stripPrefix("file:").stripSuffix("/")
+
+  /** True when the frame's executed plan reads files under `indexPath`
+    * (the saved layout's directory) — the earned form of `index_routed`. */
+  def routedThrough(df: DataFrame, indexPath: String): Boolean = {
+    val idx = normalize(indexPath)
+    executedScanPaths(df.queryExecution.executedPlan).map(normalize)
+      .exists(p => p == idx || p.startsWith(idx + "/"))
+  }
+}

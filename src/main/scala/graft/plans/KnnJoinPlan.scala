@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.graft.{bridge => B}
 import graft.core.Metric
@@ -97,7 +97,22 @@ object GraftIndexCatalog {
     if (probeOutcomes.size >= probeCacheCap) probeOutcomes.clear()
     probeOutcomes.getOrElseUpdate((paths.map(normalize).sorted.mkString(","), threshold), probe)
   }
-  private[plans] def clearProbeCache(): Unit = probeOutcomes.clear()
+
+  /** Memoized FULL row counts (same stability contract and registration-
+    * clear discipline as the bounded probe above) — the auto-probe and
+    * filtered-route rate math need the registered relation's population,
+    * and a registered path implies an index build already scanned it, so
+    * one metadata-weight count per registration is the honest price. */
+  private val countOutcomes = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[plans] def cachedCount(paths: Seq[String])(count: => Long): Long = {
+    if (countOutcomes.size >= probeCacheCap) countOutcomes.clear()
+    countOutcomes.getOrElseUpdate(paths.map(normalize).sorted.mkString(","), count)
+  }
+
+  private[plans] def clearProbeCache(): Unit = {
+    probeOutcomes.clear()
+    countOutcomes.clear()
+  }
 }
 
 /** Lowers KnnJoinPlan into a physical route chosen by the planner:
@@ -132,6 +147,34 @@ object ResolveKnnJoin {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ ResolveKnnJoin(spark)
     }
+  }
+
+  /** Probe count for a recall target — the reference's `min_recall ≈
+    * f(n_probes/n_lists)` discipline (ann_ivf_flat.cuh:102) made usable by
+    * inverting the engine's own committed measurement instead of the
+    * pessimistic linear lower bound: RECALL_PARETO.json's ivf_flat rows
+    * show recall saturating in the ABSOLUTE probe count (8 probes 0.816,
+    * 16 probes 1.000 at k=10), which is also the reference's default
+    * economics — 20 probes over 1024 lists ≈ 2% for its stock 0.95-grade
+    * setting (ivf_flat.hpp:28-81). log2-interpolated between the measured
+    * points; the kCoarse-coverage floor (expected scanned rows ≥ 3·kCoarse)
+    * and the [1, nLists] clamp are kept from the fraction-based
+    * predecessor. `targetRecall ≥ 1` means exact: probe every list. */
+  def autoProbes(targetRecall: Double, nLists: Int, nRows: Long, kCoarse: Int): Int = {
+    // (probes, measured recall@10) — RECALL_PARETO.json ivf_flat rows
+    val curve = Seq(1 -> 0.302, 2 -> 0.415, 4 -> 0.603, 8 -> 0.816, 16 -> 1.0)
+    val fromCurve =
+      if (targetRecall >= 1.0) nLists
+      else if (targetRecall <= curve.head._2) curve.head._1
+      else {
+        val ((pLo, rLo), (pHi, rHi)) = curve.zip(curve.tail)
+          .find { case ((_, r0), (_, r1)) => targetRecall > r0 && targetRecall <= r1 }.get
+        val t = (targetRecall - rLo) / (rHi - rLo)
+        val log2 = (x: Double) => math.log(x) / math.log(2.0)
+        math.ceil(math.pow(2.0, log2(pLo) * (1 - t) + log2(pHi) * t)).toInt
+      }
+    val coverK = math.ceil(3.0 * kCoarse * nLists / math.max(nRows, 1L).toDouble).toInt
+    math.min(nLists, math.max(1, math.max(fromCurve, coverK)))
   }
 }
 
@@ -173,11 +216,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }.flatten
 
-  /** Classify a registered layout by the sidecar it wrote: `hnsw_meta` =
-    * HNSW hierarchy, `lists` = IVF-Flat. Anything else (e.g. an IVF-SQ,
-    * ScaNN, or PQ layout the resolver has no route for yet) returns None,
-    * so the join falls back to brute force instead of failing at plan
-    * time on a missing `lists` directory. */
+  /** Classify a registered layout by the list table it wrote: `hnsw_meta`
+    * = HNSW hierarchy, `lists` = IVF-Flat, `pq_lists`/`pqcl_lists` =
+    * IVF-PQ (per-subspace / per-cluster codebooks), `sq_lists` = IVF-SQ,
+    * `scann_lists` = ScaNN, `rabitq_lists` = IVF-RaBitQ. An unknown
+    * layout returns None, so the join falls back to brute force instead
+    * of failing at plan time on a missing directory. */
   private def layoutOf(path: String): Option[String] = {
     def exists(child: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path, child)
@@ -185,7 +229,55 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (exists("hnsw_meta")) Some("hnsw")
     else if (exists("lists")) Some("ivf")
+    else if (exists("pq_lists")) Some("ivf_pq")
+    else if (exists("pqcl_lists")) Some("ivf_pqcl")
+    else if (exists("sq_lists")) Some("ivf_sq")
+    else if (exists("scann_lists")) Some("scann")
+    else if (exists("rabitq_lists")) Some("rabitq")
     else None
+  }
+
+  /** The ADC/decoded-code layouts score candidates in (residual) L2, so
+    * their routes are sound only for L2-family node metrics. */
+  private def l2Family(m: Metric): Boolean = m == Metric.L2 || m == Metric.L2Sqrt
+
+  /** A population-REDUCING wrapper over an eligible scan that the
+    * filtered index route understands: the node's data child is the
+    * filter's OUTPUT, but candidates can still be generated from the
+    * index over the full population and refined against the filtered
+    * frame (refine's inner join IS the post-filter). The reference's
+    * analog is in-search filtering with a pre/post strategy picked from
+    * `filtering_rate` (common.hpp:500-638, cagra.hpp:346-355). */
+  private sealed trait FilterShape { def base: LogicalPlan }
+  /** Plain `Filter(cond)` over the scan — rate estimated by a seeded
+    * hash-sampled probe. */
+  private case class PredShape(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      base: LogicalPlan) extends FilterShape
+  /** Semi/anti equi-join against a filter relation (the `knn_join_filtered`
+    * TVF's shape) — rate bounded by the filter side's row count. */
+  private case class JoinShape(filterSide: LogicalPlan, anti: Boolean,
+      base: LogicalPlan) extends FilterShape
+
+  private def filteredShape(plan: LogicalPlan): Option[FilterShape] = plan match {
+    case p: Project => filteredShape(p.child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      filteredShape(s.child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if indexEligible(f.child) => Some(PredShape(f.condition, f.child))
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if (j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti) &&
+          indexEligible(j.left) &&
+          // only a single-attribute equi-join bounds the dropped-candidate
+          // count by the filter side's cardinality (the widening math)
+          (j.condition match {
+            case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+              _: Attribute, _: Attribute)) => true
+            case _ => false
+          }) =>
+      Some(JoinShape(j.right,
+        anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti, j.left))
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -194,8 +286,41 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
       val metric = Metric.fromName(kj.metricName)
-      def coarseK(e: GraftIndexCatalog.Entry): Int =
-        if (e.kCoarse > 0) e.kCoarse else math.max(2 * kj.k, kj.k + 10)
+      def coarseK(e: GraftIndexCatalog.Entry, compressed: Boolean): Int =
+        if (e.kCoarse > 0) e.kCoarse
+        // the compressed-code estimators (ADC / decoded int8) rank with
+        // quantization noise, so their default reorder depth carries more
+        // margin (the reference's refine recall-recovery discipline)
+        else if (compressed) math.max(4 * kj.k, kj.k + 30)
+        else math.max(2 * kj.k, kj.k + 10)
+
+      /** Registered-population row count, memoized per scan path. */
+      def baseRows(base: LogicalPlan): Long =
+        GraftIndexCatalog.cachedCount(scanPaths(base)) {
+          B.ofRows(spark, base).count()
+        }
+
+      /** Probe count: explicit registration wins; `nProbes = 0` derives
+        * from `spark.graft.knnJoin.targetRecall` (default 0.95) through
+        * the measured probe/recall relation (ResolveKnnJoin.autoProbes);
+        * a caller-set `autoProbeFraction` keeps the legacy fraction
+        * semantics for sessions that pinned it. */
+      def resolveProbes(e: GraftIndexCatalog.Entry, base: LogicalPlan,
+          nLists: Int, depth: Int): Int =
+        if (e.nProbes > 0) e.nProbes
+        else {
+          val n = math.max(baseRows(base), 1L)
+          val coverK = math.ceil(3.0 * depth * nLists / n.toDouble).toInt
+          spark.conf.getOption("spark.graft.knnJoin.autoProbeFraction") match {
+            case Some(frac) =>
+              val fracProbes = math.max(1, math.ceil(nLists * frac.toDouble).toInt)
+              math.min(nLists, math.max(coverK, fracProbes))
+            case None =>
+              val target =
+                spark.conf.get("spark.graft.knnJoin.targetRecall", "0.95").toDouble
+              ResolveKnnJoin.autoProbes(target, nLists, n, depth)
+          }
+        }
 
       // The index routes are only sound when the saved index ranks
       // candidates the way the node's declared metric would — candidates
@@ -203,54 +328,77 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       // only within them. L2 and L2Sqrt are rank-equivalent (sqrt is
       // monotone); any other mismatch (e.g. a Cosine knn_join over an
       // L2-built index) falls back to the exact brute-force route
-      // instead of silently degrading results.
+      // instead of silently degrading results. The code-compressed
+      // layouts additionally require an L2-family node metric (their
+      // candidate estimators score in residual L2).
 
-      // Graph route: a registered HNSW layout generates candidates by
-      // hierarchy beam search (ef = kCoarse), then exact refine.
-      def hnswRoute(e: GraftIndexCatalog.Entry): Option[DataFrame] = {
-        val idx = graft.index.Hnsw.load(spark, e.indexPath)
-        if (!rankCompatible(idx.params.metric, metric)) None
-        else Some {
-          val kCoarse = coarseK(e)
-          val cand = graft.index.Hnsw.search(idx, data, queries, kCoarse,
-              ef = math.max(40, kCoarse), kj.idCol, kj.vecCol)
-            .select(col("qid"), col("nbr_id").as("id"))
-          graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
-            kj.idCol, kj.vecCol)
-        }
+      /** Candidate generation per layout at reorder depth `depth`,
+        * searched over the FULL registered population (`base`), or None
+        * when the layout/metric pairing is unroutable. */
+      def candidates(e: GraftIndexCatalog.Entry, layout: String,
+          base: LogicalPlan, depth: Int): Option[DataFrame] = layout match {
+        case "hnsw" =>
+          val idx = graft.index.Hnsw.load(spark, e.indexPath)
+          if (!rankCompatible(idx.params.metric, metric)) None
+          else Some(graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
+            depth, ef = math.max(40, depth), kj.idCol, kj.vecCol))
+        case "ivf" =>
+          val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
+          if (!rankCompatible(idx.metric, metric)) None
+          else Some(idx.search(queries, depth,
+            resolveProbes(e, base, idx.centroids.k, depth)))
+        case "ivf_sq" =>
+          // decoded int8 scored under the index's own metric
+          val idx = graft.index.IvfSqIndex.load(spark, e.indexPath)
+          if (!rankCompatible(idx.metric, metric)) None
+          else Some(idx.search(queries, depth,
+            resolveProbes(e, base, idx.centroids.k, depth)))
+        case "ivf_pq" =>
+          val idx = graft.index.IvfPqIndex.load(spark, e.indexPath)
+          if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
+          else Some(idx.search(queries, depth,
+            resolveProbes(e, base, idx.centroids.k, depth)))
+        case "ivf_pqcl" =>
+          val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
+          if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
+          else Some(idx.search(queries, depth,
+            resolveProbes(e, base, idx.centroids.k, depth)))
+        case "scann" =>
+          val idx = graft.index.ScannIndex.load(spark, e.indexPath)
+          if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
+          else Some(idx.search(queries, depth,
+            resolveProbes(e, base, idx.centroids.k, depth)))
+        case "rabitq" =>
+          // RaBitQ estimates are L2-only by construction
+          val idx = graft.index.IvfRabitqIndex.load(spark, e.indexPath)
+          if (!l2Family(metric)) None
+          else Some(idx.search(queries, depth,
+            resolveProbes(e, base, idx.centroids.k, depth)))
+        case _ => None
       }
 
-      // IVF route: probe-pruned candidate search + exact refine.
-      def ivfRoute(e: GraftIndexCatalog.Entry): Option[DataFrame] = {
-        val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
-        if (!rankCompatible(idx.metric, metric)) None
-        else Some {
-          val kCoarse = coarseK(e)
-          // Cost-based probe selection (nProbes = 0 = auto). The recall
-          // floor tracks the probe fraction (the reference's min_recall ~
-          // f(n_probes/n_lists) discipline, ann_ivf_flat.cuh:102), so auto
-          // mode is recall-first: probe `autoProbeFraction` of the lists
-          // (default half — still 2x cheaper than brute force, safe without
-          // a stated recall contract; an explicit nProbes is the perf
-          // opt-in), raised if needed so the expected scanned rows cover
-          // kCoarse three times over (E[rows/list] = n/nLists), capped at
-          // a full scan.
-          val nLists = idx.centroids.k
-          val nProbes =
-            if (e.nProbes > 0) e.nProbes
-            else {
-              val frac = spark.conf.get("spark.graft.knnJoin.autoProbeFraction", "0.5").toDouble
-              val n = math.max(idx.lists.count(), 1L)
-              val coverK = math.ceil(3.0 * kCoarse * nLists / n.toDouble).toInt
-              val fracProbes = math.max(1, math.ceil(nLists * frac).toInt)
-              math.min(nLists, math.max(coverK, fracProbes))
+      /** Index route = candidates over the full population + exact refine
+        * against the node's data child. For the full-population shape the
+        * child IS the population; for a filtered shape the child is the
+        * filtered frame, so refine's inner join post-filters the widened
+        * candidates and re-ranks exactly — disallowed ids can never
+        * surface, and every surfaced distance/rank is exact. `widen`
+        * turns the layout's base reorder depth into the final depth
+        * (identity for full population; the filtering_rate analog for
+        * filtered shapes; None = the shape is not routable → brute). */
+      def routeFor(e: GraftIndexCatalog.Entry, base: LogicalPlan,
+          widen: Int => Option[Int]): Option[DataFrame] =
+        layoutOf(e.indexPath).flatMap { layout =>
+          val compressed =
+            layout == "ivf_pq" || layout == "ivf_pqcl" || layout == "scann" ||
+              layout == "rabitq" || layout == "ivf_sq"
+          widen(coarseK(e, compressed)).flatMap { depth =>
+            candidates(e, layout, base, depth).map { cand =>
+              graft.ops.Refine.refine(cand.select(col("qid"), col("nbr_id").as("id")),
+                data, queries, kj.k, metric, kj.idCol, kj.vecCol)
             }
-          val cand = idx.search(queries, kCoarse, nProbes)
-            .select(col("qid"), col("nbr_id").as("id"))
-          graft.ops.Refine.refine(cand, data, queries, kj.k, metric,
-            kj.idCol, kj.vecCol)
+          }
         }
-      }
 
       // Plan-time statistics gate — the search_plan.cuh:113-133 analog:
       // the route is a cost decision on relation statistics, not just
@@ -263,23 +411,88 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       // minIndexRows <= 0 disables the gate (always trust registration).
       val minIndexRows =
         spark.conf.get("spark.graft.knnJoin.minIndexRows", "100000").toLong
-      def bigEnoughForIndex: Boolean =
+      def bigEnoughForIndex(base: LogicalPlan): Boolean =
         minIndexRows <= 0 ||
-          kj.left.stats.rowCount.map(_ >= BigInt(minIndexRows)).getOrElse(
-            GraftIndexCatalog.cachedProbe(scanPaths(kj.left), minIndexRows) {
+          base.stats.rowCount.map(_ >= BigInt(minIndexRows)).getOrElse(
+            GraftIndexCatalog.cachedProbe(scanPaths(base), minIndexRows) {
               !graft.graphops.LocalKernel.within(
-                data.select(col(kj.idCol)), minIndexRows - 1)
+                B.ofRows(spark, base).select(col(kj.idCol)), minIndexRows - 1)
             })
 
-      val rewritten = Option(())
-        .filter(_ => indexEligible(kj.left))
-        .flatMap(_ => GraftIndexCatalog.lookup(scanPaths(kj.left)))
-        .filter(_ => bigEnoughForIndex)
-        .flatMap(e => layoutOf(e.indexPath) match {
-          case Some("hnsw") => hnswRoute(e)
-          case Some("ivf") => ivfRoute(e)
-          case _ => None
-        })
+      def entryFor(base: LogicalPlan): Option[GraftIndexCatalog.Entry] =
+        GraftIndexCatalog.lookup(scanPaths(base)).filter(_ => bigEnoughForIndex(base))
+
+      /** Widened reorder depth for a filtered shape — the planner-level
+        * `filtering_rate` strategy (cagra.hpp:346-355): estimate the pass
+        * rate, widen the depth so the allowed candidates still cover the
+        * requested reorder, and refuse the route (→ exact brute over the
+        * filtered frame) when the rate is unknown, below the floor, or
+        * the widened depth would blow past the cap. For a deny equi-join
+        * whose list fits under the cap, `depth + nDeny` is used instead:
+        * the anti join can drop at most nDeny distinct ids, so the
+        * filtered result is as exact as the underlying candidate set
+        * (exact at full probes) — the gate's shape. */
+      def widenedDepth(shape: FilterShape, base: LogicalPlan)(depth: Int): Option[Int] = {
+        val widenCap =
+          spark.conf.get("spark.graft.knnJoin.maxWidenedCoarse", "4096").toInt
+        val rateFloor =
+          spark.conf.get("spark.graft.knnJoin.minFilterRate", "0.05").toDouble
+        val nBase = math.max(baseRows(base), 1L)
+        def byRate(rate: Double): Option[Int] =
+          if (rate < rateFloor) None
+          else {
+            val d = math.ceil(depth / rate)
+            if (d <= widenCap) Some(math.max(depth, d.toInt)) else None
+          }
+        shape match {
+          case JoinShape(filterSide, anti, _) =>
+            val filterDf = B.ofRows(spark, filterSide)
+            // bound the plan-time count: a filter relation past the cap
+            // can't take the exactness-preserving widening anyway, and
+            // counting an arbitrarily large relation at plan time is not
+            // a price a rewrite should pay — estimate nothing, go brute
+            val maxProbe = math.max(widenCap.toLong,
+              spark.conf.get("spark.graft.knnJoin.maxFilterProbeRows", "10000000").toLong)
+            if (!graft.graphops.LocalKernel.within(filterDf, maxProbe)) None
+            else {
+              val nFilter = filterDf.count()
+              if (anti) {
+                if (depth.toLong + nFilter <= widenCap) Some(depth + nFilter.toInt)
+                else byRate(1.0 - nFilter.toDouble / nBase)
+              } else byRate(math.min(1.0, nFilter.toDouble / nBase))
+            }
+          case PredShape(cond, b) =>
+            // seeded hash-sampled pass-rate probe over the id column —
+            // deterministic (a random sample would make the route's
+            // depth, and so its approximate output, vary run to run)
+            val sampleTarget = 4096.0
+            val pct = math.min(1000L, math.max(1L,
+              math.round(sampleTarget / nBase * 1000)))
+            val baseDf = B.ofRows(spark, b)
+            val sampled = baseDf.filter(
+              pmod(xxhash64(col(kj.idCol), lit(7L)), lit(1000L)) < pct)
+            val agg = sampled.agg(
+              count(lit(1)).as("n"),
+              count(when(B.column(cond), 1)).as("passed")).head()
+            val n = agg.getLong(0)
+            if (n == 0) None else byRate(agg.getLong(1).toDouble / n)
+        }
+      }
+
+      val filteredRouteEnabled =
+        spark.conf.get("spark.graft.knnJoin.filteredRoute.enabled", "true").toBoolean
+
+      val viaIndex: Option[DataFrame] =
+        if (indexEligible(kj.left))
+          entryFor(kj.left).flatMap(e => routeFor(e, kj.left, d => Some(d)))
+        else if (filteredRouteEnabled)
+          filteredShape(kj.left).flatMap { shape =>
+            entryFor(shape.base).flatMap(e =>
+              routeFor(e, shape.base, widenedDepth(shape, shape.base)))
+          }
+        else None
+
+      val rewritten = viaIndex
         .getOrElse(BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol))
       val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),
         col("rank"), col("dist"))

@@ -72,32 +72,33 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
-  test("a row-reduced data child bypasses its registered index (exact fallback)") {
-    // the index routes search the node's CHILD frame: over a filtered
-    // child, index-generated candidates inner-join away and the result
-    // silently under-returns k — so any non-population-preserving left
-    // (a Filter, the filtered TVF's anti join) must take the brute
-    // route, which is exact over the filtered relation
+  test("a filtered data child takes the WIDENED index route, exactly") {
+    // the filtering_rate analog at the planner level: candidates are
+    // generated from the index over the FULL population at a widened
+    // reorder depth, then refine's inner join against the filtered frame
+    // post-filters them — a disallowed id can never surface, and the
+    // deny equi-join's depth bound (kCoarse + nDeny) keeps the result as
+    // exact as the candidate set (exact at full probes)
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
     val idxPath = java.nio.file.Files.createTempDirectory("knnfiltroute").toString
     val idx = graft.index.IvfFlatIndex.build(emb,
       graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
     idx.save(idxPath)
-    // deliberately CORRUPTING registration if routed: 1 probe, kCoarse =
-    // k — any index-route leakage shows up as missing/misranked rows
-    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 1, kCoarse = 10)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
     try withIndexGateOff {
-      // Column API over a filtered child
       val filteredData = emb.filter(col("vec_id") % 3 =!= 0)
-      val viaNode = KnnJoinPlan.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
-        "vec_id", "embedding")
       val exact = BruteForceKnn.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
         "vec_id", "embedding")
         .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      // Column API: a plain Filter child — sampled-rate widening
+      val viaNode = KnnJoinPlan.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(viaNode, idxPath),
+        "filtered child should take the widened index route")
       assert(viaNode.collect().toSet == exact.collect().toSet,
-        "filtered child must take the exact brute route, not the index")
-      // SQL filtered TVF over the same registered relation
+        "widened filtered route must match the exact filtered result")
+      // SQL filtered TVF: deny anti-join — count-bounded exact widening
       graft.functions.SqlFunctions.register(spark)
       emb.createOrReplaceTempView("kjf_emb")
       queries.createOrReplaceTempView("kjf_q")
@@ -106,15 +107,49 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       val viaSql = spark.sql(
         "SELECT * FROM knn_join_filtered('kjf_emb', 'kjf_q', 'kjf_deny', 'deny', " +
           "10, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+      assert(graft.plans.IndexRoute.routedThrough(viaSql, idxPath),
+        "deny TVF should take the widened index route")
       assert(viaSql.collect().toSet == exact.collect().toSet,
-        "filtered TVF must take the exact brute route, not the index")
-      // while an UNfiltered join over the same relation still routes
-      // (column-pruned Project wrappers are population-preserving)
-      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "widened deny route must match the exact filtered result")
+      // conf opt-out restores the exact brute fallback
+      spark.conf.set("spark.graft.knnJoin.filteredRoute.enabled", "false")
+      try {
+        val bruteBack = KnnJoinPlan.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(!graft.plans.IndexRoute.routedThrough(bruteBack, idxPath))
+        assert(bruteBack.collect().toSet == exact.collect().toSet)
+      } finally spark.conf.unset("spark.graft.knnJoin.filteredRoute.enabled")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
+  test("a low-pass-rate filter engages the exact brute fallback, not the index") {
+    // allow-mode with a tiny allow list: rate ~ 1% < minFilterRate —
+    // widening can't cover it, so the route must refuse and the brute
+    // pipeline (exact over the semi-joined frame) runs instead
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnlowrate").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      graft.functions.SqlFunctions.register(spark)
+      emb.createOrReplaceTempView("kjl_emb")
+      queries.createOrReplaceTempView("kjl_q")
+      emb.filter(col("vec_id") % 100 === 0).select(col("vec_id"))
+        .createOrReplaceTempView("kjl_allow")
+      val viaSql = spark.sql(
+        "SELECT * FROM knn_join_filtered('kjl_emb', 'kjl_q', 'kjl_allow', 'allow', " +
+          "5, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+      assert(!graft.plans.IndexRoute.routedThrough(viaSql, idxPath),
+        "a ~1% allow rate must refuse the index route")
+      val allowed = emb.join(emb.filter(col("vec_id") % 100 === 0).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val exact = BruteForceKnn.knnJoin(allowed, queries, 5, Metric.L2Sqrt,
         "vec_id", "embedding")
-      val physical = routed.queryExecution.executedPlan.toString
-      assert(physical.contains("list_id"),
-        s"unfiltered join lost its index route:\n$physical")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(viaSql.collect().toSet == exact.collect().toSet)
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
@@ -167,13 +202,11 @@ class KnnJoinPlanSuite extends SparkFunSuite {
   test("unknown registered layout falls back to brute force, not a plan-time crash") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
-    val idxPath = java.nio.file.Files.createTempDirectory("knnscann").toString
-    // a ScaNN layout: valid index, but one the resolver has no route for
-    graft.index.ScannIndex.build(emb,
-      graft.index.ScannIndex.Params(nLeaves = 8, nIters = 3, pqBits = 4),
-      "vec_id", "embedding").save(idxPath)
+    // a directory that is no layout the resolver knows (no list table)
+    val idxPath = java.nio.file.Files.createTempDirectory("knnunknown").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(idxPath, "centroids"))
     graft.plans.GraftIndexCatalog.register(dataPath, idxPath)
-    try {
+    try withIndexGateOff {
       val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
         "vec_id", "embedding")
       val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
@@ -182,6 +215,110 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       assert(routed.exceptAll(direct).count() == 0)
       assert(direct.exceptAll(routed).count() == 0)
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
+  /** Compressed-layout routes (the reference's recommended shapes for
+    * large corpora, ivf_pq.hpp:47-205): at full probes with reorder
+    * depth = n the refined result is exact regardless of code noise, so
+    * the test pins the whole save→register→reroute→refine plumbing plus
+    * the STRUCTURAL route detector on each layout family. */
+  private def compressedRouteCase(tag: String,
+      buildAndSave: String => Unit): Unit = {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory(s"knn$tag").toString
+    buildAndSave(idxPath)
+    val n = emb.count().toInt
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath,
+      nProbes = 8, kCoarse = n)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
+        s"$tag layout should route the join through the saved index")
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(routed.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
+  test("registered IVF-PQ layout reroutes through ADC candidates + refine") {
+    compressedRouteCase("pq", p => graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8),
+      "vec_id", "embedding").save(p))
+  }
+
+  test("registered IVF-SQ layout reroutes through decoded candidates + refine") {
+    compressedRouteCase("sq", p => graft.index.IvfSqIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), idCol = "vec_id",
+      vecCol = "embedding").save(p))
+  }
+
+  test("registered ScaNN layout reroutes through SOAR-coded candidates + refine") {
+    compressedRouteCase("scann", p => graft.index.ScannIndex.build(emb,
+      graft.index.ScannIndex.Params(nLeaves = 8, nIters = 3),
+      "vec_id", "embedding").save(p))
+  }
+
+  test("a compressed layout refuses a non-L2 node metric (exact brute fallback)") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnpqcos").toString
+    graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8),
+      "vec_id", "embedding").save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 40)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.Cosine,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(routed, idxPath),
+        "ADC candidates are L2-family only; cosine must fall back to brute")
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.Cosine,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(routed.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
+  test("unregistering the index demotes the route — the earned bit flips") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knndemote").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, idxPath))
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    // deliberate demotion: same query planned after unregister must NOT
+    // earn the routed bit (this is what makes the gates' index_routed
+    // column non-vacuous — a silent demotion hash-fails)
+    withIndexGateOff {
+      val demoted = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(demoted, idxPath))
+    }
+  }
+
+  test("auto-probes derive from the recall target: ~2% of a sqrt(n) index at 0.95") {
+    import graft.plans.ResolveKnnJoin.autoProbes
+    // the reference's default economics (20 probes / 1024 lists,
+    // ivf_flat.hpp:28-81): 0.95 must land at or under ~2% of the lists
+    val p95 = autoProbes(0.95, nLists = 1024, nRows = 1000000L, kCoarse = 30)
+    assert(p95 >= 8 && p95 <= 20, s"0.95 target picked $p95 probes")
+    // exact opt-in probes everything
+    assert(autoProbes(1.0, 1024, 1000000L, 30) == 1024)
+    // coverage floor: expected scanned rows must cover 3x the reorder
+    // depth even when the curve alone would probe less
+    assert(autoProbes(0.5, 1024, 10000L, 30) >= 10)
+    // clamp to the list count on tiny indexes
+    assert(autoProbes(0.99, 8, 500L, 30) <= 8)
   }
 
   test("stats gate: a small relation bypasses its registered index; conf opt-out restores it") {

@@ -35,11 +35,23 @@ object IndexRoute {
 
   private def normalize(p: String): String = p.stripPrefix("file:").stripSuffix("/")
 
-  /** True when the frame's executed plan reads files under `indexPath`
-    * (the saved layout's directory) — the earned form of `index_routed`. */
+  /** True when the frame actually routed through the index at `indexPath`
+    * — the earned form of `index_routed`. Two signals, either suffices:
+    * (a) structural — the executed plan reads files under the layout's
+    * directory (the IVF-family routes' pruned list scan); (b) the
+    * rewrite-time route marker — the routes that materialize the index
+    * while PLANNING (the HNSW local-kernel beam collects the hierarchy
+    * during the rewrite) leave no index scan in the executed plan, so the
+    * resolver records the decision at the moment the non-brute branch
+    * builds the plan. Forcing `executedPlan` here runs the optimizer on
+    * THIS thread, so the thread-local marker read after it is the one
+    * this frame's own rewrite set (and a brute lowering clears it). */
   def routedThrough(df: DataFrame, indexPath: String): Boolean = {
     val idx = normalize(indexPath)
-    executedScanPaths(df.queryExecution.executedPlan).map(normalize)
+    val structural = executedScanPaths(df.queryExecution.executedPlan).map(normalize)
       .exists(p => p == idx || p.startsWith(idx + "/"))
+    structural || GraftIndexCatalog.lastRouteOnThread.exists {
+      case (_, p) => normalize(p) == idx
+    }
   }
 }

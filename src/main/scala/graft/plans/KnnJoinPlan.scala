@@ -113,6 +113,19 @@ object GraftIndexCatalog {
     probeOutcomes.clear()
     countOutcomes.clear()
   }
+
+  /** Route taken by the most recent KnnJoinPlan rewrite ON THIS THREAD —
+    * `(layout, indexPath)` when an index route produced the plan, None
+    * when the brute pipeline did. The routes that materialize the index
+    * at REWRITE time (the HNSW local-kernel beam collects the hierarchy
+    * while planning) leave no index file scan in the executed plan, so
+    * the structural detector alone can't see them; this marker records
+    * the decision at the moment the non-brute branch actually built the
+    * plan (the `Hnsw.lastSearchRoute` diagnostic pattern). Reset at each
+    * rewrite; gates force planning on their own thread and then read it. */
+  def lastRouteOnThread: Option[(String, String)] = Option(lastRouteTl.get()).flatten
+  private val lastRouteTl = new ThreadLocal[Option[(String, String)]]
+  private[plans] def recordRoute(r: Option[(String, String)]): Unit = lastRouteTl.set(r)
 }
 
 /** Lowers KnnJoinPlan into a physical route chosen by the planner:
@@ -282,6 +295,9 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case kj: KnnJoinPlan if kj.left.resolved && kj.right.resolved =>
+      // a brute lowering must CLEAR the thread's route marker, or a prior
+      // routed query on this thread would leave a stale earned bit
+      GraftIndexCatalog.recordRoute(None)
       val data = B.ofRows(spark, kj.left)
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
@@ -340,8 +356,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         case "hnsw" =>
           val idx = graft.index.Hnsw.load(spark, e.indexPath)
           if (!rankCompatible(idx.params.metric, metric)) None
-          else Some(graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
-            depth, ef = math.max(40, depth), kj.idCol, kj.vecCol))
+          else {
+            // pin the base-beam bound EXPLICITLY at the ef-tracking value:
+            // baseIterations = 0 resolves differently per kernel route
+            // (max(10, ef) local/hybrid, 10 on the distributed loop), and
+            // a planner rewrite must return the same rows wherever the
+            // cost model lands; the distributed loop exits on an empty
+            // frontier, so the honest bound costs jobs only while the
+            // beam still improves
+            val ef = math.max(40, depth)
+            Some(graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
+              depth, ef = ef, kj.idCol, kj.vecCol, baseIterations = math.max(10, ef)))
+          }
         case "ivf" =>
           val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
           if (!rankCompatible(idx.metric, metric)) None
@@ -394,6 +420,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               layout == "rabitq" || layout == "ivf_sq"
           widen(coarseK(e, compressed)).flatMap { depth =>
             candidates(e, layout, base, depth).map { cand =>
+              GraftIndexCatalog.recordRoute(Some((layout, e.indexPath)))
               graft.ops.Refine.refine(cand.select(col("qid"), col("nbr_id").as("id")),
                 data, queries, kj.k, metric, kj.idCol, kj.vecCol)
             }

@@ -100,21 +100,25 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => k -> e }
     val total = timed.map(_._2).sum
 
-    // ---- pass 3: median-of-N for the slowest queries ---------------------
+    // ---- pass 3: median-of-N for every non-trivial query -----------------
     // The host's session-to-session band (~1.26x, SURVEY §8) exceeds most
     // real per-query deltas, so the single pass-2 sample can't expose a
-    // <1.3x regression on the expensive queries. Re-run the top
-    // SPARK_GRAFT_MEDIAN_K (default 10) timed queries to
-    // SPARK_GRAFT_MEDIAN_RUNS samples (default 3, pass-2's included) and
-    // report the per-query MEDIAN alongside — totals keep their
+    // <1.3x regression. Re-run EVERY query whose pass-2 time is at least
+    // SPARK_GRAFT_MEDIAN_MIN_SEC (default 0.5 — engine-wide coverage;
+    // sub-threshold queries' noise is bounded by the threshold itself),
+    // plus the top SPARK_GRAFT_MEDIAN_K (default 10) slowest as a floor,
+    // to SPARK_GRAFT_MEDIAN_RUNS samples (default 3, pass-2's included)
+    // and report the per-query MEDIAN alongside — totals keep their
     // single-pass meaning, the medians carry the regression signal.
     // Round-over-round comparison should diff the per-query `medians`
     // MAP (keyed by name): the flagged SET is picked from noisy pass-2
     // samples, so `median_total` can swap a boundary query between
     // rounds — it is a convenience sum, not the comparison unit.
     val medianK = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_K", "10").toInt
+    val medianMinSec = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_MIN_SEC", "0.5").toDouble
     val medianRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_MEDIAN_RUNS", "3").toInt)
-    val flagged = timed.sortBy(-_._2).take(math.max(0, medianK)).map(_._1).toSet
+    val flagged = (timed.sortBy(-_._2).take(math.max(0, medianK)).map(_._1) ++
+      timed.collect { case (n, s) if medianK > 0 && s >= medianMinSec => n }).toSet
     val byName = selected.toMap
     val medians: Seq[(String, Double)] = timed.collect {
       case (name, firstSec) if flagged(name) =>

@@ -16,6 +16,11 @@ object StreamQueries {
       StreamPipeline.dedupExact(s, s"$dir/documents.parquet")),
     "streaming_sessionize" -> ((s, dir) =>
       StreamPipeline.sessionize(s, s"$dir/events.parquet")),
+    // the DIRECT-source shape (brace-glob union of the source dir in
+    // place + sentinel dir, zero staging copy — the path a production
+    // feed would use) under the same batch-SQL oracle as the staged shape
+    "streaming_sessionize_direct" -> ((s, dir) =>
+      StreamPipeline.sessionize(s, s"$dir/events.parquet", direct = true)),
     // the INCREMENTAL backfill route: same semantics, but the watermark
     // advances across 4 time-range micro-batches (maxFilesPerTrigger=1),
     // so open sessions persist in state between batches and finals emit
@@ -42,6 +47,19 @@ object StreamQueries {
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
         |SELECT DISTINCT md5(text) AS text_hash FROM corpus""".stripMargin,
     "streaming_sessionize_incremental" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM e)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+        |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "streaming_sessionize_direct" ->
       """WITH e AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -121,11 +121,19 @@ object StreamPipeline {
   private def directInput(spark: SparkSession, eventsPath: String,
       rawCols: Seq[String],
       sentinelValues: Map[String, org.apache.spark.sql.Column],
-      sentinelMarker: Boolean, sentinelOffsetMs: Long, batches: Int)
+      sentinelMarker: Boolean, sentinelOffsetMs: Long, batches: Int,
+      orderSlackMs: Long = 0L)
       : Option[(DataFrame, java.sql.Timestamp, () => Unit)] = {
     require(eventsPath.startsWith("/") &&
         !eventsPath.exists(c => c == ',' || c == '{' || c == '}'),
       s"direct mode needs an absolute glob-safe path, got: $eventsPath")
+    // the incremental drain ingests one file per micro-batch in mtime
+    // order; a source violating the event-time-ordered-by-mtime contract
+    // would have its late files silently dropped by the advancing
+    // watermark — verify the contract from the parquet footers and fail
+    // LOUDLY instead (files may overlap up to the watermark delay, which
+    // is exactly the reordering the watermark already tolerates)
+    if (batches > 1) assertMtimeOrdered(spark, eventsPath, orderSlackMs)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(eventsPath)
     val maxTsRow = readEvents(spark, eventsPath).agg(max(col("ts"))).head()
@@ -155,6 +163,71 @@ object StreamPipeline {
     val normalized = graft.MiscQueries.normalizeEventTs(reader.parquet(glob))
       .withColumn("ts", col("ts").cast("timestamp"))
     Some((normalized, maxTs, () => deleteRecursively(sentTmp)))
+  }
+
+  /** Guard for the `batches > 1` direct-source contract: compute each
+    * source part file's min/max `ts` in ONE column-pruned pass (grouped
+    * by `input_file_name` — footer statistics would be cheaper but
+    * Spark's default INT96 timestamps carry none) and require that in
+    * mtime order no file's min falls more than `slackMs` behind the
+    * running max — i.e. event time is ordered by mtime up to the
+    * watermark's own tolerance. A violating source must fail here,
+    * loudly, because downstream it would only "fail" as silently
+    * incomplete aggregates (the advancing watermark drops the late
+    * files' events). The pass costs one ts-column scan — the same order
+    * as the max(ts) sentinel probe, and nothing like the full-input
+    * copy direct mode exists to avoid. */
+  private def assertMtimeOrdered(spark: SparkSession, eventsPath: String,
+      slackMs: Long): Unit = {
+    val src = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(src)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    if (parts.length <= 1) return
+    val ranges = readEvents(spark, eventsPath)
+      .select(col("ts"), input_file_name().as("_f"))
+      .groupBy(col("_f"))
+      .agg(min(col("ts")).as("_min"), max(col("ts")).as("_max"))
+      .collect()
+      .map(r => fileNameOf(r.getString(0)) ->
+        (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      .toMap
+    var runningMax = Long.MinValue
+    parts.foreach { st =>
+      ranges.get(st.getPath.getName).foreach { case (fileMin, fileMax) =>
+        if (runningMax != Long.MinValue && fileMin < runningMax - slackMs)
+          throw new IllegalStateException(
+            s"direct mode (batches > 1): ${st.getPath.getName} starts " +
+              s"${runningMax - fileMin} ms before an earlier-mtime file's max ts " +
+              s"(allowed slack: $slackMs ms) — the advancing watermark would " +
+              "silently drop its events; re-stage the source in event-time order " +
+              "or use the staged path")
+        runningMax = math.max(runningMax, fileMax)
+      }
+    }
+  }
+
+  /** Last path segment of an `input_file_name()` value (URI-encoded). */
+  private def fileNameOf(uri: String): String =
+    java.net.URLDecoder.decode(uri.substring(uri.lastIndexOf('/') + 1), "UTF-8")
+
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong` enabled and
+    * RESTORE the prior value after — the event pipelines need the legacy
+    * read for the fixture's TIMESTAMP(NANOS) files, but leaving it set
+    * session-wide changes how unrelated parquet reads behave for the rest
+    * of the session. Every drain happens inside `body` (the returned
+    * frames read the SINK, written with standard timestamps), so the
+    * restore is safe at entry-point scope. */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def deleteRecursively(dir: String): Unit = {
@@ -261,7 +334,11 @@ object StreamPipeline {
     * never by an event_type comparison. */
   def windowAgg(spark: SparkSession, eventsPath: String,
       delay: String = "30 minutes", batches: Int = 1,
-      direct: Boolean = false): DataFrame = {
+      direct: Boolean = false): DataFrame =
+    withNanosAsLong(spark)(windowAggImpl(spark, eventsPath, delay, batches, direct))
+
+  private def windowAggImpl(spark: SparkSession, eventsPath: String,
+      delay: String, batches: Int, direct: Boolean): DataFrame = {
     import spark.implicits._
     val delayMs = intervalMs(delay)
     def emptyResult = Seq.empty[(Long, String, Long, Double)]
@@ -284,7 +361,8 @@ object StreamPipeline {
       // see directInput for the time-ordered-parts contract
       return directInput(spark, eventsPath, Seq("ts", "event_type", "value"),
           Map("event_type" -> lit(null), "value" -> lit(0.0)),
-          sentinelMarker = false, delayMs + 2L * 3600 * 1000, batches) match {
+          sentinelMarker = false, delayMs + 2L * 3600 * 1000, batches,
+          orderSlackMs = delayMs) match {
         case None => emptyResult
         case Some((stream, maxTs, cleanup)) =>
           val res = finish(
@@ -372,7 +450,11 @@ object StreamPipeline {
     * (single-task) staging write. */
   def sessionize(spark: SparkSession, eventsPath: String,
       gap: String = "30 minutes", delay: String = "30 minutes",
-      batches: Int = 1, direct: Boolean = false): DataFrame = {
+      batches: Int = 1, direct: Boolean = false): DataFrame =
+    withNanosAsLong(spark)(sessionizeImpl(spark, eventsPath, gap, delay, batches, direct))
+
+  private def sessionizeImpl(spark: SparkSession, eventsPath: String,
+      gap: String, delay: String, batches: Int, direct: Boolean): DataFrame = {
     import spark.implicits._
     val gapMs = intervalMs(gap)
     val gapMicros = gapMs * 1000
@@ -386,7 +468,8 @@ object StreamPipeline {
       return directInput(spark, eventsPath, Seq("ts", "user_id"),
           Map("user_id" -> lit(0L)),
           sentinelMarker = true,
-          gapMs + intervalMs(delay) + 3600 * 1000L, batches) match {
+          gapMs + intervalMs(delay) + 3600 * 1000L, batches,
+          orderSlackMs = intervalMs(delay)) match {
         case None => emptyResult
         case Some((stream, _, cleanup)) =>
           val in = stream.select(col("ts"),
@@ -541,7 +624,11 @@ object StreamPipeline {
     * needed: first-seen rows emit immediately (the watermark only drives
     * eviction). */
   def dedupWithinWatermark(spark: SparkSession, eventsPath: String,
-      delay: String = "30 minutes", batches: Int = 1): DataFrame = {
+      delay: String = "30 minutes", batches: Int = 1): DataFrame =
+    withNanosAsLong(spark)(dedupWithinWatermarkImpl(spark, eventsPath, delay, batches))
+
+  private def dedupWithinWatermarkImpl(spark: SparkSession, eventsPath: String,
+      delay: String, batches: Int): DataFrame = {
     import spark.implicits._
     val ev = readEvents(spark, eventsPath)
       .select(col("ts"), col("user_id").cast("long").as("user_id"), col("event_type"))

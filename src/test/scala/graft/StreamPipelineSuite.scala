@@ -424,6 +424,54 @@ class StreamPipelineSuite extends SparkFunSuite {
         "— the per-file ingest did not engage")
   }
 
+  test("direct multi-batch mode FAILS LOUDLY on a source violating mtime order") {
+    // the batches > 1 contract: part files event-time-ordered by mtime.
+    // A violating source used to silently late-drop the out-of-order
+    // file's events; the footer-stats guard must throw instead.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_direct_bad").toString
+    val path = s"$tmp/events.parquet"
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    (0 until 90).map(i => (ts(i), (i % 5).toLong, "e", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    // REVERSED mtimes: the latest event-time range gets the oldest mtime
+    parts.zipWithIndex.foreach { case (s, i) =>
+      fs.setTimes(s.getPath, 1700000000000L + (parts.length - i) * 1000L, -1) }
+    val e = intercept[IllegalStateException] {
+      StreamPipeline.sessionize(spark, path, batches = 3, direct = true)
+    }
+    assert(e.getMessage.contains("event-time") || e.getMessage.contains("mtime") ||
+      e.getMessage.contains("watermark"), s"unhelpful guard message: ${e.getMessage}")
+    // a single-flush direct drain over the same files is order-insensitive
+    // (one micro-batch) and must still work
+    val ok = StreamPipeline.sessionize(spark, path, direct = true)
+    assert(ok.count() > 0)
+  }
+
+  test("event pipelines restore the nanosAsLong conf they set") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val before = spark.conf.getOption(key) // the registered default
+    StreamPipeline.windowAgg(spark, s"$dir/events.parquet").count()
+    assert(spark.conf.getOption(key) == before,
+      "windowAgg leaked nanosAsLong into the session")
+    assert(!spark.conf.get(key, "false").toBoolean,
+      "session left reading TIMESTAMP(NANOS) as long after the pipeline returned")
+    spark.conf.set(key, "false")
+    try {
+      StreamPipeline.sessionize(spark, s"$dir/events.parquet").count()
+      assert(spark.conf.get(key) == "false",
+        "sessionize did not restore the caller's nanosAsLong value")
+    } finally spark.conf.unset(key)
+  }
+
   test("dedupExact collapses the doubled corpus to the distinct fingerprint set") {
     val got = StreamPipeline.dedupExact(spark, s"$dir/documents.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -318,6 +318,27 @@ object SparkEntry {
         |""".stripMargin)
   }
 
+  /** The CustomUDF metric (distance.hpp:66) from pure SQL — the last
+    * §2.8 surface: `knn_join` with a session-REGISTERED scalar function
+    * name as the metric argument. The TVF plans the same KnnJoinPlan
+    * node (metric carried as `udf:<name>`); the lowering rule computes
+    * distances through the registry (Catalyst's registry is the
+    * reference's JIT-LTO analog) and runs the shared select_k epilogue.
+    * The registered function here is L1 over doubles — bit-identical to
+    * the engine's own l1, so the standard L1 kNN oracle gates it. */
+  private def sqlKnnJoinUdfMetricQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SqlFunctions.register(spark) // also installs ResolveKnnJoin
+    spark.udf.register("graft_udf_l1",
+      (a: Seq[Float], b: Seq[Float]) => graft.core.Distance.l1(a.toArray, b.toArray))
+    table(spark, dir, "embeddings").createOrReplaceTempView("graft_emb")
+    embQueries(spark, dir).createOrReplaceTempView("graft_embq")
+    spark.sql(
+      """SELECT qid, nbr_id, rank, round(dist, 4) AS dist
+        |FROM knn_join('graft_emb', 'graft_embq', 10, 'graft_udf_l1',
+        |              'vec_id', 'embedding', 'qid', 'qvec')
+        |""".stripMargin)
+  }
+
   private def sqlKnnJoinFilteredOracle: String = {
     val distExpr = O.byMetric(Metric.L2Sqrt, "q.qvec", "e.embedding")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
@@ -1193,6 +1214,7 @@ object SparkEntry {
     "sql_vector_distance" -> (sqlVectorDistanceQuery(_, _)),
     "sql_knn_join" -> (sqlKnnJoinQuery(_, _)),
     "sql_knn_join_filtered" -> (sqlKnnJoinFilteredQuery(_, _)),
+    "sql_knn_join_udf_metric" -> (sqlKnnJoinUdfMetricQuery(_, _)),
     "pairwise_distance" -> (pairwiseQuery(_, _)),
     "range_eps_join" -> (rangeEpsQuery(_, _)),
     "refine" -> (refineQuery(_, _)),
@@ -1246,6 +1268,7 @@ object SparkEntry {
     "sql_vector_distance" -> sqlVectorDistanceOracle,
     "sql_knn_join" -> knnOracle(Metric.L2Sqrt),
     "sql_knn_join_filtered" -> sqlKnnJoinFilteredOracle,
+    "sql_knn_join_udf_metric" -> knnOracle(Metric.L1),
     "pairwise_distance" -> pairwiseOracle,
     "range_eps_join" -> rangeEpsOracle,
     "refine" -> refineOracle,

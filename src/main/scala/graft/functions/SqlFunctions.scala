@@ -131,6 +131,18 @@ object SqlFunctions {
     k
   }
 
+  /** Metric argument of the kNN TVFs: a known metric-enum name, or —
+    * the reference's CustomUDF metric (distance.hpp:66) from pure SQL —
+    * the name of a session-registered scalar function
+    * `(array<float>, array<float>) -> double`, carried to the lowering
+    * rule as `udf:<name>` (existence is checked there, where a session
+    * is in hand; an unknown name fails the plan with a clear message). */
+  private def metricLit(fn: String)(e: Expression): String = {
+    val s = strLit(fn)(e, "metric")
+    try Metric.fromName(s).name
+    catch { case _: IllegalArgumentException => s"udf:$s" }
+  }
+
   // real identifier parsing (backtick quoting, dotted parts) — a naive
   // split('.') would shred `cat.`a.b`.tbl` into four bogus parts
   private def rel(fn: String)(e: Expression, what: String) =
@@ -142,15 +154,19 @@ object SqlFunctions {
     val strLit = SqlFunctions.strLit("knn_join") _
     val intLit = SqlFunctions.intLit("knn_join") _
     val rel = SqlFunctions.rel("knn_join") _
+    val metricLit = SqlFunctions.metricLit("knn_join") _
     (FunctionIdentifier("knn_join"),
       new ExpressionInfo(classOf[graft.plans.KnnJoinPlan].getName, null, "knn_join",
         "knn_join(data, queries, k, metric, id_col, vec_col, qid_col, qvec_col) - " +
           "declarative k-nearest-neighbor join between two named relations; " +
-          "plans the same logical node as the Column API (index-aware lowering).", ""),
+          "plans the same logical node as the Column API (index-aware lowering). " +
+          "`metric` is a metric-enum name, or the name of a registered scalar " +
+          "function (array<float>, array<float>) -> double used as a custom " +
+          "distance (smaller = closer).", ""),
       (children: Seq[Expression]) => children match {
         case Seq(d, q, k, m, idc, vc, qidc, qvc) =>
           graft.plans.KnnJoinPlan(rel(d, "data"), rel(q, "queries"),
-            intLit(k), Metric.fromName(strLit(m, "metric")).name,
+            intLit(k), metricLit(m),
             strLit(idc, "id_col"), strLit(vc, "vec_col"),
             strLit(qidc, "qid_col"), strLit(qvc, "qvec_col"))
         case _ => throw new IllegalArgumentException(
@@ -180,6 +196,7 @@ object SqlFunctions {
     val strLit = SqlFunctions.strLit(fn) _
     val intLit = SqlFunctions.intLit(fn) _
     val rel = SqlFunctions.rel(fn) _
+    val metricLit = SqlFunctions.metricLit(fn) _
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
@@ -205,7 +222,7 @@ object SqlFunctions {
           UnresolvedAttribute(Seq("__graft_knn_filter", fidName)))),
         JoinHint.NONE)
       graft.plans.KnnJoinPlan(filtered, rel(q, "queries"),
-        intLit(k), Metric.fromName(strLit(m, "metric")).name,
+        intLit(k), metricLit(m),
         idName, strLit(vc, "vec_col"),
         strLit(qidc, "qid_col"), strLit(qvc, "qvec_col"))
     }

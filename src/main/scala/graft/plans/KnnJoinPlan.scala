@@ -301,7 +301,13 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       val data = B.ofRows(spark, kj.left)
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
-      val metric = Metric.fromName(kj.metricName)
+      // `udf:<name>` = a session-registered scalar function as the metric
+      // (distance.hpp:66 CustomUDF=101, JIT'd in the reference; here the
+      // registry IS the JIT). Lowered below, never index-routed: a saved
+      // layout's candidate ranking has no relation to an arbitrary metric.
+      val udfMetric: Option[String] =
+        Option(kj.metricName).filter(_.startsWith("udf:")).map(_.stripPrefix("udf:"))
+      lazy val metric = Metric.fromName(kj.metricName)
       def coarseK(e: GraftIndexCatalog.Entry, compressed: Boolean): Int =
         if (e.kCoarse > 0) e.kCoarse
         // the compressed-code estimators (ADC / decoded int8) rank with
@@ -510,7 +516,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         spark.conf.get("spark.graft.knnJoin.filteredRoute.enabled", "true").toBoolean
 
       val viaIndex: Option[DataFrame] =
-        if (indexEligible(kj.left))
+        if (udfMetric.isDefined) None
+        else if (indexEligible(kj.left))
           entryFor(kj.left).flatMap(e => routeFor(e, kj.left, d => Some(d)))
         else if (filteredRouteEnabled)
           filteredShape(kj.left).flatMap { shape =>
@@ -519,7 +526,27 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         else None
 
-      val rewritten = viaIndex
+      /** CustomUDF lowering: distances from the registered function over
+        * the broadcast query side, then the shared select_k epilogue
+        * (knnFromDistances, the Precomputed pipeline). min-close by the
+        * reference's own ordering contract (is_min_close is true for
+        * every metric but InnerProduct, distance.hpp:72-85). */
+      def udfPipeline(fname: String): DataFrame = {
+        if (!B.functionRegistry(spark)
+            .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fname)))
+          throw new IllegalArgumentException(
+            s"knn_join: metric '$fname' is neither a known metric name nor a " +
+              "registered session function")
+        val pairs = data
+          .select(col(kj.idCol).cast("long").as("_nid"), col(kj.vecCol).as("_nvec"))
+          .crossJoin(org.apache.spark.sql.functions.broadcast(queries))
+          .select(col("qid"), col("_nid"),
+            org.apache.spark.sql.functions.call_udf(fname, col("qvec"), col("_nvec"))
+              .cast("double").as("dist"))
+        BruteForceKnn.knnFromDistances(pairs, kj.k, minClose = true, idCol = "_nid")
+      }
+
+      val rewritten = udfMetric.map(udfPipeline).orElse(viaIndex)
         .getOrElse(BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol))
       val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),
         col("rank"), col("dist"))

@@ -306,6 +306,36 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     }
   }
 
+  test("a registered scalar function plans through KnnJoinPlan as a custom metric") {
+    // the CustomUDF metric (distance.hpp:66) from pure SQL: an unknown
+    // metric name resolves against the session function registry and
+    // lowers to the UDF-distance pipeline (min-close contract)
+    ensureRule()
+    graft.functions.SqlFunctions.register(spark)
+    spark.udf.register("kjp_linf_sq",
+      (a: Seq[Float], b: Seq[Float]) =>
+        graft.core.Distance.linf(a.toArray, b.toArray))
+    emb.createOrReplaceTempView("kju_emb")
+    queries.createOrReplaceTempView("kju_q")
+    val viaSql = spark.sql(
+      "SELECT * FROM knn_join('kju_emb', 'kju_q', 5, 'kjp_linf_sq', " +
+        "'vec_id', 'embedding', 'qid', 'qvec')")
+    // must be the SAME logical node the Column API plans
+    assert(viaSql.queryExecution.analyzed.collectFirst {
+      case p: KnnJoinPlan => p }.exists(_.metricName == "udf:kjp_linf_sq"))
+    val direct = BruteForceKnn.knnJoin(emb, queries, 5, Metric.Linf,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    assert(viaSql.collect().toSet == direct.collect().toSet,
+      "UDF-metric rows must match the native metric they reimplement")
+    // an unknown name that is ALSO no registered function fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM knn_join('kju_emb', 'kju_q', 5, 'no_such_metric', " +
+        "'vec_id', 'embedding', 'qid', 'qvec')").collect()
+    }
+    assert(e.getMessage.contains("no_such_metric"), s"unhelpful error: ${e.getMessage}")
+  }
+
   test("auto-probes derive from the recall target: ~2% of a sqrt(n) index at 0.95") {
     import graft.plans.ResolveKnnJoin.autoProbes
     // the reference's default economics (20 probes / 1024 lists,

@@ -59,7 +59,7 @@ object ScaleSmoke {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
     val dim = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIM", "64").toInt
     val phases = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES",
-      "core,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,linkage,streaming,multimodal")
+      "core,knnplan,family,graph,ace,extend,vamana,hnsw,spectral,tiered,text,linkage,streaming,multimodal")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -135,6 +135,58 @@ object ScaleSmoke {
         ivf.search(q, 10, nProbes = 8).count()
       }
       ivfOpt = Some(ivf)
+    }
+
+    // The declarative planner routes at scale, end to end on file-backed
+    // relations (the catalog routes by scan path, so the hash frame is
+    // written out once): recall-target auto-probes, the rate-widened
+    // filtered route, and the brute baseline they must beat.
+    phase("knnplan") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_knnplan").toString
+      val dataPath = s"$dir/data.parquet"
+      time("knnplan_write_relation") {
+        data.write.mode("overwrite").parquet(dataPath)
+      }
+      val fdata = spark.read.parquet(dataPath)
+      val idx = time("knnplan_ivf_build_128lists") {
+        val b = graft.index.IvfFlatIndex.build(fdata,
+          graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5), "id", "vec")
+        b.lists.count(); b
+      }
+      val idxPath = s"$dir/idx"
+      time("knnplan_index_save")(idx.save(idxPath))
+      graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+      // nProbes = 0: the recall-target auto mode must pick ~14/128 lists
+      // (the measured 0.95 relation), not the legacy half
+      graft.plans.GraftIndexCatalog.register(dataPath, idxPath)
+      try {
+        val routed = graft.plans.KnnJoinPlan.knnJoin(fdata, q, 10, Metric.L2, "id", "vec")
+        time("knn_join_indexed_auto")(routed.count())
+        println(s"SCALE   index_routed=" +
+          graft.plans.IndexRoute.routedThrough(routed, idxPath) +
+          s" autoProbes(0.95,128,$n,30)=" +
+          graft.plans.ResolveKnnJoin.autoProbes(0.95, 128, n, 30))
+        time("knn_join_brute_baseline") {
+          graft.ops.BruteForceKnn.knnJoin(fdata, q, 10, Metric.L2, "id", "vec").count()
+        }
+        // rate-widened filtered route: a 10%-deny Filter child must still
+        // route (sampled rate ~0.9 -> depth/0.9) over the full population
+        val filtered = fdata.filter(pmod(col("id"), lit(10L)) =!= 0L)
+        val filteredRouted = graft.plans.KnnJoinPlan.knnJoin(
+          filtered, q, 10, Metric.L2, "id", "vec")
+        time("knn_join_filtered_widened")(filteredRouted.count())
+        println(s"SCALE   filtered index_routed=" +
+          graft.plans.IndexRoute.routedThrough(filteredRouted, idxPath))
+        time("knn_join_filtered_brute") {
+          graft.ops.BruteForceKnn.knnJoin(filtered, q, 10, Metric.L2, "id", "vec").count()
+        }
+      } finally {
+        graft.plans.GraftIndexCatalog.unregister(dataPath)
+        val root = java.nio.file.Paths.get(dir)
+        val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally it.close()
+      }
     }
 
     phase("family") {

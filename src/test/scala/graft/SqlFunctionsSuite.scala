@@ -104,10 +104,15 @@ class SqlFunctionsSuite extends SparkFunSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM knn_join('sqlfn_emb', 'sqlfn_q', 5)").queryExecution.analyzed
     }
-    intercept[Exception] {
+    // an unknown metric name is no longer an ANALYSIS error: it resolves
+    // against the session function registry (the CustomUDF metric
+    // surface), so the clear failure moves to the lowering — forced here
+    // by planning — when no such function is registered either
+    val e = intercept[Exception] {
       spark.sql("SELECT * FROM knn_join('sqlfn_emb', 'sqlfn_q', 5, 'no_such_metric', " +
-        "'vec_id', 'embedding', 'qid', 'qvec')").queryExecution.analyzed
+        "'vec_id', 'embedding', 'qid', 'qvec')").queryExecution.executedPlan
     }
+    assert(e.getMessage.contains("no_such_metric"), s"unhelpful error: ${e.getMessage}")
   }
 
   test("knn_join TVF rejects k < 1 and a Long k outside Int range") {

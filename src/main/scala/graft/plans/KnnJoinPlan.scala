@@ -546,11 +546,32 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         BruteForceKnn.knnFromDistances(pairs, kj.k, minClose = true, idCol = "_nid")
       }
 
+      def brute(): DataFrame =
+        BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol)
+      def shape(df: DataFrame): LogicalPlan =
+        B.optimizedPlanOf(df.select(col("qid").cast("long"), col("nbr_id").cast("long"),
+          col("rank"), col("dist")))
       val rewritten = udfMetric.map(udfPipeline).orElse(viaIndex)
-        .getOrElse(BruteForceKnn.knnJoin(data, queries, kj.k, metric, kj.idCol, kj.vecCol))
-      val shaped = rewritten.select(col("qid").cast("long"), col("nbr_id").cast("long"),
-        col("rank"), col("dist"))
-      val newPlan = B.optimizedPlanOf(shaped)
+      val newPlan =
+        try shape(rewritten.getOrElse(brute()))
+        catch {
+          // Spark's InMemoryRelation canonicalization crashes when a
+          // CACHED child with physical ordering/partitioning metadata
+          // (range/sorted sources) is duplicated by the analyzer's
+          // DeduplicateRelations — newInstance re-ids the output but not
+          // the stale metadata, and the index routes' refine join is
+          // exactly such a duplication. The brute pipeline uses each
+          // child once (no re-instancing), so it lowers cleanly — fall
+          // back to it (exact rows) instead of surfacing an opaque
+          // "key not found: id#N" at the caller.
+          case e: NoSuchElementException if rewritten.isDefined =>
+            logWarning("knn_join: index/UDF route hit Spark's cached-relation " +
+              "canonicalization limitation (stale partitioning metadata on a " +
+              "cached ordered-source frame); using the exact brute route. " +
+              s"Uncache or re-materialize the input to restore the route. ($e)")
+            GraftIndexCatalog.recordRoute(None)
+            shape(brute())
+        }
       // graft the rewrite under the node's declared exprIds
       val aliased: Seq[NamedExpression] = newPlan.output.zip(kj.output).map {
         case (produced, declared) =>

@@ -156,29 +156,36 @@ object ScaleSmoke {
       val idxPath = s"$dir/idx"
       time("knnplan_index_save")(idx.save(idxPath))
       graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+      // query side from the FILE-backed relation, not the cached hash
+      // frame: a cached ordered-source frame duplicated by the index
+      // routes' refine join trips Spark's stale-partitioning
+      // canonicalization limitation and would demote every leg to the
+      // brute fallback — this phase measures the routes themselves
+      val qf = fdata.filter(col("id") % math.max(1L, n / 200) === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
       // nProbes = 0: the recall-target auto mode must pick ~14/128 lists
       // (the measured 0.95 relation), not the legacy half
       graft.plans.GraftIndexCatalog.register(dataPath, idxPath)
       try {
-        val routed = graft.plans.KnnJoinPlan.knnJoin(fdata, q, 10, Metric.L2, "id", "vec")
+        val routed = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec")
         time("knn_join_indexed_auto")(routed.count())
         println(s"SCALE   index_routed=" +
           graft.plans.IndexRoute.routedThrough(routed, idxPath) +
           s" autoProbes(0.95,128,$n,30)=" +
           graft.plans.ResolveKnnJoin.autoProbes(0.95, 128, n, 30))
         time("knn_join_brute_baseline") {
-          graft.ops.BruteForceKnn.knnJoin(fdata, q, 10, Metric.L2, "id", "vec").count()
+          graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec").count()
         }
         // rate-widened filtered route: a 10%-deny Filter child must still
         // route (sampled rate ~0.9 -> depth/0.9) over the full population
         val filtered = fdata.filter(pmod(col("id"), lit(10L)) =!= 0L)
         val filteredRouted = graft.plans.KnnJoinPlan.knnJoin(
-          filtered, q, 10, Metric.L2, "id", "vec")
+          filtered, qf, 10, Metric.L2, "id", "vec")
         time("knn_join_filtered_widened")(filteredRouted.count())
         println(s"SCALE   filtered index_routed=" +
           graft.plans.IndexRoute.routedThrough(filteredRouted, idxPath))
         time("knn_join_filtered_brute") {
-          graft.ops.BruteForceKnn.knnJoin(filtered, q, 10, Metric.L2, "id", "vec").count()
+          graft.ops.BruteForceKnn.knnJoin(filtered, qf, 10, Metric.L2, "id", "vec").count()
         }
       } finally {
         graft.plans.GraftIndexCatalog.unregister(dataPath)

@@ -336,6 +336,49 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(e.getMessage.contains("no_such_metric"), s"unhelpful error: ${e.getMessage}")
   }
 
+  test("a poisoned CACHED query frame demotes the route to exact brute, not a crash") {
+    // Spark limitation: a cached frame whose source carries physical
+    // ordering/partitioning metadata (spark.range) breaks
+    // InMemoryRelation canonicalization once DeduplicateRelations
+    // re-instances it — which the index routes' refine join does. The
+    // rewrite must catch it and lower the exact brute pipeline instead
+    // of surfacing "key not found: id#N".
+    ensureRule()
+    val dim = 8
+    val cached = spark.range(0, 400).select(col("id"),
+      array((0 until dim).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(97)).cast("double") / 97.0)
+          .cast("float")): _*).as("vec"))
+      .persist()
+    cached.count()
+    val q = cached.filter(col("id") % 20 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("knnpoison").toString
+    val dataPath = s"$dir/data.parquet"
+    cached.write.mode("overwrite").parquet(dataPath)
+    val fdata = spark.read.parquet(dataPath)
+    val idxPath = s"$dir/idx"
+    graft.index.IvfFlatIndex.build(fdata,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 3), "id", "vec").save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    // the crash needs the distributed search route (the local kernel
+    // collects the query side instead of self-joining it)
+    spark.conf.set("spark.graft.localKernel.enabled", "false")
+    try withIndexGateOff {
+      val out = KnnJoinPlan.knnJoin(fdata, q, 10, Metric.L2Sqrt, "id", "vec")
+      val exact = BruteForceKnn.knnJoin(fdata, q, 10, Metric.L2Sqrt, "id", "vec")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(out.collect().toSet == exact.collect().toSet,
+        "poisoned-cache fallback must still return the exact rows")
+      assert(!graft.plans.IndexRoute.routedThrough(out, idxPath),
+        "the demotion must not claim the index route")
+    } finally {
+      spark.conf.unset("spark.graft.localKernel.enabled")
+      graft.plans.GraftIndexCatalog.unregister(dataPath)
+      cached.unpersist()
+    }
+  }
+
   test("auto-probes derive from the recall target: ~2% of a sqrt(n) index at 0.95") {
     import graft.plans.ResolveKnnJoin.autoProbes
     // the reference's default economics (20 probes / 1024 lists,

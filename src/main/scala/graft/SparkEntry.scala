@@ -613,10 +613,18 @@ object SparkEntry {
     withRegisteredIndex(spark, dataPath, idxPath, nProbes = 0, kCoarse = kCoarse) {
       val out = graft.plans.KnnJoinPlan.knnJoin(emb,
         embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
-      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
-      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
-        .withColumn("index_routed", lit(routed))
+      // ONE planning + execution: the checkpoint runs the rewrite (which
+      // on the hierarchy route performs the beam search at plan time)
+      // exactly once; the earned bit is the route marker that rewrite
+      // set, bound to the node's exprIds — structural detection has
+      // nothing to see here anyway (the beam leaves no index scan in the
+      // executed plan), and a second routedThrough pass would re-run the
+      // whole search just to read the same marker.
+      val cp = out
+        .select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
         .localCheckpoint()
+      val routed = graft.plans.IndexRoute.markerMatches(out, idxPath)
+      cp.withColumn("index_routed", lit(routed))
     }
   }
 

@@ -35,6 +35,23 @@ object StreamQueries {
       StreamPipeline.dedupWithinWatermark(s, s"$dir/events.parquet", batches = 4)),
   )
 
+  /** ONE definition of the gap-sessionization batch SQL — the staged,
+    * direct, and incremental streaming shapes are all gated against the
+    * same semantics, and a future oracle fix must not diverge them. */
+  private val sessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM e)
+      |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+      |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "streaming_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
@@ -46,44 +63,8 @@ object StreamQueries {
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
         |SELECT DISTINCT md5(text) AS text_hash FROM corpus""".stripMargin,
-    "streaming_sessionize_incremental" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM e)
-        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
-        |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin,
-    "streaming_sessionize_direct" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM e)
-        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
-        |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin,
-    "streaming_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM e)
-        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
-        |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "streaming_sessionize_incremental" -> sessionizeOracle,
+    "streaming_sessionize_direct" -> sessionizeOracle,
+    "streaming_sessionize" -> sessionizeOracle,
   )
 }

@@ -44,14 +44,30 @@ object IndexRoute {
     * during the rewrite) leave no index scan in the executed plan, so the
     * resolver records the decision at the moment the non-brute branch
     * builds the plan. Forcing `executedPlan` here runs the optimizer on
-    * THIS thread, so the thread-local marker read after it is the one
-    * this frame's own rewrite set (and a brute lowering clears it). */
+    * THIS thread, so the marker read after it is the one this frame's own
+    * rewrite set; the marker's node exprIds must additionally match THIS
+    * frame's analyzed KnnJoinPlan node, so a stale marker from whatever
+    * query last planned on the thread can never be claimed falsely. */
   def routedThrough(df: DataFrame, indexPath: String): Boolean = {
     val idx = normalize(indexPath)
     val structural = executedScanPaths(df.queryExecution.executedPlan).map(normalize)
       .exists(p => p == idx || p.startsWith(idx + "/"))
-    structural || GraftIndexCatalog.lastRouteOnThread.exists {
-      case (_, p) => normalize(p) == idx
+    structural || markerMatches(df, indexPath)
+  }
+
+  /** The marker-only half of [[routedThrough]] — for consumers whose
+    * frame was already materialized (a localCheckpoint erases the plan,
+    * so the structural walk has nothing to see): pass the PRE-checkpoint
+    * frame, whose analyzed plan still carries the KnnJoinPlan node the
+    * marker's exprIds must match. Does not force planning by itself —
+    * the caller must have planned/executed the query on this thread. */
+  def markerMatches(df: DataFrame, indexPath: String): Boolean = {
+    val idx = normalize(indexPath)
+    lazy val nodeIds: Set[Long] = df.queryExecution.analyzed.collect {
+      case k: KnnJoinPlan => k.output.map(_.exprId.id)
+    }.flatten.toSet
+    GraftIndexCatalog.lastRouteOnThread.exists { case (_, p, ids) =>
+      normalize(p) == idx && ids.nonEmpty && ids.forall(nodeIds.contains)
     }
   }
 }

@@ -112,20 +112,36 @@ object GraftIndexCatalog {
   private[plans] def clearProbeCache(): Unit = {
     probeOutcomes.clear()
     countOutcomes.clear()
+    statOutcomes.clear()
   }
 
   /** Route taken by the most recent KnnJoinPlan rewrite ON THIS THREAD —
-    * `(layout, indexPath)` when an index route produced the plan, None
-    * when the brute pipeline did. The routes that materialize the index
-    * at REWRITE time (the HNSW local-kernel beam collects the hierarchy
-    * while planning) leave no index file scan in the executed plan, so
-    * the structural detector alone can't see them; this marker records
-    * the decision at the moment the non-brute branch actually built the
-    * plan (the `Hnsw.lastSearchRoute` diagnostic pattern). Reset at each
-    * rewrite; gates force planning on their own thread and then read it. */
-  def lastRouteOnThread: Option[(String, String)] = Option(lastRouteTl.get()).flatten
-  private val lastRouteTl = new ThreadLocal[Option[(String, String)]]
-  private[plans] def recordRoute(r: Option[(String, String)]): Unit = lastRouteTl.set(r)
+    * `(layout, indexPath, node output exprIds)` when an index route
+    * produced the plan, None when the brute pipeline did. The routes that
+    * materialize the index at REWRITE time (the HNSW local-kernel beam
+    * collects the hierarchy while planning) leave no index file scan in
+    * the executed plan, so the structural detector alone can't see them;
+    * this marker records the decision at the moment the non-brute branch
+    * actually built the plan (the `Hnsw.lastSearchRoute` diagnostic
+    * pattern). Reset at each rewrite. The exprIds BIND the marker to one
+    * specific node instance: a consumer must match them against its own
+    * frame's analyzed plan, so a stale marker from whatever query last
+    * planned on the thread can never be claimed by a different frame. */
+  def lastRouteOnThread: Option[(String, String, Seq[Long])] =
+    Option(lastRouteTl.get()).flatten
+  private val lastRouteTl = new ThreadLocal[Option[(String, String, Seq[Long])]]
+  private[plans] def recordRoute(r: Option[(String, String, Seq[Long])]): Unit =
+    lastRouteTl.set(r)
+
+  /** Memoized scalar measurements of the filtered-route rate probes,
+    * keyed by (scan paths, shape fingerprint) — same clear-on-register
+    * discipline as the row probes: without it every re-optimization of a
+    * filtered query re-pays a plan-time scan job. */
+  private val statOutcomes = scala.collection.concurrent.TrieMap.empty[String, Double]
+  private[plans] def cachedStat(key: String)(stat: => Double): Double = {
+    if (statOutcomes.size >= probeCacheCap) statOutcomes.clear()
+    statOutcomes.getOrElseUpdate(key, stat)
+  }
 }
 
 /** Lowers KnnJoinPlan into a physical route chosen by the planner:
@@ -267,9 +283,15 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class PredShape(cond: org.apache.spark.sql.catalyst.expressions.Expression,
       base: LogicalPlan) extends FilterShape
   /** Semi/anti equi-join against a filter relation (the `knn_join_filtered`
-    * TVF's shape) — rate bounded by the filter side's row count. */
+    * TVF's shape) — rate bounded by the filter side's row count.
+    * `dataKey` is the data-side join attribute: the widening math is only
+    * sound when it is the node's ID column (each filter row then drops at
+    * most ONE distinct candidate id; a join on any other column — e.g. a
+    * category — drops unboundedly many rows per filter row, so both the
+    * depth+nFilter bound and the nFilter/nBase rate would silently
+    * under-cover). The caller checks dataKey against kj.idCol. */
   private case class JoinShape(filterSide: LogicalPlan, anti: Boolean,
-      base: LogicalPlan) extends FilterShape
+      base: LogicalPlan, dataKey: Attribute) extends FilterShape
 
   private def filteredShape(plan: LogicalPlan): Option[FilterShape] = plan match {
     case p: Project => filteredShape(p.child)
@@ -280,16 +302,22 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if (j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
             j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti) &&
-          indexEligible(j.left) &&
-          // only a single-attribute equi-join bounds the dropped-candidate
-          // count by the filter side's cardinality (the widening math)
-          (j.condition match {
-            case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-              _: Attribute, _: Attribute)) => true
-            case _ => false
-          }) =>
-      Some(JoinShape(j.right,
-        anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti, j.left))
+          indexEligible(j.left) =>
+      // only a single-attribute equi-join bounds the dropped-candidate
+      // count by the filter side's cardinality (the widening math)
+      j.condition match {
+        case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: Attribute, b: Attribute)) =>
+          val leftSet = j.left.outputSet
+          val dataKey =
+            if (leftSet.contains(a) && !leftSet.contains(b)) Some(a)
+            else if (leftSet.contains(b) && !leftSet.contains(a)) Some(b)
+            else None
+          dataKey.map(k => JoinShape(j.right,
+            anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti,
+            j.left, k))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -426,7 +454,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               layout == "rabitq" || layout == "ivf_sq"
           widen(coarseK(e, compressed)).flatMap { depth =>
             candidates(e, layout, base, depth).map { cand =>
-              GraftIndexCatalog.recordRoute(Some((layout, e.indexPath)))
+              GraftIndexCatalog.recordRoute(
+                Some((layout, e.indexPath, kj.output.map(_.exprId.id))))
               graft.ops.Refine.refine(cand.select(col("qid"), col("nbr_id").as("id")),
                 data, queries, kj.k, metric, kj.idCol, kj.vecCol)
             }
@@ -477,18 +506,26 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             val d = math.ceil(depth / rate)
             if (d <= widenCap) Some(math.max(depth, d.toInt)) else None
           }
+        val statKeyBase = scanPaths(base).sorted.mkString(",")
         shape match {
-          case JoinShape(filterSide, anti, _) =>
-            val filterDf = B.ofRows(spark, filterSide)
+          case JoinShape(filterSide, anti, _, _) =>
             // bound the plan-time count: a filter relation past the cap
             // can't take the exactness-preserving widening anyway, and
             // counting an arbitrarily large relation at plan time is not
-            // a price a rewrite should pay — estimate nothing, go brute
+            // a price a rewrite should pay — estimate nothing, go brute.
+            // Memoized (-1 = over the cap) so re-optimizations of the
+            // same query don't re-pay the count job.
             val maxProbe = math.max(widenCap.toLong,
               spark.conf.get("spark.graft.knnJoin.maxFilterProbeRows", "10000000").toLong)
-            if (!graft.graphops.LocalKernel.within(filterDf, maxProbe)) None
+            val nFilterStat = GraftIndexCatalog.cachedStat(
+              s"$statKeyBase#join:$maxProbe:${filterSide.canonicalized.toString}") {
+              val filterDf = B.ofRows(spark, filterSide)
+              if (!graft.graphops.LocalKernel.within(filterDf, maxProbe)) -1.0
+              else filterDf.count().toDouble
+            }
+            if (nFilterStat < 0) None
             else {
-              val nFilter = filterDf.count()
+              val nFilter = nFilterStat.toLong
               if (anti) {
                 if (depth.toLong + nFilter <= widenCap) Some(depth + nFilter.toInt)
                 else byRate(1.0 - nFilter.toDouble / nBase)
@@ -497,18 +534,23 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           case PredShape(cond, b) =>
             // seeded hash-sampled pass-rate probe over the id column —
             // deterministic (a random sample would make the route's
-            // depth, and so its approximate output, vary run to run)
-            val sampleTarget = 4096.0
-            val pct = math.min(1000L, math.max(1L,
-              math.round(sampleTarget / nBase * 1000)))
-            val baseDf = B.ofRows(spark, b)
-            val sampled = baseDf.filter(
-              pmod(xxhash64(col(kj.idCol), lit(7L)), lit(1000L)) < pct)
-            val agg = sampled.agg(
-              count(lit(1)).as("n"),
-              count(when(B.column(cond), 1)).as("passed")).head()
-            val n = agg.getLong(0)
-            if (n == 0) None else byRate(agg.getLong(1).toDouble / n)
+            // depth, and so its approximate output, vary run to run);
+            // memoized per (paths, canonical condition), -1 = empty sample
+            val rate = GraftIndexCatalog.cachedStat(
+              s"$statKeyBase#pred:${cond.canonicalized.toString}") {
+              val sampleTarget = 4096.0
+              val pct = math.min(1000L, math.max(1L,
+                math.round(sampleTarget / nBase * 1000)))
+              val baseDf = B.ofRows(spark, b)
+              val sampled = baseDf.filter(
+                pmod(xxhash64(col(kj.idCol), lit(7L)), lit(1000L)) < pct)
+              val agg = sampled.agg(
+                count(lit(1)).as("n"),
+                count(when(B.column(cond), 1)).as("passed")).head()
+              val n = agg.getLong(0)
+              if (n == 0) -1.0 else agg.getLong(1).toDouble / n
+            }
+            if (rate < 0) None else byRate(rate)
         }
       }
 
@@ -520,10 +562,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         else if (indexEligible(kj.left))
           entryFor(kj.left).flatMap(e => routeFor(e, kj.left, d => Some(d)))
         else if (filteredRouteEnabled)
-          filteredShape(kj.left).flatMap { shape =>
-            entryFor(shape.base).flatMap(e =>
-              routeFor(e, shape.base, widenedDepth(shape, shape.base)))
-          }
+          filteredShape(kj.left)
+            .filter {
+              // the widening math counts DROPPED CANDIDATE IDS, so the
+              // join key must be the id column — a semi/anti join on any
+              // other column drops unboundedly many rows per filter row
+              case js: JoinShape => js.dataKey.name == kj.idCol
+              case _ => true
+            }
+            .flatMap { shape =>
+              entryFor(shape.base).flatMap(e =>
+                routeFor(e, shape.base, widenedDepth(shape, shape.base)))
+            }
         else None
 
       /** CustomUDF lowering: distances from the registered function over
@@ -563,9 +613,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           // exactly such a duplication. The brute pipeline uses each
           // child once (no re-instancing), so it lowers cleanly — fall
           // back to it (exact rows) instead of surfacing an opaque
-          // "key not found: id#N" at the caller.
-          case e: NoSuchElementException if rewritten.isDefined =>
-            logWarning("knn_join: index/UDF route hit Spark's cached-relation " +
+          // "key not found: id#N" at the caller. A UDF metric is
+          // excluded: the enum-metric brute pipeline would silently
+          // compute a DIFFERENT metric than the one requested (and its
+          // own single-use-per-child pipeline doesn't hit the bug).
+          case e: NoSuchElementException if rewritten.isDefined && udfMetric.isEmpty =>
+            logWarning("knn_join: index route hit Spark's cached-relation " +
               "canonicalization limitation (stale partitioning metadata on a " +
               "cached ordered-source frame); using the exact brute route. " +
               s"Uncache or re-materialize the input to restore the route. ($e)")

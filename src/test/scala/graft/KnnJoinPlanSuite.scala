@@ -336,6 +336,37 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(e.getMessage.contains("no_such_metric"), s"unhelpful error: ${e.getMessage}")
   }
 
+  test("a semi/anti join on a NON-id column refuses the widened route (exact brute)") {
+    // the widening math counts dropped candidate IDS: one filter row per
+    // dropped id. A join key other than the id column (e.g. a bucket of
+    // ids) drops unboundedly many rows per filter row, so the route must
+    // refuse and the exact brute pipeline run instead.
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnnonid").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    // deliberately corrupt-if-routed: 1 probe, kCoarse = k
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 1, kCoarse = 10)
+    try withIndexGateOff {
+      // a derived bucket column; THREE deny rows cover ~30% of the rows —
+      // the depth+nFilter bound would be wildly unsound here
+      val bucketed = emb.withColumn("bucket", pmod(col("vec_id"), lit(10)))
+      val denyBuckets = bucketed.filter(col("bucket") < 3)
+        .select(col("bucket")).distinct()
+      val filteredData = bucketed.join(denyBuckets, Seq("bucket"), "left_anti")
+      val viaNode = KnnJoinPlan.knnJoin(filteredData, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(viaNode, idxPath),
+        "non-id join key must refuse the widened index route")
+      val exact = BruteForceKnn.knnJoin(emb.filter(col("vec_id") % 10 >= 3),
+        queries, 10, Metric.L2Sqrt, "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(viaNode.collect().toSet == exact.collect().toSet)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("a poisoned CACHED query frame demotes the route to exact brute, not a crash") {
     // Spark limitation: a cached frame whose source carries physical
     // ordering/partitioning metadata (spark.range) breaks

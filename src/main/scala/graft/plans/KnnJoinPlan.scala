@@ -236,6 +236,35 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The SCAN-level attribute that `plan`'s output column `name` denotes,
+    * following PURE renames only (an Alias of a bare AttributeReference).
+    * None when the column is computed anywhere on the way down — an index
+    * route would then join the index's real scan ids/vectors against
+    * remapped values and return garbage, so callers must refuse the
+    * route. Population-preserving (indexEligible) is about ROW COUNT;
+    * this is the complementary VALUE-IDENTITY check for the two columns
+    * the routes join on. */
+  private def scanAttrOf(plan: LogicalPlan, a: Attribute): Option[Attribute] = plan match {
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => Some(a)
+    case pr: Project => pr.projectList.find(_.exprId == a.exprId).flatMap {
+      case ar: AttributeReference => scanAttrOf(pr.child, ar)
+      case al: Alias => al.child match {
+        case ar: AttributeReference => scanAttrOf(pr.child, ar)
+        case _ => None
+      }
+      case _ => None
+    }
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      scanAttrOf(s.child, a)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter => scanAttrOf(f.child, a)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.left.outputSet.contains(a) => scanAttrOf(j.left, a)
+    case _ => None
+  }
+
+  private def scanAttr(plan: LogicalPlan, name: String): Option[Attribute] =
+    plan.output.find(_.name == name).flatMap(a => scanAttrOf(plan, a))
+
   private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
     case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       l.relation match {
@@ -513,16 +542,25 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             // can't take the exactness-preserving widening anyway, and
             // counting an arbitrarily large relation at plan time is not
             // a price a rewrite should pay — estimate nothing, go brute.
-            // Memoized (-1 = over the cap) so re-optimizations of the
-            // same query don't re-pay the count job.
+            // Memoized (-1 = over the cap) ONLY for file-backed filter
+            // relations, keyed by their scan paths: a plan fingerprint
+            // would be content-blind for LocalRelation/temp-view filter
+            // sides (their canonicalized form prints schema, not data),
+            // silently reusing one deny list's count for another. An
+            // in-memory filter side is counted fresh each optimization —
+            // bounded by `within` and trivially cheap at that size.
             val maxProbe = math.max(widenCap.toLong,
               spark.conf.get("spark.graft.knnJoin.maxFilterProbeRows", "10000000").toLong)
-            val nFilterStat = GraftIndexCatalog.cachedStat(
-              s"$statKeyBase#join:$maxProbe:${filterSide.canonicalized.toString}") {
+            def countFilter(): Double = {
               val filterDf = B.ofRows(spark, filterSide)
               if (!graft.graphops.LocalKernel.within(filterDf, maxProbe)) -1.0
               else filterDf.count().toDouble
             }
+            val fsPaths = scanPaths(filterSide)
+            val nFilterStat =
+              if (fsPaths.isEmpty) countFilter()
+              else GraftIndexCatalog.cachedStat(
+                s"filter:${fsPaths.sorted.mkString(",")}#$maxProbe")(countFilter())
             if (nFilterStat < 0) None
             else {
               val nFilter = nFilterStat.toLong
@@ -535,9 +573,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             // seeded hash-sampled pass-rate probe over the id column —
             // deterministic (a random sample would make the route's
             // depth, and so its approximate output, vary run to run);
-            // memoized per (paths, canonical condition), -1 = empty sample
+            // memoized per (paths, condition): semanticHash covers the
+            // FULL canonicalized tree (toString alone truncates long IN
+            // lists at maxToStringFields), the string prefix
+            // disambiguates casual hash collisions; the rate feeds only
+            // the approximate widening depth. -1 = empty sample.
             val rate = GraftIndexCatalog.cachedStat(
-              s"$statKeyBase#pred:${cond.canonicalized.toString}") {
+              s"$statKeyBase#pred:${cond.semanticHash()}:" +
+                cond.canonicalized.toString.take(512)) {
               val sampleTarget = 4096.0
               val pct = math.min(1000L, math.max(1L,
                 math.round(sampleTarget / nBase * 1000)))
@@ -557,24 +600,59 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       val filteredRouteEnabled =
         spark.conf.get("spark.graft.knnJoin.filteredRoute.enabled", "true").toBoolean
 
+      // Every index route requires the node's id/vec columns to be PURE
+      // renames of scan columns (scanAttr): a computed column aliased to
+      // either name would make the routes' id/vector joins against the
+      // saved index silently wrong, so such shapes take the exact brute
+      // pipeline. The routing chain is additionally fail-safe: any
+      // unexpected analysis error while CONSTRUCTING a route demotes to
+      // brute with a warning — a planner rewrite with an exact fallback
+      // must never kill the query it is optimizing.
+      def columnsTraceToScan(plan: LogicalPlan): Boolean =
+        scanAttr(plan, kj.idCol).isDefined && scanAttr(plan, kj.vecCol).isDefined
       val viaIndex: Option[DataFrame] =
-        if (udfMetric.isDefined) None
-        else if (indexEligible(kj.left))
-          entryFor(kj.left).flatMap(e => routeFor(e, kj.left, d => Some(d)))
-        else if (filteredRouteEnabled)
-          filteredShape(kj.left)
-            .filter {
-              // the widening math counts DROPPED CANDIDATE IDS, so the
-              // join key must be the id column — a semi/anti join on any
-              // other column drops unboundedly many rows per filter row
-              case js: JoinShape => js.dataKey.name == kj.idCol
-              case _ => true
-            }
-            .flatMap { shape =>
-              entryFor(shape.base).flatMap(e =>
-                routeFor(e, shape.base, widenedDepth(shape, shape.base)))
-            }
-        else None
+        try {
+          if (udfMetric.isDefined) None
+          else if (indexEligible(kj.left)) {
+            if (!columnsTraceToScan(kj.left)) None
+            else entryFor(kj.left).flatMap(e => routeFor(e, kj.left, d => Some(d)))
+          } else if (filteredRouteEnabled)
+            filteredShape(kj.left)
+              .filter { shape =>
+                // the probes and candidate searches address the base by
+                // the node's own column names, so the base must carry
+                // them (a rename between filter and node -> brute), and
+                // they must be pure scan renames end to end
+                val names = shape.base.output.map(_.name).toSet
+                names.contains(kj.idCol) && names.contains(kj.vecCol) &&
+                columnsTraceToScan(kj.left) &&
+                (shape match {
+                  // the widening math counts DROPPED CANDIDATE IDS, so
+                  // the join key must BE the node's id column — compared
+                  // at SCAN level through pure renames (a derived column
+                  // merely NAMED like the id drops unboundedly many rows
+                  // per filter row)
+                  case js: JoinShape =>
+                    (for {
+                      nodeId <- scanAttr(kj.left, kj.idCol)
+                      keyScan <- scanAttrOf(shape.base, js.dataKey)
+                    } yield nodeId.exprId == keyScan.exprId).getOrElse(false)
+                  case _ => true
+                })
+              }
+              .flatMap { shape =>
+                entryFor(shape.base).flatMap(e =>
+                  routeFor(e, shape.base, widenedDepth(shape, shape.base)))
+              }
+          else None
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"knn_join: index-route construction failed " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "using the exact brute route")
+            GraftIndexCatalog.recordRoute(None)
+            None
+        }
 
       /** CustomUDF lowering: distances from the registered function over
         * the broadcast query side, then the shared select_k epilogue

@@ -367,6 +367,42 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("computed columns aliased to id/vec names refuse the route; pure renames keep it") {
+    // value identity, not name identity: the routes join the index's
+    // real scan ids/vectors back against the data child, so a COMPUTED
+    // column wearing the id's name (population-preserving, hence past
+    // the row-count gate) must fall back to exact brute; a pure rename
+    // changes nothing and keeps the route
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnalias").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      // computed id: remapped values under the id's name
+      val remapped = emb.select((col("vec_id") * 2).as("vec_id"), col("embedding"))
+      val viaRemap = KnnJoinPlan.knnJoin(remapped, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(viaRemap, idxPath),
+        "a computed id column must refuse the index route")
+      val exactRemap = BruteForceKnn.knnJoin(remapped, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(viaRemap.collect().toSet == exactRemap.collect().toSet)
+      // pure rename: same values, new names — the route must survive
+      val renamed = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val viaRename = KnnJoinPlan.knnJoin(renamed, queries, 10, Metric.L2Sqrt, "id", "vec")
+      assert(graft.plans.IndexRoute.routedThrough(viaRename, idxPath),
+        "a pure rename must keep the index route")
+      val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(viaRename.collect().toSet == exact.collect().toSet)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("a poisoned CACHED query frame demotes the route to exact brute, not a crash") {
     // Spark limitation: a cached frame whose source carries physical
     // ordering/partitioning metadata (spark.range) breaks

@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, count, lit, pmod, when, xxhash64}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, sqrt, when, xxhash64}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.graft.{bridge => B}
 import graft.core.Metric
@@ -320,7 +320,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     * depth+nFilter bound and the nFilter/nBase rate would silently
     * under-cover). The caller checks dataKey against kj.idCol. */
   private case class JoinShape(filterSide: LogicalPlan, anti: Boolean,
-      base: LogicalPlan, dataKey: Attribute) extends FilterShape
+      base: LogicalPlan, dataKey: Attribute, filterKey: Attribute) extends FilterShape
 
   private def filteredShape(plan: LogicalPlan): Option[FilterShape] = plan match {
     case p: Project => filteredShape(p.child)
@@ -338,13 +338,13 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
             a: Attribute, b: Attribute)) =>
           val leftSet = j.left.outputSet
-          val dataKey =
-            if (leftSet.contains(a) && !leftSet.contains(b)) Some(a)
-            else if (leftSet.contains(b) && !leftSet.contains(a)) Some(b)
+          val keys =
+            if (leftSet.contains(a) && !leftSet.contains(b)) Some((a, b))
+            else if (leftSet.contains(b) && !leftSet.contains(a)) Some((b, a))
             else None
-          dataKey.map(k => JoinShape(j.right,
+          keys.map { case (dataKey, filterKey) => JoinShape(j.right,
             anti = j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti,
-            j.left, k))
+            j.left, dataKey, filterKey) }
         case _ => None
       }
     case _ => None
@@ -413,80 +413,131 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
       /** Candidate generation per layout at reorder depth `depth`,
         * searched over the FULL registered population (`base`), or None
-        * when the layout/metric pairing is unroutable. */
+        * when the layout/metric pairing is unroutable. Returns the
+        * candidate frame, the metric its `dist` column is computed in,
+        * and whether those distances are EXACT (raw-vector layouts) or
+        * code-space estimates (ADC / decoded int8). */
       def candidates(e: GraftIndexCatalog.Entry, layout: String,
-          base: LogicalPlan, depth: Int): Option[DataFrame] = layout match {
-        case "hnsw" =>
-          val idx = graft.index.Hnsw.load(spark, e.indexPath)
-          if (!rankCompatible(idx.params.metric, metric)) None
-          else {
-            // pin the base-beam bound EXPLICITLY at the ef-tracking value:
-            // baseIterations = 0 resolves differently per kernel route
-            // (max(10, ef) local/hybrid, 10 on the distributed loop), and
-            // a planner rewrite must return the same rows wherever the
-            // cost model lands; the distributed loop exits on an empty
-            // frontier, so the honest bound costs jobs only while the
-            // beam still improves
-            val ef = math.max(40, depth)
-            Some(graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
-              depth, ef = ef, kj.idCol, kj.vecCol, baseIterations = math.max(10, ef)))
-          }
-        case "ivf" =>
-          val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
-          if (!rankCompatible(idx.metric, metric)) None
-          else Some(idx.search(queries, depth,
-            resolveProbes(e, base, idx.centroids.k, depth)))
-        case "ivf_sq" =>
-          // decoded int8 scored under the index's own metric
-          val idx = graft.index.IvfSqIndex.load(spark, e.indexPath)
-          if (!rankCompatible(idx.metric, metric)) None
-          else Some(idx.search(queries, depth,
-            resolveProbes(e, base, idx.centroids.k, depth)))
-        case "ivf_pq" =>
-          val idx = graft.index.IvfPqIndex.load(spark, e.indexPath)
-          if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
-          else Some(idx.search(queries, depth,
-            resolveProbes(e, base, idx.centroids.k, depth)))
-        case "ivf_pqcl" =>
-          val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
-          if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
-          else Some(idx.search(queries, depth,
-            resolveProbes(e, base, idx.centroids.k, depth)))
-        case "scann" =>
-          val idx = graft.index.ScannIndex.load(spark, e.indexPath)
-          if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
-          else Some(idx.search(queries, depth,
-            resolveProbes(e, base, idx.centroids.k, depth)))
-        case "rabitq" =>
-          // RaBitQ estimates are L2-only by construction
-          val idx = graft.index.IvfRabitqIndex.load(spark, e.indexPath)
-          if (!l2Family(metric)) None
-          else Some(idx.search(queries, depth,
-            resolveProbes(e, base, idx.centroids.k, depth)))
-        case _ => None
-      }
+          base: LogicalPlan, depth: Int): Option[(DataFrame, Metric, Boolean)] =
+        layout match {
+          case "hnsw" =>
+            val idx = graft.index.Hnsw.load(spark, e.indexPath)
+            if (!rankCompatible(idx.params.metric, metric)) None
+            else {
+              // pin the base-beam bound EXPLICITLY at the ef-tracking
+              // value: baseIterations = 0 resolves differently per kernel
+              // route (max(10, ef) local/hybrid, 10 on the distributed
+              // loop), and a planner rewrite must return the same rows
+              // wherever the cost model lands; the distributed loop exits
+              // on an empty frontier, so the honest bound costs jobs only
+              // while the beam still improves
+              val ef = math.max(40, depth)
+              Some((graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
+                depth, ef = ef, kj.idCol, kj.vecCol,
+                baseIterations = math.max(10, ef)), idx.params.metric, true))
+            }
+          case "ivf" =>
+            val idx = graft.index.IvfFlatIndex.load(spark, e.indexPath)
+            if (!rankCompatible(idx.metric, metric)) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), idx.metric, true))
+          case "ivf_sq" =>
+            // decoded int8 scored under the index's own metric —
+            // quantization noise makes the dists estimates, not exact
+            val idx = graft.index.IvfSqIndex.load(spark, e.indexPath)
+            if (!rankCompatible(idx.metric, metric)) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), idx.metric, false))
+          case "ivf_pq" =>
+            val idx = graft.index.IvfPqIndex.load(spark, e.indexPath)
+            if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+          case "ivf_pqcl" =>
+            val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
+            if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+          case "scann" =>
+            val idx = graft.index.ScannIndex.load(spark, e.indexPath)
+            if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+          case "rabitq" =>
+            // RaBitQ estimates are L2-only by construction
+            val idx = graft.index.IvfRabitqIndex.load(spark, e.indexPath)
+            if (!l2Family(metric)) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+          case _ => None
+        }
 
-      /** Index route = candidates over the full population + exact refine
-        * against the node's data child. For the full-population shape the
-        * child IS the population; for a filtered shape the child is the
-        * filtered frame, so refine's inner join post-filters the widened
-        * candidates and re-ranks exactly — disallowed ids can never
-        * surface, and every surfaced distance/rank is exact. `widen`
-        * turns the layout's base reorder depth into the final depth
-        * (identity for full population; the filtering_rate analog for
-        * filtered shapes; None = the shape is not routable → brute). */
+      /** Monotone dist map between rank-compatible metrics — sqrt/square
+        * on the same double the search accumulated, so the values are
+        * bit-identical to recomputing the node metric from the vectors. */
+      def toNodeDist(from: Metric): Column => Column =
+        if (from == metric) identity
+        else if (metric == Metric.L2Sqrt) (c: Column) => sqrt(c)
+        else (c: Column) => c * c
+
+      /** What stands between the index's candidates and the node's
+        * output: nothing (full population), a small id deny/allow list
+        * (post-filter the candidates directly — no second data scan), or
+        * an arbitrary predicate/large filter (post-filter THROUGH the
+        * node's own filtered child). */
+      sealed trait Post
+      case object NoFilter extends Post
+      case class IdFilter(filterSide: LogicalPlan, key: Attribute,
+          anti: Boolean) extends Post
+      case object ViaData extends Post
+
+      /** Index route = candidates over the full population, then the
+        * cheapest sound finish:
+        *  - EXACT-distance layouts (raw-vector IVF-Flat, HNSW) with no
+        *    filter or a small id filter never touch the data again: the
+        *    candidate dists map monotonically to the node metric and the
+        *    select_k epilogue re-ranks — at 100 TB this is the difference
+        *    between reading nProbes/nLists of the bytes and reading them
+        *    all a second time for refine (refine.hpp exists for CODE
+        *    layouts, whose estimates need exact recomputation);
+        *  - code layouts, and any shape that must evaluate a predicate,
+        *    refine against the node's data child — its inner join IS the
+        *    post-filter, so disallowed ids can never surface.
+        * `widen` turns the layout's base reorder depth into (final depth,
+        * small-id-filter?) — identity for full population, the
+        * filtering_rate analog for filtered shapes, None = brute. */
       def routeFor(e: GraftIndexCatalog.Entry, base: LogicalPlan,
-          widen: Int => Option[Int]): Option[DataFrame] =
+          widen: Int => Option[(Int, Boolean)], post: Post): Option[DataFrame] =
         layoutOf(e.indexPath).flatMap { layout =>
           val compressed =
             layout == "ivf_pq" || layout == "ivf_pqcl" || layout == "scann" ||
               layout == "rabitq" || layout == "ivf_sq"
-          widen(coarseK(e, compressed)).flatMap { depth =>
-            candidates(e, layout, base, depth).map { cand =>
+          widen(coarseK(e, compressed)).flatMap { case (depth, smallIdFilter) =>
+            candidates(e, layout, base, depth).map { case (cand, candMetric, exact) =>
               GraftIndexCatalog.recordRoute(
                 Some((layout, e.indexPath, kj.output.map(_.exprId.id))))
-              graft.ops.Refine.refine(cand.select(col("qid"), col("nbr_id").as("id")),
-                data, queries, kj.k, metric, kj.idCol, kj.vecCol)
+              val directFinish = exact && (post match {
+                case NoFilter => true
+                case _: IdFilter => smallIdFilter
+                case ViaData => false
+              })
+              if (directFinish) {
+                val scored = cand.select(col("qid"),
+                  col("nbr_id").cast("long").as("id"),
+                  toNodeDist(candMetric)(col("dist")).as("dist"))
+                val allowed = post match {
+                  case IdFilter(fs, key, anti) =>
+                    val ids = B.ofRows(spark, fs)
+                      .select(B.column(key).cast("long").as("id"))
+                    scored.join(org.apache.spark.sql.functions.broadcast(ids),
+                      Seq("id"), if (anti) "left_anti" else "left_semi")
+                  case _ => scored
+                }
+                BruteForceKnn.knnFromDistances(allowed, kj.k,
+                  minClose = Metric.isMinClose(metric))
+              } else
+                graft.ops.Refine.refine(cand.select(col("qid"), col("nbr_id").as("id")),
+                  data, queries, kj.k, metric, kj.idCol, kj.vecCol)
             }
           }
         }
@@ -523,21 +574,24 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         * the anti join can drop at most nDeny distinct ids, so the
         * filtered result is as exact as the underlying candidate set
         * (exact at full probes) — the gate's shape. */
-      def widenedDepth(shape: FilterShape, base: LogicalPlan)(depth: Int): Option[Int] = {
+      def widenedDepth(shape: FilterShape, base: LogicalPlan)(
+          depth: Int): Option[(Int, Boolean)] = {
         val widenCap =
           spark.conf.get("spark.graft.knnJoin.maxWidenedCoarse", "4096").toInt
         val rateFloor =
           spark.conf.get("spark.graft.knnJoin.minFilterRate", "0.05").toDouble
         val nBase = math.max(baseRows(base), 1L)
-        def byRate(rate: Double): Option[Int] =
+        // rate-branch result: the filter is NOT small enough to
+        // post-filter candidates directly (refine via the data child)
+        def byRate(rate: Double): Option[(Int, Boolean)] =
           if (rate < rateFloor) None
           else {
             val d = math.ceil(depth / rate)
-            if (d <= widenCap) Some(math.max(depth, d.toInt)) else None
+            if (d <= widenCap) Some((math.max(depth, d.toInt), false)) else None
           }
         val statKeyBase = scanPaths(base).sorted.mkString(",")
         shape match {
-          case JoinShape(filterSide, anti, _, _) =>
+          case JoinShape(filterSide, anti, _, _, _) =>
             // bound the plan-time count: a filter relation past the cap
             // can't take the exactness-preserving widening anyway, and
             // counting an arbitrarily large relation at plan time is not
@@ -565,9 +619,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             else {
               val nFilter = nFilterStat.toLong
               if (anti) {
-                if (depth.toLong + nFilter <= widenCap) Some(depth + nFilter.toInt)
+                // the small branch is exactness-preserving AND lets the
+                // route post-filter candidates directly (broadcastable)
+                if (depth.toLong + nFilter <= widenCap)
+                  Some((depth + nFilter.toInt, true))
                 else byRate(1.0 - nFilter.toDouble / nBase)
-              } else byRate(math.min(1.0, nFilter.toDouble / nBase))
+              } else if (nFilter <= widenCap)
+                // a small ALLOW list is also directly broadcastable; the
+                // depth still widens by the rate bound
+                byRate(math.min(1.0, nFilter.toDouble / nBase)).map {
+                  case (d, _) => (d, true)
+                }
+              else byRate(math.min(1.0, nFilter.toDouble / nBase))
             }
           case PredShape(cond, b) =>
             // seeded hash-sampled pass-rate probe over the id column —
@@ -615,7 +678,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           if (udfMetric.isDefined) None
           else if (indexEligible(kj.left)) {
             if (!columnsTraceToScan(kj.left)) None
-            else entryFor(kj.left).flatMap(e => routeFor(e, kj.left, d => Some(d)))
+            else entryFor(kj.left).flatMap(e =>
+              routeFor(e, kj.left, d => Some((d, false)), NoFilter))
           } else if (filteredRouteEnabled)
             filteredShape(kj.left)
               .filter { shape =>
@@ -641,8 +705,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 })
               }
               .flatMap { shape =>
+                val post = shape match {
+                  case js: JoinShape => IdFilter(js.filterSide, js.filterKey, js.anti)
+                  case _ => ViaData
+                }
                 entryFor(shape.base).flatMap(e =>
-                  routeFor(e, shape.base, widenedDepth(shape, shape.base)))
+                  routeFor(e, shape.base, widenedDepth(shape, shape.base), post))
               }
           else None
         } catch {

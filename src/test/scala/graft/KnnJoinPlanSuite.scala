@@ -427,17 +427,34 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     val idxPath = s"$dir/idx"
     graft.index.IvfFlatIndex.build(fdata,
       graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 3), "id", "vec").save(idxPath)
-    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    // a COMPRESSED layout must go through exact refine (its candidate
+    // dists are estimates), and refine's join duplicates the cached
+    // query subtree — the demotion case
+    val pqPath = s"$dir/pqidx"
+    graft.index.IvfPqIndex.build(fdata,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 3, pqDim = 8, pqBits = 8),
+      "id", "vec").save(pqPath)
     // the crash needs the distributed search route (the local kernel
     // collects the query side instead of self-joining it)
     spark.conf.set("spark.graft.localKernel.enabled", "false")
     try withIndexGateOff {
-      val out = KnnJoinPlan.knnJoin(fdata, q, 10, Metric.L2Sqrt, "id", "vec")
-      val exact = BruteForceKnn.knnJoin(fdata, q, 10, Metric.L2Sqrt, "id", "vec")
+      val exact = BruteForceKnn.knnJoin(fdata, q, 10, Metric.L2, "id", "vec")
         .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
-      assert(out.collect().toSet == exact.collect().toSet,
+      // the raw-vector layout's DIRECT finish uses each child once — no
+      // re-instanced cached relation, so the route simply WORKS here
+      graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+      val viaFlat = KnnJoinPlan.knnJoin(fdata, q, 10, Metric.L2, "id", "vec")
+      assert(graft.plans.IndexRoute.routedThrough(viaFlat, idxPath),
+        "the direct-finish flat route should survive a poisoned cached query frame")
+      assert(viaFlat.collect().toSet == exact.collect().toSet)
+      // the compressed layout's refine path hits the canonicalization
+      // bug — it must DEMOTE to exact brute, never crash
+      graft.plans.GraftIndexCatalog.register(dataPath, pqPath,
+        nProbes = 8, kCoarse = 2000)
+      val viaPq = KnnJoinPlan.knnJoin(fdata, q, 10, Metric.L2, "id", "vec")
+      assert(viaPq.collect().toSet == exact.collect().toSet,
         "poisoned-cache fallback must still return the exact rows")
-      assert(!graft.plans.IndexRoute.routedThrough(out, idxPath),
+      assert(!graft.plans.IndexRoute.routedThrough(viaPq, pqPath),
         "the demotion must not claim the index route")
     } finally {
       spark.conf.unset("spark.graft.localKernel.enabled")

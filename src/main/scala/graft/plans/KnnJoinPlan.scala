@@ -57,8 +57,14 @@ case class KnnJoinPlan(
   * saved IVF layout the optimizer may route kNN joins through — the Spark
   * analog of "an index exists on this table". Registering an index with
   * partial probes is an explicit opt-in to approximate results (the
-  * reference's n_probes contract); refine against the raw relation keeps
-  * the output metric/rank contract exact over the probed candidates. */
+  * reference's n_probes contract).
+  *
+  * CONTRACT: the saved layout must match the relation's CURRENT contents
+  * — after ANY change under the registered path (append, delete, rewrite)
+  * re-register with a rebuilt index. The exact-distance routes answer
+  * from the index alone (the reference's own serving semantics: a stale
+  * index serves stale rows until rebuilt), and the planner's memoized
+  * statistics are only dropped by register/unregister. */
 object GraftIndexCatalog {
   case class Entry(indexPath: String, nProbes: Int, kCoarse: Int)
   private val byPath = scala.collection.concurrent.TrieMap.empty[String, Entry]
@@ -472,13 +478,17 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
 
-      /** Monotone dist map between rank-compatible metrics — sqrt/square
-        * on the same double the search accumulated, so the values are
-        * bit-identical to recomputing the node metric from the vectors. */
-      def toNodeDist(from: Metric): Column => Column =
-        if (from == metric) identity
-        else if (metric == Metric.L2Sqrt) (c: Column) => sqrt(c)
-        else (c: Column) => c * c
+      /** EXACT dist map to the node metric: identity, or sqrt of the same
+        * accumulated double (bit-identical to recomputing L2Sqrt from the
+        * vectors — Distance.l2sqrt IS sqrt of the l2 sum). The reverse
+        * (squaring an already-rounded sqrt) is NOT exact (~1 ulp double
+        * rounding), so that combination keeps the refine path; None =
+        * no exact map. */
+      def toNodeDist(from: Metric): Option[Column => Column] =
+        if (from == metric) Some(identity)
+        else if (from == Metric.L2 && metric == Metric.L2Sqrt)
+          Some((c: Column) => sqrt(c))
+        else None
 
       /** What stands between the index's candidates and the node's
         * output: nothing (full population), a small id deny/allow list
@@ -516,15 +526,27 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             candidates(e, layout, base, depth).map { case (cand, candMetric, exact) =>
               GraftIndexCatalog.recordRoute(
                 Some((layout, e.indexPath, kj.output.map(_.exprId.id))))
-              val directFinish = exact && (post match {
+              // the broadcast post-filter re-joins on ids cast to long, so
+              // the id key type must make that cast lossless — a string
+              // or fractional id would change the user's typed equality
+              def integral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.ByteType => true
+                case _ => false
+              }
+              val distMap = if (exact) toNodeDist(candMetric) else None
+              val directFinish = distMap.isDefined && (post match {
                 case NoFilter => true
-                case _: IdFilter => smallIdFilter
+                case f: IdFilter =>
+                  smallIdFilter && integral(f.key.dataType)
                 case ViaData => false
               })
               if (directFinish) {
                 val scored = cand.select(col("qid"),
                   col("nbr_id").cast("long").as("id"),
-                  toNodeDist(candMetric)(col("dist")).as("dist"))
+                  distMap.get(col("dist")).as("dist"))
                 val allowed = post match {
                   case IdFilter(fs, key, anti) =>
                     val ids = B.ofRows(spark, fs)
@@ -624,13 +646,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 if (depth.toLong + nFilter <= widenCap)
                   Some((depth + nFilter.toInt, true))
                 else byRate(1.0 - nFilter.toDouble / nBase)
-              } else if (nFilter <= widenCap)
-                // a small ALLOW list is also directly broadcastable; the
-                // depth still widens by the rate bound
-                byRate(math.min(1.0, nFilter.toDouble / nBase)).map {
-                  case (d, _) => (d, true)
-                }
-              else byRate(math.min(1.0, nFilter.toDouble / nBase))
+              } else
+                // allow mode: a list small enough to broadcast implies a
+                // pass rate below the floor on any index-worthy relation
+                // (nFilter/nBase < minFilterRate whenever nBase clears
+                // minIndexRows), where the brute pipeline over the tiny
+                // semi-joined frame is the right plan anyway — so allow
+                // lists take the rate path, never a direct post-filter
+                byRate(math.min(1.0, nFilter.toDouble / nBase))
             }
           case PredShape(cond, b) =>
             // seeded hash-sampled pass-rate probe over the id column —

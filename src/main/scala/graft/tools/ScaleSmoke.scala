@@ -176,16 +176,31 @@ object ScaleSmoke {
         time("knn_join_brute_baseline") {
           graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec").count()
         }
-        // rate-widened filtered route: a 10%-deny Filter child must still
-        // route (sampled rate ~0.9 -> depth/0.9) over the full population
+        // rate-widened filtered route over a PREDICATE child: a 10%-deny
+        // Filter must still route (sampled rate ~0.9 -> depth/0.9) over
+        // the full population; this shape post-filters THROUGH refine
+        // (the predicate needs the data to evaluate)
         val filtered = fdata.filter(pmod(col("id"), lit(10L)) =!= 0L)
         val filteredRouted = graft.plans.KnnJoinPlan.knnJoin(
           filtered, qf, 10, Metric.L2, "id", "vec")
-        time("knn_join_filtered_widened")(filteredRouted.count())
-        println(s"SCALE   filtered index_routed=" +
+        time("knn_join_filtered_pred_widened")(filteredRouted.count())
+        println(s"SCALE   filtered(pred) index_routed=" +
           graft.plans.IndexRoute.routedThrough(filteredRouted, idxPath))
-        time("knn_join_filtered_brute") {
+        time("knn_join_filtered_pred_brute") {
           graft.ops.BruteForceKnn.knnJoin(filtered, qf, 10, Metric.L2, "id", "vec").count()
+        }
+        // SMALL id deny list (anti equi-join child): the exactness-
+        // preserving depth+nDeny branch post-filters the CANDIDATES with
+        // a broadcast anti join — zero second contact with the data
+        val deny = fdata.filter(col("id") % 1000L === 0L).select(col("id"))
+        val denied = fdata.join(deny, Seq("id"), "left_anti")
+        val denyRouted = graft.plans.KnnJoinPlan.knnJoin(
+          denied, qf, 10, Metric.L2, "id", "vec")
+        time("knn_join_filtered_deny_direct")(denyRouted.count())
+        println(s"SCALE   filtered(deny) index_routed=" +
+          graft.plans.IndexRoute.routedThrough(denyRouted, idxPath))
+        time("knn_join_filtered_deny_brute") {
+          graft.ops.BruteForceKnn.knnJoin(denied, qf, 10, Metric.L2, "id", "vec").count()
         }
       } finally {
         graft.plans.GraftIndexCatalog.unregister(dataPath)

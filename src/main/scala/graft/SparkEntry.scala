@@ -665,6 +665,38 @@ object SparkEntry {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** AUTO-probe mode under a measured recall gate: `nProbes = 0` makes the
+    * planner pick the probe count from the layout's OWN `recall_curve`
+    * sidecar (measured at save time on a held-out sample against the
+    * index's exact top-k — the per-config floor discipline of
+    * ann_ivf_flat.cuh:102) at the default 0.95 target. The gate asserts
+    * both halves of the contract on the REAL query workload: the route
+    * was taken (earned structurally from the executed plan) and recall@10
+    * vs exact meets the target the user asked for. */
+  private def knnJoinAutoRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val idxPath = savedIndexDir(spark, s"ivfSaved:$dir")(ivfIndex(spark, dir).save)
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 0, kCoarse = 30) {
+      val q = embQueries(spark, dir)
+      val out = graft.plans.KnnJoinPlan.knnJoin(table(spark, dir, "embeddings"),
+        q, 10, Metric.L2, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      val approx = out.select(col("qid"), col("nbr_id")).localCheckpoint()
+      val recall = graft.core.Recall.matched(approx, exactL2Truth(spark, dir)).toDouble /
+        (q.count() * 10)
+      q.agg(count(lit(1)).as("n_queries"))
+        .select(col("n_queries"), lit(10).as("k"),
+          lit(0.95).as("target_recall"), lit(recall >= 0.95).as("floor_met"),
+          lit(routed).as("index_routed"))
+    }
+  }
+
+  private val knnJoinAutoRecallOracle: String =
+    """SELECT count(*) AS n_queries, CAST(10 AS INT) AS k,
+      |CAST(0.95 AS DOUBLE) AS target_recall, true AS floor_met, true AS index_routed
+      |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
   // ===== quantizers ====================================================
 
   private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -1231,6 +1263,7 @@ object SparkEntry {
     "knn_join_indexed" -> (knnJoinIndexedQuery(_, _)),
     "knn_join_indexed_pq" -> (knnJoinIndexedPqQuery(_, _)),
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
+    "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
     "sql_knn_join_filtered_indexed" -> (sqlKnnJoinFilteredIndexedQuery(_, _)),
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
@@ -1285,6 +1318,7 @@ object SparkEntry {
     "knn_join_indexed" -> knnJoinIndexedOracle,
     "knn_join_indexed_pq" -> knnJoinIndexedOracle,
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
+    "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
     "sql_knn_join_filtered_indexed" -> sqlKnnJoinFilteredIndexedOracle,
     "ivf_flat_search" -> knnOracle(Metric.L2),
     "ivf_pq_search_refine" -> knnOracle(Metric.L2),

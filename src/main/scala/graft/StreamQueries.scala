@@ -12,6 +12,10 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_window_agg" -> ((s, dir) =>
       StreamPipeline.windowAgg(s, s"$dir/events.parquet")),
+    // direct-source shape of the windowed agg (zero staging copy),
+    // mirroring streaming_sessionize_direct: same batch-SQL oracle
+    "streaming_window_agg_direct" -> ((s, dir) =>
+      StreamPipeline.windowAgg(s, s"$dir/events.parquet", direct = true)),
     "streaming_dedup_exact" -> ((s, dir) =>
       StreamPipeline.dedupExact(s, s"$dir/documents.parquet")),
     "streaming_sessionize" -> ((s, dir) =>
@@ -52,11 +56,16 @@ object StreamQueries {
       |  count(*) AS n_events
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** ONE definition of the hourly-window batch SQL — staged and direct
+    * streaming shapes share it (same discipline as sessionizeOracle). */
+  private val windowAggOracle: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "streaming_window_agg" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
-        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "streaming_window_agg" -> windowAggOracle,
+    "streaming_window_agg_direct" -> windowAggOracle,
     "streaming_dedup_within_watermark" ->
       "SELECT DISTINCT user_id, epoch_us(ts) AS micros, event_type FROM events",
     "streaming_dedup_exact" ->

@@ -231,6 +231,10 @@ object Hnsw {
     Seq((idx.maxLevel, idx.entryPoint, idx.params.m, idx.params.seed, idx.params.metric.name))
       .toDF("max_level", "entry_point", "m", "seed", "metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/hnsw_meta")
+    // population sidecar (one node per level-table row): the kNN-join
+    // resolver's filtered-route rate math reads it instead of counting
+    // the registered relation at rewrite time
+    IvfFlatIndex.saveMeta(spark, path, idx.levels.count())
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {

@@ -188,10 +188,21 @@ class IvfFlatIndex(
   }
 
   /** Persist as a partitioned table — serialize (brute_force.hpp:728-925
-    * analog; Parquet instead of a versioned binary stream). */
+    * analog; Parquet instead of a versioned binary stream). Also writes
+    * the two planner sidecars: the index POPULATION (`meta`) so the
+    * kNN-join resolver never has to run a plan-time count job over the
+    * registered relation (the build already knows n), and the MEASURED
+    * probe/recall curve (`recall_curve`) so auto-probe selection inverts
+    * THIS index's geometry instead of a fixture constant — the
+    * per-config floor discipline of ann_ivf_flat.cuh:102. */
   def save(path: String): Unit = {
     lists.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
-    IvfFlatIndex.saveCentroids(lists.sparkSession, path, centroids, metric)
+    val spark = lists.sparkSession
+    IvfFlatIndex.saveCentroids(spark, path, centroids, metric)
+    val nRows = lists.count()
+    IvfFlatIndex.saveMeta(spark, path, nRows)
+    if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      IvfFlatIndex.saveRecallCurve(spark, path, this, nRows)
   }
 }
 
@@ -259,5 +270,77 @@ object IvfFlatIndex {
   def load(spark: SparkSession, path: String): IvfFlatIndex = {
     val (centroids, metric) = loadCentroids(spark, path)
     new IvfFlatIndex(centroids, spark.read.parquet(s"$path/lists"), metric)
+  }
+
+  /** Population sidecar: one row `(n_rows)` — the planner reads it
+    * instead of counting the registered relation at rewrite time. Shared
+    * by every layout whose save has the lists at hand. */
+  private[graft] def saveMeta(spark: SparkSession, path: String, nRows: Long): Unit = {
+    import spark.implicits._
+    Seq(nRows).toDF("n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** None when the layout predates the sidecar (legacy saves). */
+  private[graft] def loadMeta(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, "meta")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
+    else spark.read.parquet(p.toString).collect().headOption
+      .map(_.getAs[Long]("n_rows"))
+  }
+
+  /** Measure and persist THIS index's probe/recall relation: a seeded
+    * held-out query sample (rows of the index itself), exact top-k over
+    * the full lists as ground truth, searched at doubling probe points up
+    * to nLists. One extra full scan at build time (the ground truth) —
+    * the price of the reference's per-config recall floors
+    * (ann_ivf_flat.cuh:102) — against never shipping a recall target
+    * calibrated on someone else's dataset. Disable with
+    * `spark.graft.index.recallCurve.enabled=false`. */
+  private[graft] def saveRecallCurve(spark: SparkSession, path: String,
+      idx: IvfFlatIndex, nRows: Long, nQueries: Int = 32, k: Int = 10,
+      seed: Long = 42): Unit = {
+    import org.apache.spark.sql.functions.{xxhash64, lit => flit}
+    val kk = math.min(k.toLong, math.max(1L, nRows)).toInt
+    val q = idx.lists
+      .orderBy(xxhash64(col("id"), flit(seed)), col("id")).limit(nQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .transform(graft.core.Frames.materialize(_))
+    try {
+      val data = idx.lists.select(col("id"), col("vec"))
+      val exact = BruteForceKnn.knnJoin(data, q, kk, idx.metric)
+        .select(col("qid"), col("nbr_id")).localCheckpoint()
+      val nQ = q.count()
+      val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < idx.centroids.k).toSeq :+
+        idx.centroids.k
+      val curve = points.map { p =>
+        val approx = idx.search(q, kk, p).select(col("qid"), col("nbr_id"))
+        val recall = graft.core.Recall.matched(approx, exact).toDouble /
+          math.max(1L, nQ * kk)
+        (p, recall)
+      }
+      import spark.implicits._
+      curve.toDF("probes", "recall")
+        .withColumn("k", flit(kk)).withColumn("n_queries", flit(nQ))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/recall_curve")
+    } finally q.unpersist()
+  }
+
+  /** The measured curve, sanitized for inversion: probe-sorted with a
+    * running-max recall (measurement noise must not make the inverse
+    * non-monotone). None for legacy layouts without the sidecar. */
+  private[graft] def loadRecallCurve(spark: SparkSession,
+      path: String): Option[Seq[(Int, Double)]] = {
+    val p = new org.apache.hadoop.fs.Path(path, "recall_curve")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
+    else {
+      val rows = spark.read.parquet(p.toString)
+        .select(col("probes").cast("int"), col("recall").cast("double"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+      if (rows.isEmpty) None
+      else Some(rows.foldLeft(Vector.empty[(Int, Double)]) { case (acc, (pr, rc)) =>
+        acc :+ (pr -> math.max(math.min(rc, 1.0), acc.lastOption.map(_._2).getOrElse(0.0)))
+      })
+    }
   }
 }

@@ -95,6 +95,7 @@ class IvfPqIndex(
         codebooks.pqDim, codebooks.nCenters, codebooks.subLen))
       .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    IvfFlatIndex.saveMeta(spark, path, lists.count())
   }
 }
 
@@ -172,6 +173,7 @@ class IvfPqClusterIndex(
         codebooks.nLists, codebooks.nCenters, codebooks.subLen, codebooks.pqDim))
       .toDF("l", "c", "center", "n_lists", "n_centers", "sub_len", "pq_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cluster_codebooks")
+    IvfFlatIndex.saveMeta(spark, path, lists.count())
   }
 }
 

@@ -225,6 +225,7 @@ class IvfRabitqIndex(
       .map { case (row, i) => (i, row.toSeq, bitsPerDim) }
       .toDF("r", "row", "bits_per_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    IvfFlatIndex.saveMeta(spark, path, lists.count())
   }
 }
 

@@ -140,6 +140,7 @@ class IvfSqIndex(
     import spark.implicits._
     Seq((sq.lo, sq.hi)).toDF("lo", "hi")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_model")
+    IvfFlatIndex.saveMeta(spark, path, lists.count())
   }
 }
 

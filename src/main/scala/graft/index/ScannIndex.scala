@@ -92,6 +92,7 @@ class ScannIndex(
         codebooks.pqDim, codebooks.nCenters, codebooks.subLen))
       .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    IvfFlatIndex.saveMeta(spark, path, lists.count())
   }
 }
 

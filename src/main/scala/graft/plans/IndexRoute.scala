@@ -58,16 +58,20 @@ object IndexRoute {
   /** The marker-only half of [[routedThrough]] — for consumers whose
     * frame was already materialized (a localCheckpoint erases the plan,
     * so the structural walk has nothing to see): pass the PRE-checkpoint
-    * frame, whose analyzed plan still carries the KnnJoinPlan node the
-    * marker's exprIds must match. Does not force planning by itself —
-    * the caller must have planned/executed the query on this thread. */
+    * frame, whose analyzed plan still carries the KnnJoinPlan node(s) the
+    * markers' exprIds must match. Markers are PER NODE: every kNN node in
+    * the frame must have routed through `indexPath` — a frame mixing one
+    * routed and one brute-lowered node does not earn the bit. Does not
+    * force planning by itself — the caller must have planned/executed the
+    * query (any thread: the marker map is global, keyed by exprIds). */
   def markerMatches(df: DataFrame, indexPath: String): Boolean = {
     val idx = normalize(indexPath)
-    lazy val nodeIds: Set[Long] = df.queryExecution.analyzed.collect {
+    val nodes: Seq[Seq[Long]] = df.queryExecution.analyzed.collect {
       case k: KnnJoinPlan => k.output.map(_.exprId.id)
-    }.flatten.toSet
-    GraftIndexCatalog.lastRouteOnThread.exists { case (_, p, ids) =>
-      normalize(p) == idx && ids.nonEmpty && ids.forall(nodeIds.contains)
     }
+    nodes.nonEmpty && nodes.forall(ids =>
+      GraftIndexCatalog.routeMarkerFor(ids).exists { case (_, p) =>
+        normalize(p) == idx
+      })
   }
 }

@@ -115,29 +115,68 @@ object GraftIndexCatalog {
     countOutcomes.getOrElseUpdate(paths.map(normalize).sorted.mkString(","), count)
   }
 
+  /** Memoized layout-sidecar reads, keyed by index path — the population
+    * (`meta`) and measured recall curve (`recall_curve`) each cost one
+    * tiny parquet read per registration, not one per re-optimization.
+    * Same clear-on-register discipline as the statistics memos. */
+  private val sidecarRowsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
+  private[plans] def cachedSidecarRows(indexPath: String)(
+      read: => Option[Long]): Option[Long] = {
+    if (sidecarRowsMemo.size >= probeCacheCap) sidecarRowsMemo.clear()
+    sidecarRowsMemo.getOrElseUpdate(normalize(indexPath), read)
+  }
+  private val sidecarCurveMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Seq[(Int, Double)]]]
+  private[plans] def cachedSidecarCurve(indexPath: String)(
+      read: => Option[Seq[(Int, Double)]]): Option[Seq[(Int, Double)]] = {
+    if (sidecarCurveMemo.size >= probeCacheCap) sidecarCurveMemo.clear()
+    sidecarCurveMemo.getOrElseUpdate(normalize(indexPath), read)
+  }
+
+  // test hooks: pin that the sidecar path leaves the count memo untouched
+  // and that filter-count memo keys carry content identity
+  private[graft] def countMemoSize: Int = countOutcomes.size
+  private[graft] def statKeySnapshot: Set[String] = statOutcomes.keySet.toSet
+
   private[plans] def clearProbeCache(): Unit = {
     probeOutcomes.clear()
     countOutcomes.clear()
     statOutcomes.clear()
+    sidecarRowsMemo.clear()
+    sidecarCurveMemo.clear()
   }
 
-  /** Route taken by the most recent KnnJoinPlan rewrite ON THIS THREAD —
-    * `(layout, indexPath, node output exprIds)` when an index route
-    * produced the plan, None when the brute pipeline did. The routes that
+  /** Route taken by each KnnJoinPlan rewrite, keyed by the NODE's output
+    * exprIds — `(layout, indexPath)` when an index route produced the
+    * plan; a brute lowering REMOVES the node's entry. The routes that
     * materialize the index at REWRITE time (the HNSW local-kernel beam
     * collects the hierarchy while planning) leave no index file scan in
     * the executed plan, so the structural detector alone can't see them;
     * this marker records the decision at the moment the non-brute branch
     * actually built the plan (the `Hnsw.lastSearchRoute` diagnostic
-    * pattern). Reset at each rewrite. The exprIds BIND the marker to one
-    * specific node instance: a consumer must match them against its own
-    * frame's analyzed plan, so a stale marker from whatever query last
-    * planned on the thread can never be claimed by a different frame. */
-  def lastRouteOnThread: Option[(String, String, Seq[Long])] =
-    Option(lastRouteTl.get()).flatten
-  private val lastRouteTl = new ThreadLocal[Option[(String, String, Seq[Long])]]
-  private[plans] def recordRoute(r: Option[(String, String, Seq[Long])]): Unit =
-    lastRouteTl.set(r)
+    * pattern). Per-node (not a thread-global last-write) so a frame with
+    * TWO kNN nodes never earns the bit from the other node's route, and a
+    * frame planned on a different thread than the reader keeps its
+    * marker. The exprIds BIND each marker to one node instance —
+    * a consumer matches them against its own frame's analyzed plan, so a
+    * marker from some other query can never be claimed falsely. Bounded:
+    * a pure diagnostic memo, reset wholesale past the cap. */
+  def routeMarkerFor(ids: Seq[Long]): Option[(String, String)] =
+    routeMarkers.get(ids.sorted.mkString(","))
+  private val routeMarkers =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val markerCap = 4096
+  private[plans] def recordRoute(ids: Seq[Long],
+      route: Option[(String, String)]): Unit = {
+    val key = ids.sorted.mkString(",")
+    route match {
+      case Some(r) =>
+        if (routeMarkers.size >= markerCap) routeMarkers.clear()
+        routeMarkers.put(key, r)
+      case None => routeMarkers.remove(key)
+    }
+  }
 
   /** Memoized scalar measurements of the filtered-route rate probes,
     * keyed by (scan paths, shape fingerprint) — same clear-on-register
@@ -184,27 +223,49 @@ object ResolveKnnJoin {
     }
   }
 
+  /** The sf0.1 64-dim fixture measurement (RECALL_PARETO.json ivf_flat
+    * rows) — the FALLBACK curve for legacy layouts saved before the
+    * per-index `recall_curve` sidecar existed. It is one dataset's
+    * geometry: a harder corpus saturates later, so auto mode on a legacy
+    * layout may undershoot the target — re-save the index to get its own
+    * measured curve (docs/MIGRATION.md). */
+  val fixtureCurve: Seq[(Int, Double)] =
+    Seq(1 -> 0.302, 2 -> 0.415, 4 -> 0.603, 8 -> 0.816, 16 -> 1.0)
+
   /** Probe count for a recall target — the reference's `min_recall ≈
     * f(n_probes/n_lists)` discipline (ann_ivf_flat.cuh:102) made usable by
-    * inverting the engine's own committed measurement instead of the
-    * pessimistic linear lower bound: RECALL_PARETO.json's ivf_flat rows
-    * show recall saturating in the ABSOLUTE probe count (8 probes 0.816,
-    * 16 probes 1.000 at k=10), which is also the reference's default
-    * economics — 20 probes over 1024 lists ≈ 2% for its stock 0.95-grade
-    * setting (ivf_flat.hpp:28-81). log2-interpolated between the measured
-    * points; the kCoarse-coverage floor (expected scanned rows ≥ 3·kCoarse)
-    * and the [1, nLists] clamp are kept from the fraction-based
-    * predecessor. `targetRecall ≥ 1` means exact: probe every list. */
-  def autoProbes(targetRecall: Double, nLists: Int, nRows: Long, kCoarse: Int): Int = {
-    // (probes, measured recall@10) — RECALL_PARETO.json ivf_flat rows
-    val curve = Seq(1 -> 0.302, 2 -> 0.415, 4 -> 0.603, 8 -> 0.816, 16 -> 1.0)
+    * inverting a measured probe/recall curve instead of the pessimistic
+    * linear lower bound — by preference THIS index's own curve, measured
+    * at save time on a held-out sample against its own exact top-k
+    * (IvfFlatIndex.saveRecallCurve) so a 0.95 target means 0.95 on this
+    * geometry, not on the committed fixture's. Recall saturates in the
+    * ABSOLUTE probe count on easy geometries (the fixture: 8 probes
+    * 0.816, 16 probes 1.000 at k=10, matching the reference's default
+    * economics — 20 probes over 1024 lists, ivf_flat.hpp:28-81);
+    * log2-interpolated between the measured points. A target ABOVE the
+    * curve's best measured recall probes every list (exactness is the
+    * only honest answer off the measured range), as does
+    * `targetRecall ≥ 1`. The kCoarse-coverage floor (expected scanned
+    * rows ≥ 3·kCoarse) and the [1, nLists] clamp are kept.
+    *
+    * `measured = true` (a per-index sidecar curve) inverts CONSERVATIVELY:
+    * the smallest MEASURED probe point whose recall meets the target — the
+    * sample points are the only trusted observations, and interpolating a
+    * 0.95 between two noisy measurements undershoots the claimed floor
+    * about half the time. The fixture fallback keeps log2 interpolation
+    * (legacy behavior; its own floor risk is documented above). */
+  def autoProbes(targetRecall: Double, nLists: Int, nRows: Long, kCoarse: Int,
+      curve: Seq[(Int, Double)] = fixtureCurve, measured: Boolean = false): Int = {
+    val cv = if (curve.size >= 2) curve else fixtureCurve
     val fromCurve =
-      if (targetRecall >= 1.0) nLists
-      else if (targetRecall <= curve.head._2) curve.head._1
+      if (targetRecall >= 1.0 || targetRecall > cv.last._2) nLists
+      else if (measured)
+        cv.find(_._2 >= targetRecall).map(_._1).getOrElse(nLists)
+      else if (targetRecall <= cv.head._2) cv.head._1
       else {
-        val ((pLo, rLo), (pHi, rHi)) = curve.zip(curve.tail)
+        val ((pLo, rLo), (pHi, rHi)) = cv.zip(cv.tail)
           .find { case ((_, r0), (_, r1)) => targetRecall > r0 && targetRecall <= r1 }.get
-        val t = (targetRecall - rLo) / (rHi - rLo)
+        val t = if (rHi > rLo) (targetRecall - rLo) / (rHi - rLo) else 1.0
         val log2 = (x: Double) => math.log(x) / math.log(2.0)
         math.ceil(math.pow(2.0, log2(pLo) * (1 - t) + log2(pHi) * t)).toInt
       }
@@ -358,9 +419,10 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case kj: KnnJoinPlan if kj.left.resolved && kj.right.resolved =>
-      // a brute lowering must CLEAR the thread's route marker, or a prior
-      // routed query on this thread would leave a stale earned bit
-      GraftIndexCatalog.recordRoute(None)
+      // a brute lowering must CLEAR this node's route marker, or a prior
+      // routed rewrite of the same node would leave a stale earned bit
+      val nodeIds = kj.output.map(_.exprId.id)
+      GraftIndexCatalog.recordRoute(nodeIds, None)
       val data = B.ofRows(spark, kj.left)
       val queries = B.ofRows(spark, kj.right)
         .select(col(kj.qidCol).as("qid"), col(kj.qvecCol).as("qvec"))
@@ -379,22 +441,29 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         else if (compressed) math.max(4 * kj.k, kj.k + 30)
         else math.max(2 * kj.k, kj.k + 10)
 
-      /** Registered-population row count, memoized per scan path. */
-      def baseRows(base: LogicalPlan): Long =
-        GraftIndexCatalog.cachedCount(scanPaths(base)) {
+      /** Registered-population row count: the layout's `meta` sidecar by
+        * preference (the build already knew n; no plan-time job at all),
+        * falling back to a memoized zero-column count for legacy layouts
+        * saved before the sidecar existed. */
+      def baseRows(e: GraftIndexCatalog.Entry, base: LogicalPlan): Long =
+        GraftIndexCatalog.cachedSidecarRows(e.indexPath) {
+          graft.index.IvfFlatIndex.loadMeta(spark, e.indexPath)
+        }.getOrElse(GraftIndexCatalog.cachedCount(scanPaths(base)) {
           B.ofRows(spark, base).count()
-        }
+        })
 
       /** Probe count: explicit registration wins; `nProbes = 0` derives
         * from `spark.graft.knnJoin.targetRecall` (default 0.95) through
-        * the measured probe/recall relation (ResolveKnnJoin.autoProbes);
-        * a caller-set `autoProbeFraction` keeps the legacy fraction
-        * semantics for sessions that pinned it. */
+        * THIS layout's measured probe/recall curve (the `recall_curve`
+        * sidecar written at save time; the committed fixture curve only
+        * for legacy layouts without one — documented undershoot risk,
+        * docs/MIGRATION.md); a caller-set `autoProbeFraction` keeps the
+        * legacy fraction semantics for sessions that pinned it. */
       def resolveProbes(e: GraftIndexCatalog.Entry, base: LogicalPlan,
           nLists: Int, depth: Int): Int =
         if (e.nProbes > 0) e.nProbes
         else {
-          val n = math.max(baseRows(base), 1L)
+          val n = math.max(baseRows(e, base), 1L)
           val coverK = math.ceil(3.0 * depth * nLists / n.toDouble).toInt
           spark.conf.getOption("spark.graft.knnJoin.autoProbeFraction") match {
             case Some(frac) =>
@@ -403,7 +472,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             case None =>
               val target =
                 spark.conf.get("spark.graft.knnJoin.targetRecall", "0.95").toDouble
-              ResolveKnnJoin.autoProbes(target, nLists, n, depth)
+              val curve = GraftIndexCatalog.cachedSidecarCurve(e.indexPath) {
+                graft.index.IvfFlatIndex.loadRecallCurve(spark, e.indexPath)
+              }
+              ResolveKnnJoin.autoProbes(target, nLists, n, depth,
+                curve.getOrElse(ResolveKnnJoin.fixtureCurve),
+                measured = curve.isDefined)
           }
         }
 
@@ -524,8 +598,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               layout == "rabitq" || layout == "ivf_sq"
           widen(coarseK(e, compressed)).flatMap { case (depth, smallIdFilter) =>
             candidates(e, layout, base, depth).map { case (cand, candMetric, exact) =>
-              GraftIndexCatalog.recordRoute(
-                Some((layout, e.indexPath, kj.output.map(_.exprId.id))))
+              GraftIndexCatalog.recordRoute(nodeIds, Some((layout, e.indexPath)))
               // the broadcast post-filter re-joins on ids cast to long, so
               // the id key type must make that cast lossless — a string
               // or fractional id would change the user's typed equality
@@ -536,7 +609,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                      org.apache.spark.sql.types.ByteType => true
                 case _ => false
               }
-              val distMap = if (exact) toNodeDist(candMetric) else None
+              // direct finish answers from the index ALONE (no refine join
+              // against the live relation), so a stale index serves
+              // deleted/rewritten rows the refine inner-join used to mask.
+              // The registration contract already forbids stale indexes
+              // (GraftIndexCatalog doc), but existing registrations that
+              // leaned on that masking can pin the old refine behavior
+              // with this conf (docs/MIGRATION.md).
+              val distMap =
+                if (exact && spark.conf.get(
+                    "spark.graft.knnJoin.directFinish.enabled", "true").toBoolean)
+                  toNodeDist(candMetric)
+                else None
               val directFinish = distMap.isDefined && (post match {
                 case NoFilter => true
                 case f: IdFilter =>
@@ -596,13 +680,13 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         * the anti join can drop at most nDeny distinct ids, so the
         * filtered result is as exact as the underlying candidate set
         * (exact at full probes) — the gate's shape. */
-      def widenedDepth(shape: FilterShape, base: LogicalPlan)(
-          depth: Int): Option[(Int, Boolean)] = {
+      def widenedDepth(shape: FilterShape, base: LogicalPlan,
+          e: GraftIndexCatalog.Entry)(depth: Int): Option[(Int, Boolean)] = {
         val widenCap =
           spark.conf.get("spark.graft.knnJoin.maxWidenedCoarse", "4096").toInt
         val rateFloor =
           spark.conf.get("spark.graft.knnJoin.minFilterRate", "0.05").toDouble
-        val nBase = math.max(baseRows(base), 1L)
+        val nBase = math.max(baseRows(e, base), 1L)
         // rate-branch result: the filter is NOT small enough to
         // post-filter candidates directly (refine via the data child)
         def byRate(rate: Double): Option[(Int, Boolean)] =
@@ -613,30 +697,42 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         val statKeyBase = scanPaths(base).sorted.mkString(",")
         shape match {
-          case JoinShape(filterSide, anti, _, _, _) =>
+          case JoinShape(filterSide, anti, _, _, filterKey) =>
             // bound the plan-time count: a filter relation past the cap
             // can't take the exactness-preserving widening anyway, and
             // counting an arbitrarily large relation at plan time is not
             // a price a rewrite should pay — estimate nothing, go brute.
-            // Memoized (-1 = over the cap) ONLY for file-backed filter
-            // relations, keyed by their scan paths: a plan fingerprint
-            // would be content-blind for LocalRelation/temp-view filter
-            // sides (their canonicalized form prints schema, not data),
-            // silently reusing one deny list's count for another. An
-            // in-memory filter side is counted fresh each optimization —
-            // bounded by `within` and trivially cheap at that size.
+            // The count is DISTINCT join-key values: the widening math
+            // counts droppable/allowed candidate IDS, and duplicate keys
+            // in the filter relation drop no extra ids (a raw row count
+            // would under-widen the allow-mode rate when keys repeat).
+            // Memoized (-1 = over the cap) ONLY when every leaf of the
+            // filter side is file-backed, keyed by (scan paths, key name,
+            // the CANONICALIZED filter-side plan): the paths alone are
+            // predicate-blind — two different deny views over the same
+            // table would silently share the first view's count, and a
+            // too-small memoized nDeny under-widens the claimed-exact
+            // deny branch. The canonicalized fingerprint carries the
+            // predicates; a LocalRelation anywhere in the tree makes the
+            // fingerprint content-blind (it prints schema, not data), so
+            // such shapes are counted fresh each optimization — bounded
+            // by `within` and trivially cheap at broadcastable size.
             val maxProbe = math.max(widenCap.toLong,
               spark.conf.get("spark.graft.knnJoin.maxFilterProbeRows", "10000000").toLong)
             def countFilter(): Double = {
               val filterDf = B.ofRows(spark, filterSide)
               if (!graft.graphops.LocalKernel.within(filterDf, maxProbe)) -1.0
-              else filterDf.count().toDouble
+              else filterDf.select(B.column(filterKey)).distinct().count().toDouble
             }
             val fsPaths = scanPaths(filterSide)
+            val fileBackedOnly = filterSide.collectLeaves().forall(
+              _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation])
             val nFilterStat =
-              if (fsPaths.isEmpty) countFilter()
+              if (fsPaths.isEmpty || !fileBackedOnly) countFilter()
               else GraftIndexCatalog.cachedStat(
-                s"filter:${fsPaths.sorted.mkString(",")}#$maxProbe")(countFilter())
+                s"filter:${fsPaths.sorted.mkString(",")}#${filterKey.name}#" +
+                  s"${filterSide.semanticHash()}:" +
+                  s"${filterSide.canonicalized.toString.take(512)}#$maxProbe")(countFilter())
             if (nFilterStat < 0) None
             else {
               val nFilter = nFilterStat.toLong
@@ -733,7 +829,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   case _ => ViaData
                 }
                 entryFor(shape.base).flatMap(e =>
-                  routeFor(e, shape.base, widenedDepth(shape, shape.base), post))
+                  routeFor(e, shape.base, widenedDepth(shape, shape.base, e), post))
               }
           else None
         } catch {
@@ -741,7 +837,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             logWarning(s"knn_join: index-route construction failed " +
               s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
               "using the exact brute route")
-            GraftIndexCatalog.recordRoute(None)
+            GraftIndexCatalog.recordRoute(nodeIds, None)
             None
         }
 
@@ -791,7 +887,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               "canonicalization limitation (stale partitioning metadata on a " +
               "cached ordered-source frame); using the exact brute route. " +
               s"Uncache or re-materialize the input to restore the route. ($e)")
-            GraftIndexCatalog.recordRoute(None)
+            GraftIndexCatalog.recordRoute(nodeIds, None)
             shape(brute())
         }
       // graft the rewrite under the node's declared exprIds

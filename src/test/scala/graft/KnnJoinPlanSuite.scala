@@ -540,4 +540,145 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(!physical.contains("CartesianProduct"),
       s"no cartesian product allowed:\n$physical")
   }
+
+  test("per-index measured recall curve: geometry drives the auto probe count") {
+    // the ann_ivf_flat.cuh:102 per-config discipline: 0.95 must mean 0.95
+    // on THIS index. An easy clustered 64-dim corpus saturates recall in
+    // a probe or two; a uniform-random 256-dim corpus spreads true
+    // neighbors across cells — the measured sidecar curves must differ,
+    // and the auto inversion must probe the hard geometry much deeper.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val easy = (0 until 2000).map { i =>
+      val c = i % 32
+      (i.toLong, Array.tabulate(64)(j =>
+        (if (j == 2 * c) 10f else 0f) + rnd.nextFloat() * 0.1f))
+    }.toDF("id", "vec")
+    val hard = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(256)(rnd.nextFloat()))
+    }.toDF("id", "vec")
+    val dirEasy = java.nio.file.Files.createTempDirectory("curve_easy").toString
+    val dirHard = java.nio.file.Files.createTempDirectory("curve_hard").toString
+    graft.index.IvfFlatIndex.build(easy,
+      graft.index.IvfFlatIndex.Params(nLists = 32, nIters = 5), "id", "vec").save(dirEasy)
+    graft.index.IvfFlatIndex.build(hard,
+      graft.index.IvfFlatIndex.Params(nLists = 32, nIters = 5), "id", "vec").save(dirHard)
+    val curveEasy = graft.index.IvfFlatIndex.loadRecallCurve(spark, dirEasy).get
+    val curveHard = graft.index.IvfFlatIndex.loadRecallCurve(spark, dirHard).get
+    // sanitized: probe-sorted, running-max monotone, within [0, 1]
+    Seq(curveEasy, curveHard).foreach { cv =>
+      assert(cv.map(_._1) == cv.map(_._1).sorted && cv.forall(p => p._2 >= 0 && p._2 <= 1))
+      assert(cv.zip(cv.tail).forall { case ((_, a), (_, b)) => b >= a }, s"non-monotone $cv")
+    }
+    val pEasy = ResolveKnnJoin.autoProbes(0.95, 32, 2000L, 10, curveEasy, measured = true)
+    val pHard = ResolveKnnJoin.autoProbes(0.95, 32, 2000L, 10, curveHard, measured = true)
+    assert(pEasy < pHard, s"easy=$pEasy hard=$pHard (curves: $curveEasy / $curveHard)")
+    assert(pHard >= 8, s"random 256-dim should need deep probing, got $pHard")
+    // a target above the curve's best measurement probes every list
+    assert(ResolveKnnJoin.autoProbes(curveHard.last._2 + 0.01, 32, 2000L, 10,
+      curveHard, measured = true) == 32)
+  }
+
+  test("population sidecar: planning a registered layout runs no count job") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnmeta").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    assert(graft.index.IvfFlatIndex.loadMeta(spark, idxPath).contains(emb.count()))
+    // nProbes = 0: auto mode needs the population — must come from the
+    // meta sidecar, never a rewrite-time count() of the data relation
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath) // clears memos
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(routed.count() == queries.count() * 10)
+      assert(graft.plans.GraftIndexCatalog.countMemoSize == 0,
+        "planner fell back to the count job despite a meta sidecar")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    // legacy layout (no sidecar): the memoized count fallback still works
+    val legacy = java.nio.file.Files.createTempDirectory("knnmeta_legacy").toString
+    spark.conf.set("spark.graft.index.recallCurve.enabled", "false")
+    try {
+      graft.index.IvfFlatIndex.build(emb,
+        graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+        .save(legacy)
+      val metaDir = new java.io.File(legacy, "meta")
+      metaDir.listFiles().foreach(_.delete()); metaDir.delete()
+      graft.plans.GraftIndexCatalog.register(dataPath, legacy)
+      try withIndexGateOff {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(routed.count() == queries.count() * 10)
+        assert(graft.plans.GraftIndexCatalog.countMemoSize == 1,
+          "legacy layout should take the memoized count fallback")
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    } finally spark.conf.unset("spark.graft.index.recallCurve.enabled")
+  }
+
+  test("two deny lists over one table memoize DISTINCT filter counts") {
+    // the predicate-blind memo bug: a filter-side count keyed only by scan
+    // paths would silently reuse the FIRST deny view's count for every
+    // later view over the same table — a too-small nDeny under-widens the
+    // claimed-exact deny branch. The key must carry the canonicalized
+    // filter-side plan.
+    ensureRule()
+    graft.functions.SqlFunctions.register(spark)
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knndenykey").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    emb.createOrReplaceTempView("kjk_emb")
+    queries.createOrReplaceTempView("kjk_q")
+    try withIndexGateOff {
+      def run(denyMod: Int, view: String): Unit = {
+        emb.filter(col("vec_id") % denyMod === 0).select(col("vec_id"))
+          .createOrReplaceTempView(view)
+        val out = spark.sql(
+          s"SELECT * FROM knn_join_filtered('kjk_emb', 'kjk_q', '$view', 'deny', " +
+            "10, 'l2sqrt', 'vec_id', 'embedding', 'qid', 'qvec')")
+        val exact = BruteForceKnn.knnJoinFiltered(emb, queries, 10, Metric.L2Sqrt,
+          deny = Some(emb.filter(col("vec_id") % denyMod === 0).select(col("vec_id"))),
+          idCol = "vec_id", vecCol = "embedding")
+          .select(col("qid").cast("long"), col("nbr_id").cast("long"),
+            col("rank"), col("dist"))
+        assert(out.collect().toSet == exact.collect().toSet, s"deny %$denyMod mismatch")
+      }
+      run(50, "kjk_deny_small") // tiny deny list counted first
+      run(2, "kjk_deny_big")    // then a big one over the SAME table
+      val filterKeys = graft.plans.GraftIndexCatalog.statKeySnapshot
+        .filter(_.startsWith("filter:"))
+      assert(filterKeys.size == 2,
+        s"each deny view must memoize under its own content key: $filterKeys")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
+  test("route markers are per node: a mixed two-node frame earns no bit") {
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnmarker").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      // unregistered second source: same schema, NOT the registered path
+      val other = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val routedHalf = KnnJoinPlan.knnJoin(emb, queries, 5, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val bruteHalf = KnnJoinPlan.knnJoin(other, queries, 5, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      val mixed = routedHalf.unionByName(bruteHalf)
+      mixed.count() // plan + execute: both nodes rewrite
+      assert(!graft.plans.IndexRoute.markerMatches(mixed, idxPath),
+        "a frame whose second kNN node lowered to brute must not earn the bit")
+      routedHalf.count()
+      assert(graft.plans.IndexRoute.markerMatches(routedHalf, idxPath),
+        "the single routed node still earns its own marker")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
 }

@@ -589,6 +589,47 @@ object SparkEntry {
     }
   }
 
+  /** The compressed route under an INNER-PRODUCT contract — the embedding
+    * users' common case. The reference's IVF-PQ builds over the generic
+    * metric enum including InnerProduct (ivf_pq.hpp:47-205: coarse
+    * assignment and the similarity kernel are metric-parameterized); here
+    * the layout is BUILT under IP (cells assigned by max dot; the IP-LUT
+    * ADC estimates q·c + Σ q_s·cb[code_s], larger-is-closer) and the
+    * planner routes an IP knn_join through it (compressedScoreMetric) at
+    * the same displacement-proof reorder depth as the L2 PQ gate, with
+    * exact refine re-ranking — so the max-close IP kNN oracle gates the
+    * whole IP build→register→route→ADC→refine pipeline. */
+  private def knnJoinIndexedPqIpQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqIpSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8ip:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8,
+          metric = Metric.InnerProduct), "vec_id", "embedding") }.save(p)
+    }
+    val kCoarse = math.max(200L, emb.count() / 3).toInt
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = kCoarse) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.InnerProduct, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .localCheckpoint()
+    }
+  }
+
+  private def knnJoinIndexedIpOracle: String = {
+    val distExpr = O.byMetric(Metric.InnerProduct, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist DESC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS index_routed
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** The HIERARCHY index route under the oracle: a saved HNSW layout
     * reroutes the join through beam-search candidates + exact refine.
     * Exactness device: the registered reorder depth is the ORACLE
@@ -1262,6 +1303,7 @@ object SparkEntry {
     "knn_join_plan" -> (knnJoinPlanQuery(_, _)),
     "knn_join_indexed" -> (knnJoinIndexedQuery(_, _)),
     "knn_join_indexed_pq" -> (knnJoinIndexedPqQuery(_, _)),
+    "knn_join_indexed_pq_ip" -> (knnJoinIndexedPqIpQuery(_, _)),
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
     "sql_knn_join_filtered_indexed" -> (sqlKnnJoinFilteredIndexedQuery(_, _)),
@@ -1317,6 +1359,7 @@ object SparkEntry {
     "knn_join_plan" -> knnOracle(Metric.L2Sqrt),
     "knn_join_indexed" -> knnJoinIndexedOracle,
     "knn_join_indexed_pq" -> knnJoinIndexedOracle,
+    "knn_join_indexed_pq_ip" -> knnJoinIndexedIpOracle,
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
     "sql_knn_join_filtered_indexed" -> sqlKnnJoinFilteredIndexedOracle,

@@ -79,6 +79,38 @@ object PqOps {
     new GenericArrayData(out)
   }
 
+  /** Inner-product ADC lookup table (ivf_pq.hpp:47-205 builds over the
+    * generic metric enum; the IP branch of ivf_pq_compute_similarity.cuh):
+    * with residual codes, q·x̂ = q·c_list + Σ_s q_s·cb[s][code_s]. The
+    * per-(query, list) constant q·c_list is folded into every entry as
+    * an equal share (+q·c/pqDim), so the SAME code-indexed sum (PqAdc /
+    * the fused kernel loop) yields the full estimated dot product —
+    * larger is closer (is_min_close(InnerProduct) = false). */
+  def lutIp(cb: PqCodebooks, cs: CentroidSet, qvec: ArrayData, listId: Int): ArrayData = {
+    val cBase = listId * cs.dim
+    var qc = 0.0
+    var j0 = 0
+    while (j0 < cs.dim) { qc += qvec.getFloat(j0).toDouble * cs.flat(cBase + j0); j0 += 1 }
+    val share = qc / cb.pqDim
+    val out = new Array[Double](cb.pqDim * cb.nCenters)
+    var s = 0
+    while (s < cb.pqDim) {
+      var c = 0
+      while (c < cb.nCenters) {
+        val off = (s * cb.nCenters + c) * cb.subLen
+        var d = 0.0; var j = 0
+        while (j < cb.subLen) {
+          d += qvec.getFloat(s * cb.subLen + j).toDouble * cb.books(off + j)
+          j += 1
+        }
+        out(s * cb.nCenters + c) = d + share
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC score = sum of LUT entries selected by the code bytes — the
     * asymmetric distance of IVF-PQ search. */
   def adc(nCenters: Int, lut: ArrayData, codes: ArrayData): Double = {
@@ -121,6 +153,29 @@ case class PqLut(child: Expression, cb: PqCodebooks) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.expr.PqOps.lut($ref, $v);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inner-product ADC LUT over (query vector, probed list id) — see
+  * PqOps.lutIp. Takes the RAW query (no residual: q·x̂ decomposes as
+  * q·c + q·r̂, no query residual appears) plus the list id for the
+  * folded q·c_list constant. */
+case class PqLutIp(left: Expression, right: Expression, cb: PqCodebooks,
+    cs: CentroidSet) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected (array<float>, int), got $o")
+  }
+  override def nullSafeEval(q: Any, lid: Any): Any =
+    PqOps.lutIp(cb, cs, q.asInstanceOf[ArrayData], lid.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", cb, classOf[PqCodebooks].getName)
+    val csRef = ctx.addReferenceObj("centroidSet", cs, classOf[CentroidSet].getName)
+    nullSafeCodeGen(ctx, ev, (q, lid) =>
+      s"${ev.value} = graft.expr.PqOps.lutIp($cbRef, $csRef, $q, $lid);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** PER_CLUSTER codebooks (`codebook_gen::PER_CLUSTER`, ivf_pq.hpp:34-45):

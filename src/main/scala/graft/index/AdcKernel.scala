@@ -29,14 +29,19 @@ private[index] object AdcKernel {
   def pairs(lists: DataFrame, q: DataFrame, cs: CentroidSet, cb: PqCodebooks,
       nProbes: Int, bufK: Int, codesCol: String): DataFrame =
     pairsWith(lists, q, cs, nProbes, bufK, codesCol, cb.nCenters)(
-      (_, res) => PqOps.lut(cb, res).toDoubleArray())
+      (lid, qv) => PqOps.lut(cb, CentroidOps.residual(cs, qv, lid)).toDoubleArray())
 
-  /** Same kernel with a caller-supplied per-(list, residual) LUT — the
-    * PER_CLUSTER codebook_gen variant plugs PqClusterOps.lut in here. The
+  /** Same kernel with a caller-supplied per-(list, RAW query vector) LUT —
+    * the PER_CLUSTER codebook_gen variant plugs PqClusterOps.lut (over the
+    * residual it computes itself) in here; the inner-product estimator
+    * plugs PqOps.lutIp (which needs the raw query, not a residual). The
     * LUT function runs driver-side only (tables are built before the
-    * broadcast); the streaming ADC loop is unchanged. */
+    * broadcast); the streaming ADC loop is unchanged. `minClose` orders
+    * the per-partition buffers (false for InnerProduct: larger dot =
+    * closer, is_min_close distance.hpp:72-85). */
   def pairsWith(lists: DataFrame, q: DataFrame, cs: CentroidSet,
-      nProbes: Int, bufK: Int, codesCol: String, nCenters: Int)(
+      nProbes: Int, bufK: Int, codesCol: String, nCenters: Int,
+      minClose: Boolean = true)(
       lutFor: (Int, org.apache.spark.sql.catalyst.util.ArrayData) => Array[Double]): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
@@ -50,7 +55,7 @@ private[index] object AdcKernel {
       var p = 0
       while (p < probed.numElements()) {
         val lid = probed.getStruct(p, 2).getInt(0)
-        val lut = lutFor(lid, CentroidOps.residual(cs, qad, lid))
+        val lut = lutFor(lid, qad)
         var b = byList.get(lid)
         if (b == null) {
           b = new scala.collection.mutable.ArrayBuffer[(Int, Array[Double])]()
@@ -71,6 +76,7 @@ private[index] object AdcKernel {
     val bcProbes = spark.sparkContext.broadcast(probeIdx)
     val nC = nCenters
     val kk = bufK
+    val mc = minClose
     lists
       .filter(col("list_id").isInCollection(probedLids))
       .select(col("list_id").cast("int"), col("id").cast("long"),
@@ -91,7 +97,7 @@ private[index] object AdcKernel {
               while (s < codes.length) { d += lut(s * nC + codes(s)); s += 1 }
               var buf = bufs.get(qi)
               if (buf == null) {
-                buf = graft.core.TopKBuf(kk, minClose = true,
+                buf = graft.core.TopKBuf(kk, mc,
                   new Array[Double](kk), new Array[Long](kk), 0)
                 bufs.put(qi, buf)
               }

@@ -38,10 +38,16 @@ class IvfPqIndex(
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
 
-  /** ADC search: (qid, nbr_id, rank, dist) with dist = ADC-approximated
-    * squared L2. */
+  /** ADC search: (qid, nbr_id, rank, dist). For L2-family builds dist is
+    * the ADC-approximated squared L2 over residual codes; for an
+    * InnerProduct build (ivf_pq.hpp:47-205 — the metric enum includes IP;
+    * coarse assignment and the similarity kernel are both
+    * metric-parameterized) dist is the estimated dot product
+    * q·c + Σ q_s·cb[code_s], ranked larger-is-closer. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val ip = metric == Metric.InnerProduct
+    val scoreMetric = if (ip) Metric.InnerProduct else Metric.L2
     // Fused ADC kernel (AdcKernel doc): one pass over the streaming coded
     // lists when the query side fits in memory; bufK = k because each id
     // lives in exactly one list. Identical rows to the join route.
@@ -51,9 +57,15 @@ class IvfPqIndex(
     if (graft.graphops.LocalKernel.enabled(spark) &&
         graft.graphops.LocalKernel.within(q,
           graft.graphops.LocalKernel.maxVectors(spark))) {
+      val (cb, cs) = (codebooks, centroids)
       try return BruteForceKnn.topKPerQuery(
-        AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, k, "pq_codes"),
-        k, Metric.L2)
+        if (ip)
+          AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes",
+            codebooks.nCenters, minClose = false)(
+            (lid, qv) => graft.expr.PqOps.lutIp(cb, cs, qv, lid).toDoubleArray())
+        else
+          AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, k, "pq_codes"),
+        k, scoreMetric)
       finally q.unpersist()
     }
     q.unpersist()
@@ -63,13 +75,16 @@ class IvfPqIndex(
       .select(col("qid"), col("_qvec"),
         explode(col("_probes").getField("list_id")).as("list_id"))
       .withColumn("_lut",
-        ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")), codebooks))
+        if (ip) ProductQuantizer.lutIpCol(col("_qvec"), col("list_id"),
+          codebooks, centroids)
+        else ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")),
+          codebooks))
       .select(col("qid"), col("list_id"), col("_lut"))
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
         ProductQuantizer.adcCol(col("_lut"), col("pq_codes"), codebooks).as("dist"))
-    BruteForceKnn.topKPerQuery(pairs, k, Metric.L2)
+    BruteForceKnn.topKPerQuery(pairs, k, scoreMetric)
   }
 
   /** ADC search over `kCoarse` candidates + exact re-rank to top-k against
@@ -130,9 +145,11 @@ class IvfPqClusterIndex(
         graft.graphops.LocalKernel.within(q,
           graft.graphops.LocalKernel.maxVectors(spark))) {
       val ccb = codebooks
+      val cs = centroids
       try return BruteForceKnn.topKPerQuery(
         AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes", ccb.nCenters)(
-          (lid, res) => graft.expr.PqClusterOps.lut(ccb, lid, res).toDoubleArray()),
+          (lid, qv) => graft.expr.PqClusterOps.lut(ccb, lid,
+            graft.expr.CentroidOps.residual(cs, qv, lid)).toDoubleArray()),
         k, Metric.L2)
       finally q.unpersist()
     }

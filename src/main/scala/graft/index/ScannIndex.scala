@@ -34,21 +34,36 @@ class ScannIndex(
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
 
-  /** ADC search over primary+spill lists, deduped per (query, id). */
+  /** ADC search over primary+spill lists, deduped per (query, id). An
+    * InnerProduct build (ScaNN's native regime — anisotropic quantization
+    * targets MIPS) scores the estimated dot product via the IP LUT
+    * (PqOps.lutIp) and keeps the LARGER of a SOAR pair's two estimates. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val ip = metric == Metric.InnerProduct
+    val scoreMetric = if (ip) Metric.InnerProduct else Metric.L2
+    // better of the two SOAR copies' estimates: smaller L2, larger dot
+    def dedup(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("qid"), col("_nid"))
+      .agg((if (ip) max(col("dist")) else min(col("dist"))).as("dist"))
     // Fused ADC kernel (AdcKernel doc): bufK = 2k because SOAR stores ≤ 2
-    // copies per id, then the same (qid, id) min-dedup as the join route.
+    // copies per id, then the same (qid, id) dedup as the join route.
     val spark = queries.sparkSession
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
       .transform(graft.core.Frames.materialize(_))
     if (graft.graphops.LocalKernel.enabled(spark) &&
         graft.graphops.LocalKernel.within(q,
           graft.graphops.LocalKernel.maxVectors(spark))) {
+      val (cb, cs) = (codebooks, centroids)
       try return BruteForceKnn.topKPerQuery(
-        AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, 2 * k, "pq_codes")
-          .groupBy(col("qid"), col("_nid")).agg(min(col("dist")).as("dist")),
-        k, Metric.L2)
+        dedup(
+          if (ip)
+            AdcKernel.pairsWith(lists, q, centroids, nProbes, 2 * k, "pq_codes",
+              codebooks.nCenters, minClose = false)(
+              (lid, qv) => graft.expr.PqOps.lutIp(cb, cs, qv, lid).toDoubleArray())
+          else
+            AdcKernel.pairs(lists, q, centroids, codebooks, nProbes, 2 * k, "pq_codes")),
+        k, scoreMetric)
       finally q.unpersist()
     }
     q.unpersist()
@@ -58,16 +73,16 @@ class ScannIndex(
       .select(col("qid"), col("_qvec"),
         explode(col("_probes").getField("list_id")).as("list_id"))
       .withColumn("_lut",
-        ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")), codebooks))
+        if (ip) ProductQuantizer.lutIpCol(col("_qvec"), col("list_id"),
+          codebooks, centroids)
+        else ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")),
+          codebooks))
       .select(col("qid"), col("list_id"), col("_lut"))
-    val pairs = lists
+    val pairs = dedup(lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
-        ProductQuantizer.adcCol(col("_lut"), col("pq_codes"), codebooks).as("dist"))
-      // a vector probed through both its primary and spill leaf keeps the
-      // better of its two residual-ADC estimates
-      .groupBy(col("qid"), col("_nid")).agg(min(col("dist")).as("dist"))
-    BruteForceKnn.topKPerQuery(pairs, k, Metric.L2)
+        ProductQuantizer.adcCol(col("_lut"), col("pq_codes"), codebooks).as("dist")))
+    BruteForceKnn.topKPerQuery(pairs, k, scoreMetric)
   }
 
   /** ScaNN reordering: exact re-rank of the ADC top-kCoarse. */

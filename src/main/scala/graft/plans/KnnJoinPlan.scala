@@ -363,7 +363,10 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The ADC/decoded-code layouts score candidates in (residual) L2, so
-    * their routes are sound only for L2-family node metrics. */
+    * their routes are sound only for L2-family node metrics — except the
+    * PQ-coded layouts built UNDER InnerProduct (ivf_pq.hpp:47-205: the
+    * build takes the generic metric enum), whose IP-LUT estimates rank an
+    * IP node natively (see compressedScoreMetric). */
   private def l2Family(m: Metric): Boolean = m == Metric.L2 || m == Metric.L2Sqrt
 
   /** A population-REDUCING wrapper over an eligible scan that the
@@ -491,6 +494,19 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       // layouts additionally require an L2-family node metric (their
       // candidate estimators score in residual L2).
 
+      /** PQ-coded layout routability for the node's metric: an L2-family
+        * node over an L2-family build ranks by ADC residual-L2; an
+        * InnerProduct node over an InnerProduct-BUILT layout ranks by the
+        * IP-LUT estimated dot. Any other pairing (e.g. a cosine node, or
+        * an IP node over an L2-built layout whose candidate ranking has no
+        * relation to dot products) refuses the route → exact brute. */
+      def compressedScoreMetric(idxMetric: Metric): Option[Metric] =
+        if (idxMetric == Metric.InnerProduct && metric == Metric.InnerProduct)
+          Some(Metric.InnerProduct)
+        else if (rankCompatible(idxMetric, metric) && l2Family(metric))
+          Some(Metric.L2)
+        else None
+
       /** Candidate generation per layout at reorder depth `depth`,
         * searched over the FULL registered population (`base`), or None
         * when the layout/metric pairing is unroutable. Returns the
@@ -530,9 +546,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               resolveProbes(e, base, idx.centroids.k, depth)), idx.metric, false))
           case "ivf_pq" =>
             val idx = graft.index.IvfPqIndex.load(spark, e.indexPath)
-            if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
-            else Some((idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+            compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), m, false))
           case "ivf_pqcl" =>
             val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
             if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
@@ -540,9 +555,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
           case "scann" =>
             val idx = graft.index.ScannIndex.load(spark, e.indexPath)
-            if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
-            else Some((idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+            compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), m, false))
           case "rabitq" =>
             // RaBitQ estimates are L2-only by construction
             val idx = graft.index.IvfRabitqIndex.load(spark, e.indexPath)

@@ -142,6 +142,11 @@ object ProductQuantizer {
     B.column(PqDecode(B.expression(codes), cb))
   def lutCol(qvec: Column, cb: PqCodebooks): Column =
     B.column(PqLut(B.expression(qvec), cb))
+  /** Inner-product LUT over (RAW query, probed list id) — see PqOps.lutIp. */
+  def lutIpCol(qvec: Column, listId: Column, cb: PqCodebooks,
+      cs: graft.expr.CentroidSet): Column =
+    B.column(graft.expr.PqLutIp(B.expression(qvec),
+      B.expression(listId.cast("int")), cb, cs))
   def adcCol(lut: Column, codes: Column, cb: PqCodebooks): Column =
     adcCol(lut, codes, cb.nCenters)
   def adcCol(lut: Column, codes: Column, nCenters: Int): Column =

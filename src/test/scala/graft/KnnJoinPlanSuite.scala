@@ -262,6 +262,44 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       "vec_id", "embedding").save(p))
   }
 
+  test("an IP-BUILT PQ layout routes an InnerProduct join; an L2 build refuses it") {
+    // ivf_pq.hpp:47-205: the reference builds IVF-PQ over the generic
+    // metric enum. An IP-built layout (max-dot coarse cells, IP-LUT ADC)
+    // must route an IP node exactly (full probes + depth n); the SAME
+    // node over an L2-BUILT layout must refuse — L2-residual candidate
+    // ranking has no relation to dot products.
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val ipPath = java.nio.file.Files.createTempDirectory("knnpqip").toString
+    graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+        metric = Metric.InnerProduct), "vec_id", "embedding").save(ipPath)
+    val n = emb.count().toInt
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.InnerProduct,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    graft.plans.GraftIndexCatalog.register(dataPath, ipPath, nProbes = 8, kCoarse = n)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.InnerProduct,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, ipPath),
+        "IP-built PQ layout should route the IP join")
+      assert(routed.exceptAll(exact).count() == 0 && exact.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    val l2Path = java.nio.file.Files.createTempDirectory("knnpql2").toString
+    graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8),
+      "vec_id", "embedding").save(l2Path)
+    graft.plans.GraftIndexCatalog.register(dataPath, l2Path, nProbes = 8, kCoarse = n)
+    try withIndexGateOff {
+      val refused = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.InnerProduct,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(refused, l2Path),
+        "an IP node over an L2-built PQ layout must fall back to brute")
+      assert(refused.exceptAll(exact).count() == 0 && exact.exceptAll(refused).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("a compressed layout refuses a non-L2 node metric (exact brute fallback)") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"

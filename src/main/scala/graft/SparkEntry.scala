@@ -589,6 +589,36 @@ object SparkEntry {
     }
   }
 
+  /** The TIERED layout (tiered_index.hpp:59-136 — the streaming-ingest
+    * lifecycle: immutable ANN tier + append-only exact delta) routed from
+    * the planner: the index is built over 80% of the relation, the other
+    * 20% extended into the delta tier, then saved and registered on the
+    * FULL table. Candidates = full-probe base search ∪ exact delta scan,
+    * merged per query (knn_merge_parts) — exact distances on both tiers,
+    * so the route finishes directly and the exact kNN oracle gates the
+    * whole save→register→route→merge pipeline with a NON-EMPTY delta;
+    * `index_routed` is earned structurally (the base tier's list scan). */
+  private def knnJoinIndexedTieredQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"tieredSaved:$dir") { p =>
+      graft.stream.TieredIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+          graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10),
+          idCol = "vec_id", vecCol = "embedding")
+        .extend(emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+        .save(p)
+    }
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = 30) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .localCheckpoint()
+    }
+  }
+
   /** The compressed route under an INNER-PRODUCT contract — the embedding
     * users' common case. The reference's IVF-PQ builds over the generic
     * metric enum including InnerProduct (ivf_pq.hpp:47-205: coarse
@@ -1306,6 +1336,7 @@ object SparkEntry {
     "knn_join_indexed_pq_ip" -> (knnJoinIndexedPqIpQuery(_, _)),
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
+    "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
     "sql_knn_join_filtered_indexed" -> (sqlKnnJoinFilteredIndexedQuery(_, _)),
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
@@ -1362,6 +1393,7 @@ object SparkEntry {
     "knn_join_indexed_pq_ip" -> knnJoinIndexedIpOracle,
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
+    "knn_join_indexed_tiered" -> knnJoinIndexedOracle,
     "sql_knn_join_filtered_indexed" -> sqlKnnJoinFilteredIndexedOracle,
     "ivf_flat_search" -> knnOracle(Metric.L2),
     "ivf_pq_search_refine" -> knnOracle(Metric.L2),

@@ -353,6 +353,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     if (exists("hnsw_meta")) Some("hnsw")
+    else if (exists("tiered_meta")) Some("tiered")
     else if (exists("lists")) Some("ivf")
     else if (exists("pq_lists")) Some("ivf_pq")
     else if (exists("pqcl_lists")) Some("ivf_pqcl")
@@ -537,6 +538,17 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             if (!rankCompatible(idx.metric, metric)) None
             else Some((idx.search(queries, depth,
               resolveProbes(e, base, idx.centroids.k, depth)), idx.metric, true))
+          case "tiered" =>
+            // the streaming-ingest lifecycle layout (tiered_index.hpp:
+            // 59-136): candidates = probe-pruned ANN-tier search ∪ exact
+            // scan of the (small) delta tier, merged per query — both
+            // tiers carry EXACT raw-vector distances, so the route
+            // finishes directly like IVF-Flat. The registration contract
+            // covers the pair: base + delta must equal the relation.
+            val idx = graft.stream.TieredIndex.load(spark, e.indexPath)
+            if (!rankCompatible(idx.metric, metric)) None
+            else Some((idx.search(queries, depth,
+              resolveProbes(e, base, idx.base.centroids.k, depth)), idx.metric, true))
           case "ivf_sq" =>
             // decoded int8 scored under the index's own metric —
             // quantization noise makes the dists estimates, not exact

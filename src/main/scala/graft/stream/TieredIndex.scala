@@ -55,6 +55,29 @@ class TieredIndex private (
   /** Compact automatically once the delta tier crosses minAnnRows. */
   def maybeCompact(): TieredIndex =
     if (deltaRows >= minAnnRows) compact() else this
+
+  /** Persist as a layout the kNN-join planner can route
+    * (tiered_index.hpp:59-136 as a directory): the ANN tier is a full
+    * IVF-Flat layout under `tiered_base/` (own sidecars), the delta an
+    * (id, vec) parquet, plus the planner sidecars at top level — the
+    * TOTAL population (base + delta) and the base tier's measured recall
+    * curve (the ANN tier governs the probe/recall relation; the delta is
+    * scanned exactly regardless of probes). */
+  def save(path: String): Unit = {
+    val spark = delta.sparkSession
+    base.save(s"$path/tiered_base")
+    delta.select(col("id").cast("long"), col("vec"))
+      .write.mode("overwrite").parquet(s"$path/delta")
+    import spark.implicits._
+    Seq((minAnnRows, metric.name)).toDF("min_ann_rows", "metric")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/tiered_meta")
+    val baseRows = IvfFlatIndex.loadMeta(spark, s"$path/tiered_base").getOrElse(0L)
+    IvfFlatIndex.saveMeta(spark, path, baseRows + delta.count())
+    IvfFlatIndex.loadRecallCurve(spark, s"$path/tiered_base").foreach { curve =>
+      curve.toDF("probes", "recall")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/recall_curve")
+    }
+  }
 }
 
 object TieredIndex {
@@ -65,5 +88,12 @@ object TieredIndex {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .filter(lit(false))
     new TieredIndex(base, emptyDelta, minAnnRows, params.metric)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): TieredIndex = {
+    val meta = spark.read.parquet(s"$path/tiered_meta").head()
+    val base = IvfFlatIndex.load(spark, s"$path/tiered_base")
+    new TieredIndex(base, spark.read.parquet(s"$path/delta"),
+      meta.getAs[Long]("min_ann_rows"), Metric.fromName(meta.getAs[String]("metric")))
   }
 }

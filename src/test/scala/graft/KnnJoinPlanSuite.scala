@@ -694,6 +694,36 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("a saved TIERED layout routes the join: pruned base ∪ exact delta, exactly") {
+    // tiered_index.hpp:59-136: the streaming-ingest lifecycle as a
+    // registerable layout. Base tier = 80% of the relation, delta = the
+    // other 20% (NON-empty — the merge across tiers is the point); at
+    // full probes both tiers carry exact distances, so the direct-finish
+    // route must equal exact brute over the full table.
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knntiered").toString
+    graft.stream.TieredIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5),
+        idCol = "vec_id", vecCol = "embedding")
+      .extend(emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+      .save(idxPath)
+    // population sidecar covers BOTH tiers
+    assert(graft.index.IvfFlatIndex.loadMeta(spark, idxPath).contains(emb.count()))
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
+        "tiered layout should route the join through the saved base tier")
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(routed.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("route markers are per node: a mixed two-node frame earns no bit") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   *     single sample. The `value`/`queries` totals keep their single-pass
   *     meaning.
   *
+  * A fixed-work host-calibration probe runs after warm-up and after the
+  * median pass (`BENCHC` lines, `calib_start_sec`/`calib_end_sec`, and a
+  * `calib` pair on the final line) — constant work whose wall time tracks
+  * the host's session band, the instrument for normalizing
+  * round-over-round medians.
+  *
   * Every per-query and per-artifact timing is printed ON ITS OWN LINE
   * (`BENCHQ`/`BENCHA` prefixed JSON) as it completes, so a bounded tail
   * capture of stdout never loses early queries; the final single-line
@@ -56,6 +62,33 @@ object Bench {
         org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("id"))))
         .join(broadcast(wq), col("id") === col("qid"), "left").count()
     } catch { case _: Throwable => () }
+    // Fixed-work host-calibration probe (run after warm-up and again
+    // after the median pass): a deterministic single-threaded CPU loop
+    // plus one fixed-size shuffle job — CONSTANT work, so its wall time
+    // tracks the host's session band (the ~2x intra-day drift SURVEY §8
+    // documents), not the engine. Recorded as calib_start_sec /
+    // calib_end_sec; round-over-round comparison should read
+    // median / mean(calib) as the host-normalized signal instead of
+    // attributing host weather to code.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 300000000L) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L + i; i += 1
+      }
+      if (acc == 42L) println("BENCHW calibration sentinel") // defeat DCE
+      import org.apache.spark.sql.functions.{col, pmod}
+      spark.range(2000000L).toDF("v")
+        .repartition(8, pmod(col("v"), org.apache.spark.sql.functions.lit(64)))
+        .groupBy(pmod(col("v"), org.apache.spark.sql.functions.lit(97)))
+        .count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // discarded warm-up: the probe itself must not be charged
+                // one-time JIT/codegen/exchange setup, only host speed
+    val calibStart = calibrate()
+    println(s"""BENCHC {"calib_start_sec":$calibStart}""")
+
     // optional comma-separated subset for local iteration; default = all
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -137,6 +170,8 @@ object Bench {
         name -> med
     }
     val medianTotal = medians.map(_._2).sum
+    val calibEnd = calibrate()
+    println(s"""BENCHC {"calib_end_sec":$calibEnd}""")
     // the streaming_* group is dominated by fixed micro-batch machinery
     // (checkpoint dirs, staged files, per-batch state-store passes), not
     // plans — reported separately so the BATCH total stays comparable
@@ -154,6 +189,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"errors":$e,""" +
         s""""streaming_sec":$streamingSec,"batch_sec":$batchSec,""" +
         s""""medians":$m,"median_total":$medianTotal,"median_runs":$medianRuns,""" +
+        s""""calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,""" +
         s""""artifact_build_sec":$a,"build_total":$buildTotal,""" +
         s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     }
@@ -168,6 +204,7 @@ object Bench {
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""streaming_sec":${r3(streamingSec)},"batch_sec":${r3(batchSec)},""" +
       s""""median_total":${r3(medianTotal)},""" +
+      s""""calib":[${r3(calibStart)},${r3(calibEnd)}],""" +
       s""""n_queries":${timed.size},"n_errors":${errs.size},""" +
       s""""build_total":${r3(buildTotal)},"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}""")
     spark.stop()

@@ -1,0 +1,70 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Metric
+import graft.ops.BruteForceKnn
+
+/** Measured reorder-depth calibration for the PQ-coded layouts — the
+  * displacement analog of the per-index recall curve: at build time (the
+  * raw dataset is only available then; the saved layout stores codes),
+  * hold out a seeded query sample, rank the WHOLE corpus by the code
+  * estimator at full probes, and record the worst rank at which a TRUE
+  * top-k neighbor appears. A reorder depth at or past that displacement
+  * makes the refine re-rank exact on the sample — the measured form of
+  * the refine recall-recovery discipline (refine.hpp:26-68), replacing a
+  * fixed 4k margin guess with this index's own quantization noise. The
+  * planner keeps the legacy heuristic as a floor
+  * (ResolveKnnJoin.compressedDepth).
+  *
+  * Cost: one exact brute pass (nQ queries) + one full-probe code scan at
+  * build — O(build)'s own order, never paid at search time. Disable with
+  * `spark.graft.index.depthHint.enabled=false`.
+  */
+private[graft] object DepthHint {
+
+  /** (measuredK, worst displacement) — displacement capped at `cap` when
+    * some true neighbor never surfaced in the top-`cap` code ranking
+    * (the honest "needs at least the cap" answer). None on an empty
+    * sample. `search` is the layout's own (queries, depth, nProbes) =>
+    * ranked frame. */
+  def measure(search: (DataFrame, Int, Int) => DataFrame, nLists: Int,
+      dataset: DataFrame, metric: Metric, idCol: String, vecCol: String,
+      k: Int = 10, nQueries: Int = 32, cap: Int = 4096,
+      seed: Long = 42): Option[(Int, Int)] = {
+    val q = dataset
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(nQueries)
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+      .transform(graft.core.Frames.materialize(_))
+    try {
+      if (q.isEmpty) None
+      else {
+        val exact = BruteForceKnn
+          .knnJoin(dataset, q, k, metric, idCol, vecCol)
+          .select(col("qid"), col("nbr_id")).localCheckpoint()
+        val ranked = search(q, cap, nLists).select(col("qid"), col("nbr_id"), col("rank"))
+        val hit = ranked.join(exact, Seq("qid", "nbr_id"))
+          .agg(count(lit(1)).as("n"), max(col("rank")).as("worst")).head()
+        val disp =
+          if (hit.getLong(0) < exact.count()) cap else hit.getAs[Int]("worst")
+        Some((k, disp))
+      }
+    } finally q.unpersist()
+  }
+
+  def save(spark: SparkSession, path: String, hint: (Int, Int)): Unit = {
+    import spark.implicits._
+    Seq(hint).toDF("k", "displacement")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/depth_meta")
+  }
+
+  def load(spark: SparkSession, path: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path, "depth_meta")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
+    else spark.read.parquet(p.toString).collect().headOption
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("displacement")))
+  }
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.index.depthHint.enabled", "true").toBoolean
+}

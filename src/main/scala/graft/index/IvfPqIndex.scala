@@ -33,7 +33,10 @@ class IvfPqIndex(
     val centroids: CentroidSet,
     val codebooks: PqCodebooks,
     val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
-    val metric: Metric) extends Serializable {
+    val metric: Metric,
+    // (measured k, worst ADC displacement of a true top-k neighbor) —
+    // build-time calibration of the reorder depth (see DepthHint)
+    val depthHint: Option[(Int, Int)] = None) extends Serializable {
 
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
@@ -111,6 +114,7 @@ class IvfPqIndex(
       .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     IvfFlatIndex.saveMeta(spark, path, lists.count())
+    depthHint.foreach(DepthHint.save(spark, path, _))
   }
 }
 
@@ -237,7 +241,7 @@ object IvfPqIndex {
         books, (r.getAs[Int]("s") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
     }
     new IvfPqIndex(centroids, PqCodebooks(books, pqDim, nCenters, subLen),
-      spark.read.parquet(s"$path/pq_lists"), metric)
+      spark.read.parquet(s"$path/pq_lists"), metric, DepthHint.load(spark, path))
   }
 
   def build(dataset: DataFrame, params: Params,
@@ -258,7 +262,14 @@ object IvfPqIndex {
       .select(col("list_id"), col("id"),
         ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
+    val idx = new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
+    // reorder-depth calibration while the raw dataset is still at hand
+    // (the saved layout stores only codes) — see DepthHint
+    if (DepthHint.enabled(dataset.sparkSession))
+      new IvfPqIndex(ivf.centroids, cb, lists, params.metric,
+        DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
+          dataset, params.metric, idCol, vecCol))
+    else idx
   }
 
   /** PER_CLUSTER build: one codebook per list, trained on the list's own

@@ -29,7 +29,9 @@ class ScannIndex(
     val centroids: CentroidSet,
     val codebooks: PqCodebooks,
     val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
-    val metric: Metric) extends Serializable {
+    val metric: Metric,
+    // build-time reorder-depth calibration — see DepthHint
+    val depthHint: Option[(Int, Int)] = None) extends Serializable {
 
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
@@ -108,6 +110,7 @@ class ScannIndex(
       .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     IvfFlatIndex.saveMeta(spark, path, lists.count())
+    depthHint.foreach(DepthHint.save(spark, path, _))
   }
 }
 
@@ -126,7 +129,7 @@ object ScannIndex {
         books, (r.getAs[Int]("s") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
     }
     new ScannIndex(centroids, PqCodebooks(books, pqDim, nCenters, subLen),
-      spark.read.parquet(s"$path/scann_lists"), metric)
+      spark.read.parquet(s"$path/scann_lists"), metric, DepthHint.load(spark, path))
   }
 
 
@@ -137,16 +140,20 @@ object ScannIndex {
     * 16-center ADC noise, doubled by the SOAR min-dedup over two copies
     * per id, caps recall well below the 8-bit estimator at any probe
     * count (measured 0.863 vs 0.93+ at full probes, kCoarse=n/10). */
+  /** `metric` extends the generic-enum build surface to InnerProduct —
+    * ScaNN's native regime (anisotropic quantization targets MIPS):
+    * coarse cells assigned by max dot, searched via the IP LUT. */
   case class Params(nLeaves: Int = 1000, nIters: Int = 20, trainFraction: Double = 0.5,
       soarLambda: Double = 1.0, soarCandidates: Int = 4,
-      pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, balanced: Boolean = false)
+      pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, balanced: Boolean = false,
+      metric: Metric = Metric.L2)
 
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): ScannIndex = {
     val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
       IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed,
-        balanced = params.balanced), idCol, vecCol))
+        metric = params.metric, balanced = params.balanced), idCol, vecCol))
     val cs = ivf.centroids
 
     def res(vec: Column, listId: Column): Column =
@@ -205,6 +212,11 @@ object ScannIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     lists.count() // materialize before releasing the shared assignment frame
     graft.core.Frames.release(d)
-    new ScannIndex(cs, cb, lists, Metric.L2)
+    val idx = new ScannIndex(cs, cb, lists, params.metric)
+    if (DepthHint.enabled(dataset.sparkSession))
+      new ScannIndex(cs, cb, lists, params.metric,
+        DepthHint.measure(idx.search(_, _, _), cs.k,
+          dataset, params.metric, idCol, vecCol))
+    else idx
   }
 }

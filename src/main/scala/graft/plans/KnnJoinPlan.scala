@@ -133,6 +133,13 @@ object GraftIndexCatalog {
     if (sidecarCurveMemo.size >= probeCacheCap) sidecarCurveMemo.clear()
     sidecarCurveMemo.getOrElseUpdate(normalize(indexPath), read)
   }
+  private val sidecarDepthMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(Int, Int)]]
+  private[plans] def cachedSidecarDepth(indexPath: String)(
+      read: => Option[(Int, Int)]): Option[(Int, Int)] = {
+    if (sidecarDepthMemo.size >= probeCacheCap) sidecarDepthMemo.clear()
+    sidecarDepthMemo.getOrElseUpdate(normalize(indexPath), read)
+  }
 
   // test hooks: pin that the sidecar path leaves the count memo untouched
   // and that filter-count memo keys carry content identity
@@ -145,6 +152,7 @@ object GraftIndexCatalog {
     statOutcomes.clear()
     sidecarRowsMemo.clear()
     sidecarCurveMemo.clear()
+    sidecarDepthMemo.clear()
   }
 
   /** Route taken by each KnnJoinPlan rewrite, keyed by the NODE's output
@@ -271,6 +279,22 @@ object ResolveKnnJoin {
       }
     val coverK = math.ceil(3.0 * kCoarse * nLists / math.max(nRows, 1L).toDouble).toInt
     math.min(nLists, math.max(1, math.max(fromCurve, coverK)))
+  }
+
+  /** Default reorder depth for a code-compressed route: the layout's
+    * MEASURED worst ADC displacement (DepthHint sidecar, written at build
+    * time: the deepest rank at which a true top-k neighbor appeared in
+    * the full-probe code ranking of a held-out sample) plus a k margin,
+    * scaled linearly when the requested k differs from the measured one,
+    * with the legacy 4k/k+30 heuristic as the floor. No sidecar (legacy
+    * layout, or measurement disabled at build) → the heuristic alone. */
+  def compressedDepth(k: Int, hint: Option[(Int, Int)]): Int = {
+    val heuristic = math.max(4 * k, k + 30)
+    hint match {
+      case Some((mk, disp)) if mk > 0 && disp > 0 =>
+        math.max(heuristic, math.ceil(disp.toDouble * k / mk).toInt + k)
+      case _ => heuristic
+    }
   }
 }
 
@@ -441,8 +465,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         if (e.kCoarse > 0) e.kCoarse
         // the compressed-code estimators (ADC / decoded int8) rank with
         // quantization noise, so their default reorder depth carries more
-        // margin (the reference's refine recall-recovery discipline)
-        else if (compressed) math.max(4 * kj.k, kj.k + 30)
+        // margin (the reference's refine recall-recovery discipline) —
+        // calibrated by the layout's measured displacement sidecar when
+        // one exists (ResolveKnnJoin.compressedDepth)
+        else if (compressed)
+          ResolveKnnJoin.compressedDepth(kj.k,
+            GraftIndexCatalog.cachedSidecarDepth(e.indexPath) {
+              graft.index.DepthHint.load(spark, e.indexPath)
+            })
         else math.max(2 * kj.k, kj.k + 10)
 
       /** Registered-population row count: the layout's `meta` sidecar by

@@ -163,16 +163,20 @@ object ScaleSmoke {
       // brute fallback — this phase measures the routes themselves
       val qf = fdata.filter(col("id") % math.max(1L, n / 200) === 0)
         .select(col("id").as("qid"), col("vec").as("qvec"))
-      // nProbes = 0: the recall-target auto mode must pick ~14/128 lists
-      // (the measured 0.95 relation), not the legacy half
+      // nProbes = 0: the recall-target auto mode inverts the curve the
+      // save just MEASURED on this index (recall_curve sidecar) — the
+      // smallest measured probe point meeting 0.95 — not a fixture
       graft.plans.GraftIndexCatalog.register(dataPath, idxPath)
       try {
         val routed = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec")
         time("knn_join_indexed_auto")(routed.count())
+        val curve = graft.index.IvfFlatIndex.loadRecallCurve(spark, idxPath)
         println(s"SCALE   index_routed=" +
           graft.plans.IndexRoute.routedThrough(routed, idxPath) +
+          s" measuredCurve=${curve.getOrElse(Seq.empty).mkString(",")}" +
           s" autoProbes(0.95,128,$n,30)=" +
-          graft.plans.ResolveKnnJoin.autoProbes(0.95, 128, n, 30))
+          graft.plans.ResolveKnnJoin.autoProbes(0.95, 128, n, 30,
+            curve.getOrElse(graft.plans.ResolveKnnJoin.fixtureCurve), curve.isDefined))
         time("knn_join_brute_baseline") {
           graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec").count()
         }
@@ -202,7 +206,50 @@ object ScaleSmoke {
         time("knn_join_filtered_deny_brute") {
           graft.ops.BruteForceKnn.knnJoin(denied, qf, 10, Metric.L2, "id", "vec").count()
         }
-      } finally {
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+      // TIERED route at scale (tiered_index.hpp:59-136): a 90/10
+      // base+delta layout registered on the same relation — candidates =
+      // probe-pruned base search ∪ exact delta scan, direct finish; the
+      // brute baseline above is the number this must beat
+      val tieredPath = s"$dir/idx_tiered"
+      time("knnplan_tiered_build_save") {
+        graft.stream.TieredIndex.build(fdata.filter(col("id") % 10L =!= 0L),
+            graft.index.IvfFlatIndex.Params(nLists = 128, nIters = 5),
+            idCol = "id", vecCol = "vec")
+          .extend(fdata.filter(col("id") % 10L === 0L), "id", "vec")
+          .save(tieredPath)
+      }
+      graft.plans.GraftIndexCatalog.register(dataPath, tieredPath)
+      try {
+        val routedT = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10,
+          Metric.L2, "id", "vec")
+        time("knn_join_indexed_tiered_auto")(routedT.count())
+        println(s"SCALE   tiered index_routed=" +
+          graft.plans.IndexRoute.routedThrough(routedT, tieredPath))
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+      // IP-PQ route at scale: the compressed layout under the metric
+      // embedding corpora actually use; reorder depth comes from the
+      // displacement sidecar the build just measured (compressedDepth)
+      val ipPath = s"$dir/idx_pq_ip"
+      time("knnplan_pq_ip_build_save") {
+        graft.index.IvfPqIndex.build(fdata,
+          graft.index.IvfPqIndex.Params(nLists = 128, nIters = 5, pqDim = 8,
+            pqBits = 8, metric = Metric.InnerProduct), "id", "vec").save(ipPath)
+      }
+      graft.plans.GraftIndexCatalog.register(dataPath, ipPath)
+      try {
+        val routedIp = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10,
+          Metric.InnerProduct, "id", "vec")
+        time("knn_join_indexed_pq_ip")(routedIp.count())
+        println(s"SCALE   pq_ip index_routed=" +
+          graft.plans.IndexRoute.routedThrough(routedIp, ipPath) +
+          s" depthHint=" + graft.index.DepthHint.load(spark, ipPath))
+        time("knn_join_brute_ip_baseline") {
+          graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10,
+            Metric.InnerProduct, "id", "vec").count()
+        }
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+      locally {
         graft.plans.GraftIndexCatalog.unregister(dataPath)
         val root = java.nio.file.Paths.get(dir)
         val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())

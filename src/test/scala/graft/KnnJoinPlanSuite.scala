@@ -724,6 +724,26 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("measured ADC displacement calibrates the compressed reorder depth") {
+    import graft.plans.ResolveKnnJoin.compressedDepth
+    // legacy heuristic is the floor; the measured displacement widens past
+    // it (plus a k margin), scaled linearly for a different requested k
+    assert(compressedDepth(10, None) == 40)
+    assert(compressedDepth(10, Some((10, 25))) == 40)
+    assert(compressedDepth(10, Some((10, 200))) == 210)
+    assert(compressedDepth(5, Some((10, 200))) == 105)
+    // a PQ build measures the hint on its own data and save/load round-trips it
+    val idxPath = java.nio.file.Files.createTempDirectory("knndepth").toString
+    val built = graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8),
+      "vec_id", "embedding")
+    assert(built.depthHint.isDefined, "build should measure a depth hint by default")
+    val (mk, disp) = built.depthHint.get
+    assert(mk == 10 && disp >= 10, s"hint ($mk, $disp)")
+    built.save(idxPath)
+    assert(graft.index.IvfPqIndex.load(spark, idxPath).depthHint == built.depthHint)
+  }
+
   test("route markers are per node: a mixed two-node frame earns no bit") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"

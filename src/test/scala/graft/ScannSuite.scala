@@ -51,6 +51,28 @@ class ScannSuite extends SparkFunSuite {
     assert(recall(got) == 1.0)
   }
 
+  test("InnerProduct build: full probes + reorder is exact under the IP ordering") {
+    // ScaNN's native regime (anisotropic quantization targets MIPS): cells
+    // assigned by max dot, IP-LUT ADC candidates (larger-is-closer, SOAR
+    // pair keeps the larger estimate), exact IP refine
+    val idx = ScannIndex.build(emb,
+      ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8,
+        metric = Metric.InnerProduct), "vec_id", "embedding")
+    assert(idx.metric == Metric.InnerProduct)
+    val got = idx.searchWithRefine(queries, emb, 10, nProbes = 16, kCoarse = 100,
+      "vec_id", "embedding")
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.InnerProduct,
+      "vec_id", "embedding").select(col("qid"), col("nbr_id"))
+    val matched = got.select(col("qid"), col("nbr_id")).intersect(exact).count()
+    assert(matched == exact.count(), s"IP recall ${matched.toDouble / exact.count()}")
+    // metric + depth hint survive the save/load roundtrip
+    val dir = java.nio.file.Files.createTempDirectory("scann_ip").toString
+    idx.save(dir)
+    val loaded = ScannIndex.load(spark, dir)
+    assert(loaded.metric == Metric.InnerProduct)
+    assert(loaded.depthHint == idx.depthHint && idx.depthHint.isDefined)
+  }
+
   test("save/load roundtrip searches identically (scann + ivf_sq)") {
     val idx = ScannIndex.build(emb,
       ScannIndex.Params(nLeaves = 8, nIters = 5, pqBits = 4), "vec_id", "embedding")

@@ -15,15 +15,29 @@ import graft.functions.vector_distance
   */
 object Refine {
 
-  /** candidates: (qid, id); returns (qid, nbr_id, rank, dist). */
+  /** candidates: (qid, id); returns (qid, nbr_id, rank, dist).
+    *
+    * `broadcastCandidates` pins the candidate⋈dataset join to a broadcast
+    * of the CANDIDATE side. Without the hint Catalyst sees an aggregated
+    * frame of unknown size and plans a sort-merge join — a full shuffle
+    * WRITE of the dataset on id, which at 100 TB is the step that erases
+    * the index route's probe-pruning win (AQE's runtime conversion still
+    * pays the map-side write of the big relation before it can flip the
+    * strategy). Callers set it when they can BOUND the candidate side —
+    * the kNN-join planner does for depths where q·depth·16 B sits within
+    * the same broadcast budget as the query side the engine already
+    * broadcasts everywhere. Default false: an unbounded caller (e.g. a
+    * gate refining at kCoarse = n/3) must not OOM the driver. */
   def refine(candidates: DataFrame, dataset: DataFrame, queries: DataFrame,
       k: Int, metric: Metric = Metric.L2Sqrt,
       idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      broadcastCandidates: Boolean = false): DataFrame = {
     val d = dataset.select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nvec"))
     val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"))
     val cand = candidates.select(col("qid").cast("long").as("qid"), col("id").cast("long").as("_nid"))
-    val pairs = cand
+    val candSide = if (broadcastCandidates) broadcast(cand) else cand
+    val pairs = candSide
       .join(d, "_nid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("_nid"),

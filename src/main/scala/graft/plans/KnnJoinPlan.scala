@@ -697,9 +697,19 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
                 BruteForceKnn.knnFromDistances(allowed, kj.k,
                   minClose = Metric.isMinClose(metric))
-              } else
+              } else {
+                // pin the refine join's build side: candidates are
+                // q·depth·16 B — within the same broadcast budget class
+                // as the query side every route already broadcasts when
+                // the depth is moderate; past the per-query byte budget
+                // (e.g. a displacement-capped depth 4096) leave the
+                // strategy to Catalyst/AQE rather than risk the driver
+                val bcastCand = depth.toLong * 16L <= spark.conf.get(
+                  "spark.graft.refine.maxBroadcastBytesPerQuery", "8192").toLong
                 graft.ops.Refine.refine(cand.select(col("qid"), col("nbr_id").as("id")),
-                  data, queries, kj.k, metric, kj.idCol, kj.vecCol)
+                  data, queries, kj.k, metric, kj.idCol, kj.vecCol,
+                  broadcastCandidates = bcastCand)
+              }
             }
           }
         }

@@ -236,6 +236,13 @@ class KnnJoinPlanSuite extends SparkFunSuite {
         "vec_id", "embedding")
       assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
         s"$tag layout should route the join through the saved index")
+      // the refine join's build side is the BOUNDED candidate list — a
+      // sort-merge fallback here would shuffle-write the whole relation
+      // on id at scale, erasing the probe-pruning win
+      val physical = routed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!physical.contains("SortMergeJoin"),
+        s"$tag refine must broadcast the bounded candidate side:\n$physical")
       val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2,
         "vec_id", "embedding")
         .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
@@ -708,8 +715,10 @@ class KnnJoinPlanSuite extends SparkFunSuite {
         idCol = "vec_id", vecCol = "embedding")
       .extend(emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
       .save(idxPath)
-    // population sidecar covers BOTH tiers
+    // population sidecar covers BOTH tiers; the base tier's measured
+    // recall curve is copied to the top level for auto-probe mode
     assert(graft.index.IvfFlatIndex.loadMeta(spark, idxPath).contains(emb.count()))
+    assert(graft.index.IvfFlatIndex.loadRecallCurve(spark, idxPath).isDefined)
     graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
     try withIndexGateOff {
       val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,

@@ -253,6 +253,37 @@ object PqClusterOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Inner-product LUT over the list's OWN codebook — the PER_CLUSTER
+    * twin of PqOps.lutIp: entries = q_s·cb_list[c] plus an equal share of
+    * the per-(query, list) constant q·c_list, so the shared code-indexed
+    * ADC sum yields the full estimated dot product (larger is closer). */
+  def lutIp(ccb: ClusterCodebooks, cs: CentroidSet, listId: Int,
+      qvec: ArrayData): ArrayData = {
+    val cBase = listId * cs.dim
+    var qc = 0.0
+    var j0 = 0
+    while (j0 < cs.dim) { qc += qvec.getFloat(j0).toDouble * cs.flat(cBase + j0); j0 += 1 }
+    val share = qc / ccb.pqDim
+    val base = listId * ccb.nCenters * ccb.subLen
+    val out = new Array[Double](ccb.pqDim * ccb.nCenters)
+    var s = 0
+    while (s < ccb.pqDim) {
+      var c = 0
+      while (c < ccb.nCenters) {
+        val off = base + c * ccb.subLen
+        var d = 0.0; var j = 0
+        while (j < ccb.subLen) {
+          d += qvec.getFloat(s * ccb.subLen + j).toDouble * ccb.flat(off + j)
+          j += 1
+        }
+        out(s * ccb.nCenters + c) = d + share
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class PqEncodeByList(left: Expression, right: Expression, ccb: ClusterCodebooks)
@@ -281,6 +312,7 @@ case class PqDecodeByList(left: Expression, right: Expression, ccb: ClusterCodeb
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+
 }
 
 case class PqLutByList(left: Expression, right: Expression, ccb: ClusterCodebooks)
@@ -292,6 +324,27 @@ case class PqLutByList(left: Expression, right: Expression, ccb: ClusterCodebook
     val ref = ctx.addReferenceObj("clusterCodebooks", ccb, classOf[ClusterCodebooks].getName)
     nullSafeCodeGen(ctx, ev, (v, l) =>
       s"${ev.value} = graft.expr.PqClusterOps.lut($ref, $l, $v);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Inner-product per-list ADC LUT over (RAW query, probed list id) — see
+  * PqClusterOps.lutIp. */
+case class PqLutIpByList(left: Expression, right: Expression,
+    ccb: ClusterCodebooks, cs: CentroidSet) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected (array<float>, int), got $o")
+  }
+  override def nullSafeEval(q: Any, lid: Any): Any =
+    PqClusterOps.lutIp(ccb, cs, lid.asInstanceOf[Int], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ccbRef = ctx.addReferenceObj("clusterCodebooks", ccb, classOf[ClusterCodebooks].getName)
+    val csRef = ctx.addReferenceObj("centroidSet", cs, classOf[CentroidSet].getName)
+    nullSafeCodeGen(ctx, ev, (q, lid) =>
+      s"${ev.value} = graft.expr.PqClusterOps.lutIp($ccbRef, $csRef, $lid, $q);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

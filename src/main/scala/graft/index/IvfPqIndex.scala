@@ -132,13 +132,20 @@ class IvfPqClusterIndex(
     val centroids: CentroidSet,
     val codebooks: ClusterCodebooks,
     val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
-    val metric: Metric) extends Serializable {
+    val metric: Metric,
+    // build-time reorder-depth calibration — see DepthHint
+    val depthHint: Option[(Int, Int)] = None) extends Serializable {
 
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
 
+  /** Same metric contract as IvfPqIndex.search: L2-family builds rank by
+    * per-list residual-L2 ADC; InnerProduct builds by the per-list IP LUT
+    * (PqClusterOps.lutIp), larger-is-closer. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val ip = metric == Metric.InnerProduct
+    val scoreMetric = if (ip) Metric.InnerProduct else Metric.L2
     // Fused ADC kernel (AdcKernel), per-list LUTs: same gate and same
     // bufK = k economics as the per-subspace index (each id lives in
     // exactly one list).
@@ -151,10 +158,12 @@ class IvfPqClusterIndex(
       val ccb = codebooks
       val cs = centroids
       try return BruteForceKnn.topKPerQuery(
-        AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes", ccb.nCenters)(
-          (lid, qv) => graft.expr.PqClusterOps.lut(ccb, lid,
+        AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes",
+          ccb.nCenters, minClose = !ip)(
+          if (ip) (lid, qv) => graft.expr.PqClusterOps.lutIp(ccb, cs, lid, qv).toDoubleArray()
+          else (lid, qv) => graft.expr.PqClusterOps.lut(ccb, lid,
             graft.expr.CentroidOps.residual(cs, qv, lid)).toDoubleArray()),
-        k, Metric.L2)
+        k, scoreMetric)
       finally q.unpersist()
     }
     q.unpersist()
@@ -163,16 +172,19 @@ class IvfPqClusterIndex(
         KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
       .select(col("qid"), col("_qvec"),
         explode(col("_probes").getField("list_id")).as("list_id"))
-      .withColumn("_lut", B.column(PqLutByList(
-        B.expression(residualCol(col("_qvec"), col("list_id"))),
-        B.expression(col("list_id").cast("int")), codebooks)))
+      .withColumn("_lut",
+        if (ip) B.column(graft.expr.PqLutIpByList(B.expression(col("_qvec")),
+          B.expression(col("list_id").cast("int")), codebooks, centroids))
+        else B.column(PqLutByList(
+          B.expression(residualCol(col("_qvec"), col("list_id"))),
+          B.expression(col("list_id").cast("int")), codebooks)))
       .select(col("qid"), col("list_id"), col("_lut"))
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
         ProductQuantizer.adcCol(col("_lut"), col("pq_codes"),
           codebooks.nCenters).as("dist"))
-    BruteForceKnn.topKPerQuery(pairs, k, Metric.L2)
+    BruteForceKnn.topKPerQuery(pairs, k, scoreMetric)
   }
 
   def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
@@ -195,6 +207,7 @@ class IvfPqClusterIndex(
       .toDF("l", "c", "center", "n_lists", "n_centers", "sub_len", "pq_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cluster_codebooks")
     IvfFlatIndex.saveMeta(spark, path, lists.count())
+    depthHint.foreach(DepthHint.save(spark, path, _))
   }
 }
 
@@ -215,7 +228,7 @@ object IvfPqClusterIndex {
     }
     new IvfPqClusterIndex(centroids,
       ClusterCodebooks(flat, nLists, nCenters, subLen, pqDim),
-      spark.read.parquet(s"$path/pqcl_lists"), metric)
+      spark.read.parquet(s"$path/pqcl_lists"), metric, DepthHint.load(spark, path))
   }
 }
 
@@ -402,7 +415,12 @@ object IvfPqIndex {
             B.expression(col("list_id")), ccb)).as("pq_codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       lists.count() // materialize before the residual input unpersists
-      new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric)
+      val idx = new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric)
+      if (DepthHint.enabled(dataset.sparkSession))
+        new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric,
+          DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
+            dataset, params.metric, idCol, vecCol))
+      else idx
     } finally withRes.unpersist()
   }
 }

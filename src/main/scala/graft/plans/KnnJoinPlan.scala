@@ -592,9 +592,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               resolveProbes(e, base, idx.centroids.k, depth)), m, false))
           case "ivf_pqcl" =>
             val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
-            if (!(rankCompatible(idx.metric, metric) && l2Family(metric))) None
-            else Some((idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+            compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
+              resolveProbes(e, base, idx.centroids.k, depth)), m, false))
           case "scann" =>
             val idx = graft.index.ScannIndex.load(spark, e.indexPath)
             compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,

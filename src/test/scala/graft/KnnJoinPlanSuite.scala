@@ -305,6 +305,20 @@ class KnnJoinPlanSuite extends SparkFunSuite {
         "an IP node over an L2-built PQ layout must fall back to brute")
       assert(refused.exceptAll(exact).count() == 0 && exact.exceptAll(refused).count() == 0)
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    // the PER_CLUSTER codebook mode routes IP the same way
+    val clPath = java.nio.file.Files.createTempDirectory("knnpqclip").toString
+    graft.index.IvfPqIndex.buildPerCluster(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+        metric = Metric.InnerProduct), "vec_id", "embedding").save(clPath)
+    graft.plans.GraftIndexCatalog.register(dataPath, clPath, nProbes = 8, kCoarse = n)
+    try withIndexGateOff {
+      val routedCl = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.InnerProduct,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routedCl, clPath),
+        "IP-built PER_CLUSTER PQ layout should route the IP join")
+      assert(routedCl.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(routedCl).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
   test("a compressed layout refuses a non-L2 node metric (exact brute fallback)") {

@@ -649,6 +649,30 @@ object SparkEntry {
     }
   }
 
+  /** Same IP contract through the PER_CLUSTER codebook mode
+    * (codebook_gen::PER_CLUSTER, ivf_pq.hpp:34-45): per-list IP LUTs,
+    * same displacement-proof depth + exact refine, same max-close
+    * oracle — both codebook_gen modes are metric-generic. */
+  private def knnJoinIndexedPqclIpQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqclIpSaved:$dir") { p =>
+      memoize(spark, s"ivfpqcl_ip:$dir") { graft.index.IvfPqIndex.buildPerCluster(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8,
+          metric = Metric.InnerProduct), "vec_id", "embedding") }.save(p)
+    }
+    val kCoarse = math.max(200L, emb.count() / 3).toInt
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = kCoarse) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.InnerProduct, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .localCheckpoint()
+    }
+  }
+
   private def knnJoinIndexedIpOracle: String = {
     val distExpr = O.byMetric(Metric.InnerProduct, "q.qvec", "e.embedding")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
@@ -1334,6 +1358,7 @@ object SparkEntry {
     "knn_join_indexed" -> (knnJoinIndexedQuery(_, _)),
     "knn_join_indexed_pq" -> (knnJoinIndexedPqQuery(_, _)),
     "knn_join_indexed_pq_ip" -> (knnJoinIndexedPqIpQuery(_, _)),
+    "knn_join_indexed_pqcl_ip" -> (knnJoinIndexedPqclIpQuery(_, _)),
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
     "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
@@ -1391,6 +1416,7 @@ object SparkEntry {
     "knn_join_indexed" -> knnJoinIndexedOracle,
     "knn_join_indexed_pq" -> knnJoinIndexedOracle,
     "knn_join_indexed_pq_ip" -> knnJoinIndexedIpOracle,
+    "knn_join_indexed_pqcl_ip" -> knnJoinIndexedIpOracle,
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_indexed_tiered" -> knnJoinIndexedOracle,

@@ -39,8 +39,17 @@ private[graft] object DepthHint {
     try {
       if (q.isEmpty) None
       else {
+        // the sample queries ARE corpus rows: hold the query's own row
+        // out of the ground truth (a self-match is a trivially-ranked
+        // code hit and would shrink the measured displacement); the code
+        // ranking keeps its raw self-inclusive ranks — at most one rank
+        // high, i.e. conservative in the safe (wider-depth) direction
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("rank"))
         val exact = BruteForceKnn
-          .knnJoin(dataset, q, k, metric, idCol, vecCol)
+          .knnJoin(dataset, q, k + 1, metric, idCol, vecCol)
+          .filter(col("nbr_id") =!= col("qid"))
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
           .select(col("qid"), col("nbr_id")).localCheckpoint()
         val ranked = search(q, cap, nLists).select(col("qid"), col("nbr_id"), col("rank"))
         val hit = ranked.join(exact, Seq("qid", "nbr_id"))
@@ -67,4 +76,10 @@ private[graft] object DepthHint {
 
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.index.depthHint.enabled", "true").toBoolean
+
+  /** Only metrics the kNN-join planner can route through a compressed
+    * layout (compressedScoreMetric) can ever consume the hint — measuring
+    * e.g. a cosine build would pay the brute pass for dead weight. */
+  def routableMetric(m: Metric): Boolean =
+    m == Metric.L2 || m == Metric.L2Sqrt || m == Metric.InnerProduct
 }

@@ -297,26 +297,39 @@ object IvfFlatIndex {
     * (ann_ivf_flat.cuh:102) — against never shipping a recall target
     * calibrated on someone else's dataset. Disable with
     * `spark.graft.index.recallCurve.enabled=false`. */
+  /** The sample queries are rows OF the corpus, so every measurement
+    * HOLDS THE QUERY'S OWN ROW OUT: a self-match is a guaranteed hit in
+    * its home list at any probe count, and counting it would inflate
+    * each recall point by up to 1/k — the auto-probe inversion would
+    * then undershoot the user's target on real out-of-sample queries.
+    * Both sides search top-(k+1), drop self, keep k. */
   private[graft] def saveRecallCurve(spark: SparkSession, path: String,
       idx: IvfFlatIndex, nRows: Long, nQueries: Int = 32, k: Int = 10,
       seed: Long = 42): Unit = {
-    import org.apache.spark.sql.functions.{xxhash64, lit => flit}
-    val kk = math.min(k.toLong, math.max(1L, nRows)).toInt
+    import org.apache.spark.sql.functions.{row_number, xxhash64, lit => flit}
+    val kk = math.min(k.toLong, nRows - 1).toInt
+    if (kk < 1) return // a 1-row corpus has no non-self neighbors to measure
     val q = idx.lists
       .orderBy(xxhash64(col("id"), flit(seed)), col("id")).limit(nQueries)
       .select(col("id").as("qid"), col("vec").as("qvec"))
       .transform(graft.core.Frames.materialize(_))
     try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rank"))
+      def dropSelf(res: org.apache.spark.sql.DataFrame) = res
+        .filter(col("nbr_id") =!= col("qid"))
+        .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= kk)
+        .select(col("qid"), col("nbr_id"))
       val data = idx.lists.select(col("id"), col("vec"))
-      val exact = BruteForceKnn.knnJoin(data, q, kk, idx.metric)
-        .select(col("qid"), col("nbr_id")).localCheckpoint()
+      val exact = dropSelf(BruteForceKnn.knnJoin(data, q, kk + 1, idx.metric))
+        .localCheckpoint()
       val nQ = q.count()
+      val denom = math.max(1L, exact.count())
       val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < idx.centroids.k).toSeq :+
         idx.centroids.k
       val curve = points.map { p =>
-        val approx = idx.search(q, kk, p).select(col("qid"), col("nbr_id"))
-        val recall = graft.core.Recall.matched(approx, exact).toDouble /
-          math.max(1L, nQ * kk)
+        val approx = dropSelf(idx.search(q, kk + 1, p))
+        val recall = graft.core.Recall.matched(approx, exact).toDouble / denom
         (p, recall)
       }
       import spark.implicits._

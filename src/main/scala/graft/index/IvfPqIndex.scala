@@ -278,7 +278,7 @@ object IvfPqIndex {
     val idx = new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
     // reorder-depth calibration while the raw dataset is still at hand
     // (the saved layout stores only codes) — see DepthHint
-    if (DepthHint.enabled(dataset.sparkSession))
+    if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new IvfPqIndex(ivf.centroids, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
           dataset, params.metric, idCol, vecCol))
@@ -416,7 +416,7 @@ object IvfPqIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       lists.count() // materialize before the residual input unpersists
       val idx = new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric)
-      if (DepthHint.enabled(dataset.sparkSession))
+      if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
         new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric,
           DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
             dataset, params.metric, idCol, vecCol))

@@ -213,7 +213,7 @@ object ScannIndex {
     lists.count() // materialize before releasing the shared assignment frame
     graft.core.Frames.release(d)
     val idx = new ScannIndex(cs, cb, lists, params.metric)
-    if (DepthHint.enabled(dataset.sparkSession))
+    if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new ScannIndex(cs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), cs.k,
           dataset, params.metric, idCol, vecCol))

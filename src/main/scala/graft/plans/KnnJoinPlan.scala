@@ -180,7 +180,12 @@ object GraftIndexCatalog {
     val key = ids.sorted.mkString(",")
     route match {
       case Some(r) =>
-        if (routeMarkers.size >= markerCap) routeMarkers.clear()
+        // evict HALF, not everything: a cleared marker cannot be
+        // recomputed on read (unlike the statistic memos), so a wholesale
+        // wipe would flip earned route bits of still-live frames to
+        // false negatives; halving bounds the blast radius
+        if (routeMarkers.size >= markerCap)
+          routeMarkers.keys.take(markerCap / 2).foreach(routeMarkers.remove)
         routeMarkers.put(key, r)
       case None => routeMarkers.remove(key)
     }
@@ -285,14 +290,22 @@ object ResolveKnnJoin {
     * MEASURED worst ADC displacement (DepthHint sidecar, written at build
     * time: the deepest rank at which a true top-k neighbor appeared in
     * the full-probe code ranking of a held-out sample) plus a k margin,
-    * scaled linearly when the requested k differs from the measured one,
-    * with the legacy 4k/k+30 heuristic as the floor. No sidecar (legacy
-    * layout, or measurement disabled at build) → the heuristic alone. */
+    * with the legacy 4k/k+30 heuristic as the floor. A requested k AT OR
+    * BELOW the measured one keeps the FULL displacement — a true top-k
+    * neighbor is also a true top-measuredK neighbor, so the single
+    * most-displaced neighbor the measurement saw can sit inside the
+    * smaller top-k and down-scaling would silently drop it; only k above
+    * the measured range extrapolates (linearly — past the measured range
+    * everything is a heuristic anyway). No sidecar (legacy layout, or
+    * measurement disabled at build) → the heuristic alone. */
   def compressedDepth(k: Int, hint: Option[(Int, Int)]): Int = {
     val heuristic = math.max(4 * k, k + 30)
     hint match {
       case Some((mk, disp)) if mk > 0 && disp > 0 =>
-        math.max(heuristic, math.ceil(disp.toDouble * k / mk).toInt + k)
+        val measured =
+          if (k <= mk) disp
+          else math.ceil(disp.toDouble * k / mk).toInt
+        math.max(heuristic, measured + k)
       case _ => heuristic
     }
   }

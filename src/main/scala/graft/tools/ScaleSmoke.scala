@@ -144,6 +144,7 @@ object ScaleSmoke {
     phase("knnplan") {
       val dir = java.nio.file.Files.createTempDirectory("graft_smoke_knnplan").toString
       val dataPath = s"$dir/data.parquet"
+      try {
       time("knnplan_write_relation") {
         data.write.mode("overwrite").parquet(dataPath)
       }
@@ -249,7 +250,9 @@ object ScaleSmoke {
             Metric.InnerProduct, "id", "vec").count()
         }
       } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
-      locally {
+      } finally {
+        // phase-scoped cleanup must survive a failed leg: the 2M relation
+        // plus three index trees would otherwise orphan in /tmp
         graft.plans.GraftIndexCatalog.unregister(dataPath)
         val root = java.nio.file.Paths.get(dir)
         val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())

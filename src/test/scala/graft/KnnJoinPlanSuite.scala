@@ -750,11 +750,15 @@ class KnnJoinPlanSuite extends SparkFunSuite {
   test("measured ADC displacement calibrates the compressed reorder depth") {
     import graft.plans.ResolveKnnJoin.compressedDepth
     // legacy heuristic is the floor; the measured displacement widens past
-    // it (plus a k margin), scaled linearly for a different requested k
+    // it (plus a k margin). k <= measuredK keeps the FULL displacement —
+    // the most-displaced measured neighbor can sit inside the smaller
+    // top-k, so down-scaling would un-measure it; only k past the
+    // measured range extrapolates
     assert(compressedDepth(10, None) == 40)
     assert(compressedDepth(10, Some((10, 25))) == 40)
     assert(compressedDepth(10, Some((10, 200))) == 210)
-    assert(compressedDepth(5, Some((10, 200))) == 105)
+    assert(compressedDepth(5, Some((10, 200))) == 205)
+    assert(compressedDepth(20, Some((10, 200))) == 420)
     // a PQ build measures the hint on its own data and save/load round-trips it
     val idxPath = java.nio.file.Files.createTempDirectory("knndepth").toString
     val built = graft.index.IvfPqIndex.build(emb,

@@ -21,14 +21,20 @@ class TieredIndex private (
     val base: IvfFlatIndex,
     val delta: DataFrame, // (id long, vec array<float>)
     val minAnnRows: Long,
-    val metric: Metric) extends Serializable {
+    val metric: Metric,
+    // delta population when KNOWN WITHOUT A JOB (a freshly-loaded saved
+    // layout reads it from the meta sidecar) — the kNN-join planner
+    // constructs the search at REWRITE time, and delta.isEmpty there
+    // would run a Spark job inside the optimizer per re-optimization;
+    // None (live extend() chains) falls back to the isEmpty probe
+    private val knownDeltaRows: Option[Long] = None) extends Serializable {
 
   /** Union of ANN-tier search (nProbes pruning) and exact delta scan,
     * re-merged per query — knn_merge_parts across tiers. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val fromBase = base.search(queries, k, nProbes, qidCol, qvecCol)
-    if (delta.isEmpty) fromBase
+    if (knownDeltaRows.map(_ == 0L).getOrElse(delta.isEmpty)) fromBase
     else {
       val fromDelta = BruteForceKnn.knnJoin(delta, queries, k, metric,
         "id", "vec", qidCol, qvecCol)
@@ -69,10 +75,12 @@ class TieredIndex private (
     delta.select(col("id").cast("long"), col("vec"))
       .write.mode("overwrite").parquet(s"$path/delta")
     import spark.implicits._
-    Seq((minAnnRows, metric.name)).toDF("min_ann_rows", "metric")
+    val deltaRows = delta.count()
+    Seq((minAnnRows, metric.name, deltaRows))
+      .toDF("min_ann_rows", "metric", "delta_rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/tiered_meta")
     val baseRows = IvfFlatIndex.loadMeta(spark, s"$path/tiered_base").getOrElse(0L)
-    IvfFlatIndex.saveMeta(spark, path, baseRows + delta.count())
+    IvfFlatIndex.saveMeta(spark, path, baseRows + deltaRows)
     IvfFlatIndex.loadRecallCurve(spark, s"$path/tiered_base").foreach { curve =>
       curve.toDF("probes", "recall")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/recall_curve")
@@ -93,7 +101,13 @@ object TieredIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): TieredIndex = {
     val meta = spark.read.parquet(s"$path/tiered_meta").head()
     val base = IvfFlatIndex.load(spark, s"$path/tiered_base")
+    // legacy saves predate the delta_rows column — fall back to the probe
+    val deltaRows =
+      if (meta.schema.fieldNames.contains("delta_rows"))
+        Some(meta.getAs[Long]("delta_rows"))
+      else None
     new TieredIndex(base, spark.read.parquet(s"$path/delta"),
-      meta.getAs[Long]("min_ann_rows"), Metric.fromName(meta.getAs[String]("metric")))
+      meta.getAs[Long]("min_ann_rows"), Metric.fromName(meta.getAs[String]("metric")),
+      deltaRows)
   }
 }

@@ -27,7 +27,12 @@ object Hnsw {
   case class Params(m: Int = 16, seed: Long = 42, metric: Metric = Metric.L2)
 
   case class Index(levels: DataFrame, edges: DataFrame, maxLevel: Int, entryPoint: Long,
-      params: Params)
+      params: Params,
+      // measured ef/recall relation (held-out sample vs exact top-k at
+      // build time) — the hierarchy's analog of the IVF recall_curve
+      // sidecar; the kNN-join planner inverts it for default-depth
+      // registrations so a recall target picks the beam width
+      efCurve: Option[Seq[(Int, Double)]] = None)
 
   private val P31 = 2147483647L // 2^31-1, the portable-hash modulus used across graft
 
@@ -98,6 +103,53 @@ object Hnsw {
     * may genuinely need the distributed path. */
   def fromGraph(baseGraph: DataFrame, data: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): Index = {
+    val idx = buildHierarchy(baseGraph, data, params, idCol, vecCol)
+    // measure the ef/recall relation while the raw data is at hand (the
+    // saved hierarchy has no vectors) — same discipline and conf as the
+    // IVF recall_curve / PQ depth_meta sidecars
+    if (data.sparkSession.conf.get(
+        "spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      idx.copy(efCurve = measureEfCurve(idx, data, idCol, vecCol))
+    else idx
+  }
+
+  /** Held-out ef sweep: recall@k of the hierarchical search vs exact, at
+    * doubling beam widths, queries drawn from the corpus with the query's
+    * own row excluded on both sides (a self-match is a guaranteed hit at
+    * any ef and would inflate every point by up to 1/k). */
+  private def measureEfCurve(idx: Index, data: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nQueries: Int = 32,
+      seed: Long = 42): Option[Seq[(Int, Double)]] = {
+    import org.apache.spark.sql.functions.{row_number, xxhash64}
+    val d = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val q = d.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(nQueries)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .transform(graft.core.Frames.materialize(_))
+    try {
+      if (q.isEmpty) None
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("rank"))
+        def dropSelf(res: DataFrame) = res
+          .filter(col("nbr_id") =!= col("qid"))
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+          .select(col("qid"), col("nbr_id"))
+        val exact = dropSelf(graft.ops.BruteForceKnn.knnJoin(
+          d, q, k + 1, idx.params.metric)).localCheckpoint()
+        val denom = math.max(1L, exact.count())
+        val points = Seq(16, 32, 64, 128)
+        val curve = points.map { ef =>
+          val approx = dropSelf(search(idx, d, q, k + 1, ef,
+            baseIterations = math.max(10, ef)))
+          ef -> (graft.core.Recall.matched(approx, exact).toDouble / denom)
+        }
+        Some(curve)
+      }
+    } finally q.unpersist()
+  }
+
+  private def buildHierarchy(baseGraph: DataFrame, data: DataFrame, params: Params,
+      idCol: String, vecCol: String): Index = {
     val spark = data.sparkSession
     val d = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .transform(graft.core.Frames.materialize(_))
@@ -235,6 +287,11 @@ object Hnsw {
     // resolver's filtered-route rate math reads it instead of counting
     // the registered relation at rewrite time
     IvfFlatIndex.saveMeta(spark, path, idx.levels.count())
+    idx.efCurve.foreach { cv =>
+      import spark.implicits._
+      cv.toDF("probes", "recall") // shared curve schema (IvfFlatIndex.loadCurve)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+    }
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
@@ -244,7 +301,8 @@ object Hnsw {
       spark.read.parquet(s"$path/hnsw_edges"),
       meta.getAs[Int]("max_level"), meta.getAs[Long]("entry_point"),
       Params(meta.getAs[Int]("m"), meta.getAs[Long]("seed"),
-        Metric.fromName(meta.getAs[String]("metric"))))
+        Metric.fromName(meta.getAs[String]("metric"))),
+      IvfFlatIndex.loadCurve(spark, path, "ef_curve"))
   }
 
   /** Hierarchical search: greedy descent through upper layers, then an

@@ -343,8 +343,15 @@ object IvfFlatIndex {
     * running-max recall (measurement noise must not make the inverse
     * non-monotone). None for legacy layouts without the sidecar. */
   private[graft] def loadRecallCurve(spark: SparkSession,
-      path: String): Option[Seq[(Int, Double)]] = {
-    val p = new org.apache.hadoop.fs.Path(path, "recall_curve")
+      path: String): Option[Seq[(Int, Double)]] =
+    loadCurve(spark, path, "recall_curve")
+
+  /** Generic (knob, recall) curve sidecar reader — `recall_curve` stores
+    * probes, `ef_curve` (HNSW layouts) stores the beam width; both share
+    * the schema and the running-max sanitation. */
+  private[graft] def loadCurve(spark: SparkSession, path: String,
+      child: String): Option[Seq[(Int, Double)]] = {
+    val p = new org.apache.hadoop.fs.Path(path, child)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
     else {
       val rows = spark.read.parquet(p.toString)

@@ -571,7 +571,25 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               // wherever the cost model lands; the distributed loop exits
               // on an empty frontier, so the honest bound costs jobs only
               // while the beam still improves
-              val ef = math.max(40, depth)
+              val ef0 = math.max(40, depth)
+              // default-depth registrations (kCoarse = 0) invert THIS
+              // layout's measured ef/recall sidecar at the session's
+              // recall target — the hierarchy twin of the IVF auto-probe
+              // mode; an explicit kCoarse keeps pinning ef via depth, and
+              // legacy layouts without a curve keep the ef0 floor
+              val ef =
+                if (e.kCoarse > 0) ef0
+                else {
+                  val target = spark.conf.get(
+                    "spark.graft.knnJoin.targetRecall", "0.95").toDouble
+                  GraftIndexCatalog.cachedSidecarCurve(e.indexPath + "#ef") {
+                    graft.index.IvfFlatIndex.loadCurve(spark, e.indexPath, "ef_curve")
+                  } match {
+                    case Some(cv) => math.max(ef0,
+                      cv.find(_._2 >= target).map(_._1).getOrElse(cv.last._1))
+                    case None => ef0
+                  }
+                }
               Some((graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
                 depth, ef = ef, kj.idCol, kj.vecCol,
                 baseIterations = math.max(10, ef)), idx.params.metric, true))

@@ -771,6 +771,40 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(graft.index.IvfPqIndex.load(spark, idxPath).depthHint == built.depthHint)
   }
 
+  test("HNSW ef/recall sidecar: measured at build, persisted, drives auto ef") {
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = graft.graphops.AllNeighbors.exact(e, 16, Metric.L2, "id", "vec")
+    val idx = graft.index.Hnsw.fromGraph(base, e,
+      graft.index.Hnsw.Params(m = 16), "id", "vec")
+    assert(idx.efCurve.isDefined, "fromGraph should measure the ef curve by default")
+    val cv = idx.efCurve.get
+    assert(cv.map(_._1) == Seq(16, 32, 64, 128))
+    assert(cv.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    val dir = java.nio.file.Files.createTempDirectory("hnswef").toString
+    graft.index.Hnsw.save(idx, dir)
+    val loaded = graft.index.Hnsw.load(spark, dir)
+    // persisted, and sanitized monotone on load
+    val lcv = loaded.efCurve.getOrElse(fail("ef_curve sidecar missing after save"))
+    assert(lcv.zip(lcv.tail).forall { case ((_, a), (_, b)) => b >= a })
+    // a DEFAULT-depth registration (kCoarse = 0) inverts the sidecar: the
+    // routed result must clear the session recall target on the fixture
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    graft.plans.GraftIndexCatalog.register(dataPath, dir)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2,
+        "vec_id", "embedding")
+      routed.count()
+      assert(graft.plans.IndexRoute.markerMatches(routed, dir),
+        "default-depth HNSW registration should still route")
+      val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2,
+        "vec_id", "embedding").select(col("qid"), col("nbr_id"))
+      val matched = routed.select(col("qid"), col("nbr_id")).intersect(exact).count()
+      val recall = matched.toDouble / exact.count()
+      assert(recall >= 0.9, s"auto-ef recall $recall")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("route markers are per node: a mixed two-node frame earns no bit") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"

@@ -598,17 +598,24 @@ object SparkEntry {
     * so the route finishes directly and the exact kNN oracle gates the
     * whole save→register→route→merge pipeline with a NON-EMPTY delta;
     * `index_routed` is earned structurally (the base tier's list scan). */
-  private def knnJoinIndexedTieredQuery(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
-    val dataPath = s"$dir/embeddings.parquet"
+  /** Saved tiered layout shared by the tiered gates: ANN tier over 80% of
+    * the relation, the other 20% extended into the delta. */
+  private def tieredSavedDir(spark: SparkSession, dir: String): String = {
     val emb = table(spark, dir, "embeddings")
-    val idxPath = savedIndexDir(spark, s"tieredSaved:$dir") { p =>
+    savedIndexDir(spark, s"tieredSaved:$dir") { p =>
       graft.stream.TieredIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
           graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10),
           idCol = "vec_id", vecCol = "embedding")
         .extend(emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
         .save(p)
     }
+  }
+
+  private def knnJoinIndexedTieredQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = tieredSavedDir(spark, dir)
     withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = 30) {
       val out = graft.plans.KnnJoinPlan.knnJoin(emb,
         embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
@@ -617,6 +624,108 @@ object SparkEntry {
         .withColumn("index_routed", lit(routed))
         .localCheckpoint()
     }
+  }
+
+  /** The tiered COMPACTION lifecycle (tiered_index.hpp:136: `compact()` is
+    * a first-class index op) as a saved-layout round trip: load the saved
+    * tiered layout (non-empty delta), `compact()` — delta rows fold into
+    * the ANN tier's cells under the fixed centers — and save the result,
+    * which re-measures the base tier's recall curve and writes a
+    * `delta_rows = 0` sidecar. The gate then routes a knn_join through
+    * the COMPACTED layout: full probes over the (now superset) lists give
+    * exact candidates, so the same exact kNN oracle applies, with
+    * `delta_empty` pinned from the sidecar. */
+  private def tieredCompactQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val pre = tieredSavedDir(spark, dir)
+    val idxPath = savedIndexDir(spark, s"tieredCompacted:$dir") { p =>
+      graft.stream.TieredIndex.load(spark, pre).compact().save(p)
+    }
+    val deltaRows = spark.read.parquet(s"$idxPath/tiered_meta")
+      .head().getAs[Long]("delta_rows")
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = 30) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .withColumn("delta_empty", lit(deltaRows == 0L))
+        .localCheckpoint()
+    }
+  }
+
+  /** STREAMING-APPEND tiered ingest under the planner — the live half of
+    * the tiered lifecycle (tiered_index.hpp:59-67): the layout is saved
+    * with the ANN tier over 80% of the relation and an EMPTY delta, then
+    * the other 20% arrives as a 3-micro-batch stream through the
+    * TieredIngest foreachBatch sink (delta parquet append + sidecar
+    * refresh per batch). Registering the layout AFTER the stream drains
+    * routes a knn_join over base ∪ live-appended delta — exact candidates
+    * on both tiers at full probes, so the exact kNN oracle gates the
+    * whole save→stream→refresh→register→route pipeline; `delta_appended`
+    * pins that every streamed row landed in the delta sidecar. */
+  private def tieredIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"tieredIngested:$dir") { p =>
+      graft.stream.TieredIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+          graft.index.IvfFlatIndex.Params(nLists = 16, nIters = 10),
+          idCol = "vec_id", vecCol = "embedding")
+        .save(p)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val rows = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val ck = java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString
+      val q = graft.stream.TieredIngest.sink(
+        ms.toDF().toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>")),
+        p, ck)
+      try rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val deltaRows = spark.read.parquet(s"$idxPath/tiered_meta")
+      .head().getAs[Long]("delta_rows")
+    val appended = emb.filter(col("vec_id") % 5 === 0).count()
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = 30) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .withColumn("delta_appended", lit(deltaRows == appended))
+        .localCheckpoint()
+    }
+  }
+
+  private def tieredIngestOracle: String = {
+    val distExpr = O.byMetric(Metric.L2, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS index_routed,
+       |true AS delta_appended
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  private def tieredCompactOracle: String = {
+    val distExpr = O.byMetric(Metric.L2, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS index_routed,
+       |true AS delta_empty
+       |FROM r WHERE rank <= 10""".stripMargin
   }
 
   /** The compressed route under an INNER-PRODUCT contract — the embedding
@@ -680,6 +789,68 @@ object SparkEntry {
        |      FROM q CROSS JOIN embeddings e),
        |r AS (SELECT qid, id, dist,
        |      row_number() OVER (PARTITION BY qid ORDER BY dist DESC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS index_routed
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** The compressed route under a COSINE contract — the default metric of
+    * embedding users. The reference's IVF-PQ metric enum covers cosine
+    * (ivf_pq.hpp:47-205); here cosine = inner product over unit vectors:
+    * the layout is BUILT under Cosine (vectors normalized at build, cells
+    * assigned by angle), candidates rank by the SAME IP-LUT ADC estimator
+    * over the normalized query (compressedScoreMetric's cosine arm), and
+    * exact refine re-ranks by true cosine distance against the raw
+    * relation — so the min-close cosine kNN oracle gates the whole
+    * cosine build→register→route→ADC→refine pipeline. */
+  private def knnJoinIndexedPqCosQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqCosSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8cos:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8,
+          metric = Metric.Cosine), "vec_id", "embedding") }.save(p)
+    }
+    val kCoarse = math.max(200L, emb.count() / 3).toInt
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = kCoarse) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.Cosine, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .localCheckpoint()
+    }
+  }
+
+  /** Same cosine contract through the PER_CLUSTER codebook mode — both
+    * codebook_gen modes stay metric-generic (ivf_pq.hpp:34-45). */
+  private def knnJoinIndexedPqclCosQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqclCosSaved:$dir") { p =>
+      memoize(spark, s"ivfpqcl_cos:$dir") { graft.index.IvfPqIndex.buildPerCluster(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8,
+          metric = Metric.Cosine), "vec_id", "embedding") }.save(p)
+    }
+    val kCoarse = math.max(200L, emb.count() / 3).toInt
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 16, kCoarse = kCoarse) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.Cosine, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("index_routed", lit(routed))
+        .localCheckpoint()
+    }
+  }
+
+  private def knnJoinIndexedCosOracle: String = {
+    val distExpr = O.byMetric(Metric.Cosine, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
        |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS index_routed
        |FROM r WHERE rank <= 10""".stripMargin
   }
@@ -1359,9 +1530,13 @@ object SparkEntry {
     "knn_join_indexed_pq" -> (knnJoinIndexedPqQuery(_, _)),
     "knn_join_indexed_pq_ip" -> (knnJoinIndexedPqIpQuery(_, _)),
     "knn_join_indexed_pqcl_ip" -> (knnJoinIndexedPqclIpQuery(_, _)),
+    "knn_join_indexed_pq_cos" -> (knnJoinIndexedPqCosQuery(_, _)),
+    "knn_join_indexed_pqcl_cos" -> (knnJoinIndexedPqclCosQuery(_, _)),
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
     "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
+    "tiered_compact_search" -> (tieredCompactQuery(_, _)),
+    "tiered_ingest_search" -> (tieredIngestQuery(_, _)),
     "sql_knn_join_filtered_indexed" -> (sqlKnnJoinFilteredIndexedQuery(_, _)),
     "topk_global" -> (topkGlobalQuery(_, _)),
     "topk_pergroup" -> (topkPerGroupQuery(_, _)),
@@ -1417,9 +1592,13 @@ object SparkEntry {
     "knn_join_indexed_pq" -> knnJoinIndexedOracle,
     "knn_join_indexed_pq_ip" -> knnJoinIndexedIpOracle,
     "knn_join_indexed_pqcl_ip" -> knnJoinIndexedIpOracle,
+    "knn_join_indexed_pq_cos" -> knnJoinIndexedCosOracle,
+    "knn_join_indexed_pqcl_cos" -> knnJoinIndexedCosOracle,
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_indexed_tiered" -> knnJoinIndexedOracle,
+    "tiered_compact_search" -> tieredCompactOracle,
+    "tiered_ingest_search" -> tieredIngestOracle,
     "sql_knn_join_filtered_indexed" -> sqlKnnJoinFilteredIndexedOracle,
     "ivf_flat_search" -> knnOracle(Metric.L2),
     "ivf_pq_search_refine" -> knnOracle(Metric.L2),

@@ -111,6 +111,72 @@ object PqOps {
     new GenericArrayData(out)
   }
 
+  /** Score-aware (anisotropic) residual encoding for MIPS builds — the
+    * ScaNN discipline (scann.hpp:40-98 ties the build to inner-product
+    * search; Guo et al. 2020, "Accelerating Large-Scale Inference with
+    * Anisotropic Vector Quantization"): quantization error PARALLEL to
+    * the datapoint direction perturbs exactly the high dot products the
+    * search ranks by, so the encode minimizes
+    *   ||e||² + (η−1)·(e·u)²,  e = residual − codes,  u = x/||x||,
+    * instead of plain L2. The parallel term couples subspaces through
+    * the scalar Σ_s e_s·u_s, so codes come from coordinate descent over
+    * subspaces, seeded by the plain L2 encode — per round the same
+    * pqDim·nCenters·subLen work as one plain encode. η ≤ 1 degenerates
+    * to the seed. `vec` is the residual being coded; `unit` the UNIT
+    * direction of the ORIGINAL row (before residualization — the loss
+    * weights error against the datapoint the query will dot with). */
+  def encodeAniso(cb: PqCodebooks, vec: ArrayData, unit: ArrayData,
+      eta: Double, rounds: Int = 2): ArrayData = {
+    val seeded = encode(cb, vec)
+    if (eta <= 1.0) return seeded
+    val codes = seeded.toIntArray()
+    val w = eta - 1.0
+    // per-subspace e_s·u_s under the current codes, and their sum t
+    val par = new Array[Double](cb.pqDim)
+    var t = 0.0
+    var s0 = 0
+    while (s0 < cb.pqDim) {
+      val off = (s0 * cb.nCenters + codes(s0)) * cb.subLen
+      var pu = 0.0; var j = 0
+      while (j < cb.subLen) {
+        pu += (vec.getFloat(s0 * cb.subLen + j).toDouble - cb.books(off + j)) *
+          unit.getFloat(s0 * cb.subLen + j)
+        j += 1
+      }
+      par(s0) = pu; t += pu
+      s0 += 1
+    }
+    var r = 0
+    while (r < rounds) {
+      var s = 0
+      while (s < cb.pqDim) {
+        val tMinus = t - par(s)
+        var best = codes(s); var bestLoss = Double.MaxValue; var bestPar = par(s)
+        var c = 0
+        while (c < cb.nCenters) {
+          val off = (s * cb.nCenters + c) * cb.subLen
+          var l2 = 0.0; var pu = 0.0; var j = 0
+          while (j < cb.subLen) {
+            val e = vec.getFloat(s * cb.subLen + j).toDouble - cb.books(off + j)
+            l2 += e * e
+            pu += e * unit.getFloat(s * cb.subLen + j)
+            j += 1
+          }
+          val tot = tMinus + pu
+          val loss = l2 + w * tot * tot
+          if (loss < bestLoss) { bestLoss = loss; best = c; bestPar = pu }
+          c += 1
+        }
+        codes(s) = best
+        par(s) = bestPar
+        t = tMinus + bestPar
+        s += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   /** ADC score = sum of LUT entries selected by the code bytes — the
     * asymmetric distance of IVF-PQ search. */
   def adc(nCenters: Int, lut: ArrayData, codes: ArrayData): Double = {
@@ -133,6 +199,27 @@ case class PqEncode(child: Expression, cb: PqCodebooks) extends UnaryExpression 
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.expr.PqOps.encode($ref, $v);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Anisotropic residual encode over (residual, unit direction of the raw
+  * row) — see PqOps.encodeAniso. */
+case class PqEncodeAniso(left: Expression, right: Expression, cb: PqCodebooks,
+    eta: Double) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"expected (array<float>, array<float>), got $o")
+  }
+  override def nullSafeEval(v: Any, u: Any): Any =
+    PqOps.encodeAniso(cb, v.asInstanceOf[ArrayData], u.asInstanceOf[ArrayData], eta)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", cb, classOf[PqCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, (v, u) =>
+      s"${ev.value} = graft.expr.PqOps.encodeAniso($ref, $v, $u, $eta, 2);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class PqDecode(child: Expression, cb: PqCodebooks) extends UnaryExpression {

@@ -79,7 +79,10 @@ private[graft] object DepthHint {
 
   /** Only metrics the kNN-join planner can route through a compressed
     * layout (compressedScoreMetric) can ever consume the hint — measuring
-    * e.g. a cosine build would pay the brute pass for dead weight. */
+    * e.g. a Hamming build would pay the brute pass for dead weight.
+    * Cosine joined the routable set when the cosine-built PQ layouts
+    * gained the normalized-IP scoring arm. */
   def routableMetric(m: Metric): Boolean =
-    m == Metric.L2 || m == Metric.L2Sqrt || m == Metric.InnerProduct
+    m == Metric.L2 || m == Metric.L2Sqrt || m == Metric.InnerProduct ||
+      m == Metric.Cosine
 }

@@ -28,11 +28,19 @@ object Hnsw {
 
   case class Index(levels: DataFrame, edges: DataFrame, maxLevel: Int, entryPoint: Long,
       params: Params,
-      // measured ef/recall relation (held-out sample vs exact top-k at
-      // build time) — the hierarchy's analog of the IVF recall_curve
-      // sidecar; the kNN-join planner inverts it for default-depth
-      // registrations so a recall target picks the beam width
-      efCurve: Option[Seq[(Int, Double)]] = None)
+      // measured ef/recall relation (held-out sample vs exact top-k) —
+      // the hierarchy's analog of the IVF recall_curve sidecar; the
+      // kNN-join planner inverts it for default-depth registrations so a
+      // recall target picks the beam width. Populated by save() (only a
+      // saved layout can ever consume it), never by fromGraph: the
+      // measurement costs an exact brute pass + beam sweeps, and charging
+      // it to every transient hierarchy taxed search-path callers that
+      // never persist (r13 regressed hnsw_search_recall 2.3x exactly so)
+      efCurve: Option[Seq[(Int, Double)]] = None,
+      // lazy handle to the (id, vec)-shaped source data, carried so save()
+      // can measure the curve then — the saved hierarchy itself has no
+      // vectors to measure against
+      measureSource: Option[DataFrame] = None)
 
   private val P31 = 2147483647L // 2^31-1, the portable-hash modulus used across graft
 
@@ -103,26 +111,34 @@ object Hnsw {
     * may genuinely need the distributed path. */
   def fromGraph(baseGraph: DataFrame, data: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec"): Index = {
-    val idx = buildHierarchy(baseGraph, data, params, idCol, vecCol)
-    // measure the ef/recall relation while the raw data is at hand (the
-    // saved hierarchy has no vectors) — same discipline and conf as the
-    // IVF recall_curve / PQ depth_meta sidecars
-    if (data.sparkSession.conf.get(
-        "spark.graft.index.recallCurve.enabled", "true").toBoolean)
-      idx.copy(efCurve = measureEfCurve(idx, data, idCol, vecCol))
-    else idx
+    // NO measurement here — fromGraph is on the search path of callers
+    // that never persist the hierarchy, and the ef sweep's brute ground
+    // truth must only ever be charged to save() (the one consumer of the
+    // sidecar). The un-collected source handle is kept so save can
+    // measure lazily; it costs nothing unless save runs.
+    buildHierarchy(baseGraph, data, params, idCol, vecCol).copy(
+      measureSource = Some(data.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"))))
   }
 
   /** Held-out ef sweep: recall@k of the hierarchical search vs exact, at
     * doubling beam widths, queries drawn from the corpus with the query's
     * own row excluded on both sides (a self-match is a guaranteed hit at
-    * any ef and would inflate every point by up to 1/k). */
+    * any ef and would inflate every point by up to 1/k). Returns (curve,
+    * k, measured query count) so the sidecar can carry the sample size
+    * for confidence-bound inversion. `nQueries = 0` scales the sample
+    * with the corpus (IvfFlatIndex.curveSampleQueries): 32 points of
+    * +-0.02-grade noise at the 0.95 decision threshold are too few once
+    * the corpus (and the build budget) is large. */
   private def measureEfCurve(idx: Index, data: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10, nQueries: Int = 32,
-      seed: Long = 42): Option[Seq[(Int, Double)]] = {
+      idCol: String, vecCol: String, k: Int = 10, nQueries: Int = 0,
+      seed: Long = 42): Option[(Seq[(Int, Double)], Int, Long)] = {
     import org.apache.spark.sql.functions.{row_number, xxhash64}
     val d = data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val q = d.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(nQueries)
+    val nQ0 =
+      if (nQueries > 0) nQueries
+      else IvfFlatIndex.curveSampleQueries(idx.levels.count())
+    val q = d.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(nQ0)
       .select(col("id").as("qid"), col("vec").as("qvec"))
       .transform(graft.core.Frames.materialize(_))
     try {
@@ -143,7 +159,7 @@ object Hnsw {
             baseIterations = math.max(10, ef)))
           ef -> (graft.core.Recall.matched(approx, exact).toDouble / denom)
         }
-        Some(curve)
+        Some((curve, k, q.count()))
       }
     } finally q.unpersist()
   }
@@ -287,10 +303,26 @@ object Hnsw {
     // resolver's filtered-route rate math reads it instead of counting
     // the registered relation at rewrite time
     IvfFlatIndex.saveMeta(spark, path, idx.levels.count())
-    idx.efCurve.foreach { cv =>
-      import spark.implicits._
-      cv.toDF("probes", "recall") // shared curve schema (IvfFlatIndex.loadCurve)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+    // measure the ef/recall relation NOW if the build deferred it (save is
+    // the only consumer; fromGraph deliberately never pays the brute
+    // ground-truth pass) — same conf gate as the IVF recall_curve sidecar
+    import spark.implicits._
+    idx.efCurve match {
+      case Some(cv) =>
+        // a pre-populated curve (loaded layout re-saved) has no sample
+        // count to carry — legacy shape, point-estimate inversion
+        cv.toDF("probes", "recall")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+      case None =>
+        if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+          idx.measureSource.flatMap(d => measureEfCurve(idx, d, "id", "vec"))
+            .foreach { case (cv, k, nQ) =>
+              // shared curve schema (IvfFlatIndex.loadCurve); n_queries·k
+              // feeds the Wilson-bound inversion like the IVF recall_curve
+              cv.map { case (p, r) => (p, r, k, nQ) }
+                .toDF("probes", "recall", "k", "n_queries")
+                .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+            }
     }
   }
 

@@ -272,6 +272,18 @@ object IvfFlatIndex {
     new IvfFlatIndex(centroids, spark.read.parquet(s"$path/lists"), metric)
   }
 
+  /** Unit-L2-normalized copy of a float-vector column (zero vectors pass
+    * through unchanged). The cosine PQ builds store NORMALIZED vectors so
+    * the shared IP-LUT ADC estimator ranks by cosine similarity —
+    * cos(q, x) = q̂·x̂ — instead of needing a third estimator; queries are
+    * normalized symmetrically at search time. */
+  private[graft] def unitNormCol(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0),
+      (s, x) => s + x.cast("double") * x.cast("double")))
+    when(n > 0.0, transform(vec, x => (x.cast("double") / n).cast("float")))
+      .otherwise(vec)
+  }
+
   /** Population sidecar: one row `(n_rows)` — the planner reads it
     * instead of counting the registered relation at rewrite time. Shared
     * by every layout whose save has the lists at hand. */
@@ -303,14 +315,26 @@ object IvfFlatIndex {
     * each recall point by up to 1/k — the auto-probe inversion would
     * then undershoot the user's target on real out-of-sample queries.
     * Both sides search top-(k+1), drop self, keep k. */
+  /** Held-out sample size for the measured curve sidecars, scaled with
+    * the corpus: 32 queries (±0.02-grade noise at k=10) are enough only
+    * while the 0.95 decision point is cheap to be wrong about; past 1M
+    * rows the build already pays minutes, so the marginal queries are
+    * noise insurance at ~zero relative cost. The planner additionally
+    * inverts a Wilson lower bound over whatever size was measured
+    * (ResolveKnnJoin.autoProbes), so a small sample widens probes rather
+    * than silently missing the floor. */
+  private[graft] def curveSampleQueries(nRows: Long): Int =
+    if (nRows >= 1000000L) 128 else 32
+
   private[graft] def saveRecallCurve(spark: SparkSession, path: String,
-      idx: IvfFlatIndex, nRows: Long, nQueries: Int = 32, k: Int = 10,
+      idx: IvfFlatIndex, nRows: Long, nQueries: Int = 0, k: Int = 10,
       seed: Long = 42): Unit = {
     import org.apache.spark.sql.functions.{row_number, xxhash64, lit => flit}
     val kk = math.min(k.toLong, nRows - 1).toInt
     if (kk < 1) return // a 1-row corpus has no non-self neighbors to measure
+    val nQTarget = if (nQueries > 0) nQueries else curveSampleQueries(nRows)
     val q = idx.lists
-      .orderBy(xxhash64(col("id"), flit(seed)), col("id")).limit(nQueries)
+      .orderBy(xxhash64(col("id"), flit(seed)), col("id")).limit(nQTarget)
       .select(col("id").as("qid"), col("vec").as("qvec"))
       .transform(graft.core.Frames.materialize(_))
     try {
@@ -350,17 +374,36 @@ object IvfFlatIndex {
     * probes, `ef_curve` (HNSW layouts) stores the beam width; both share
     * the schema and the running-max sanitation. */
   private[graft] def loadCurve(spark: SparkSession, path: String,
-      child: String): Option[Seq[(Int, Double)]] = {
+      child: String): Option[Seq[(Int, Double)]] =
+    loadCurveWithN(spark, path, child).map(_._1)
+
+  /** Curve plus its MEASUREMENT SAMPLE SIZE (n_queries·k (query, true
+    * neighbor) pairs) when the sidecar recorded it — the inversion's
+    * Wilson lower bound needs n; None (legacy sidecars without the
+    * columns) keeps the point-estimate inversion. */
+  private[graft] def loadCurveWithN(spark: SparkSession, path: String,
+      child: String): Option[(Seq[(Int, Double)], Option[Long])] = {
     val p = new org.apache.hadoop.fs.Path(path, child)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
     else {
-      val rows = spark.read.parquet(p.toString)
+      val df = spark.read.parquet(p.toString)
+      val rows = df
         .select(col("probes").cast("int"), col("recall").cast("double"))
         .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
       if (rows.isEmpty) None
-      else Some(rows.foldLeft(Vector.empty[(Int, Double)]) { case (acc, (pr, rc)) =>
-        acc :+ (pr -> math.max(math.min(rc, 1.0), acc.lastOption.map(_._2).getOrElse(0.0)))
-      })
+      else {
+        val fields = df.schema.fieldNames.toSet
+        val nSamples =
+          if (fields.contains("n_queries") && fields.contains("k"))
+            df.select(col("n_queries").cast("long"), col("k").cast("long"))
+              .collect().headOption.map(r => r.getLong(0) * r.getLong(1))
+              .filter(_ > 0)
+          else None
+        val curve = rows.foldLeft(Vector.empty[(Int, Double)]) { case (acc, (pr, rc)) =>
+          acc :+ (pr -> math.max(math.min(rc, 1.0), acc.lastOption.map(_._2).getOrElse(0.0)))
+        }
+        Some((curve, nSamples))
+      }
     }
   }
 }

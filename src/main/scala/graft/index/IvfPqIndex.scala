@@ -46,23 +46,30 @@ class IvfPqIndex(
     * InnerProduct build (ivf_pq.hpp:47-205 — the metric enum includes IP;
     * coarse assignment and the similarity kernel are both
     * metric-parameterized) dist is the estimated dot product
-    * q·c + Σ q_s·cb[code_s], ranked larger-is-closer. */
+    * q·c + Σ q_s·cb[code_s], ranked larger-is-closer. A Cosine build
+    * (same metric enum) stored UNIT-NORMALIZED vectors, so the identical
+    * IP estimator over the normalized query ranks by cosine similarity —
+    * dist is the estimated q̂·x̂, larger-is-closer. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val ip = metric == Metric.InnerProduct
-    val scoreMetric = if (ip) Metric.InnerProduct else Metric.L2
+    val cos = metric == Metric.Cosine
+    val ipLike = metric == Metric.InnerProduct || cos
+    val scoreMetric = if (ipLike) Metric.InnerProduct else Metric.L2
     // Fused ADC kernel (AdcKernel doc): one pass over the streaming coded
     // lists when the query side fits in memory; bufK = k because each id
     // lives in exactly one list. Identical rows to the join route.
     val spark = queries.sparkSession
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .transform(graft.core.Frames.materialize(_))
+    val qShaped = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .transform(df => if (cos)
+        df.withColumn("qvec", IvfFlatIndex.unitNormCol(col("qvec"))) else df)
+    val q = qShaped.transform(graft.core.Frames.materialize(_))
     if (graft.graphops.LocalKernel.enabled(spark) &&
         graft.graphops.LocalKernel.within(q,
           graft.graphops.LocalKernel.maxVectors(spark))) {
       val (cb, cs) = (codebooks, centroids)
       try return BruteForceKnn.topKPerQuery(
-        if (ip)
+        if (ipLike)
           AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes",
             codebooks.nCenters, minClose = false)(
             (lid, qv) => graft.expr.PqOps.lutIp(cb, cs, qv, lid).toDoubleArray())
@@ -72,13 +79,13 @@ class IvfPqIndex(
       finally q.unpersist()
     }
     q.unpersist()
-    val probes = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
-        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+    val probes = qShaped
+      .select(col("qid"), col("qvec").as("_qvec"),
+        KMeans.nearestCol(centroids, col("qvec"), nProbes).as("_probes"))
       .select(col("qid"), col("_qvec"),
         explode(col("_probes").getField("list_id")).as("list_id"))
       .withColumn("_lut",
-        if (ip) ProductQuantizer.lutIpCol(col("_qvec"), col("list_id"),
+        if (ipLike) ProductQuantizer.lutIpCol(col("_qvec"), col("list_id"),
           codebooks, centroids)
         else ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")),
           codebooks))
@@ -141,17 +148,23 @@ class IvfPqClusterIndex(
 
   /** Same metric contract as IvfPqIndex.search: L2-family builds rank by
     * per-list residual-L2 ADC; InnerProduct builds by the per-list IP LUT
-    * (PqClusterOps.lutIp), larger-is-closer. */
+    * (PqClusterOps.lutIp), larger-is-closer; Cosine builds stored
+    * normalized vectors and rank by the same IP LUT over the normalized
+    * query. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val ip = metric == Metric.InnerProduct
-    val scoreMetric = if (ip) Metric.InnerProduct else Metric.L2
+    val cos = metric == Metric.Cosine
+    val ipLike = metric == Metric.InnerProduct || cos
+    val scoreMetric = if (ipLike) Metric.InnerProduct else Metric.L2
     // Fused ADC kernel (AdcKernel), per-list LUTs: same gate and same
     // bufK = k economics as the per-subspace index (each id lives in
     // exactly one list).
     val spark = queries.sparkSession
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qShaped = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .transform(df => if (cos)
+        df.withColumn("qvec", IvfFlatIndex.unitNormCol(col("qvec"))) else df)
+    val q = qShaped.persist(StorageLevel.MEMORY_AND_DISK)
     if (graft.graphops.LocalKernel.enabled(spark) &&
         graft.graphops.LocalKernel.within(q,
           graft.graphops.LocalKernel.maxVectors(spark))) {
@@ -159,21 +172,21 @@ class IvfPqClusterIndex(
       val cs = centroids
       try return BruteForceKnn.topKPerQuery(
         AdcKernel.pairsWith(lists, q, centroids, nProbes, k, "pq_codes",
-          ccb.nCenters, minClose = !ip)(
-          if (ip) (lid, qv) => graft.expr.PqClusterOps.lutIp(ccb, cs, lid, qv).toDoubleArray()
+          ccb.nCenters, minClose = !ipLike)(
+          if (ipLike) (lid, qv) => graft.expr.PqClusterOps.lutIp(ccb, cs, lid, qv).toDoubleArray()
           else (lid, qv) => graft.expr.PqClusterOps.lut(ccb, lid,
             graft.expr.CentroidOps.residual(cs, qv, lid)).toDoubleArray()),
         k, scoreMetric)
       finally q.unpersist()
     }
     q.unpersist()
-    val probes = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
-        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+    val probes = qShaped
+      .select(col("qid"), col("qvec").as("_qvec"),
+        KMeans.nearestCol(centroids, col("qvec"), nProbes).as("_probes"))
       .select(col("qid"), col("_qvec"),
         explode(col("_probes").getField("list_id")).as("list_id"))
       .withColumn("_lut",
-        if (ip) B.column(graft.expr.PqLutIpByList(B.expression(col("_qvec")),
+        if (ipLike) B.column(graft.expr.PqLutIpByList(B.expression(col("_qvec")),
           B.expression(col("list_id").cast("int")), codebooks, centroids))
         else B.column(PqLutByList(
           B.expression(residualCol(col("_qvec"), col("list_id"))),
@@ -235,10 +248,31 @@ object IvfPqClusterIndex {
 object IvfPqIndex {
 
   /** `balanced` selects the reseeding balanced coarse trainer — see
-    * [[IvfFlatIndex.Params]]. */
+    * [[IvfFlatIndex.Params]].
+    *
+    * `anisoT` (> 0, PER_SUBSPACE InnerProduct/Cosine builds only): the
+    * ScaNN anisotropic-quantization threshold (Guo et al. 2020; the
+    * reference ties its scann build to MIPS the same way,
+    * scann.hpp:40-98). Codes are picked to penalize quantization error
+    * PARALLEL to the row direction η = (d−1)·T²/(1−T²) times harder than
+    * orthogonal error — parallel error is exactly what perturbs the high
+    * dot products a MIPS/cosine search ranks by, so the code ranking
+    * displaces true neighbors far less at the same bit budget. 0
+    * disables (plain L2 encode); L2-family builds always use the plain
+    * encode (the ADC residual-L2 estimator matches its codes). */
   case class Params(nLists: Int = 1024, nIters: Int = 20, trainFraction: Double = 0.5,
       pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, metric: Metric = Metric.L2,
-      balanced: Boolean = false)
+      balanced: Boolean = false, anisoT: Double = 0.2)
+
+  /** η = h_par/h_perp from the anisotropic threshold T (Guo et al. 2020,
+    * Thm 3.2 parameterization): (d−1)·T²/(1−T²). */
+  private[index] def anisoEta(anisoT: Double, dim: Int, metric: Metric): Double =
+    if (anisoT <= 0 ||
+        (metric != Metric.InnerProduct && metric != Metric.Cosine)) 0.0
+    else {
+      val t2 = anisoT * anisoT
+      (dim - 1) * t2 / (1.0 - t2)
+    }
 
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
@@ -257,11 +291,23 @@ object IvfPqIndex {
       spark.read.parquet(s"$path/pq_lists"), metric, DepthHint.load(spark, path))
   }
 
+  /** A Cosine build unit-normalizes the dataset first (cosine = IP over
+    * normalized vectors; the searched lists store the normalized copies
+    * and queries normalize symmetrically) — a caller-shared `base` for a
+    * cosine build must therefore have been built over normalized vectors
+    * with the cosine metric. */
+  private[index] def normalizedFor(dataset: DataFrame, metric: Metric,
+      vecCol: String): DataFrame =
+    if (metric == Metric.Cosine)
+      dataset.withColumn(vecCol, IvfFlatIndex.unitNormCol(col(vecCol)))
+    else dataset
+
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): IvfPqIndex = {
+    val ds = normalizedFor(dataset, params.metric, vecCol)
     // coarse quantizer = IVF-Flat build machinery (or a caller-shared one)
-    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
+    val ivf = base.getOrElse(IvfFlatIndex.build(ds,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
         params.seed, params.metric, params.balanced), idCol, vecCol))
     // residuals vs assigned cell center, then PQ codebooks on them
@@ -271,17 +317,26 @@ object IvfPqIndex {
     val cb = ProductQuantizer.train(withRes,
       ProductQuantizer.Params(params.pqDim, params.pqBits, seed = params.seed),
       "id", "_res")
+    // IP/cosine builds encode anisotropically (see Params.anisoT): same
+    // codebooks, score-aware code choice
+    val eta = anisoEta(params.anisoT, ivf.centroids.dim, params.metric)
+    val encoded =
+      if (eta > 1.0)
+        ProductQuantizer.encodeAnisoCol(col("_res"),
+          IvfFlatIndex.unitNormCol(col("vec")), cb, eta)
+      else ProductQuantizer.encodeCol(col("_res"), cb)
     val lists = withRes
-      .select(col("list_id"), col("id"),
-        ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
+      .select(col("list_id"), col("id"), encoded.as("pq_codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idx = new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
     // reorder-depth calibration while the raw dataset is still at hand
-    // (the saved layout stores only codes) — see DepthHint
+    // (the saved layout stores only codes) — see DepthHint; measured over
+    // `ds` so a cosine build's ground truth ranks the same normalized
+    // rows the lists store
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new IvfPqIndex(ivf.centroids, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
-          dataset, params.metric, idCol, vecCol))
+          ds, params.metric, idCol, vecCol))
     else idx
   }
 
@@ -295,7 +350,8 @@ object IvfPqIndex {
   def buildPerCluster(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): IvfPqClusterIndex = {
-    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
+    val ds = normalizedFor(dataset, params.metric, vecCol)
+    val ivf = base.getOrElse(IvfFlatIndex.build(ds,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
         params.seed, params.metric, params.balanced), idCol, vecCol))
     val dim = ivf.centroids.dim
@@ -419,7 +475,7 @@ object IvfPqIndex {
       if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
         new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric,
           DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
-            dataset, params.metric, idCol, vecCol))
+            ds, params.metric, idCol, vecCol))
       else idx
     } finally withRes.unpersist()
   }

@@ -39,27 +39,33 @@ class ScannIndex(
   /** ADC search over primary+spill lists, deduped per (query, id). An
     * InnerProduct build (ScaNN's native regime — anisotropic quantization
     * targets MIPS) scores the estimated dot product via the IP LUT
-    * (PqOps.lutIp) and keeps the LARGER of a SOAR pair's two estimates. */
+    * (PqOps.lutIp) and keeps the LARGER of a SOAR pair's two estimates; a
+    * Cosine build stored normalized vectors and runs the same max-close
+    * IP estimator over the normalized query. */
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val ip = metric == Metric.InnerProduct
-    val scoreMetric = if (ip) Metric.InnerProduct else Metric.L2
+    val cos = metric == Metric.Cosine
+    val ipLike = metric == Metric.InnerProduct || cos
+    val scoreMetric = if (ipLike) Metric.InnerProduct else Metric.L2
     // better of the two SOAR copies' estimates: smaller L2, larger dot
     def dedup(pairs: DataFrame): DataFrame = pairs
       .groupBy(col("qid"), col("_nid"))
-      .agg((if (ip) max(col("dist")) else min(col("dist"))).as("dist"))
+      .agg((if (ipLike) max(col("dist")) else min(col("dist"))).as("dist"))
     // Fused ADC kernel (AdcKernel doc): bufK = 2k because SOAR stores ≤ 2
     // copies per id, then the same (qid, id) dedup as the join route.
     val spark = queries.sparkSession
-    val q = queries.select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
-      .transform(graft.core.Frames.materialize(_))
+    val qShaped = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qvec"))
+      .transform(df => if (cos)
+        df.withColumn("qvec", IvfFlatIndex.unitNormCol(col("qvec"))) else df)
+    val q = qShaped.transform(graft.core.Frames.materialize(_))
     if (graft.graphops.LocalKernel.enabled(spark) &&
         graft.graphops.LocalKernel.within(q,
           graft.graphops.LocalKernel.maxVectors(spark))) {
       val (cb, cs) = (codebooks, centroids)
       try return BruteForceKnn.topKPerQuery(
         dedup(
-          if (ip)
+          if (ipLike)
             AdcKernel.pairsWith(lists, q, centroids, nProbes, 2 * k, "pq_codes",
               codebooks.nCenters, minClose = false)(
               (lid, qv) => graft.expr.PqOps.lutIp(cb, cs, qv, lid).toDoubleArray())
@@ -69,13 +75,13 @@ class ScannIndex(
       finally q.unpersist()
     }
     q.unpersist()
-    val probes = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("_qvec"),
-        KMeans.nearestCol(centroids, col(qvecCol), nProbes).as("_probes"))
+    val probes = qShaped
+      .select(col("qid"), col("qvec").as("_qvec"),
+        KMeans.nearestCol(centroids, col("qvec"), nProbes).as("_probes"))
       .select(col("qid"), col("_qvec"),
         explode(col("_probes").getField("list_id")).as("list_id"))
       .withColumn("_lut",
-        if (ip) ProductQuantizer.lutIpCol(col("_qvec"), col("list_id"),
+        if (ipLike) ProductQuantizer.lutIpCol(col("_qvec"), col("list_id"),
           codebooks, centroids)
         else ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")),
           codebooks))
@@ -143,15 +149,22 @@ object ScannIndex {
   /** `metric` extends the generic-enum build surface to InnerProduct —
     * ScaNN's native regime (anisotropic quantization targets MIPS):
     * coarse cells assigned by max dot, searched via the IP LUT. */
+  /** `anisoT`: the anisotropic-quantization threshold for IP/cosine
+    * builds (IvfPqIndex.Params doc — ScaNN's native loss, scann.hpp:40-98
+    * "anisotropic quantization targets MIPS"); inert on L2 builds. */
   case class Params(nLeaves: Int = 1000, nIters: Int = 20, trainFraction: Double = 0.5,
       soarLambda: Double = 1.0, soarCandidates: Int = 4,
       pqDim: Int = 8, pqBits: Int = 8, seed: Long = 42, balanced: Boolean = false,
-      metric: Metric = Metric.L2)
+      metric: Metric = Metric.L2, anisoT: Double = 0.2)
 
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): ScannIndex = {
-    val ivf = base.getOrElse(IvfFlatIndex.build(dataset,
+    // cosine build = IP machinery over unit-normalized vectors
+    // (IvfPqIndex.normalizedFor doc); the SOAR spill and residual PQ act
+    // on the normalized copies
+    val ds = IvfPqIndex.normalizedFor(dataset, params.metric, vecCol)
+    val ivf = base.getOrElse(IvfFlatIndex.build(ds,
       IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed,
         metric = params.metric, balanced = params.balanced), idCol, vecCol))
     val cs = ivf.centroids
@@ -167,7 +180,7 @@ object ScannIndex {
     // `d` feeds three consumers (spill pick, primary assignment, codebook
     // training) — materialize so the dataset scan + 5-candidate
     // nearest-centroid argmin runs once, not per consumer
-    val d = dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+    val d = ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         KMeans.nearestCol(cs, col(vecCol), params.soarCandidates + 1)
           .getField("list_id").as("_cands"))
       .withColumn("list_id", col("_cands").getItem(0))
@@ -205,9 +218,16 @@ object ScannIndex {
       ProductQuantizer.Params(params.pqDim, params.pqBits, seed = params.seed),
       "id", "_res")
     val withRes = assigned.withColumn("_res", res(col("vec"), col("list_id")))
+    // IP/cosine builds use the anisotropic encode — the loss ScaNN is
+    // named for (both SOAR copies coded score-aware, shared quantizer)
+    val eta = IvfPqIndex.anisoEta(params.anisoT, cs.dim, params.metric)
+    val encoded =
+      if (eta > 1.0)
+        ProductQuantizer.encodeAnisoCol(col("_res"),
+          IvfFlatIndex.unitNormCol(col("vec")), cb, eta)
+      else ProductQuantizer.encodeCol(col("_res"), cb)
     val lists = withRes
-      .select(col("list_id"), col("id"),
-        ProductQuantizer.encodeCol(col("_res"), cb).as("pq_codes"))
+      .select(col("list_id"), col("id"), encoded.as("pq_codes"))
       .repartition(col("list_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     lists.count() // materialize before releasing the shared assignment frame
@@ -216,7 +236,7 @@ object ScannIndex {
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new ScannIndex(cs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), cs.k,
-          dataset, params.metric, idCol, vecCol))
+          ds, params.metric, idCol, vecCol))
     else idx
   }
 }

@@ -126,10 +126,11 @@ object GraftIndexCatalog {
     if (sidecarRowsMemo.size >= probeCacheCap) sidecarRowsMemo.clear()
     sidecarRowsMemo.getOrElseUpdate(normalize(indexPath), read)
   }
-  private val sidecarCurveMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Option[Seq[(Int, Double)]]]
+  private val sidecarCurveMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Option[(Seq[(Int, Double)], Option[Long])]]
   private[plans] def cachedSidecarCurve(indexPath: String)(
-      read: => Option[Seq[(Int, Double)]]): Option[Seq[(Int, Double)]] = {
+      read: => Option[(Seq[(Int, Double)], Option[Long])])
+      : Option[(Seq[(Int, Double)], Option[Long])] = {
     if (sidecarCurveMemo.size >= probeCacheCap) sidecarCurveMemo.clear()
     sidecarCurveMemo.getOrElseUpdate(normalize(indexPath), read)
   }
@@ -245,6 +246,22 @@ object ResolveKnnJoin {
   val fixtureCurve: Seq[(Int, Double)] =
     Seq(1 -> 0.302, 2 -> 0.415, 4 -> 0.603, 8 -> 0.816, 16 -> 1.0)
 
+  /** One-sided Wilson lower confidence bound on a measured proportion —
+    * the statistical floor under the curve sidecars' recall points.
+    * z = 1.645 (95% one-sided): over n = n_queries·k held-out (query,
+    * true neighbor) pairs, the true recall exceeds this bound with 95%
+    * confidence, so inverting the bound instead of the point estimate
+    * turns "measured 0.95 once" into "statistically at least 0.95". */
+  def wilsonLower(p: Double, n: Long, z: Double = 1.645): Double = {
+    if (n <= 0) p
+    else {
+      val z2 = z * z
+      val center = p + z2 / (2.0 * n)
+      val margin = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+      math.max(0.0, (center - margin) / (1.0 + z2 / n))
+    }
+  }
+
   /** Probe count for a recall target — the reference's `min_recall ≈
     * f(n_probes/n_lists)` discipline (ann_ivf_flat.cuh:102) made usable by
     * inverting a measured probe/recall curve instead of the pessimistic
@@ -265,11 +282,24 @@ object ResolveKnnJoin {
     * the smallest MEASURED probe point whose recall meets the target — the
     * sample points are the only trusted observations, and interpolating a
     * 0.95 between two noisy measurements undershoots the claimed floor
-    * about half the time. The fixture fallback keeps log2 interpolation
-    * (legacy behavior; its own floor risk is documented above). */
+    * about half the time. When the sidecar recorded its sample size
+    * (`nSamples` = n_queries·k pairs), each point is first replaced by
+    * its one-sided Wilson lower bound: a point ESTIMATE of 0.95 over 320
+    * pairs is ±0.02-grade noise at exactly the default decision
+    * threshold, so the inversion trusts only what the sample can
+    * statistically back — a 0.95 point that can't clear the bound picks
+    * the next deeper probe point (or every list) instead of claiming the
+    * floor. The fixture fallback keeps log2 interpolation (legacy
+    * behavior; its own floor risk is documented above). */
   def autoProbes(targetRecall: Double, nLists: Int, nRows: Long, kCoarse: Int,
-      curve: Seq[(Int, Double)] = fixtureCurve, measured: Boolean = false): Int = {
-    val cv = if (curve.size >= 2) curve else fixtureCurve
+      curve: Seq[(Int, Double)] = fixtureCurve, measured: Boolean = false,
+      nSamples: Option[Long] = None): Int = {
+    val cv0 = if (curve.size >= 2) curve else fixtureCurve
+    val cv =
+      if (measured) nSamples.filter(_ > 0)
+        .map(n => cv0.map { case (p, r) => (p, wilsonLower(r, n)) })
+        .getOrElse(cv0)
+      else cv0
     val fromCurve =
       if (targetRecall >= 1.0 || targetRecall > cv.last._2) nLists
       else if (measured)
@@ -520,11 +550,13 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               val target =
                 spark.conf.get("spark.graft.knnJoin.targetRecall", "0.95").toDouble
               val curve = GraftIndexCatalog.cachedSidecarCurve(e.indexPath) {
-                graft.index.IvfFlatIndex.loadRecallCurve(spark, e.indexPath)
+                graft.index.IvfFlatIndex.loadCurveWithN(spark, e.indexPath,
+                  "recall_curve")
               }
               ResolveKnnJoin.autoProbes(target, nLists, n, depth,
-                curve.getOrElse(ResolveKnnJoin.fixtureCurve),
-                measured = curve.isDefined)
+                curve.map(_._1).getOrElse(ResolveKnnJoin.fixtureCurve),
+                measured = curve.isDefined,
+                nSamples = curve.flatMap(_._2))
           }
         }
 
@@ -541,12 +573,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       /** PQ-coded layout routability for the node's metric: an L2-family
         * node over an L2-family build ranks by ADC residual-L2; an
         * InnerProduct node over an InnerProduct-BUILT layout ranks by the
-        * IP-LUT estimated dot. Any other pairing (e.g. a cosine node, or
-        * an IP node over an L2-built layout whose candidate ranking has no
-        * relation to dot products) refuses the route → exact brute. */
+        * IP-LUT estimated dot; a Cosine node over a Cosine-BUILT layout
+        * (vectors unit-normalized at build, queries normalized at search
+        * — ivf_pq.hpp:47-205's metric enum covers cosine the same way)
+        * ranks by the IP-LUT dot over normalized vectors, which orders
+        * identically to cosine similarity. Any other pairing (e.g. a
+        * cosine node over an L2-built layout whose candidate ranking has
+        * no relation to angles) refuses the route → exact brute. */
       def compressedScoreMetric(idxMetric: Metric): Option[Metric] =
         if (idxMetric == Metric.InnerProduct && metric == Metric.InnerProduct)
           Some(Metric.InnerProduct)
+        else if (idxMetric == Metric.Cosine && metric == Metric.Cosine)
+          Some(Metric.Cosine)
         else if (rankCompatible(idxMetric, metric) && l2Family(metric))
           Some(Metric.L2)
         else None
@@ -583,10 +621,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   val target = spark.conf.get(
                     "spark.graft.knnJoin.targetRecall", "0.95").toDouble
                   GraftIndexCatalog.cachedSidecarCurve(e.indexPath + "#ef") {
-                    graft.index.IvfFlatIndex.loadCurve(spark, e.indexPath, "ef_curve")
+                    graft.index.IvfFlatIndex.loadCurveWithN(spark, e.indexPath,
+                      "ef_curve")
                   } match {
-                    case Some(cv) => math.max(ef0,
-                      cv.find(_._2 >= target).map(_._1).getOrElse(cv.last._1))
+                    case Some((cv0, nSamples)) =>
+                      // same Wilson-bound discipline as the IVF probe
+                      // inversion: trust only what the sample can back
+                      val cv = nSamples.filter(_ > 0)
+                        .map(n => cv0.map { case (p, r) =>
+                          (p, ResolveKnnJoin.wilsonLower(r, n)) })
+                        .getOrElse(cv0)
+                      math.max(ef0,
+                        cv.find(_._2 >= target).map(_._1).getOrElse(cv.last._1))
                     case None => ef0
                   }
                 }

@@ -138,6 +138,11 @@ object ProductQuantizer {
 
   def encodeCol(vec: Column, cb: PqCodebooks): Column =
     B.column(PqEncode(B.expression(vec), cb))
+  /** Anisotropic encode (residual, unit row direction) for MIPS builds —
+    * see PqOps.encodeAniso. */
+  def encodeAnisoCol(res: Column, unit: Column, cb: PqCodebooks,
+      eta: Double): Column =
+    B.column(graft.expr.PqEncodeAniso(B.expression(res), B.expression(unit), cb, eta))
   def decodeCol(codes: Column, cb: PqCodebooks): Column =
     B.column(PqDecode(B.expression(codes), cb))
   def lutCol(qvec: Column, cb: PqCodebooks): Column =

@@ -81,10 +81,12 @@ class TieredIndex private (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/tiered_meta")
     val baseRows = IvfFlatIndex.loadMeta(spark, s"$path/tiered_base").getOrElse(0L)
     IvfFlatIndex.saveMeta(spark, path, baseRows + deltaRows)
-    IvfFlatIndex.loadRecallCurve(spark, s"$path/tiered_base").foreach { curve =>
-      curve.toDF("probes", "recall")
+    // copy the base tier's curve sidecar verbatim (all columns — the
+    // n_queries/k sample size feeds the planner's Wilson-bound inversion)
+    val baseCurve = new org.apache.hadoop.fs.Path(s"$path/tiered_base", "recall_curve")
+    if (baseCurve.getFileSystem(spark.sessionState.newHadoopConf()).exists(baseCurve))
+      spark.read.parquet(baseCurve.toString)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/recall_curve")
-    }
   }
 }
 

@@ -171,13 +171,17 @@ object ScaleSmoke {
       try {
         val routed = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec")
         time("knn_join_indexed_auto")(routed.count())
-        val curve = graft.index.IvfFlatIndex.loadRecallCurve(spark, idxPath)
+        val curveN = graft.index.IvfFlatIndex.loadCurveWithN(spark, idxPath,
+          "recall_curve")
+        val curve = curveN.map(_._1)
         println(s"SCALE   index_routed=" +
           graft.plans.IndexRoute.routedThrough(routed, idxPath) +
           s" measuredCurve=${curve.getOrElse(Seq.empty).mkString(",")}" +
+          s" nSamples=${curveN.flatMap(_._2).getOrElse(-1L)}" +
           s" autoProbes(0.95,128,$n,30)=" +
           graft.plans.ResolveKnnJoin.autoProbes(0.95, 128, n, 30,
-            curve.getOrElse(graft.plans.ResolveKnnJoin.fixtureCurve), curve.isDefined))
+            curve.getOrElse(graft.plans.ResolveKnnJoin.fixtureCurve), curve.isDefined,
+            curveN.flatMap(_._2)))
         time("knn_join_brute_baseline") {
           graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec").count()
         }

@@ -93,4 +93,67 @@ class IvfPqSuite extends SparkFunSuite {
     val r = recall(got, 10)
     assert(r >= 0.9, s"refined recall $r")
   }
+
+  test("anisotropic encode: never worse under the ScaNN loss, strictly better somewhere") {
+    // the coordinate descent is SEEDED by the plain L2 encode and each
+    // step only decreases ||e||² + (η−1)(e·u)² — so pointwise the aniso
+    // loss is <= the plain codes' loss, and on a generic random fixture
+    // at least one row's codes must actually move
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.expr.{PqCodebooks, PqOps}
+    val rnd = new scala.util.Random(11)
+    val (pqDim, nCenters, subLen) = (4, 8, 4)
+    val dim = pqDim * subLen
+    val cb = PqCodebooks(Array.fill(pqDim * nCenters * subLen)(
+      rnd.nextFloat() * 2f - 1f), pqDim, nCenters, subLen)
+    val eta = 4.0
+    def loss(codes: Array[Int], res: Array[Float], unit: Array[Float]): Double = {
+      var l2 = 0.0; var par = 0.0
+      for (s <- 0 until pqDim; j <- 0 until subLen) {
+        val e = res(s * subLen + j) - cb.books((s * nCenters + codes(s)) * subLen + j)
+        l2 += e * e; par += e * unit(s * subLen + j)
+      }
+      l2 + (eta - 1.0) * par * par
+    }
+    var moved = 0
+    for (_ <- 0 until 50) {
+      val x = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      val n = math.sqrt(x.map(v => v * v.toDouble).sum)
+      val unit = x.map(v => (v / n).toFloat)
+      val res = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      val plain = PqOps.encode(cb, new GenericArrayData(res)).toIntArray()
+      val aniso = PqOps.encodeAniso(cb, new GenericArrayData(res),
+        new GenericArrayData(unit), eta).toIntArray()
+      assert(loss(aniso, res, unit) <= loss(plain, res, unit) + 1e-9)
+      if (!java.util.Arrays.equals(plain, aniso)) moved += 1
+    }
+    assert(moved > 0, "descent never moved a code on a random fixture")
+    // eta <= 1 degenerates to the plain encode exactly
+    val res0 = Array.fill(dim)(rnd.nextFloat())
+    val u0 = Array.fill(dim)(0f); u0(0) = 1f
+    assert(java.util.Arrays.equals(
+      PqOps.encodeAniso(cb, new GenericArrayData(res0), new GenericArrayData(u0), 1.0)
+        .toIntArray(),
+      PqOps.encode(cb, new GenericArrayData(res0)).toIntArray()))
+  }
+
+  test("an IP build encodes anisotropically and stays refine-exact") {
+    val idx = IvfPqIndex.build(emb,
+      IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+        metric = Metric.InnerProduct), "vec_id", "embedding")
+    val plainIdx = IvfPqIndex.build(emb,
+      IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+        metric = Metric.InnerProduct, anisoT = 0.0), "vec_id", "embedding")
+    // the knob is live: default-on aniso codes differ from anisoT = 0
+    val differ = idx.lists.select(col("id"), col("pq_codes"))
+      .exceptAll(plainIdx.lists.select(col("id"), col("pq_codes"))).count()
+    assert(differ > 0, "anisoT default should change IP codes")
+    // and the composed search stays exact after refine at full depth
+    val n = emb.count().toInt
+    val got = idx.searchWithRefine(queries, emb, 10, nProbes = 8, kCoarse = n,
+      idCol = "vec_id", vecCol = "embedding").select(col("qid"), col("nbr_id"))
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.InnerProduct,
+      "vec_id", "embedding").select(col("qid"), col("nbr_id"))
+    assert(got.intersect(exact).count() == exact.count())
+  }
 }

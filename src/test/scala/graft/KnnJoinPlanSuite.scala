@@ -321,6 +321,38 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("a COSINE-built PQ layout routes a cosine join; mismatched metrics refuse") {
+    // the cosine arm of compressedScoreMetric: cosine = IP over the
+    // unit-normalized vectors the build stored, exact cosine refine
+    // against the raw relation — and the route stays metric-pinned: an
+    // IP node over the cosine build (or the reverse, covered by the
+    // refusal test below) falls back to exact brute.
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val cosPath = java.nio.file.Files.createTempDirectory("knnpqcosb").toString
+    graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+        metric = Metric.Cosine), "vec_id", "embedding").save(cosPath)
+    val n = emb.count().toInt
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.Cosine,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    graft.plans.GraftIndexCatalog.register(dataPath, cosPath, nProbes = 8, kCoarse = n)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.Cosine,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, cosPath),
+        "cosine-built PQ layout should route the cosine join")
+      assert(routed.exceptAll(exact).count() == 0 && exact.exceptAll(routed).count() == 0)
+      // an IP node over the cosine build must NOT ride the normalized
+      // candidates: normalization changes the dot-product ranking
+      val refused = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.InnerProduct,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(refused, cosPath),
+        "an IP node over a cosine-built layout must fall back to brute")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("a compressed layout refuses a non-L2 node metric (exact brute fallback)") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
@@ -638,6 +670,29 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       curveHard, measured = true) == 32)
   }
 
+  test("Wilson bound: a point estimate AT the target over a small sample widens probes") {
+    import graft.plans.ResolveKnnJoin.{autoProbes, wilsonLower}
+    val curve = Seq(1 -> 0.60, 2 -> 0.80, 4 -> 0.95, 8 -> 0.99, 16 -> 1.0)
+    // legacy sidecar (no sample size recorded): point-estimate inversion
+    assert(autoProbes(0.95, 32, 2000L, 10, curve, measured = true) == 4)
+    // 32 queries × k=10 = 320 pairs: a 0.95 measured once is ±0.02-grade
+    // noise at exactly the 0.95 decision point, so the statistical floor
+    // picks the NEXT measured point whose bound clears the target
+    val p320 = autoProbes(0.95, 32, 2000L, 10, curve, measured = true,
+      nSamples = Some(320L))
+    assert(p320 == 8, s"expected the 0.99 point at n=320, got $p320")
+    assert(wilsonLower(0.95, 320) < 0.95 && wilsonLower(0.99, 320) >= 0.95)
+    // a saturated measurement still clears any reasonable target
+    assert(wilsonLower(1.0, 320) >= 0.95)
+    // with enough samples a point just above the target clears it directly
+    val fat = Seq(1 -> 0.60, 2 -> 0.80, 4 -> 0.96, 8 -> 0.99, 16 -> 1.0)
+    assert(autoProbes(0.95, 32, 2000L, 10, fat, measured = true,
+      nSamples = Some(100000L)) == 4)
+    // a target no measured bound can back probes every list
+    assert(autoProbes(0.999, 32, 2000L, 10, curve, measured = true,
+      nSamples = Some(320L)) == 32)
+  }
+
   test("population sidecar: planning a registered layout runs no count job") {
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
@@ -771,18 +826,22 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(graft.index.IvfPqIndex.load(spark, idxPath).depthHint == built.depthHint)
   }
 
-  test("HNSW ef/recall sidecar: measured at build, persisted, drives auto ef") {
+  test("HNSW ef/recall sidecar: measured at SAVE (never by fromGraph), drives auto ef") {
     val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val base = graft.graphops.AllNeighbors.exact(e, 16, Metric.L2, "id", "vec")
     val idx = graft.index.Hnsw.fromGraph(base, e,
       graft.index.Hnsw.Params(m = 16), "id", "vec")
-    assert(idx.efCurve.isDefined, "fromGraph should measure the ef curve by default")
-    val cv = idx.efCurve.get
-    assert(cv.map(_._1) == Seq(16, 32, 64, 128))
-    assert(cv.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    // the measurement's brute ground-truth pass is charged ONLY to save():
+    // a transient hierarchy on a search path must never pay it (r13
+    // regressed hnsw_search_recall 2.3x exactly by measuring here)
+    assert(idx.efCurve.isEmpty, "fromGraph must not measure the ef curve")
+    assert(idx.measureSource.isDefined, "fromGraph keeps the lazy data handle for save")
     val dir = java.nio.file.Files.createTempDirectory("hnswef").toString
     graft.index.Hnsw.save(idx, dir)
     val loaded = graft.index.Hnsw.load(spark, dir)
+    val cv = loaded.efCurve.getOrElse(fail("save should measure and persist the curve"))
+    assert(cv.map(_._1) == Seq(16, 32, 64, 128))
+    assert(cv.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
     // persisted, and sanitized monotone on load
     val lcv = loaded.efCurve.getOrElse(fail("ef_curve sidecar missing after save"))
     assert(lcv.zip(lcv.tail).forall { case ((_, a), (_, b)) => b >= a })

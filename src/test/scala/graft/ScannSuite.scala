@@ -73,6 +73,29 @@ class ScannSuite extends SparkFunSuite {
     assert(loaded.depthHint == idx.depthHint && idx.depthHint.isDefined)
   }
 
+  test("Cosine build: full probes + reorder is exact under the cosine ordering") {
+    // cosine = IP over unit vectors: the build normalizes the dataset,
+    // the search normalizes the query, and the shared max-close IP-LUT
+    // estimator ranks by cosine similarity; refine re-ranks by true
+    // cosine distance against the RAW vectors
+    val idx = ScannIndex.build(emb,
+      ScannIndex.Params(nLeaves = 16, nIters = 10, pqBits = 8,
+        metric = Metric.Cosine), "vec_id", "embedding")
+    assert(idx.metric == Metric.Cosine)
+    val got = idx.searchWithRefine(queries, emb, 10, nProbes = 16, kCoarse = 100,
+      "vec_id", "embedding")
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.Cosine,
+      "vec_id", "embedding").select(col("qid"), col("nbr_id"))
+    val matched = got.select(col("qid"), col("nbr_id")).intersect(exact).count()
+    assert(matched == exact.count(), s"cosine recall ${matched.toDouble / exact.count()}")
+    // metric + depth hint survive the save/load roundtrip
+    val dir = java.nio.file.Files.createTempDirectory("scann_cos").toString
+    idx.save(dir)
+    val loaded = ScannIndex.load(spark, dir)
+    assert(loaded.metric == Metric.Cosine)
+    assert(loaded.depthHint == idx.depthHint && idx.depthHint.isDefined)
+  }
+
   test("save/load roundtrip searches identically (scann + ivf_sq)") {
     val idx = ScannIndex.build(emb,
       ScannIndex.Params(nLeaves = 8, nIters = 5, pqBits = 4), "vec_id", "embedding")

@@ -732,7 +732,9 @@ object SparkEntry {
     * users' common case. The reference's IVF-PQ builds over the generic
     * metric enum including InnerProduct (ivf_pq.hpp:47-205: coarse
     * assignment and the similarity kernel are metric-parameterized); here
-    * the layout is BUILT under IP (cells assigned by max dot; the IP-LUT
+    * the layout is BUILT under IP (cells CLUSTERED under L2 and probed
+    * by max dot — the reference's coarse_clustering_metric rule,
+    * ivf_pq_build.cuh:70-76; the IP-LUT
     * ADC estimates q·c + Σ q_s·cb[code_s], larger-is-closer) and the
     * planner routes an IP knn_join through it (compressedScoreMetric) at
     * the same displacement-proof reorder depth as the L2 PQ gate, with

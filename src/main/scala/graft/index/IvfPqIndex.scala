@@ -302,14 +302,32 @@ object IvfPqIndex {
       dataset.withColumn(vecCol, IvfFlatIndex.unitNormCol(col(vecCol)))
     else dataset
 
+  /** Coarse-clustering metric for a build metric — the reference's
+    * `coarse_clustering_metric` (ivf_pq_build.cuh:70-76): InnerProduct
+    * CLUSTERS under L2 (max-dot Lloyd degenerates toward large-norm
+    * centers, leaving residuals the size of the data spread — the ADC
+    * codes then carry that spread as estimator noise) and only PROBES by
+    * dot product at search time. Cosine keeps cosine cells (vectors are
+    * unit-normalized first, where cosine and L2 rank identically). */
+  private[index] def coarseMetric(m: Metric): Metric =
+    if (m == Metric.InnerProduct) Metric.L2 else m
+
+  /** Probe-ranking centroid view: same centers, ranked under the INDEX
+    * metric (an IP build probes its L2-built cells by max dot —
+    * select_clusters with norm_factor = 0, ivf_pq_search.cuh:114). */
+  private[index] def probeView(cs: CentroidSet, m: Metric): CentroidSet =
+    if (cs.metricName == m.name) cs
+    else CentroidSet(cs.flat, cs.k, cs.dim, m.name)
+
   def build(dataset: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): IvfPqIndex = {
     val ds = normalizedFor(dataset, params.metric, vecCol)
-    // coarse quantizer = IVF-Flat build machinery (or a caller-shared one)
+    // coarse quantizer = IVF-Flat build machinery (or a caller-shared
+    // one, which for an IP build must be L2-built per coarseMetric)
     val ivf = base.getOrElse(IvfFlatIndex.build(ds,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, params.metric, params.balanced), idCol, vecCol))
+        params.seed, coarseMetric(params.metric), params.balanced), idCol, vecCol))
     // residuals vs assigned cell center, then PQ codebooks on them
     val withRes = ivf.lists.withColumn("_res",
       B.column(CentroidResidual(B.expression(col("vec")), B.expression(col("list_id")),
@@ -328,14 +346,15 @@ object IvfPqIndex {
     val lists = withRes
       .select(col("list_id"), col("id"), encoded.as("pq_codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val idx = new IvfPqIndex(ivf.centroids, cb, lists, params.metric)
+    val pcs = probeView(ivf.centroids, params.metric)
+    val idx = new IvfPqIndex(pcs, cb, lists, params.metric)
     // reorder-depth calibration while the raw dataset is still at hand
     // (the saved layout stores only codes) — see DepthHint; measured over
     // `ds` so a cosine build's ground truth ranks the same normalized
     // rows the lists store
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
-      new IvfPqIndex(ivf.centroids, cb, lists, params.metric,
-        DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
+      new IvfPqIndex(pcs, cb, lists, params.metric,
+        DepthHint.measure(idx.search(_, _, _), pcs.k,
           ds, params.metric, idCol, vecCol))
     else idx
   }
@@ -353,7 +372,7 @@ object IvfPqIndex {
     val ds = normalizedFor(dataset, params.metric, vecCol)
     val ivf = base.getOrElse(IvfFlatIndex.build(ds,
       IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, params.metric, params.balanced), idCol, vecCol))
+        params.seed, coarseMetric(params.metric), params.balanced), idCol, vecCol))
     val dim = ivf.centroids.dim
     require(dim % params.pqDim == 0, s"dim $dim not divisible by pqDim ${params.pqDim}")
     val subLen = dim / params.pqDim
@@ -471,10 +490,11 @@ object IvfPqIndex {
             B.expression(col("list_id")), ccb)).as("pq_codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       lists.count() // materialize before the residual input unpersists
-      val idx = new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric)
+      val pcs = probeView(ivf.centroids, params.metric)
+      val idx = new IvfPqClusterIndex(pcs, ccb, lists, params.metric)
       if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
-        new IvfPqClusterIndex(ivf.centroids, ccb, lists, params.metric,
-          DepthHint.measure(idx.search(_, _, _), ivf.centroids.k,
+        new IvfPqClusterIndex(pcs, ccb, lists, params.metric,
+          DepthHint.measure(idx.search(_, _, _), pcs.k,
             ds, params.metric, idCol, vecCol))
       else idx
     } finally withRes.unpersist()

@@ -148,7 +148,8 @@ object ScannIndex {
     * count (measured 0.863 vs 0.93+ at full probes, kCoarse=n/10). */
   /** `metric` extends the generic-enum build surface to InnerProduct —
     * ScaNN's native regime (anisotropic quantization targets MIPS):
-    * coarse cells assigned by max dot, searched via the IP LUT. */
+    * cells clustered under L2 (coarse_clustering_metric), probed by max
+    * dot, searched via the IP LUT. */
   /** `anisoT`: the anisotropic-quantization threshold for IP/cosine
     * builds (IvfPqIndex.Params doc — ScaNN's native loss, scann.hpp:40-98
     * "anisotropic quantization targets MIPS"); inert on L2 builds. */
@@ -164,10 +165,19 @@ object ScannIndex {
     // (IvfPqIndex.normalizedFor doc); the SOAR spill and residual PQ act
     // on the normalized copies
     val ds = IvfPqIndex.normalizedFor(dataset, params.metric, vecCol)
+    // InnerProduct CLUSTERS under L2 and only probes by dot — the
+    // reference's coarse_clustering_metric rule (ivf_pq_build.cuh:70-76);
+    // max-dot Lloyd leaves residuals the size of the data spread
     val ivf = base.getOrElse(IvfFlatIndex.build(ds,
       IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed,
-        metric = params.metric, balanced = params.balanced), idCol, vecCol))
-    val cs = ivf.centroids
+        metric = IvfPqIndex.coarseMetric(params.metric), balanced = params.balanced),
+      idCol, vecCol))
+    // two views over the SAME centers: ASSIGNMENT (primary + SOAR spill
+    // candidates) ranks under the coarse metric — the cells are
+    // L2-compact for an IP build — while the index PROBES under the
+    // build metric at search time (probeView)
+    val assignCs = ivf.centroids
+    val cs = IvfPqIndex.probeView(ivf.centroids, params.metric)
 
     def res(vec: Column, listId: Column): Column =
       B.column(CentroidResidual(B.expression(vec), B.expression(listId), cs))
@@ -181,7 +191,7 @@ object ScannIndex {
     // training) — materialize so the dataset scan + 5-candidate
     // nearest-centroid argmin runs once, not per consumer
     val d = ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-        KMeans.nearestCol(cs, col(vecCol), params.soarCandidates + 1)
+        KMeans.nearestCol(assignCs, col(vecCol), params.soarCandidates + 1)
           .getField("list_id").as("_cands"))
       .withColumn("list_id", col("_cands").getItem(0))
       .withColumn("_r1", res(col("vec"), col("list_id")))

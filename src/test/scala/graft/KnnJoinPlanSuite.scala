@@ -271,8 +271,9 @@ class KnnJoinPlanSuite extends SparkFunSuite {
 
   test("an IP-BUILT PQ layout routes an InnerProduct join; an L2 build refuses it") {
     // ivf_pq.hpp:47-205: the reference builds IVF-PQ over the generic
-    // metric enum. An IP-built layout (max-dot coarse cells, IP-LUT ADC)
-    // must route an IP node exactly (full probes + depth n); the SAME
+    // metric enum. An IP-built layout (L2-clustered cells probed by max
+    // dot — coarse_clustering_metric, ivf_pq_build.cuh:70-76 — IP-LUT
+    // ADC) must route an IP node exactly (full probes + depth n); the SAME
     // node over an L2-BUILT layout must refuse — L2-residual candidate
     // ranking has no relation to dot products.
     ensureRule()

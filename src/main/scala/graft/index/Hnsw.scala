@@ -154,12 +154,22 @@ object Hnsw {
           d, q, k + 1, idx.params.metric)).localCheckpoint()
         val denom = math.max(1L, exact.count())
         val points = Seq(16, 32, 64, 128)
-        val curve = points.map { ef =>
+        // early-stop at saturation (the IVF curve's discipline): a point
+        // measuring 1.0 makes the deeper, costlier beams redundant — the
+        // inversion picks the smallest point meeting the target and the
+        // running-max load sanitation would clamp them to 1.0 anyway
+        val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        val it = points.iterator
+        var saturated = false
+        while (it.hasNext && !saturated) {
+          val ef = it.next()
           val approx = dropSelf(search(idx, d, q, k + 1, ef,
             baseIterations = math.max(10, ef)))
-          ef -> (graft.core.Recall.matched(approx, exact).toDouble / denom)
+          val recall = graft.core.Recall.matched(approx, exact).toDouble / denom
+          curve += ((ef, recall))
+          saturated = recall >= 1.0
         }
-        Some((curve, k, q.count()))
+        Some((curve.toSeq, k, q.count()))
       }
     } finally q.unpersist()
   }

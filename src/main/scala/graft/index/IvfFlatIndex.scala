@@ -351,13 +351,22 @@ object IvfFlatIndex {
       val denom = math.max(1L, exact.count())
       val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < idx.centroids.k).toSeq :+
         idx.centroids.k
-      val curve = points.map { p =>
+      // early-stop at saturation: scanning more lists only grows the
+      // exact-distance candidate set, so recall is monotone in the probe
+      // count — once a point measures 1.0 every deeper point is 1.0, and
+      // the deep sweeps (half/all lists) each cost close to a full scan
+      val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val it = points.iterator
+      var saturated = false
+      while (it.hasNext && !saturated) {
+        val p = it.next()
         val approx = dropSelf(idx.search(q, kk + 1, p))
         val recall = graft.core.Recall.matched(approx, exact).toDouble / denom
-        (p, recall)
+        curve += ((p, recall))
+        saturated = recall >= 1.0
       }
       import spark.implicits._
-      curve.toDF("probes", "recall")
+      curve.toSeq.toDF("probes", "recall")
         .withColumn("k", flit(kk)).withColumn("n_queries", flit(nQ))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/recall_curve")
     } finally q.unpersist()

@@ -841,7 +841,9 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     graft.index.Hnsw.save(idx, dir)
     val loaded = graft.index.Hnsw.load(spark, dir)
     val cv = loaded.efCurve.getOrElse(fail("save should measure and persist the curve"))
-    assert(cv.map(_._1) == Seq(16, 32, 64, 128))
+    // a prefix of the sweep points: the measurement early-stops once a
+    // point saturates at 1.0 (deeper beams are redundant for inversion)
+    assert(Seq(16, 32, 64, 128).startsWith(cv.map(_._1)) && cv.nonEmpty, s"points ${cv.map(_._1)}")
     assert(cv.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
     // persisted, and sanitized monotone on load
     val lcv = loaded.efCurve.getOrElse(fail("ef_curve sidecar missing after save"))

@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -341,6 +341,62 @@ object PqClusterOps {
     new GenericArrayData(out)
   }
 
+  /** PER_CLUSTER twin of PqOps.encodeAniso: the same score-aware
+    * coordinate descent (loss ||e||² + (η−1)(e·u)², seeded by the plain
+    * per-list encode) over the list's own codebook — every subspace
+    * scores against the one shared table at the list's offset. */
+  def encodeAniso(ccb: ClusterCodebooks, listId: Int, vec: ArrayData,
+      unit: ArrayData, eta: Double, rounds: Int = 2): ArrayData = {
+    val seeded = encode(ccb, listId, vec)
+    if (eta <= 1.0) return seeded
+    val codes = seeded.toIntArray()
+    val w = eta - 1.0
+    val base = listId * ccb.nCenters * ccb.subLen
+    val par = new Array[Double](ccb.pqDim)
+    var t = 0.0
+    var s0 = 0
+    while (s0 < ccb.pqDim) {
+      val off = base + codes(s0) * ccb.subLen
+      var pu = 0.0; var j = 0
+      while (j < ccb.subLen) {
+        pu += (vec.getFloat(s0 * ccb.subLen + j).toDouble - ccb.flat(off + j)) *
+          unit.getFloat(s0 * ccb.subLen + j)
+        j += 1
+      }
+      par(s0) = pu; t += pu
+      s0 += 1
+    }
+    var r = 0
+    while (r < rounds) {
+      var s = 0
+      while (s < ccb.pqDim) {
+        val tMinus = t - par(s)
+        var best = codes(s); var bestLoss = Double.MaxValue; var bestPar = par(s)
+        var c = 0
+        while (c < ccb.nCenters) {
+          val off = base + c * ccb.subLen
+          var l2 = 0.0; var pu = 0.0; var j = 0
+          while (j < ccb.subLen) {
+            val e = vec.getFloat(s * ccb.subLen + j).toDouble - ccb.flat(off + j)
+            l2 += e * e
+            pu += e * unit.getFloat(s * ccb.subLen + j)
+            j += 1
+          }
+          val tot = tMinus + pu
+          val loss = l2 + w * tot * tot
+          if (loss < bestLoss) { bestLoss = loss; best = c; bestPar = pu }
+          c += 1
+        }
+        codes(s) = best
+        par(s) = bestPar
+        t = tMinus + bestPar
+        s += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   /** Inner-product LUT over the list's OWN codebook — the PER_CLUSTER
     * twin of PqOps.lutIp: entries = q_s·cb_list[c] plus an equal share of
     * the per-(query, list) constant q·c_list, so the shared code-indexed
@@ -385,6 +441,30 @@ case class PqEncodeByList(left: Expression, right: Expression, ccb: ClusterCodeb
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** PER_CLUSTER anisotropic encode over (residual, list id, unit row
+  * direction) — see PqClusterOps.encodeAniso. */
+case class PqEncodeAnisoByList(first: Expression, second: Expression,
+    third: Expression, ccb: ClusterCodebooks, eta: Double) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case o => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<float>, int, array<float>), got $o")
+    }
+  override def nullSafeEval(v: Any, l: Any, u: Any): Any =
+    PqClusterOps.encodeAniso(ccb, l.asInstanceOf[Int], v.asInstanceOf[ArrayData],
+      u.asInstanceOf[ArrayData], eta)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clusterCodebooks", ccb, classOf[ClusterCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, (v, l, u) =>
+      s"${ev.value} = graft.expr.PqClusterOps.encodeAniso($ref, $l, $v, $u, $eta, 2);")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 case class PqDecodeByList(left: Expression, right: Expression, ccb: ClusterCodebooks)

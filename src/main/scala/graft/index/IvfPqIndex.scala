@@ -250,7 +250,7 @@ object IvfPqIndex {
   /** `balanced` selects the reseeding balanced coarse trainer — see
     * [[IvfFlatIndex.Params]].
     *
-    * `anisoT` (> 0, PER_SUBSPACE InnerProduct/Cosine builds only): the
+    * `anisoT` (> 0, InnerProduct/Cosine builds, both codebook modes): the
     * ScaNN anisotropic-quantization threshold (Guo et al. 2020; the
     * reference ties its scann build to MIPS the same way,
     * scann.hpp:40-98). Codes are picked to penalize quantization error
@@ -381,7 +381,8 @@ object IvfPqIndex {
     val withRes = ivf.lists
       .withColumn("_res", B.column(CentroidResidual(B.expression(col("vec")),
         B.expression(col("list_id")), ivf.centroids)))
-      .select(col("list_id").cast("int").as("list_id"), col("id"), col("_res"))
+      .select(col("list_id").cast("int").as("list_id"), col("id"), col("_res"),
+        col("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic seeded init: per list, hash-ranked seed rows; center c
@@ -484,10 +485,18 @@ object IvfPqIndex {
         flat = next
       }
       val ccb = ClusterCodebooks(flat, nLists, nCenters, subLen, params.pqDim)
+      // the FINAL encode is anisotropic for IP/cosine builds (training
+      // stays plain-L2 Lloyd, as the per-subspace mode) — see Params.anisoT
+      val eta = anisoEta(params.anisoT, dim, params.metric)
+      val encoded =
+        if (eta > 1.0)
+          B.column(graft.expr.PqEncodeAnisoByList(B.expression(col("_res")),
+            B.expression(col("list_id")),
+            B.expression(IvfFlatIndex.unitNormCol(col("vec"))), ccb, eta))
+        else B.column(PqEncodeByList(B.expression(col("_res")),
+          B.expression(col("list_id")), ccb))
       val lists = withRes
-        .select(col("list_id"), col("id"),
-          B.column(PqEncodeByList(B.expression(col("_res")),
-            B.expression(col("list_id")), ccb)).as("pq_codes"))
+        .select(col("list_id"), col("id"), encoded.as("pq_codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       lists.count() // materialize before the residual input unpersists
       val pcs = probeView(ivf.centroids, params.metric)

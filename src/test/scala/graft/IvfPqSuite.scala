@@ -137,6 +137,25 @@ class IvfPqSuite extends SparkFunSuite {
       PqOps.encode(cb, new GenericArrayData(res0)).toIntArray()))
   }
 
+  test("IP builds cluster under L2 and probe by dot (coarse_clustering_metric)") {
+    // the reference's rule (ivf_pq_build.cuh:70-76): max-dot Lloyd
+    // degenerates toward large-norm centers, so IP builds CLUSTER under
+    // L2 (every row in its L2-nearest cell) and only rank PROBES by dot
+    val idx = IvfPqIndex.build(emb,
+      IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+        metric = Metric.InnerProduct), "vec_id", "embedding")
+    assert(idx.centroids.metricName == Metric.InnerProduct.name,
+      "probe view ranks under the index metric")
+    val l2View = graft.expr.CentroidSet(idx.centroids.flat, idx.centroids.k,
+      idx.centroids.dim, Metric.L2.name)
+    val (l2Cell, _) = graft.cluster.KMeans.assignCols(l2View, col("embedding"))
+    val mismatches = idx.lists.select(col("list_id"), col("id"))
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .withColumn("_l2cell", l2Cell)
+      .filter(col("_l2cell") =!= col("list_id")).count()
+    assert(mismatches == 0, s"$mismatches rows not in their L2-nearest cell")
+  }
+
   test("an IP build encodes anisotropically and stays refine-exact") {
     val idx = IvfPqIndex.build(emb,
       IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,

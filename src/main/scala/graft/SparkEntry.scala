@@ -965,6 +965,40 @@ object SparkEntry {
       |CAST(0.95 AS DOUBLE) AS target_recall, true AS floor_met, true AS index_routed
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
+  /** FULLY-AUTO mode over a COMPRESSED layout: `nProbes = 0` inverts the
+    * probe/recall curve the PQ save now measures on its own
+    * refine-composed search (candidates at the calibrated depth + exact
+    * refine — what the planner actually serves), and `kCoarse = 0`
+    * derives the reorder depth from the displacement sidecar
+    * (compressedDepth). Same two-halves contract as knn_join_auto_recall:
+    * route earned AND recall@10 ≥ the 0.95 default target on the real
+    * workload — previously a compressed layout in auto mode inverted the
+    * committed FIXTURE curve (documented undershoot risk); this gate pins
+    * that the composition is self-calibrating end to end. */
+  private def knnJoinPqAutoRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8),
+        "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }.save(p)
+    }
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 0, kCoarse = 0) {
+      val q = embQueries(spark, dir)
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        q, 10, Metric.L2, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      val approx = out.select(col("qid"), col("nbr_id")).localCheckpoint()
+      val recall = graft.core.Recall.matched(approx, exactL2Truth(spark, dir)).toDouble /
+        (q.count() * 10)
+      q.agg(count(lit(1)).as("n_queries"))
+        .select(col("n_queries"), lit(10).as("k"),
+          lit(0.95).as("target_recall"), lit(recall >= 0.95).as("floor_met"),
+          lit(routed).as("index_routed"))
+    }
+  }
+
   // ===== quantizers ====================================================
 
   private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -1536,6 +1570,7 @@ object SparkEntry {
     "knn_join_indexed_pqcl_cos" -> (knnJoinIndexedPqclCosQuery(_, _)),
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
+    "knn_join_pq_auto_recall" -> (knnJoinPqAutoRecallQuery(_, _)),
     "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
     "tiered_compact_search" -> (tieredCompactQuery(_, _)),
     "tiered_ingest_search" -> (tieredIngestQuery(_, _)),
@@ -1598,6 +1633,7 @@ object SparkEntry {
     "knn_join_indexed_pqcl_cos" -> knnJoinIndexedCosOracle,
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
+    "knn_join_pq_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_indexed_tiered" -> knnJoinIndexedOracle,
     "tiered_compact_search" -> tieredCompactOracle,
     "tiered_ingest_search" -> tieredIngestOracle,

@@ -328,12 +328,30 @@ object IvfFlatIndex {
 
   private[graft] def saveRecallCurve(spark: SparkSession, path: String,
       idx: IvfFlatIndex, nRows: Long, nQueries: Int = 0, k: Int = 10,
-      seed: Long = 42): Unit = {
+      seed: Long = 42): Unit =
+    saveMeasuredCurve(spark, path, idx.lists.select(col("id"), col("vec")),
+      idx.metric, idx.centroids.k, (q, kk, p) => idx.search(q, kk, p),
+      nRows, nQueries, k, seed)
+
+  /** Shared probe/recall measurement + sidecar writer for ANY layout that
+    * can search its corpus at a probe count: seeded held-out queries
+    * (rows OF the corpus, self-row excluded on both sides), exact brute
+    * ground truth under `metric`, doubling probe points up to `nLists`
+    * with early-stop at saturation (scanning more lists only grows the
+    * candidate set, so recall is monotone in the probe count and the
+    * half-/all-lists sweeps each cost close to a full scan). The
+    * compressed layouts pass their refine-composed search so the curve
+    * measures what the PLANNER actually serves at that probe count. */
+  private[graft] def saveMeasuredCurve(spark: SparkSession, path: String,
+      corpus: DataFrame, metric: Metric, nLists: Int,
+      search: (DataFrame, Int, Int) => DataFrame,
+      nRows: Long, nQueries: Int = 0, k: Int = 10,
+      seed: Long = 42, child: String = "recall_curve"): Unit = {
     import org.apache.spark.sql.functions.{row_number, xxhash64, lit => flit}
     val kk = math.min(k.toLong, nRows - 1).toInt
     if (kk < 1) return // a 1-row corpus has no non-self neighbors to measure
     val nQTarget = if (nQueries > 0) nQueries else curveSampleQueries(nRows)
-    val q = idx.lists
+    val q = corpus
       .orderBy(xxhash64(col("id"), flit(seed)), col("id")).limit(nQTarget)
       .select(col("id").as("qid"), col("vec").as("qvec"))
       .transform(graft.core.Frames.materialize(_))
@@ -344,23 +362,17 @@ object IvfFlatIndex {
         .filter(col("nbr_id") =!= col("qid"))
         .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= kk)
         .select(col("qid"), col("nbr_id"))
-      val data = idx.lists.select(col("id"), col("vec"))
-      val exact = dropSelf(BruteForceKnn.knnJoin(data, q, kk + 1, idx.metric))
+      val exact = dropSelf(BruteForceKnn.knnJoin(corpus, q, kk + 1, metric))
         .localCheckpoint()
       val nQ = q.count()
       val denom = math.max(1L, exact.count())
-      val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < idx.centroids.k).toSeq :+
-        idx.centroids.k
-      // early-stop at saturation: scanning more lists only grows the
-      // exact-distance candidate set, so recall is monotone in the probe
-      // count — once a point measures 1.0 every deeper point is 1.0, and
-      // the deep sweeps (half/all lists) each cost close to a full scan
+      val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < nLists).toSeq :+ nLists
       val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       val it = points.iterator
       var saturated = false
       while (it.hasNext && !saturated) {
         val p = it.next()
-        val approx = dropSelf(idx.search(q, kk + 1, p))
+        val approx = dropSelf(search(q, kk + 1, p))
         val recall = graft.core.Recall.matched(approx, exact).toDouble / denom
         curve += ((p, recall))
         saturated = recall >= 1.0
@@ -368,7 +380,7 @@ object IvfFlatIndex {
       import spark.implicits._
       curve.toSeq.toDF("probes", "recall")
         .withColumn("k", flit(kk)).withColumn("n_queries", flit(nQ))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/recall_curve")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$child")
     } finally q.unpersist()
   }
 

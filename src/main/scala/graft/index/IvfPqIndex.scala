@@ -36,7 +36,12 @@ class IvfPqIndex(
     val metric: Metric,
     // (measured k, worst ADC displacement of a true top-k neighbor) —
     // build-time calibration of the reorder depth (see DepthHint)
-    val depthHint: Option[(Int, Int)] = None) extends Serializable {
+    val depthHint: Option[(Int, Int)] = None,
+    // lazy handle to the raw (id, vec) corpus, set by build() so save()
+    // can measure THIS layout's probe/recall curve (the saved layout
+    // stores only codes; refine needs the raw vectors) — the Hnsw
+    // measureSource pattern; None on loaded layouts
+    val measureSource: Option[DataFrame] = None) extends Serializable {
 
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
@@ -120,8 +125,18 @@ class IvfPqIndex(
         codebooks.pqDim, codebooks.nCenters, codebooks.subLen))
       .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    IvfFlatIndex.saveMeta(spark, path, lists.count())
+    val nRows = lists.count()
+    IvfFlatIndex.saveMeta(spark, path, nRows)
     depthHint.foreach(DepthHint.save(spark, path, _))
+    // measured probe/recall curve of the PLANNER-SERVED composition (ADC
+    // candidates at the calibrated depth + exact refine) — without it,
+    // auto-probe mode over a saved PQ layout inverts the fixture curve
+    if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      measureSource.foreach { src =>
+        val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, depthHint)
+        IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+      }
   }
 }
 
@@ -141,7 +156,9 @@ class IvfPqClusterIndex(
     val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
     val metric: Metric,
     // build-time reorder-depth calibration — see DepthHint
-    val depthHint: Option[(Int, Int)] = None) extends Serializable {
+    val depthHint: Option[(Int, Int)] = None,
+    // raw-corpus handle for save-time curve measurement (IvfPqIndex doc)
+    val measureSource: Option[DataFrame] = None) extends Serializable {
 
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
@@ -219,8 +236,15 @@ class IvfPqClusterIndex(
         codebooks.nLists, codebooks.nCenters, codebooks.subLen, codebooks.pqDim))
       .toDF("l", "c", "center", "n_lists", "n_centers", "sub_len", "pq_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cluster_codebooks")
-    IvfFlatIndex.saveMeta(spark, path, lists.count())
+    val nRows = lists.count()
+    IvfFlatIndex.saveMeta(spark, path, nRows)
     depthHint.foreach(DepthHint.save(spark, path, _))
+    if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      measureSource.foreach { src =>
+        val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, depthHint)
+        IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+      }
   }
 }
 
@@ -347,7 +371,8 @@ object IvfPqIndex {
       .select(col("list_id"), col("id"), encoded.as("pq_codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pcs = probeView(ivf.centroids, params.metric)
-    val idx = new IvfPqIndex(pcs, cb, lists, params.metric)
+    val src = Some(ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
+    val idx = new IvfPqIndex(pcs, cb, lists, params.metric, measureSource = src)
     // reorder-depth calibration while the raw dataset is still at hand
     // (the saved layout stores only codes) — see DepthHint; measured over
     // `ds` so a cosine build's ground truth ranks the same normalized
@@ -355,7 +380,7 @@ object IvfPqIndex {
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new IvfPqIndex(pcs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), pcs.k,
-          ds, params.metric, idCol, vecCol))
+          ds, params.metric, idCol, vecCol), measureSource = src)
     else idx
   }
 
@@ -500,11 +525,12 @@ object IvfPqIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       lists.count() // materialize before the residual input unpersists
       val pcs = probeView(ivf.centroids, params.metric)
-      val idx = new IvfPqClusterIndex(pcs, ccb, lists, params.metric)
+      val src = Some(ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
+      val idx = new IvfPqClusterIndex(pcs, ccb, lists, params.metric, measureSource = src)
       if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
         new IvfPqClusterIndex(pcs, ccb, lists, params.metric,
           DepthHint.measure(idx.search(_, _, _), pcs.k,
-            ds, params.metric, idCol, vecCol))
+            ds, params.metric, idCol, vecCol), measureSource = src)
       else idx
     } finally withRes.unpersist()
   }

@@ -33,7 +33,9 @@ class IvfRabitqIndex(
     val centroids: CentroidSet,
     val rotation: ProjectionMatrix,
     val lists: DataFrame, // (list_id, id, code arr<bigint>, norm2 dbl, sum_abs dbl [, mags arr<tinyint>, mscale dbl])
-    val bitsPerDim: Int) extends Serializable {
+    val bitsPerDim: Int,
+    // raw-corpus handle for save-time curve measurement (IvfPqIndex doc)
+    val measureSource: Option[DataFrame] = None) extends Serializable {
 
   import IvfRabitqIndex._
 
@@ -225,7 +227,16 @@ class IvfRabitqIndex(
       .map { case (row, i) => (i, row.toSeq, bitsPerDim) }
       .toDF("r", "row", "bits_per_dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
-    IvfFlatIndex.saveMeta(spark, path, lists.count())
+    val nRows = lists.count()
+    IvfFlatIndex.saveMeta(spark, path, nRows)
+    // measured probe/recall curve of the planner-served composition
+    // (sign-code estimates at the heuristic depth + exact refine)
+    if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      measureSource.foreach { src =>
+        val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, None)
+        IvfFlatIndex.saveMeasuredCurve(spark, path, src, graft.core.Metric.L2,
+          centroids.k, (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+      }
   }
 }
 
@@ -317,6 +328,7 @@ object IvfRabitqIndex {
           .drop("_u", "_m")
       }
     new IvfRabitqIndex(ivf.centroids, p,
-      coded.persist(StorageLevel.MEMORY_AND_DISK), params.bitsPerDim)
+      coded.persist(StorageLevel.MEMORY_AND_DISK), params.bitsPerDim,
+      Some(dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))))
   }
 }

@@ -20,7 +20,9 @@ class IvfSqIndex(
     val centroids: CentroidSet,
     val sq: ScalarQuantizer.Model,
     val lists: DataFrame, // (list_id int, id long, codes array<tinyint>)
-    val metric: Metric) extends Serializable {
+    val metric: Metric,
+    // raw-corpus handle for save-time curve measurement (IvfPqIndex doc)
+    val measureSource: Option[DataFrame] = None) extends Serializable {
 
   def search(queries: DataFrame, k: Int, nProbes: Int,
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
@@ -140,7 +142,16 @@ class IvfSqIndex(
     import spark.implicits._
     Seq((sq.lo, sq.hi)).toDF("lo", "hi")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_model")
-    IvfFlatIndex.saveMeta(spark, path, lists.count())
+    val nRows = lists.count()
+    IvfFlatIndex.saveMeta(spark, path, nRows)
+    // measured probe/recall curve of the planner-served composition
+    // (decoded-int8 candidates at the heuristic depth + exact refine)
+    if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      measureSource.foreach { src =>
+        val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, None)
+        IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+      }
   }
 }
 
@@ -162,6 +173,7 @@ object IvfSqIndex {
       .select(col("list_id"), col("id"),
         ScalarQuantizer.transformCol(col("vec"), sq).as("codes"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new IvfSqIndex(ivf.centroids, sq, lists, params.metric)
+    new IvfSqIndex(ivf.centroids, sq, lists, params.metric,
+      Some(dataset.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))))
   }
 }

@@ -31,7 +31,9 @@ class ScannIndex(
     val lists: DataFrame, // (list_id int, id long, pq_codes array<int>)
     val metric: Metric,
     // build-time reorder-depth calibration — see DepthHint
-    val depthHint: Option[(Int, Int)] = None) extends Serializable {
+    val depthHint: Option[(Int, Int)] = None,
+    // raw-corpus handle for save-time curve measurement (IvfPqIndex doc)
+    val measureSource: Option[DataFrame] = None) extends Serializable {
 
   private def residualCol(vec: Column, listId: Column): Column =
     B.column(CentroidResidual(B.expression(vec), B.expression(listId), centroids))
@@ -115,8 +117,17 @@ class ScannIndex(
         codebooks.pqDim, codebooks.nCenters, codebooks.subLen))
       .toDF("s", "c", "center", "pq_dim", "n_centers", "sub_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    IvfFlatIndex.saveMeta(spark, path, lists.count())
+    val nRows = lists.count() / 2 // SOAR stores every id twice
+    IvfFlatIndex.saveMeta(spark, path, nRows)
     depthHint.foreach(DepthHint.save(spark, path, _))
+    // measured probe/recall curve of the planner-served composition
+    // (IvfPqIndex.save doc)
+    if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
+      measureSource.foreach { src =>
+        val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, depthHint)
+        IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+      }
   }
 }
 
@@ -242,11 +253,12 @@ object ScannIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     lists.count() // materialize before releasing the shared assignment frame
     graft.core.Frames.release(d)
-    val idx = new ScannIndex(cs, cb, lists, params.metric)
+    val src = Some(ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
+    val idx = new ScannIndex(cs, cb, lists, params.metric, measureSource = src)
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new ScannIndex(cs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), cs.k,
-          ds, params.metric, idCol, vecCol))
+          ds, params.metric, idCol, vecCol), measureSource = src)
     else idx
   }
 }

@@ -825,6 +825,12 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(mk == 10 && disp >= 10, s"hint ($mk, $disp)")
     built.save(idxPath)
     assert(graft.index.IvfPqIndex.load(spark, idxPath).depthHint == built.depthHint)
+    // the save also measures the layout's OWN refine-composed probe/recall
+    // curve (sample size recorded for the Wilson inversion) — auto-probe
+    // mode over a compressed layout no longer inverts the fixture
+    val cv = graft.index.IvfFlatIndex.loadCurveWithN(spark, idxPath, "recall_curve")
+    assert(cv.isDefined && cv.get._2.exists(_ > 0),
+      s"PQ save should write a measured recall_curve with n_samples, got $cv")
   }
 
   test("HNSW ef/recall sidecar: measured at SAVE (never by fromGraph), drives auto ef") {

@@ -90,6 +90,32 @@ class SparseTieredSuite extends SparkFunSuite {
     assert(key(compacted.search(q, 5, 8)) == key(idx.search(q, 5, 8)))
   }
 
+  test("TieredIngest.append lands rows in a SAVED layout's delta and refreshes sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("tiered_ingest").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val batch1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val batch2 = emb.filter(col("vec_id") >= 450)
+    graft.stream.TieredIngest.append(batch1, dir, "vec_id", "embedding")
+    graft.stream.TieredIngest.append(batch2, dir, "vec_id", "embedding")
+    val appended = batch1.count() + batch2.count()
+    // sidecars reflect the on-disk tiers without any rebuild
+    val meta = spark.read.parquet(s"$dir/tiered_meta").head()
+    assert(meta.getAs[Long]("delta_rows") == appended)
+    assert(IvfFlatIndex.loadMeta(spark, dir).contains(base.count() + appended))
+    // the re-loaded layout searches base ∪ appended delta exactly
+    val loaded = TieredIndex.load(spark, dir)
+    assert(loaded.deltaRows == appended)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 5, Metric.L2,
+      "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
+  }
+
   test("structured streaming ingest: foreachBatch extend == batch extend") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

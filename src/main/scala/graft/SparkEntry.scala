@@ -660,12 +660,17 @@ object SparkEntry {
     * the tiered lifecycle (tiered_index.hpp:59-67): the layout is saved
     * with the ANN tier over 80% of the relation and an EMPTY delta, then
     * the other 20% arrives as a 3-micro-batch stream through the
-    * TieredIngest foreachBatch sink (delta parquet append + sidecar
-    * refresh per batch). Registering the layout AFTER the stream drains
-    * routes a knn_join over base ∪ live-appended delta — exact candidates
-    * on both tiers at full probes, so the exact kNN oracle gates the
-    * whole save→stream→refresh→register→route pipeline; `delta_appended`
-    * pins that every streamed row landed in the delta sidecar. */
+    * TieredIngest foreachBatch sink (per-batch delta directory + ledger
+    * + sidecar refresh). The gate then REPLAYS the last micro-batch
+    * through the sink's append path with its committed batchId —
+    * foreachBatch is at-least-once, so a restart redelivers the last
+    * batch and an ingest that blindly re-appended would duplicate
+    * neighbor rows; the ledger must skip it. Registering the layout
+    * AFTER stream + replay routes a knn_join over base ∪ delta — exact
+    * candidates on both tiers at full probes, so the exact kNN oracle
+    * hash-gates the whole save→stream→replay→register→route pipeline;
+    * `delta_appended` pins that the delta sidecar counts every streamed
+    * row EXACTLY once. */
   private def tieredIngestQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.ResolveKnnJoin.ensureInstalled(spark)
     val dataPath = s"$dir/embeddings.parquet"
@@ -685,10 +690,18 @@ object SparkEntry {
       val q = graft.stream.TieredIngest.sink(
         ms.toDF().toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>")),
         p, ck)
-      try rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+      val chunks = rows.grouped(math.max(1, (rows.length + 2) / 3)).toSeq
+      try chunks.foreach { chunk =>
         ms.addData(chunk.toSeq)
         q.processAllAvailable()
       } finally q.stop()
+      // at-least-once redelivery: re-append the LAST committed batch with
+      // its engine batchId (a fresh checkpoint numbers batches 0..n-1) —
+      // the ledger must recognize it and land nothing twice
+      graft.stream.TieredIngest.append(
+        chunks.last.toSeq.toDF("id", "vec")
+          .withColumn("vec", col("vec").cast("array<float>")),
+        p, batchId = chunks.size - 1L)
     }
     val deltaRows = spark.read.parquet(s"$idxPath/tiered_meta")
       .head().getAs[Long]("delta_rows")
@@ -991,6 +1004,39 @@ object SparkEntry {
       val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
       val approx = out.select(col("qid"), col("nbr_id")).localCheckpoint()
       val recall = graft.core.Recall.matched(approx, exactL2Truth(spark, dir)).toDouble /
+        (q.count() * 10)
+      q.agg(count(lit(1)).as("n_queries"))
+        .select(col("n_queries"), lit(10).as("k"),
+          lit(0.95).as("target_recall"), lit(recall >= 0.95).as("floor_met"),
+          lit(routed).as("index_routed"))
+    }
+  }
+
+  /** The COSINE twin of knn_join_pq_auto_recall — cosine is the metric
+    * embedding users default to, so the fully-auto composition they will
+    * actually run gets its own floor gate: a cosine-BUILT PQ layout at
+    * `nProbes = 0` (its own refine-composed cosine curve, Wilson-bounded
+    * inversion at the 0.95 target) and `kCoarse = 0` (reorder depth from
+    * the displacement sidecar measured on the normalized corpus). Same
+    * two-halves contract: route earned AND recall@10 ≥ 0.95 vs exact
+    * cosine top-k on the real workload. */
+  private def knnJoinPqCosAutoRecallQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqCosSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8cos:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8,
+          metric = Metric.Cosine), "vec_id", "embedding") }.save(p)
+    }
+    withRegisteredIndex(spark, dataPath, idxPath, nProbes = 0, kCoarse = 0) {
+      val q = embQueries(spark, dir)
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        q, 10, Metric.Cosine, "vec_id", "embedding")
+      val routed = graft.plans.IndexRoute.routedThrough(out, idxPath)
+      val approx = out.select(col("qid"), col("nbr_id")).localCheckpoint()
+      val exact = exactCosineKnn(spark, dir).select(col("qid"), col("nbr_id"))
+      val recall = graft.core.Recall.matched(approx, exact).toDouble /
         (q.count() * 10)
       q.agg(count(lit(1)).as("n_queries"))
         .select(col("n_queries"), lit(10).as("k"),
@@ -1571,6 +1617,7 @@ object SparkEntry {
     "knn_join_indexed_hnsw" -> (knnJoinIndexedHnswQuery(_, _)),
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
     "knn_join_pq_auto_recall" -> (knnJoinPqAutoRecallQuery(_, _)),
+    "knn_join_pq_cos_auto_recall" -> (knnJoinPqCosAutoRecallQuery(_, _)),
     "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
     "tiered_compact_search" -> (tieredCompactQuery(_, _)),
     "tiered_ingest_search" -> (tieredIngestQuery(_, _)),
@@ -1634,6 +1681,7 @@ object SparkEntry {
     "knn_join_indexed_hnsw" -> knnJoinIndexedOracle,
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_pq_auto_recall" -> knnJoinAutoRecallOracle,
+    "knn_join_pq_cos_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_indexed_tiered" -> knnJoinIndexedOracle,
     "tiered_compact_search" -> tieredCompactOracle,
     "tiered_ingest_search" -> tieredIngestOracle,

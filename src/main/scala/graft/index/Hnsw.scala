@@ -37,6 +37,11 @@ object Hnsw {
       // it to every transient hierarchy taxed search-path callers that
       // never persist (r13 regressed hnsw_search_recall 2.3x exactly so)
       efCurve: Option[Seq[(Int, Double)]] = None,
+      // the curve's (k, n_queries) measurement sample — carried through a
+      // load→save round trip so re-saving never downgrades the sidecar
+      // from Wilson-bound inversion back to point-estimate; None on
+      // legacy 2-column sidecars
+      efCurveSample: Option[(Int, Long)] = None,
       // lazy handle to the (id, vec)-shaped source data, carried so save()
       // can measure the curve then — the saved hierarchy itself has no
       // vectors to measure against
@@ -319,10 +324,18 @@ object Hnsw {
     import spark.implicits._
     idx.efCurve match {
       case Some(cv) =>
-        // a pre-populated curve (loaded layout re-saved) has no sample
-        // count to carry — legacy shape, point-estimate inversion
-        cv.toDF("probes", "recall")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+        // a pre-populated curve (loaded layout re-saved) keeps its sample
+        // columns when it has them — only a legacy 2-column sidecar stays
+        // point-estimate after the round trip
+        idx.efCurveSample match {
+          case Some((k, nQ)) =>
+            cv.map { case (p, r) => (p, r, k, nQ) }
+              .toDF("probes", "recall", "k", "n_queries")
+              .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+          case None =>
+            cv.toDF("probes", "recall")
+              .coalesce(1).write.mode("overwrite").parquet(s"$path/ef_curve")
+        }
       case None =>
         if (spark.conf.get("spark.graft.index.recallCurve.enabled", "true").toBoolean)
           idx.measureSource.flatMap(d => measureEfCurve(idx, d, "id", "vec"))
@@ -338,13 +351,14 @@ object Hnsw {
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val meta = spark.read.parquet(s"$path/hnsw_meta").head()
+    val curveKN = IvfFlatIndex.loadCurveKN(spark, path, "ef_curve")
     Index(
       spark.read.parquet(s"$path/hnsw_levels"),
       spark.read.parquet(s"$path/hnsw_edges"),
       meta.getAs[Int]("max_level"), meta.getAs[Long]("entry_point"),
       Params(meta.getAs[Int]("m"), meta.getAs[Long]("seed"),
         Metric.fromName(meta.getAs[String]("metric"))),
-      IvfFlatIndex.loadCurve(spark, path, "ef_curve"))
+      curveKN.map(_._1), curveKN.flatMap(_._2))
   }
 
   /** Hierarchical search: greedy descent through upper layers, then an

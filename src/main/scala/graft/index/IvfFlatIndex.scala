@@ -403,7 +403,18 @@ object IvfFlatIndex {
     * Wilson lower bound needs n; None (legacy sidecars without the
     * columns) keeps the point-estimate inversion. */
   private[graft] def loadCurveWithN(spark: SparkSession, path: String,
-      child: String): Option[(Seq[(Int, Double)], Option[Long])] = {
+      child: String): Option[(Seq[(Int, Double)], Option[Long])] =
+    loadCurveKN(spark, path, child).map { case (curve, kn) =>
+      (curve, kn.map { case (k, nQ) => k.toLong * nQ }.filter(_ > 0))
+    }
+
+  /** Curve plus the RAW (k, n_queries) sidecar columns — consumers that
+    * RE-PERSIST the sidecar (Hnsw re-save, TieredIndex.save) need the
+    * separate columns, not the n·k product, or a load→save round trip
+    * would silently downgrade the layout from Wilson-bound inversion back
+    * to point-estimate. */
+  private[graft] def loadCurveKN(spark: SparkSession, path: String,
+      child: String): Option[(Seq[(Int, Double)], Option[(Int, Long)])] = {
     val p = new org.apache.hadoop.fs.Path(path, child)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
     else {
@@ -414,16 +425,16 @@ object IvfFlatIndex {
       if (rows.isEmpty) None
       else {
         val fields = df.schema.fieldNames.toSet
-        val nSamples =
+        val kn =
           if (fields.contains("n_queries") && fields.contains("k"))
-            df.select(col("n_queries").cast("long"), col("k").cast("long"))
-              .collect().headOption.map(r => r.getLong(0) * r.getLong(1))
-              .filter(_ > 0)
+            df.select(col("k").cast("int"), col("n_queries").cast("long"))
+              .collect().headOption.map(r => (r.getInt(0), r.getLong(1)))
+              .filter { case (k, nQ) => k > 0 && nQ > 0 }
           else None
         val curve = rows.foldLeft(Vector.empty[(Int, Double)]) { case (acc, (pr, rc)) =>
           acc :+ (pr -> math.max(math.min(rc, 1.0), acc.lastOption.map(_._2).getOrElse(0.0)))
         }
-        Some((curve, nSamples))
+        Some((curve, kn))
       }
     }
   }

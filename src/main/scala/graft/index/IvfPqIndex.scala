@@ -289,14 +289,38 @@ object IvfPqIndex {
       balanced: Boolean = false, anisoT: Double = 0.2)
 
   /** η = h_par/h_perp from the anisotropic threshold T (Guo et al. 2020,
-    * Thm 3.2 parameterization): (d−1)·T²/(1−T²). */
-  private[index] def anisoEta(anisoT: Double, dim: Int, metric: Metric): Double =
-    if (anisoT <= 0 ||
+    * Thm 3.2 parameterization): (d−1)·T²/(1−T²). T is a cosine threshold,
+    * so it must live in [0, 1): T ≥ 1 would make η infinite (or negative),
+    * which interpolates into generated code as the non-compiling literal
+    * `Infinity` and silently degenerates the descent to its seed codes —
+    * refuse loudly instead. 0 disables the anisotropic encode. */
+  private[index] def anisoEta(anisoT: Double, dim: Int, metric: Metric): Double = {
+    require(anisoT >= 0 && anisoT < 1.0,
+      s"anisoT must be in [0, 1) (a cosine threshold; got $anisoT)")
+    if (anisoT == 0 ||
         (metric != Metric.InnerProduct && metric != Metric.Cosine)) 0.0
     else {
       val t2 = anisoT * anisoT
       (dim - 1) * t2 / (1.0 - t2)
     }
+  }
+
+  /** Enforce the reference's build rule on a CALLER-SHARED coarse index:
+    * the cells must have been clustered under `coarseMetric(metric)`
+    * (ivf_pq_build.cuh:70-76) — an IP build over max-dot-Lloyd cells
+    * silently reintroduces residual-sized ADC noise (the r14-root-caused
+    * displacement-cap defect), so a mismatched base fails loudly instead.
+    * L2 and L2Sqrt cells are interchangeable (same argmin assignment). */
+  private[index] def requireCoarseBase(base: IvfFlatIndex, metric: Metric): IvfFlatIndex = {
+    val want = coarseMetric(metric).name
+    val got = base.centroids.metricName
+    val l2Family = Set(Metric.L2.name, Metric.L2Sqrt.name)
+    require(got == want || (l2Family.contains(got) && l2Family.contains(want)),
+      s"shared coarse base was clustered under '$got' but a '${metric.name}' build " +
+        s"requires '$want' cells (coarse_clustering_metric, ivf_pq_build.cuh:70-76); " +
+        "rebuild the base under the required metric or let the build train its own")
+    base
+  }
 
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
@@ -347,11 +371,12 @@ object IvfPqIndex {
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): IvfPqIndex = {
     val ds = normalizedFor(dataset, params.metric, vecCol)
-    // coarse quantizer = IVF-Flat build machinery (or a caller-shared
-    // one, which for an IP build must be L2-built per coarseMetric)
-    val ivf = base.getOrElse(IvfFlatIndex.build(ds,
-      IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, coarseMetric(params.metric), params.balanced), idCol, vecCol))
+    // coarse quantizer = IVF-Flat build machinery, or a caller-shared one
+    // — whose cells must match coarseMetric (checked, requireCoarseBase)
+    val ivf = base.map(requireCoarseBase(_, params.metric))
+      .getOrElse(IvfFlatIndex.build(ds,
+        IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
+          params.seed, coarseMetric(params.metric), params.balanced), idCol, vecCol))
     // residuals vs assigned cell center, then PQ codebooks on them
     val withRes = ivf.lists.withColumn("_res",
       B.column(CentroidResidual(B.expression(col("vec")), B.expression(col("list_id")),
@@ -395,9 +420,10 @@ object IvfPqIndex {
       idCol: String = "id", vecCol: String = "vec",
       base: Option[IvfFlatIndex] = None): IvfPqClusterIndex = {
     val ds = normalizedFor(dataset, params.metric, vecCol)
-    val ivf = base.getOrElse(IvfFlatIndex.build(ds,
-      IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
-        params.seed, coarseMetric(params.metric), params.balanced), idCol, vecCol))
+    val ivf = base.map(requireCoarseBase(_, params.metric))
+      .getOrElse(IvfFlatIndex.build(ds,
+        IvfFlatIndex.Params(params.nLists, params.nIters, params.trainFraction,
+          params.seed, coarseMetric(params.metric), params.balanced), idCol, vecCol))
     val dim = ivf.centroids.dim
     require(dim % params.pqDim == 0, s"dim $dim not divisible by pqDim ${params.pqDim}")
     val subLen = dim / params.pqDim

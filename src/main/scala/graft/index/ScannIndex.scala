@@ -178,11 +178,13 @@ object ScannIndex {
     val ds = IvfPqIndex.normalizedFor(dataset, params.metric, vecCol)
     // InnerProduct CLUSTERS under L2 and only probes by dot — the
     // reference's coarse_clustering_metric rule (ivf_pq_build.cuh:70-76);
-    // max-dot Lloyd leaves residuals the size of the data spread
-    val ivf = base.getOrElse(IvfFlatIndex.build(ds,
-      IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed,
-        metric = IvfPqIndex.coarseMetric(params.metric), balanced = params.balanced),
-      idCol, vecCol))
+    // max-dot Lloyd leaves residuals the size of the data spread. A
+    // caller-shared base must match (IvfPqIndex.requireCoarseBase).
+    val ivf = base.map(IvfPqIndex.requireCoarseBase(_, params.metric))
+      .getOrElse(IvfFlatIndex.build(ds,
+        IvfFlatIndex.Params(params.nLeaves, params.nIters, params.trainFraction, params.seed,
+          metric = IvfPqIndex.coarseMetric(params.metric), balanced = params.balanced),
+        idCol, vecCol))
     // two views over the SAME centers: ASSIGNMENT (primary + SOAR spill
     // candidates) ranks under the coarse metric — the cells are
     // L2-compact for an IP build — while the index PROBES under the

@@ -67,19 +67,35 @@ case class KnnJoinPlan(
   * statistics are only dropped by register/unregister. */
 object GraftIndexCatalog {
   case class Entry(indexPath: String, nProbes: Int, kCoarse: Int)
-  private val byPath = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  private val byPath = scala.collection.concurrent.TrieMap.empty[String, Vector[Entry]]
   /** nProbes = 0 opts into cost-based probe selection: the planner derives
-    * the probe count from the index statistics at rewrite time. */
+    * the probe count from the index statistics at rewrite time.
+    *
+    * MULTIPLE layouts may be registered over one relation (call register
+    * once per layout): the resolver then routes each kNN join through the
+    * CHEAPEST routable one by expected bytes read — the layout-level
+    * analog of the reference's per-query plan factory
+    * (search_plan.cuh:113-133; composite neighbors/composite/index.hpp:20).
+    * Re-registering the SAME indexPath replaces that layout's entry (and
+    * drops the statistics memos — the rebuild-after-append contract);
+    * `unregister(dataPath)` removes every layout on the relation. */
   def register(dataPath: String, indexPath: String, nProbes: Int = 0, kCoarse: Int = 0): Unit = {
-    byPath.put(normalize(dataPath), Entry(indexPath, nProbes, kCoarse))
+    val e = Entry(indexPath, nProbes, kCoarse)
+    byPath.updateWith(normalize(dataPath)) {
+      case Some(v) =>
+        Some(v.filterNot(x => normalize(x.indexPath) == normalize(indexPath)) :+ e)
+      case None => Some(Vector(e))
+    }
     clearProbeCache()
   }
   def unregister(dataPath: String): Unit = {
     byPath.remove(normalize(dataPath))
     clearProbeCache()
   }
-  def lookup(paths: Seq[String]): Option[Entry] =
-    paths.flatMap(p => byPath.get(normalize(p))).headOption
+  def lookup(paths: Seq[String]): Option[Entry] = lookupAll(paths).headOption
+  /** Every layout registered on any of `paths`, registration order. */
+  def lookupAll(paths: Seq[String]): Seq[Entry] =
+    paths.flatMap(p => byPath.get(normalize(p))).flatten.distinct
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
@@ -237,14 +253,15 @@ object ResolveKnnJoin {
     }
   }
 
-  /** The sf0.1 64-dim fixture measurement (RECALL_PARETO.json ivf_flat
-    * rows) — the FALLBACK curve for legacy layouts saved before the
-    * per-index `recall_curve` sidecar existed. It is one dataset's
-    * geometry: a harder corpus saturates later, so auto mode on a legacy
-    * layout may undershoot the target — re-save the index to get its own
-    * measured curve (docs/MIGRATION.md). */
-  val fixtureCurve: Seq[(Int, Double)] =
-    Seq(1 -> 0.302, 2 -> 0.415, 4 -> 0.603, 8 -> 0.816, 16 -> 1.0)
+  /** Layouts already warned about a missing `recall_curve` sidecar —
+    * bound the log to one line per registration, not one per
+    * re-optimization. (The committed FIXTURE curve that used to back
+    * legacy layouts is retired: every save since r13 measures its own
+    * curve, and inverting one corpus's geometry on another silently
+    * missed recall floors — a legacy layout now probes every list until
+    * re-saved, docs/MIGRATION.md.) */
+  private[plans] val noCurveWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** One-sided Wilson lower confidence bound on a measured proportion —
     * the statistical floor under the curve sidecars' recall points.
@@ -264,54 +281,42 @@ object ResolveKnnJoin {
 
   /** Probe count for a recall target — the reference's `min_recall ≈
     * f(n_probes/n_lists)` discipline (ann_ivf_flat.cuh:102) made usable by
-    * inverting a measured probe/recall curve instead of the pessimistic
-    * linear lower bound — by preference THIS index's own curve, measured
-    * at save time on a held-out sample against its own exact top-k
-    * (IvfFlatIndex.saveRecallCurve) so a 0.95 target means 0.95 on this
-    * geometry, not on the committed fixture's. Recall saturates in the
-    * ABSOLUTE probe count on easy geometries (the fixture: 8 probes
-    * 0.816, 16 probes 1.000 at k=10, matching the reference's default
-    * economics — 20 probes over 1024 lists, ivf_flat.hpp:28-81);
-    * log2-interpolated between the measured points. A target ABOVE the
-    * curve's best measured recall probes every list (exactness is the
-    * only honest answer off the measured range), as does
-    * `targetRecall ≥ 1`. The kCoarse-coverage floor (expected scanned
-    * rows ≥ 3·kCoarse) and the [1, nLists] clamp are kept.
-    *
-    * `measured = true` (a per-index sidecar curve) inverts CONSERVATIVELY:
-    * the smallest MEASURED probe point whose recall meets the target — the
-    * sample points are the only trusted observations, and interpolating a
-    * 0.95 between two noisy measurements undershoots the claimed floor
-    * about half the time. When the sidecar recorded its sample size
-    * (`nSamples` = n_queries·k pairs), each point is first replaced by
-    * its one-sided Wilson lower bound: a point ESTIMATE of 0.95 over 320
-    * pairs is ±0.02-grade noise at exactly the default decision
-    * threshold, so the inversion trusts only what the sample can
+    * inverting THIS index's own measured probe/recall curve, taken at
+    * save time on a held-out sample against its own exact top-k
+    * (IvfFlatIndex.saveMeasuredCurve) — a 0.95 target means 0.95 on this
+    * geometry, not on some other corpus's. The inversion is CONSERVATIVE:
+    * the smallest MEASURED probe point whose recall meets the target —
+    * the sample points are the only trusted observations, and
+    * interpolating a 0.95 between two noisy measurements undershoots the
+    * claimed floor about half the time. When the sidecar recorded its
+    * sample size (`nSamples` = n_queries·k pairs), each point is first
+    * replaced by its one-sided Wilson lower bound: a point ESTIMATE of
+    * 0.95 over 320 pairs is ±0.02-grade noise at exactly the default
+    * decision threshold, so the inversion trusts only what the sample can
     * statistically back — a 0.95 point that can't clear the bound picks
     * the next deeper probe point (or every list) instead of claiming the
-    * floor. The fixture fallback keeps log2 interpolation (legacy
-    * behavior; its own floor risk is documented above). */
+    * floor. A single-point curve is legitimate (the save sweep early-stops
+    * at saturation, so an easy layout can measure 1.0 at probes = 1) and
+    * inverts like any other.
+    *
+    * An EMPTY curve (a pre-r13 layout whose save never measured one)
+    * probes every list: exactness is the only honest answer without a
+    * measurement — the committed fixture curve that used to stand in is
+    * retired (it was one dataset's geometry; inverting it on a harder
+    * corpus silently missed the floor). Re-save the index to restore
+    * calibrated selection (docs/MIGRATION.md). `targetRecall ≥ 1` and a
+    * target above the curve's best measured recall also probe every list.
+    * The kCoarse-coverage floor (expected scanned rows ≥ 3·kCoarse) and
+    * the [1, nLists] clamp are kept. */
   def autoProbes(targetRecall: Double, nLists: Int, nRows: Long, kCoarse: Int,
-      curve: Seq[(Int, Double)] = fixtureCurve, measured: Boolean = false,
+      curve: Seq[(Int, Double)] = Seq.empty,
       nSamples: Option[Long] = None): Int = {
-    val cv0 = if (curve.size >= 2) curve else fixtureCurve
-    val cv =
-      if (measured) nSamples.filter(_ > 0)
-        .map(n => cv0.map { case (p, r) => (p, wilsonLower(r, n)) })
-        .getOrElse(cv0)
-      else cv0
+    val cv = nSamples.filter(_ > 0)
+      .map(n => curve.map { case (p, r) => (p, wilsonLower(r, n)) })
+      .getOrElse(curve)
     val fromCurve =
-      if (targetRecall >= 1.0 || targetRecall > cv.last._2) nLists
-      else if (measured)
-        cv.find(_._2 >= targetRecall).map(_._1).getOrElse(nLists)
-      else if (targetRecall <= cv.head._2) cv.head._1
-      else {
-        val ((pLo, rLo), (pHi, rHi)) = cv.zip(cv.tail)
-          .find { case ((_, r0), (_, r1)) => targetRecall > r0 && targetRecall <= r1 }.get
-        val t = if (rHi > rLo) (targetRecall - rLo) / (rHi - rLo) else 1.0
-        val log2 = (x: Double) => math.log(x) / math.log(2.0)
-        math.ceil(math.pow(2.0, log2(pLo) * (1 - t) + log2(pHi) * t)).toInt
-      }
+      if (cv.isEmpty || targetRecall >= 1.0 || targetRecall > cv.last._2) nLists
+      else cv.find(_._2 >= targetRecall).map(_._1).getOrElse(nLists)
     val coverK = math.ceil(3.0 * kCoarse * nLists / math.max(nRows, 1L).toDouble).toInt
     math.min(nLists, math.max(1, math.max(fromCurve, coverK)))
   }
@@ -532,8 +537,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       /** Probe count: explicit registration wins; `nProbes = 0` derives
         * from `spark.graft.knnJoin.targetRecall` (default 0.95) through
         * THIS layout's measured probe/recall curve (the `recall_curve`
-        * sidecar written at save time; the committed fixture curve only
-        * for legacy layouts without one — documented undershoot risk,
+        * sidecar written at save time; a legacy layout without one probes
+        * every list — exact, and warned once — until re-saved,
         * docs/MIGRATION.md); a caller-set `autoProbeFraction` keeps the
         * legacy fraction semantics for sessions that pinned it. */
       def resolveProbes(e: GraftIndexCatalog.Entry, base: LogicalPlan,
@@ -553,9 +558,13 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 graft.index.IvfFlatIndex.loadCurveWithN(spark, e.indexPath,
                   "recall_curve")
               }
+              if (curve.isEmpty && ResolveKnnJoin.noCurveWarned.add(e.indexPath))
+                logWarning(s"knn_join: layout at ${e.indexPath} carries no measured " +
+                  "recall_curve sidecar (pre-r13 save); auto mode probes EVERY list " +
+                  "(exact but unpruned) — re-save the index to restore calibrated " +
+                  "probe selection (docs/MIGRATION.md)")
               ResolveKnnJoin.autoProbes(target, nLists, n, depth,
-                curve.map(_._1).getOrElse(ResolveKnnJoin.fixtureCurve),
-                measured = curve.isDefined,
+                curve.map(_._1).getOrElse(Seq.empty),
                 nSamples = curve.flatMap(_._2))
           }
         }
@@ -722,9 +731,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         * `widen` turns the layout's base reorder depth into (final depth,
         * small-id-filter?) — identity for full population, the
         * filtering_rate analog for filtered shapes, None = brute. */
-      def routeFor(e: GraftIndexCatalog.Entry, base: LogicalPlan,
-          widen: Int => Option[(Int, Boolean)], post: Post): Option[DataFrame] =
-        layoutOf(e.indexPath).flatMap { layout =>
+      def routeFor(e: GraftIndexCatalog.Entry, layout: String, base: LogicalPlan,
+          widen: Int => Option[(Int, Boolean)], post: Post): Option[DataFrame] = {
           val compressed =
             layout == "ivf_pq" || layout == "ivf_pqcl" || layout == "scann" ||
               layout == "rabitq" || layout == "ivf_sq"
@@ -809,8 +817,87 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 B.ofRows(spark, base).select(col(kj.idCol)), minIndexRows - 1)
             })
 
-      def entryFor(base: LogicalPlan): Option[GraftIndexCatalog.Entry] =
-        GraftIndexCatalog.lookup(scanPaths(base)).filter(_ => bigEnoughForIndex(base))
+      /** Expected per-query read cost of routing through `e`, in RAW-ROW
+        * units — the cost model behind multi-layout selection (the
+        * reference picks its plan per query from alternatives,
+        * search_plan.cuh:113-133; composite
+        * neighbors/composite/index.hpp:20): probe-fraction × population,
+        * scaled by the stored row's width relative to the raw vector
+        * (codes are narrower), plus the exact-refine read (reorder depth
+        * in raw rows) on code-compressed layouts, plus the delta tier's
+        * exact scan on tiered layouts; an HNSW beam reads ~ef·m vectors.
+        * Every input is a memoized one-row sidecar read (centroid
+        * count/dim, codebook pq_dim, population) — never the lists; an
+        * unreadable layout costs MaxValue so a broken candidate can never
+        * outbid a working one. */
+      def layoutCost(e: GraftIndexCatalog.Entry, layout: String,
+          base: LogicalPlan): Double =
+        try {
+          if (layout == "hnsw") {
+            val m = GraftIndexCatalog.cachedStat(s"cost:m:${e.indexPath}") {
+              spark.read.parquet(s"${e.indexPath}/hnsw_meta")
+                .head().getAs[Int]("m").toDouble
+            }
+            math.max(40, coarseK(e, compressed = false)) * m
+          } else {
+            val compressed = layout == "ivf_pq" || layout == "ivf_pqcl" ||
+              layout == "scann" || layout == "rabitq" || layout == "ivf_sq"
+            val depth = coarseK(e, compressed)
+            val statsBase =
+              if (layout == "tiered") s"${e.indexPath}/tiered_base" else e.indexPath
+            val nLists = GraftIndexCatalog.cachedStat(s"cost:nlists:$statsBase") {
+              spark.read.parquet(s"$statsBase/centroids").count().toDouble
+            }
+            val dim = GraftIndexCatalog.cachedStat(s"cost:dim:$statsBase") {
+              spark.read.parquet(s"$statsBase/centroids")
+                .head().getAs[Int]("dim").toDouble
+            }
+            val n = math.max(baseRows(e, base), 1L).toDouble
+            val probes = resolveProbes(e, base, math.max(1, nLists.toInt), depth)
+            val pf = probes / math.max(1.0, nLists)
+            val width = layout match {
+              case "ivf" | "tiered" => 1.0
+              case "ivf_sq" => 0.25        // int8 codes vs float32
+              case "rabitq" => 1.0 / 32.0  // 1 bit per dim
+              case _ =>                    // PQ family: pq_dim ints vs dim floats
+                val pqBooks =
+                  if (layout == "ivf_pqcl") "cluster_codebooks" else "codebooks"
+                val pqDim = GraftIndexCatalog.cachedStat(s"cost:pqdim:${e.indexPath}") {
+                  spark.read.parquet(s"${e.indexPath}/$pqBooks")
+                    .head().getAs[Int]("pq_dim").toDouble
+                }
+                pqDim / math.max(1.0, dim)
+            }
+            val pop = if (layout == "scann") 2.0 * n else n // SOAR stores 2 copies
+            val deltaScan =
+              if (layout == "tiered")
+                GraftIndexCatalog.cachedStat(s"cost:delta:${e.indexPath}") {
+                  val meta = spark.read.parquet(s"${e.indexPath}/tiered_meta").head()
+                  if (meta.schema.fieldNames.contains("delta_rows"))
+                    meta.getAs[Long]("delta_rows").toDouble
+                  else 0.0
+                }
+              else 0.0
+            pf * pop * width + (if (compressed) depth.toDouble else 0.0) + deltaScan
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Double.MaxValue
+        }
+
+      /** Registered layouts on `base`, cheapest-first when there is a
+        * choice. A single registration (the common case) pays no cost
+        * evaluation at all; with ≥2, the per-layout costs come from
+        * memoized sidecar reads and registration ORDER never decides —
+        * the tie-break is the path, for determinism. */
+      def entriesFor(base: LogicalPlan): Seq[(GraftIndexCatalog.Entry, String)] = {
+        val es = GraftIndexCatalog.lookupAll(scanPaths(base))
+        if (es.isEmpty || !bigEnoughForIndex(base)) Seq.empty
+        else {
+          val typed = es.flatMap(e => layoutOf(e.indexPath).map(l => (e, l)))
+          if (typed.size <= 1) typed
+          else typed.sortBy { case (e, l) => (layoutCost(e, l, base), e.indexPath) }
+        }
+      }
 
       /** Widened reorder depth for a filtered shape — the planner-level
         * `filtering_rate` strategy (cagra.hpp:346-355): estimate the pass
@@ -939,8 +1026,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           if (udfMetric.isDefined) None
           else if (indexEligible(kj.left)) {
             if (!columnsTraceToScan(kj.left)) None
-            else entryFor(kj.left).flatMap(e =>
-              routeFor(e, kj.left, d => Some((d, false)), NoFilter))
+            // cheapest-first: the first layout that actually produces a
+            // route wins (an unroutable cheaper layout — e.g. a metric
+            // mismatch — falls through to the next)
+            else entriesFor(kj.left).view.flatMap { case (e, layout) =>
+              routeFor(e, layout, kj.left, d => Some((d, false)), NoFilter)
+            }.headOption
           } else if (filteredRouteEnabled)
             filteredShape(kj.left)
               .filter { shape =>
@@ -970,8 +1061,10 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   case js: JoinShape => IdFilter(js.filterSide, js.filterKey, js.anti)
                   case _ => ViaData
                 }
-                entryFor(shape.base).flatMap(e =>
-                  routeFor(e, shape.base, widenedDepth(shape, shape.base, e), post))
+                entriesFor(shape.base).view.flatMap { case (e, layout) =>
+                  routeFor(e, layout, shape.base,
+                    widenedDepth(shape, shape.base, e), post)
+                }.headOption
               }
           else None
         } catch {

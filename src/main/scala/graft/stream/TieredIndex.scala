@@ -108,8 +108,43 @@ object TieredIndex {
       if (meta.schema.fieldNames.contains("delta_rows"))
         Some(meta.getAs[Long]("delta_rows"))
       else None
-    new TieredIndex(base, spark.read.parquet(s"$path/delta"),
+    new TieredIndex(base, readDelta(spark, path),
       meta.getAs[Long]("min_ann_rows"), Metric.fromName(meta.getAs[String]("metric")),
       deltaRows)
+  }
+
+  /** The delta tier as a frame. Streaming ingest lands each micro-batch
+    * in its own `delta/batch-<id>/` subdirectory (the idempotent-replay
+    * protocol, TieredIngest doc) alongside whatever flat files the save /
+    * direct appends wrote at the delta root, so the read must recurse —
+    * `recursiveFileLookup` picks up both shapes in one listing. */
+  private[stream] def readDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/delta")
+      .select(col("id").cast("long").as("id"), col("vec"))
+
+  /** Fold the delta into the ANN tier IN PLACE — the auto-promotion step
+    * of the reference's tiered lifecycle (tiered_index.hpp:59-67
+    * `create_ann_index_on_extend`, :105, :136). The compacted layout is
+    * SAVED to a sibling temp directory first (its inputs still read from
+    * the live one — never an overwrite of a path being read), including
+    * the re-measured recall curve, then swapped in with two renames; the
+    * old layout survives as `<path>.compact_old` only inside the swap
+    * window. `beforeSwap` runs against the fully-saved temp directory so
+    * callers can add sidecars (TieredIngest carries its zeroed commit
+    * ledger through) that become visible ATOMICALLY with the compaction. */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeSwap: String => Unit = _ => ()): Unit = {
+    load(spark, path).compact().save(path + ".compact_tmp")
+    beforeSwap(path + ".compact_tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val real = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    fs.delete(old, true)
+    require(fs.rename(real, old) && fs.rename(tmp, real),
+      s"compactInPlace: directory swap failed at $path")
+    fs.delete(old, true)
   }
 }

@@ -180,8 +180,7 @@ object ScaleSmoke {
           s" nSamples=${curveN.flatMap(_._2).getOrElse(-1L)}" +
           s" autoProbes(0.95,128,$n,30)=" +
           graft.plans.ResolveKnnJoin.autoProbes(0.95, 128, n, 30,
-            curve.getOrElse(graft.plans.ResolveKnnJoin.fixtureCurve), curve.isDefined,
-            curveN.flatMap(_._2)))
+            curve.getOrElse(Seq.empty), curveN.flatMap(_._2)))
         time("knn_join_brute_baseline") {
           graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10, Metric.L2, "id", "vec").count()
         }

@@ -175,4 +175,50 @@ class IvfPqSuite extends SparkFunSuite {
       "vec_id", "embedding").select(col("qid"), col("nbr_id"))
     assert(got.intersect(exact).count() == exact.count())
   }
+
+  test("a shared coarse base must match coarse_clustering_metric, enforced loudly") {
+    // an IP-BUILT (max-dot Lloyd) base under an IP PQ build would silently
+    // reintroduce the residual-noise defect the L2-coarse rule exists to
+    // prevent (ivf_pq_build.cuh:70-76) — the build must refuse it, in all
+    // three shared-base builders
+    val ipBase = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5,
+        metric = Metric.InnerProduct), "vec_id", "embedding")
+    val ipParams = IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8,
+      metric = Metric.InnerProduct)
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.build(emb, ipParams, "vec_id", "embedding", base = Some(ipBase))
+    }
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.buildPerCluster(emb, ipParams, "vec_id", "embedding", base = Some(ipBase))
+    }
+    intercept[IllegalArgumentException] {
+      graft.index.ScannIndex.build(emb,
+        graft.index.ScannIndex.Params(nLeaves = 8, nIters = 5, pqDim = 8, pqBits = 8,
+          metric = Metric.InnerProduct), "vec_id", "embedding", base = Some(ipBase))
+    }
+    // the LEGAL share — an L2-clustered base under an IP build — still
+    // works, and its displacement calibration stays on the fixed path
+    val l2Base = graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+    val shared = IvfPqIndex.build(emb, ipParams, "vec_id", "embedding",
+      base = Some(l2Base))
+    assert(shared.centroids.metricName == Metric.InnerProduct.name,
+      "probe view still ranks under the index metric")
+    assert(shared.depthHint.forall { case (_, disp) => disp < emb.count() },
+      "shared-L2-base IP build should keep the uncapped displacement")
+  }
+
+  test("anisoT outside [0, 1) is refused (eta would be infinite)") {
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.build(emb, IvfPqIndex.Params(nLists = 8, nIters = 5,
+        pqDim = 8, pqBits = 8, metric = Metric.InnerProduct, anisoT = 1.0),
+        "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.build(emb, IvfPqIndex.Params(nLists = 8, nIters = 5,
+        pqDim = 8, pqBits = 8, metric = Metric.InnerProduct, anisoT = -0.1),
+        "vec_id", "embedding")
+    }
+  }
 }

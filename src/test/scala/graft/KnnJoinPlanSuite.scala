@@ -558,16 +558,25 @@ class KnnJoinPlanSuite extends SparkFunSuite {
   test("auto-probes derive from the recall target: ~2% of a sqrt(n) index at 0.95") {
     import graft.plans.ResolveKnnJoin.autoProbes
     // the reference's default economics (20 probes / 1024 lists,
-    // ivf_flat.hpp:28-81): 0.95 must land at or under ~2% of the lists
-    val p95 = autoProbes(0.95, nLists = 1024, nRows = 1000000L, kCoarse = 30)
+    // ivf_flat.hpp:28-81) on a measured curve of that shape: 0.95 must
+    // land at or under ~2% of the lists
+    val cv = Seq(1 -> 0.302, 2 -> 0.415, 4 -> 0.603, 8 -> 0.816, 16 -> 1.0)
+    val p95 = autoProbes(0.95, nLists = 1024, nRows = 1000000L, kCoarse = 30, cv)
     assert(p95 >= 8 && p95 <= 20, s"0.95 target picked $p95 probes")
     // exact opt-in probes everything
-    assert(autoProbes(1.0, 1024, 1000000L, 30) == 1024)
+    assert(autoProbes(1.0, 1024, 1000000L, 30, cv) == 1024)
     // coverage floor: expected scanned rows must cover 3x the reorder
     // depth even when the curve alone would probe less
-    assert(autoProbes(0.5, 1024, 10000L, 30) >= 10)
+    assert(autoProbes(0.5, 1024, 10000L, 30, cv) >= 10)
     // clamp to the list count on tiny indexes
-    assert(autoProbes(0.99, 8, 500L, 30) <= 8)
+    assert(autoProbes(0.99, 8, 500L, 30, cv) <= 8)
+    // NO curve (pre-r13 layout): every list — exactness is the only
+    // honest answer without a measurement; the fixture stand-in is retired
+    assert(autoProbes(0.95, 1024, 1000000L, 30) == 1024)
+    // a single-point curve is legitimate (save early-stops at saturation)
+    // and inverts like any other — it must NOT be swapped for a fixture
+    assert(autoProbes(0.95, 32, 2000L, 0, Seq(1 -> 1.0)) == 1)
+    assert(autoProbes(0.95, 32, 2000L, 0, Seq(1 -> 1.0), Some(1280L)) == 1)
   }
 
   test("stats gate: a small relation bypasses its registered index; conf opt-out restores it") {
@@ -662,24 +671,24 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       assert(cv.map(_._1) == cv.map(_._1).sorted && cv.forall(p => p._2 >= 0 && p._2 <= 1))
       assert(cv.zip(cv.tail).forall { case ((_, a), (_, b)) => b >= a }, s"non-monotone $cv")
     }
-    val pEasy = ResolveKnnJoin.autoProbes(0.95, 32, 2000L, 10, curveEasy, measured = true)
-    val pHard = ResolveKnnJoin.autoProbes(0.95, 32, 2000L, 10, curveHard, measured = true)
+    val pEasy = ResolveKnnJoin.autoProbes(0.95, 32, 2000L, 10, curveEasy)
+    val pHard = ResolveKnnJoin.autoProbes(0.95, 32, 2000L, 10, curveHard)
     assert(pEasy < pHard, s"easy=$pEasy hard=$pHard (curves: $curveEasy / $curveHard)")
     assert(pHard >= 8, s"random 256-dim should need deep probing, got $pHard")
     // a target above the curve's best measurement probes every list
     assert(ResolveKnnJoin.autoProbes(curveHard.last._2 + 0.01, 32, 2000L, 10,
-      curveHard, measured = true) == 32)
+      curveHard) == 32)
   }
 
   test("Wilson bound: a point estimate AT the target over a small sample widens probes") {
     import graft.plans.ResolveKnnJoin.{autoProbes, wilsonLower}
     val curve = Seq(1 -> 0.60, 2 -> 0.80, 4 -> 0.95, 8 -> 0.99, 16 -> 1.0)
     // legacy sidecar (no sample size recorded): point-estimate inversion
-    assert(autoProbes(0.95, 32, 2000L, 10, curve, measured = true) == 4)
+    assert(autoProbes(0.95, 32, 2000L, 10, curve) == 4)
     // 32 queries × k=10 = 320 pairs: a 0.95 measured once is ±0.02-grade
     // noise at exactly the 0.95 decision point, so the statistical floor
     // picks the NEXT measured point whose bound clears the target
-    val p320 = autoProbes(0.95, 32, 2000L, 10, curve, measured = true,
+    val p320 = autoProbes(0.95, 32, 2000L, 10, curve,
       nSamples = Some(320L))
     assert(p320 == 8, s"expected the 0.99 point at n=320, got $p320")
     assert(wilsonLower(0.95, 320) < 0.95 && wilsonLower(0.99, 320) >= 0.95)
@@ -687,10 +696,10 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(wilsonLower(1.0, 320) >= 0.95)
     // with enough samples a point just above the target clears it directly
     val fat = Seq(1 -> 0.60, 2 -> 0.80, 4 -> 0.96, 8 -> 0.99, 16 -> 1.0)
-    assert(autoProbes(0.95, 32, 2000L, 10, fat, measured = true,
+    assert(autoProbes(0.95, 32, 2000L, 10, fat,
       nSamples = Some(100000L)) == 4)
     // a target no measured bound can back probes every list
-    assert(autoProbes(0.999, 32, 2000L, 10, curve, measured = true,
+    assert(autoProbes(0.999, 32, 2000L, 10, curve,
       nSamples = Some(320L)) == 32)
   }
 
@@ -730,6 +739,83 @@ class KnnJoinPlanSuite extends SparkFunSuite {
           "legacy layout should take the memoized count fallback")
       } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
     } finally spark.conf.unset("spark.graft.index.recallCurve.enabled")
+  }
+
+  test("cost-based layout selection: the cheaper layout earns the route, order never decides") {
+    // ≥2 layouts registered over ONE relation: the resolver picks by
+    // expected bytes read (search_plan.cuh:113-133's per-query plan
+    // factory at layout granularity), not by registration order
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val flatPath = java.nio.file.Files.createTempDirectory("knncost_flat").toString
+    val pqPath = java.nio.file.Files.createTempDirectory("knncost_pq").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(flatPath)
+    graft.index.IvfPqIndex.build(emb,
+      graft.index.IvfPqIndex.Params(nLists = 8, nIters = 5, pqDim = 8, pqBits = 8),
+      "vec_id", "embedding").save(pqPath)
+    val n = emb.count().toInt
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    // scenario A — the PQ entry must refine the FULL population
+    // (kCoarse = n): reading n codes + n raw refine rows costs more than
+    // the flat route's n raw rows, so FLAT must win in BOTH registration
+    // orders, and either winner is exact at these settings
+    for (order <- Seq(Seq(flatPath, pqPath), Seq(pqPath, flatPath))) {
+      order.foreach { p =>
+        if (p == flatPath)
+          graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 8, kCoarse = 30)
+        else
+          graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 8, kCoarse = n)
+      }
+      try withIndexGateOff {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(graft.plans.IndexRoute.routedThrough(routed, flatPath),
+          s"flat should win on cost (order: $order)")
+        assert(!graft.plans.IndexRoute.routedThrough(routed, pqPath))
+        assert(routed.exceptAll(exact).count() == 0 &&
+          exact.exceptAll(routed).count() == 0)
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    }
+    // scenario B — a shallow PQ reorder depth (kCoarse = 60) reads ~n/8
+    // codes + 60 refine rows, far under the flat route's n raw rows: PQ
+    // must win in both orders; full probes keep its recall near-exact
+    for (order <- Seq(Seq(flatPath, pqPath), Seq(pqPath, flatPath))) {
+      order.foreach { p =>
+        if (p == flatPath)
+          graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 8, kCoarse = 30)
+        else
+          graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 8, kCoarse = 60)
+      }
+      try withIndexGateOff {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(graft.plans.IndexRoute.routedThrough(routed, pqPath),
+          s"pq should win on cost (order: $order)")
+        val hits = routed.select(col("qid"), col("nbr_id"))
+          .intersect(exact.select(col("qid"), col("nbr_id"))).count()
+        assert(hits >= exact.count() * 9 / 10,
+          s"pq-routed recall too low: $hits of ${exact.count()}")
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    }
+    // an unroutable cheaper layout falls through: the PQ layout cannot
+    // serve a COSINE node, so the flat layout must not be blocked by it
+    // (flat refuses cosine too -> exact brute, but the fall-through must
+    // not error); use an L2 node with a cosine... simpler: register ONLY
+    // pq and ask cosine — brute fallback, then both and ask L2 — routed
+    graft.plans.GraftIndexCatalog.register(dataPath, pqPath, nProbes = 8, kCoarse = 60)
+    graft.plans.GraftIndexCatalog.register(dataPath, flatPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      val cos = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.Cosine,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(cos, pqPath) &&
+        !graft.plans.IndexRoute.routedThrough(cos, flatPath),
+        "a cosine node over L2 layouts must fall back to exact brute")
+      assert(cos.count() == queries.count() * 10)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
   test("two deny lists over one table memoize DISTINCT filter counts") {
@@ -854,6 +940,16 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     // persisted, and sanitized monotone on load
     val lcv = loaded.efCurve.getOrElse(fail("ef_curve sidecar missing after save"))
     assert(lcv.zip(lcv.tail).forall { case ((_, a), (_, b)) => b >= a })
+    // the (k, n_queries) sample size rides along — and SURVIVES a
+    // load -> save round trip, so re-saving never downgrades the layout
+    // from Wilson-bound inversion back to point-estimate
+    assert(loaded.efCurveSample.exists { case (k, nQ) => k > 0 && nQ > 0 },
+      s"ef_curve sample columns missing on load: ${loaded.efCurveSample}")
+    val dir2 = java.nio.file.Files.createTempDirectory("hnswef2").toString
+    graft.index.Hnsw.save(loaded, dir2)
+    val reloaded = graft.index.Hnsw.load(spark, dir2)
+    assert(reloaded.efCurveSample == loaded.efCurveSample,
+      "re-save must carry the ef_curve sample columns verbatim")
     // a DEFAULT-depth registration (kCoarse = 0) inverts the sidecar: the
     // routed result must clear the session recall target on the fixture
     ensureRule()

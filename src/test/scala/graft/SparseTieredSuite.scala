@@ -116,6 +116,115 @@ class SparseTieredSuite extends SparkFunSuite {
     assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
   }
 
+  test("streaming ingest replay is idempotent: a redelivered batchId lands nothing twice") {
+    // foreachBatch is at-least-once — a failure-recovery restart
+    // redelivers the last batch; the per-batch directory + commit ledger
+    // must absorb the replay without duplicating delta rows
+    val dir = java.nio.file.Files.createTempDirectory("tiered_replay").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val batch0 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val batch1 = emb.filter(col("vec_id") >= 450)
+    graft.stream.TieredIngest.append(batch0, dir, "vec_id", "embedding", batchId = 0L)
+    graft.stream.TieredIngest.append(batch1, dir, "vec_id", "embedding", batchId = 1L)
+    val appended = batch0.count() + batch1.count()
+    // replay batch 1 twice (redelivery after a simulated recovery)
+    graft.stream.TieredIngest.append(batch1, dir, "vec_id", "embedding", batchId = 1L)
+    graft.stream.TieredIngest.append(batch1, dir, "vec_id", "embedding", batchId = 1L)
+    val meta = spark.read.parquet(s"$dir/tiered_meta").head()
+    assert(meta.getAs[Long]("delta_rows") == appended,
+      "replayed batch must not grow the delta sidecar")
+    val loaded = TieredIndex.load(spark, dir)
+    assert(loaded.delta.count() == appended,
+      "replayed batch must not land duplicate delta rows")
+    // routed search over base ∪ delta still equals exact — no duplicate
+    // neighbor ids surface
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 5, Metric.L2,
+      "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
+  }
+
+  test("streaming ingest auto-compacts once the delta crosses min_ann_rows") {
+    // the reference's create_ann_index_on_extend contract
+    // (tiered_index.hpp:59-67, 105, 136): a long-running ingest must not
+    // grow the exact-scan delta without bound — crossing the threshold
+    // folds the delta into the ANN tier in place, with a re-measured curve
+    val dir = java.nio.file.Files.createTempDirectory("tiered_autocompact").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      minAnnRows = 20, idCol = "vec_id", vecCol = "embedding").save(dir)
+    val small = emb.filter(col("vec_id") >= 400 && col("vec_id") < 410) // under the threshold
+    val big = emb.filter(col("vec_id") >= 410)                          // crosses it
+    graft.stream.TieredIngest.append(small, dir, "vec_id", "embedding", batchId = 0L)
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      small.count(), "a sub-threshold delta must not compact")
+    graft.stream.TieredIngest.append(big, dir, "vec_id", "embedding", batchId = 1L)
+    val meta = spark.read.parquet(s"$dir/tiered_meta").head()
+    assert(meta.getAs[Long]("delta_rows") == 0L, "crossing min_ann_rows must compact")
+    // a post-compaction redelivery of the already-FOLDED batch must be
+    // recognized by the carried-over (zeroed) ledger — not re-appended
+    graft.stream.TieredIngest.append(big, dir, "vec_id", "embedding", batchId = 1L)
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") == 0L,
+      "replay of a compacted batch must not re-land its rows")
+    val loaded = TieredIndex.load(spark, dir)
+    assert(loaded.delta.count() == 0L)
+    assert(loaded.base.lists.count() == emb.count(),
+      "compaction must fold every delta row into the ANN tier")
+    // the compacted save re-measured the promoted tier's recall curve
+    assert(IvfFlatIndex.loadRecallCurve(spark, dir).nonEmpty,
+      "in-place compaction must re-measure the recall curve")
+    assert(IvfFlatIndex.loadMeta(spark, dir).contains(emb.count()))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 5, Metric.L2,
+      "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
+  }
+
+  test("TieredIngest restart-recovery: a second query on the same checkpoint resumes cleanly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tiered_restart").toString
+    val ck = java.nio.file.Files.createTempDirectory("tiered_restart_ck").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val newRows = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    def start() = graft.stream.TieredIngest.sink(
+      stream.toDF().toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>")),
+      dir, ck)
+    // first incarnation processes one batch, then "dies"
+    val q1 = start()
+    stream.addData(newRows.take(50).toSeq)
+    q1.processAllAvailable(); q1.stop()
+    // restart on the same checkpoint: the engine resumes batch numbering
+    // (and would REDELIVER an uncommitted batch — the idempotence path)
+    stream.addData(newRows.drop(50).toSeq)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val meta = spark.read.parquet(s"$dir/tiered_meta").head()
+    assert(meta.getAs[Long]("delta_rows") == newRows.length,
+      "restarted stream must append every row exactly once")
+    val loaded = TieredIndex.load(spark, dir)
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, qs, 5, Metric.L2,
+      "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(qs, 5, nProbes = 8)) == key(exact))
+  }
+
   test("structured streaming ingest: foreachBatch extend == batch extend") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

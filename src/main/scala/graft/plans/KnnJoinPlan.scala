@@ -579,6 +579,39 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       // layouts additionally require an L2-family node metric (their
       // candidate estimators score in residual L2).
 
+      /** A code-compressed route can miss a recall floor EVEN at full
+        * probes — the reorder depth caps the candidates and the ADC
+        * estimate orders them, so "probe everything" is not the exactness
+        * fallback it is on raw-vector layouts. In auto mode (nProbes = 0,
+        * no pinned fraction) the layout's own measured refine-composed
+        * curve is the floor evidence: if its BEST Wilson-bounded point
+        * cannot reach the session target, the route refuses and the exact
+        * brute pipeline serves the query. Measured on a 2M uniform-random
+        * 256-dim corpus (the adversarial geometry): displacement capped
+        * at 4096, curve saturated at recall 0.16, and the capped-depth
+        * route cost 2.6× the brute scan — refusing is both honest and
+        * faster there. Explicit registrations (nProbes > 0 or a pinned
+        * autoProbeFraction) keep the user's call; a legacy layout without
+        * a curve keeps the documented pre-r15 behavior (no evidence
+        * either way). */
+      def compressedFloorReachable(e: GraftIndexCatalog.Entry): Boolean =
+        e.nProbes > 0 ||
+          spark.conf.getOption("spark.graft.knnJoin.autoProbeFraction").isDefined || {
+            val target =
+              spark.conf.get("spark.graft.knnJoin.targetRecall", "0.95").toDouble
+            GraftIndexCatalog.cachedSidecarCurve(e.indexPath) {
+              graft.index.IvfFlatIndex.loadCurveWithN(spark, e.indexPath,
+                "recall_curve")
+            } match {
+              case Some((cv, nSamples)) if cv.nonEmpty =>
+                val best = cv.map(_._2).max
+                nSamples.filter(_ > 0)
+                  .map(nn => ResolveKnnJoin.wilsonLower(best, nn))
+                  .getOrElse(best) >= target
+              case _ => true
+            }
+          }
+
       /** PQ-coded layout routability for the node's metric: an L2-family
         * node over an L2-family build ranks by ADC residual-L2; an
         * InnerProduct node over an InnerProduct-BUILT layout ranks by the
@@ -668,28 +701,42 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           case "ivf_sq" =>
             // decoded int8 scored under the index's own metric —
             // quantization noise makes the dists estimates, not exact
-            val idx = graft.index.IvfSqIndex.load(spark, e.indexPath)
-            if (!rankCompatible(idx.metric, metric)) None
-            else Some((idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), idx.metric, false))
+            if (!compressedFloorReachable(e)) None
+            else {
+              val idx = graft.index.IvfSqIndex.load(spark, e.indexPath)
+              if (!rankCompatible(idx.metric, metric)) None
+              else Some((idx.search(queries, depth,
+                resolveProbes(e, base, idx.centroids.k, depth)), idx.metric, false))
+            }
           case "ivf_pq" =>
-            val idx = graft.index.IvfPqIndex.load(spark, e.indexPath)
-            compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), m, false))
+            if (!compressedFloorReachable(e)) None
+            else {
+              val idx = graft.index.IvfPqIndex.load(spark, e.indexPath)
+              compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
+                resolveProbes(e, base, idx.centroids.k, depth)), m, false))
+            }
           case "ivf_pqcl" =>
-            val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
-            compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), m, false))
+            if (!compressedFloorReachable(e)) None
+            else {
+              val idx = graft.index.IvfPqClusterIndex.load(spark, e.indexPath)
+              compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
+                resolveProbes(e, base, idx.centroids.k, depth)), m, false))
+            }
           case "scann" =>
-            val idx = graft.index.ScannIndex.load(spark, e.indexPath)
-            compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), m, false))
+            if (!compressedFloorReachable(e)) None
+            else {
+              val idx = graft.index.ScannIndex.load(spark, e.indexPath)
+              compressedScoreMetric(idx.metric).map(m => (idx.search(queries, depth,
+                resolveProbes(e, base, idx.centroids.k, depth)), m, false))
+            }
           case "rabitq" =>
             // RaBitQ estimates are L2-only by construction
-            val idx = graft.index.IvfRabitqIndex.load(spark, e.indexPath)
-            if (!l2Family(metric)) None
-            else Some((idx.search(queries, depth,
-              resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+            if (!compressedFloorReachable(e) || !l2Family(metric)) None
+            else {
+              val idx = graft.index.IvfRabitqIndex.load(spark, e.indexPath)
+              Some((idx.search(queries, depth,
+                resolveProbes(e, base, idx.centroids.k, depth)), Metric.L2, false))
+            }
           case _ => None
         }
 

@@ -28,6 +28,9 @@ import graft.core.Metric
   *           brute search, IVF-Flat build/search at nLists=sqrt(n),
   *           all_neighbors at fixed cell size — the scan-shaped routes
   *           whose wall time must stay ~linear in n
+  *   knnplan_hard  (opt-in, off the default sweep) IP-PQ route over a
+  *           UNIFORM-RANDOM 256-dim corpus — the adversarial geometry for
+  *           the displacement calibration; records depth + route-vs-brute
   *   text    minhash-LSH dedup over a near-dup corpus
   *   linkage single-linkage MST (Borůvka distributed route) — asserts the
   *           DOCUMENTED O(n) driver dendrogram bound and prints the
@@ -256,6 +259,76 @@ object ScaleSmoke {
       } finally {
         // phase-scoped cleanup must survive a failed leg: the 2M relation
         // plus three index trees would otherwise orphan in /tmp
+        graft.plans.GraftIndexCatalog.unregister(dataPath)
+        val root = java.nio.file.Paths.get(dir)
+        val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally it.close()
+      }
+    }
+
+    // HARD-geometry IP-PQ evidence (opt-in, not in the default sweep):
+    // the coarse-metric + anisotropic-encode fix was proven on the
+    // clustered hash corpus; uniform-random 256-dim is the adversarial
+    // case — true neighbors spread across cells and the ADC noise is
+    // largest relative to the dot-product spread. Records the measured
+    // displacement (does the calibrated depth stay inside the refine
+    // broadcast budget, or does the AQE fallback past depth 512 ship?)
+    // and the routed-vs-brute ratio on the same session.
+    phase("knnplan_hard") {
+      val dimH = 256
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_knnhard").toString
+      val dataPath = s"$dir/data.parquet"
+      try {
+        val hard = spark.range(0, n, 1, 64).select(col("id"),
+          transform(sequence(lit(0), lit(dimH - 1)), j =>
+            (pmod(xxhash64(col("id"), j, lit(13L)), lit(10000)).cast("double")
+              / 10000.0).cast("float")).as("vec"))
+        time("knnhard_write_relation") {
+          hard.write.mode("overwrite").parquet(dataPath)
+        }
+        val fdata = spark.read.parquet(dataPath)
+        val qf = fdata.filter(col("id") % math.max(1L, n / 200) === 0)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        val ipPath = s"$dir/idx_pq_ip_hard"
+        time("knnhard_pq_ip_build_save") {
+          graft.index.IvfPqIndex.build(fdata,
+            graft.index.IvfPqIndex.Params(nLists = 128, nIters = 5, pqDim = 8,
+              pqBits = 8, metric = Metric.InnerProduct), "id", "vec").save(ipPath)
+        }
+        graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+        // fully-auto registration — the composition a real user runs:
+        // probes from the layout's own refine-composed curve, depth from
+        // the displacement sidecar
+        graft.plans.GraftIndexCatalog.register(dataPath, ipPath)
+        try {
+          val routedIp = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10,
+            Metric.InnerProduct, "id", "vec")
+          time("knn_join_pq_ip_hard_auto")(routedIp.count())
+          // expected on this geometry: the measured curve saturates far
+          // below the 0.95 target, so AUTO REFUSES the compressed route
+          // and serves exact brute (r15 floor-reachability rule)
+          println(s"SCALE   pq_ip_hard_auto index_routed=" +
+            graft.plans.IndexRoute.routedThrough(routedIp, ipPath) +
+            s" depthHint=" + graft.index.DepthHint.load(spark, ipPath) +
+            s" curve=" + graft.index.IvfFlatIndex.loadCurveWithN(spark, ipPath,
+              "recall_curve"))
+        } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+        // EXPLICIT registration keeps the user's call — price what the
+        // capped-depth route costs when forced on this geometry
+        graft.plans.GraftIndexCatalog.register(dataPath, ipPath, nProbes = 128)
+        try {
+          val forcedIp = graft.plans.KnnJoinPlan.knnJoin(fdata, qf, 10,
+            Metric.InnerProduct, "id", "vec")
+          time("knn_join_pq_ip_hard_forced")(forcedIp.count())
+          println(s"SCALE   pq_ip_hard_forced index_routed=" +
+            graft.plans.IndexRoute.routedThrough(forcedIp, ipPath))
+        } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+        time("knn_join_brute_ip_hard_baseline") {
+          graft.ops.BruteForceKnn.knnJoin(fdata, qf, 10,
+            Metric.InnerProduct, "id", "vec").count()
+        }
+      } finally {
         graft.plans.GraftIndexCatalog.unregister(dataPath)
         val root = java.nio.file.Paths.get(dir)
         val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())

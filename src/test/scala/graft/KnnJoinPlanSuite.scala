@@ -818,6 +818,55 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("auto mode REFUSES a compressed layout whose measured curve can't reach the target") {
+    // a code-compressed route can miss a recall floor even at full
+    // probes (the reorder depth caps the candidates), so "probe
+    // everything" is not an exactness fallback there: on geometry where
+    // the layout's own refine-composed curve saturates below the target,
+    // the auto route must refuse and serve the exact brute pipeline —
+    // measured at 2M uniform-random 256-dim, the capped-depth route
+    // returned recall 0.16 at 2.6x the brute cost
+    ensureRule()
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hardDir = java.nio.file.Files.createTempDirectory("knnhardrel").toString
+    (0 until 2000).map { i => (i.toLong, Array.fill(256)(rnd.nextFloat())) }
+      .toDF("id", "vec").write.mode("overwrite").parquet(hardDir)
+    val hard = spark.read.parquet(hardDir)
+    val hq = hard.filter(col("id") % 100 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val idxPath = java.nio.file.Files.createTempDirectory("knnhardpq").toString
+    // depth hint off: the route falls back to the heuristic reorder depth
+    // (40 of 2000 rows) — the depth-capped regime a 100x-bigger corpus
+    // reaches with the hint on (at 2M the measurement itself caps at 4096)
+    spark.conf.set("spark.graft.index.depthHint.enabled", "false")
+    try graft.index.IvfPqIndex.build(hard,
+      graft.index.IvfPqIndex.Params(nLists = 32, nIters = 5, pqDim = 8, pqBits = 8),
+      "id", "vec").save(idxPath)
+    finally spark.conf.unset("spark.graft.index.depthHint.enabled")
+    val curve = graft.index.IvfFlatIndex.loadRecallCurve(spark, idxPath).get
+    assume(curve.map(_._2).max < 0.95,
+      s"fixture assumption: hard-geometry curve must saturate below target, got $curve")
+    val exact = BruteForceKnn.knnJoin(hard, hq, 10, Metric.L2, "id", "vec")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    // fully-auto registration: the floor is unreachable -> exact brute
+    graft.plans.GraftIndexCatalog.register(hardDir, idxPath)
+    try withIndexGateOff {
+      val out = KnnJoinPlan.knnJoin(hard, hq, 10, Metric.L2, "id", "vec")
+      assert(!graft.plans.IndexRoute.routedThrough(out, idxPath),
+        "auto mode must refuse a floor-unreachable compressed layout")
+      assert(out.exceptAll(exact).count() == 0 && exact.exceptAll(out).count() == 0,
+        "the refusal must serve the exact brute result")
+    } finally graft.plans.GraftIndexCatalog.unregister(hardDir)
+    // an EXPLICIT registration keeps the user's call: route taken
+    graft.plans.GraftIndexCatalog.register(hardDir, idxPath, nProbes = 32, kCoarse = 100)
+    try withIndexGateOff {
+      val out = KnnJoinPlan.knnJoin(hard, hq, 10, Metric.L2, "id", "vec")
+      assert(graft.plans.IndexRoute.routedThrough(out, idxPath),
+        "explicit probes must keep the compressed route")
+    } finally graft.plans.GraftIndexCatalog.unregister(hardDir)
+  }
+
   test("two deny lists over one table memoize DISTINCT filter counts") {
     // the predicate-blind memo bug: a filter-side count keyed only by scan
     // paths would silently reuse the FIRST deny view's count for every

@@ -696,12 +696,13 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
       // at-least-once redelivery: re-append the LAST committed batch with
-      // its engine batchId (a fresh checkpoint numbers batches 0..n-1) —
-      // the ledger must recognize it and land nothing twice
+      // its engine (checkpoint, batchId) identity (a fresh checkpoint
+      // numbers batches 0..n-1) — the ledger must recognize it and land
+      // nothing twice
       graft.stream.TieredIngest.append(
         chunks.last.toSeq.toDF("id", "vec")
           .withColumn("vec", col("vec").cast("array<float>")),
-        p, batchId = chunks.size - 1L)
+        p, batchId = chunks.size - 1L, scope = ck)
     }
     val deltaRows = spark.read.parquet(s"$idxPath/tiered_meta")
       .head().getAs[Long]("delta_rows")

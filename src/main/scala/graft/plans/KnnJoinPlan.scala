@@ -170,6 +170,7 @@ object GraftIndexCatalog {
     sidecarRowsMemo.clear()
     sidecarCurveMemo.clear()
     sidecarDepthMemo.clear()
+    layoutMemo.clear()
   }
 
   /** Route taken by each KnnJoinPlan rewrite, keyed by the NODE's output
@@ -217,6 +218,33 @@ object GraftIndexCatalog {
     if (statOutcomes.size >= probeCacheCap) statOutcomes.clear()
     statOutcomes.getOrElseUpdate(key, stat)
   }
+
+  /** Memoized layout classification (the list-table existence probes) —
+    * with multi-layout registrations the resolver classifies EVERY
+    * registered entry per rewrite, so the filesystem exists() chain runs
+    * once per registration, not once per re-optimization. */
+  private val layoutMemo = scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+  private[plans] def cachedLayout(indexPath: String)(
+      classify: => Option[String]): Option[String] = {
+    if (layoutMemo.size >= probeCacheCap) layoutMemo.clear()
+    layoutMemo.get(normalize(indexPath)).getOrElse {
+      val r = classify
+      // a None (unknown/unreadable layout) is NOT memoized: a save racing
+      // the first query, or a filesystem hiccup, must not pin the
+      // registration to brute until the next register call — re-probe
+      if (r.isDefined) layoutMemo.put(normalize(indexPath), r)
+      r
+    }
+  }
+
+  /** Drop every memoized statistic/sidecar/layout read — for callers
+    * that changed a layout's on-disk contents UNDER a live registration
+    * (TieredIngest's in-place auto-compaction): without this, a
+    * still-registered path would keep serving the pre-compaction
+    * population, curve, and delta statistics until the next register
+    * call. The route markers (pure diagnostics bound to executed
+    * frames) are deliberately kept. */
+  private[graft] def invalidateStats(): Unit = clearProbeCache()
 }
 
 /** Lowers KnnJoinPlan into a physical route chosen by the planner:
@@ -419,21 +447,22 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     * `scann_lists` = ScaNN, `rabitq_lists` = IVF-RaBitQ. An unknown
     * layout returns None, so the join falls back to brute force instead
     * of failing at plan time on a missing directory. */
-  private def layoutOf(path: String): Option[String] = {
-    def exists(child: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(path, child)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  private def layoutOf(path: String): Option[String] =
+    GraftIndexCatalog.cachedLayout(path) {
+      def exists(child: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(path, child)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }
+      if (exists("hnsw_meta")) Some("hnsw")
+      else if (exists("tiered_meta")) Some("tiered")
+      else if (exists("lists")) Some("ivf")
+      else if (exists("pq_lists")) Some("ivf_pq")
+      else if (exists("pqcl_lists")) Some("ivf_pqcl")
+      else if (exists("sq_lists")) Some("ivf_sq")
+      else if (exists("scann_lists")) Some("scann")
+      else if (exists("rabitq_lists")) Some("rabitq")
+      else None
     }
-    if (exists("hnsw_meta")) Some("hnsw")
-    else if (exists("tiered_meta")) Some("tiered")
-    else if (exists("lists")) Some("ivf")
-    else if (exists("pq_lists")) Some("ivf_pq")
-    else if (exists("pqcl_lists")) Some("ivf_pqcl")
-    else if (exists("sq_lists")) Some("ivf_sq")
-    else if (exists("scann_lists")) Some("scann")
-    else if (exists("rabitq_lists")) Some("rabitq")
-    else None
-  }
 
   /** The ADC/decoded-code layouts score candidates in (residual) L2, so
     * their routes are sound only for L2-family node metrics — except the
@@ -590,12 +619,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         * 256-dim corpus (the adversarial geometry): displacement capped
         * at 4096, curve saturated at recall 0.16, and the capped-depth
         * route cost 2.6× the brute scan — refusing is both honest and
-        * faster there. Explicit registrations (nProbes > 0 or a pinned
-        * autoProbeFraction) keep the user's call; a legacy layout without
+        * faster there. Explicit registrations (nProbes > 0, kCoarse > 0 —
+        * a pinned depth changes the recall the measured-at-calibrated-depth
+        * curve speaks for, e.g. kCoarse = n is near-exact regardless — or a
+        * pinned autoProbeFraction) keep the user's call; a legacy layout without
         * a curve keeps the documented pre-r15 behavior (no evidence
         * either way). */
       def compressedFloorReachable(e: GraftIndexCatalog.Entry): Boolean =
-        e.nProbes > 0 ||
+        e.nProbes > 0 || e.kCoarse > 0 ||
           spark.conf.getOption("spark.graft.knnJoin.autoProbeFraction").isDefined || {
             val target =
               spark.conf.get("spark.graft.knnJoin.targetRecall", "0.95").toDouble
@@ -905,7 +936,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             val width = layout match {
               case "ivf" | "tiered" => 1.0
               case "ivf_sq" => 0.25        // int8 codes vs float32
-              case "rabitq" => 1.0 / 32.0  // 1 bit per dim
+              case "rabitq" =>             // bits_per_dim vs float32
+                val bits = GraftIndexCatalog.cachedStat(s"cost:rbits:${e.indexPath}") {
+                  spark.read.parquet(s"${e.indexPath}/rotation")
+                    .head().getAs[Int]("bits_per_dim").toDouble
+                }
+                bits / 32.0
               case _ =>                    // PQ family: pq_dim ints vs dim floats
                 val pqBooks =
                   if (layout == "ivf_pqcl") "cluster_codebooks" else "codebooks"
@@ -915,7 +951,6 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
                 pqDim / math.max(1.0, dim)
             }
-            val pop = if (layout == "scann") 2.0 * n else n // SOAR stores 2 copies
             val deltaScan =
               if (layout == "tiered")
                 GraftIndexCatalog.cachedStat(s"cost:delta:${e.indexPath}") {
@@ -925,6 +960,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   else 0.0
                 }
               else 0.0
+            // the tiered meta population is base + delta; only the BASE is
+            // probe-pruned (the delta is always scanned exactly), so the
+            // delta must not also ride the pf term
+            val pop =
+              if (layout == "scann") 2.0 * n // SOAR stores 2 copies
+              else math.max(0.0, n - deltaScan)
             pf * pop * width + (if (compressed) depth.toDouble else 0.0) + deltaScan
           }
         } catch {

@@ -147,6 +147,17 @@ class SparseTieredSuite extends SparkFunSuite {
     def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
     assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
+    // batchIds are only unique per CHECKPOINT: a rebuilt checkpoint (new
+    // scope) legitimately reuses id 0 for NEW rows — a scope-blind ledger
+    // would silently drop them as a replay
+    import spark.implicits._
+    val fresh = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.stream.TieredIngest.append(fresh, dir, "vec_id", "embedding",
+      batchId = 0L, scope = "ck2")
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      appended + fresh.count(),
+      "a new checkpoint scope reusing batch id 0 must append, not skip")
   }
 
   test("streaming ingest auto-compacts once the delta crosses min_ann_rows") {

@@ -1046,6 +1046,70 @@ object SparkEntry {
     }
   }
 
+  /** MULTI-LAYOUT registration under the oracle — the reference picks
+    * its plan per query from alternatives (search_plan.cuh:113-133;
+    * composite neighbors/composite/index.hpp:20): BOTH the flat IVF
+    * layout (full probes: reads n raw rows, exact) and the PQ layout
+    * pinned at kCoarse = n (reads n/8-width codes PLUS n raw refine rows
+    * — strictly costlier) are registered over the relation. The resolver
+    * must route the CHEAPER flat layout in BOTH registration orders;
+    * either candidate is exact at these settings, so the exact kNN
+    * oracle gates the choice end to end. `flat_routed` pins the winner
+    * across both orders, `order_independent` pins row-identical output. */
+  private def knnJoinCostChoiceQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val flatPath = savedIndexDir(spark, s"ivfSaved:$dir")(ivfIndex(spark, dir).save)
+    val pqPath = savedIndexDir(spark, s"pqSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8),
+        "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }.save(p)
+    }
+    val n = emb.count().toInt
+    val gateKey = "spark.graft.knnJoin.minIndexRows"
+    val prior = spark.conf.getOption(gateKey)
+    spark.conf.set(gateKey, "0")
+    try {
+      val runs = Seq(Seq(flatPath, pqPath), Seq(pqPath, flatPath)).map { order =>
+        order.foreach { p =>
+          if (p == flatPath)
+            graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 16, kCoarse = 30)
+          else
+            graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 16, kCoarse = n)
+        }
+        try {
+          val out = graft.plans.KnnJoinPlan.knnJoin(emb, embQueries(spark, dir), 10,
+            Metric.L2, "vec_id", "embedding")
+          val cp = out.select(col("qid"), col("nbr_id"), col("rank"),
+            round(col("dist"), 4).as("dist")).localCheckpoint()
+          (cp, graft.plans.IndexRoute.routedThrough(out, flatPath) &&
+            !graft.plans.IndexRoute.routedThrough(out, pqPath))
+        } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+      }
+      val orderIndependent =
+        runs(0)._1.exceptAll(runs(1)._1).isEmpty && runs(1)._1.exceptAll(runs(0)._1).isEmpty
+      runs(0)._1
+        .withColumn("flat_routed", lit(runs(0)._2 && runs(1)._2))
+        .withColumn("order_independent", lit(orderIndependent))
+    } finally prior match {
+      case Some(v) => spark.conf.set(gateKey, v)
+      case None => spark.conf.unset(gateKey)
+    }
+  }
+
+  private def knnJoinCostChoiceOracle: String = {
+    val distExpr = O.byMetric(Metric.L2, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS flat_routed,
+       |true AS order_independent
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   // ===== quantizers ====================================================
 
   private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -1619,6 +1683,7 @@ object SparkEntry {
     "knn_join_auto_recall" -> (knnJoinAutoRecallQuery(_, _)),
     "knn_join_pq_auto_recall" -> (knnJoinPqAutoRecallQuery(_, _)),
     "knn_join_pq_cos_auto_recall" -> (knnJoinPqCosAutoRecallQuery(_, _)),
+    "knn_join_cost_choice" -> (knnJoinCostChoiceQuery(_, _)),
     "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
     "tiered_compact_search" -> (tieredCompactQuery(_, _)),
     "tiered_ingest_search" -> (tieredIngestQuery(_, _)),
@@ -1683,6 +1748,7 @@ object SparkEntry {
     "knn_join_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_pq_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_pq_cos_auto_recall" -> knnJoinAutoRecallOracle,
+    "knn_join_cost_choice" -> knnJoinCostChoiceOracle,
     "knn_join_indexed_tiered" -> knnJoinIndexedOracle,
     "tiered_compact_search" -> tieredCompactOracle,
     "tiered_ingest_search" -> tieredIngestOracle,

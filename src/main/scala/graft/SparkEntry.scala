@@ -1110,6 +1110,121 @@ object SparkEntry {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** The OTHER half of the cost model under the oracle: a configuration
+    * where the COMPRESSED layout is the cheaper one and must win. The
+    * flat layout is registered at full probes (reads n raw rows); the PQ
+    * layout at full probes with the knn_join_indexed_pq reorder depth
+    * (kCoarse = max(200, n/3)) reads n narrow code rows plus the depth's
+    * raw refine rows — under half the flat route's bytes at these shapes.
+    * Those settings are exactly the ones the exact-hash pq gate already
+    * proves exact (depth past the worst measured ADC displacement), so
+    * the full kNN oracle pins the outcome: PQ earns the route in BOTH
+    * registration orders and the rows still hash-match exact. */
+  private def knnJoinCostChoicePqQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val flatPath = savedIndexDir(spark, s"ivfSaved:$dir")(ivfIndex(spark, dir).save)
+    val pqPath = savedIndexDir(spark, s"pqSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8),
+        "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }.save(p)
+    }
+    val kCoarse = math.max(200L, emb.count() / 3).toInt
+    val gateKey = "spark.graft.knnJoin.minIndexRows"
+    val prior = spark.conf.getOption(gateKey)
+    spark.conf.set(gateKey, "0")
+    try {
+      val runs = Seq(Seq(flatPath, pqPath), Seq(pqPath, flatPath)).map { order =>
+        order.foreach { p =>
+          if (p == flatPath)
+            graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 16, kCoarse = 30)
+          else
+            graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 16,
+              kCoarse = kCoarse)
+        }
+        try {
+          val out = graft.plans.KnnJoinPlan.knnJoin(emb, embQueries(spark, dir), 10,
+            Metric.L2, "vec_id", "embedding")
+          val cp = out.select(col("qid"), col("nbr_id"), col("rank"),
+            round(col("dist"), 4).as("dist")).localCheckpoint()
+          (cp, graft.plans.IndexRoute.routedThrough(out, pqPath) &&
+            !graft.plans.IndexRoute.routedThrough(out, flatPath))
+        } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+      }
+      val orderIndependent =
+        runs(0)._1.exceptAll(runs(1)._1).isEmpty && runs(1)._1.exceptAll(runs(0)._1).isEmpty
+      runs(0)._1
+        .withColumn("pq_routed", lit(runs(0)._2 && runs(1)._2))
+        .withColumn("order_independent", lit(orderIndependent))
+    } finally prior match {
+      case Some(v) => spark.conf.set(gateKey, v)
+      case None => spark.conf.unset(gateKey)
+    }
+  }
+
+  private def knnJoinCostChoicePqOracle: String = {
+    val distExpr = O.byMetric(Metric.L2, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS pq_routed,
+       |true AS order_independent
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** The r15 floor-refusal rule under the driver oracle: a code-compressed
+    * layout in FULLY-AUTO mode whose measured curve cannot CERTIFY the
+    * session's recall target must refuse the route, and the exact brute
+    * pipeline serves the query (plans/KnnJoinPlan.compressedFloorReachable).
+    * The oracle needs DuckDB-reproducible inputs, so the unreachable floor
+    * is induced through the certification bound rather than synthetic
+    * noise geometry: at 0.999 the layout's Wilson-bounded best curve point
+    * (a held-out sample of n_queries·k pairs — even a measured 1.0 over a
+    * few hundred pairs lower-bounds below 0.999) cannot back the target,
+    * which is precisely the rule's evidence test. The adversarial-geometry
+    * direction (2M uniform-random 256-dim, curve saturating at 0.16) stays
+    * suite- and smoke-pinned. Rows must hash-match the exact kNN oracle —
+    * the refusal's whole point is that the user still gets the right
+    * answer — with `route_refused` pinned from the route marker. */
+  private def knnJoinFloorRefusalQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.ResolveKnnJoin.ensureInstalled(spark)
+    val dataPath = s"$dir/embeddings.parquet"
+    val emb = table(spark, dir, "embeddings")
+    val idxPath = savedIndexDir(spark, s"pqSaved:$dir") { p =>
+      memoize(spark, s"ivfpq8:$dir") { graft.index.IvfPqIndex.build(emb,
+        graft.index.IvfPqIndex.Params(nLists = 16, nIters = 10, pqDim = 8, pqBits = 8),
+        "vec_id", "embedding", base = Some(ivfIndex(spark, dir))) }.save(p)
+    }
+    val tKey = "spark.graft.knnJoin.targetRecall"
+    val priorTarget = spark.conf.getOption(tKey)
+    spark.conf.set(tKey, "0.999")
+    try withRegisteredIndex(spark, dataPath, idxPath, nProbes = 0, kCoarse = 0) {
+      val out = graft.plans.KnnJoinPlan.knnJoin(emb,
+        embQueries(spark, dir), 10, Metric.L2, "vec_id", "embedding")
+      val refused = !graft.plans.IndexRoute.routedThrough(out, idxPath)
+      out.select(col("qid"), col("nbr_id"), col("rank"), round(col("dist"), 4).as("dist"))
+        .withColumn("route_refused", lit(refused))
+        .localCheckpoint()
+    } finally priorTarget match {
+      case Some(v) => spark.conf.set(tKey, v)
+      case None => spark.conf.unset(tKey)
+    }
+  }
+
+  private def knnJoinFloorRefusalOracle: String = {
+    val distExpr = O.byMetric(Metric.L2, "q.qvec", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 20 = 0),
+       |d AS (SELECT q.qid, e.vec_id AS id, $distExpr AS dist
+       |      FROM q CROSS JOIN embeddings e),
+       |r AS (SELECT qid, id, dist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rank FROM d)
+       |SELECT qid, id AS nbr_id, rank, round(dist, 4) AS dist, true AS route_refused
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   // ===== quantizers ====================================================
 
   private def scalarQuantizeQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -1684,6 +1799,8 @@ object SparkEntry {
     "knn_join_pq_auto_recall" -> (knnJoinPqAutoRecallQuery(_, _)),
     "knn_join_pq_cos_auto_recall" -> (knnJoinPqCosAutoRecallQuery(_, _)),
     "knn_join_cost_choice" -> (knnJoinCostChoiceQuery(_, _)),
+    "knn_join_cost_choice_pq" -> (knnJoinCostChoicePqQuery(_, _)),
+    "knn_join_floor_refusal" -> (knnJoinFloorRefusalQuery(_, _)),
     "knn_join_indexed_tiered" -> (knnJoinIndexedTieredQuery(_, _)),
     "tiered_compact_search" -> (tieredCompactQuery(_, _)),
     "tiered_ingest_search" -> (tieredIngestQuery(_, _)),
@@ -1749,6 +1866,8 @@ object SparkEntry {
     "knn_join_pq_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_pq_cos_auto_recall" -> knnJoinAutoRecallOracle,
     "knn_join_cost_choice" -> knnJoinCostChoiceOracle,
+    "knn_join_cost_choice_pq" -> knnJoinCostChoicePqOracle,
+    "knn_join_floor_refusal" -> knnJoinFloorRefusalOracle,
     "knn_join_indexed_tiered" -> knnJoinIndexedOracle,
     "tiered_compact_search" -> tieredCompactOracle,
     "tiered_ingest_search" -> tieredIngestOracle,

@@ -643,6 +643,36 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           }
 
+      /** The ef an HNSW route will ACTUALLY search with: default-depth
+        * registrations (kCoarse = 0) invert THIS layout's measured
+        * ef/recall sidecar at the session's recall target — the hierarchy
+        * twin of the IVF auto-probe mode; an explicit kCoarse keeps
+        * pinning ef via depth, and legacy layouts without a curve keep
+        * the ef0 floor. Shared by candidate generation AND the layout
+        * cost model, so an hnsw layout can never outbid a rival on a
+        * smaller ef than the one its route would then search with. */
+      def hnswEf(e: GraftIndexCatalog.Entry, ef0: Int): Int =
+        if (e.kCoarse > 0) ef0
+        else {
+          val target = spark.conf.get(
+            "spark.graft.knnJoin.targetRecall", "0.95").toDouble
+          GraftIndexCatalog.cachedSidecarCurve(e.indexPath + "#ef") {
+            graft.index.IvfFlatIndex.loadCurveWithN(spark, e.indexPath,
+              "ef_curve")
+          } match {
+            case Some((cv0, nSamples)) =>
+              // same Wilson-bound discipline as the IVF probe
+              // inversion: trust only what the sample can back
+              val cv = nSamples.filter(_ > 0)
+                .map(n => cv0.map { case (p, r) =>
+                  (p, ResolveKnnJoin.wilsonLower(r, n)) })
+                .getOrElse(cv0)
+              math.max(ef0,
+                cv.find(_._2 >= target).map(_._1).getOrElse(cv.last._1))
+            case None => ef0
+          }
+        }
+
       /** PQ-coded layout routability for the node's metric: an L2-family
         * node over an L2-family build ranks by ADC residual-L2; an
         * InnerProduct node over an InnerProduct-BUILT layout ranks by the
@@ -683,32 +713,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               // on an empty frontier, so the honest bound costs jobs only
               // while the beam still improves
               val ef0 = math.max(40, depth)
-              // default-depth registrations (kCoarse = 0) invert THIS
-              // layout's measured ef/recall sidecar at the session's
-              // recall target — the hierarchy twin of the IVF auto-probe
-              // mode; an explicit kCoarse keeps pinning ef via depth, and
-              // legacy layouts without a curve keep the ef0 floor
-              val ef =
-                if (e.kCoarse > 0) ef0
-                else {
-                  val target = spark.conf.get(
-                    "spark.graft.knnJoin.targetRecall", "0.95").toDouble
-                  GraftIndexCatalog.cachedSidecarCurve(e.indexPath + "#ef") {
-                    graft.index.IvfFlatIndex.loadCurveWithN(spark, e.indexPath,
-                      "ef_curve")
-                  } match {
-                    case Some((cv0, nSamples)) =>
-                      // same Wilson-bound discipline as the IVF probe
-                      // inversion: trust only what the sample can back
-                      val cv = nSamples.filter(_ > 0)
-                        .map(n => cv0.map { case (p, r) =>
-                          (p, ResolveKnnJoin.wilsonLower(r, n)) })
-                        .getOrElse(cv0)
-                      math.max(ef0,
-                        cv.find(_._2 >= target).map(_._1).getOrElse(cv.last._1))
-                    case None => ef0
-                  }
-                }
+              val ef = hnswEf(e, ef0)
               Some((graft.index.Hnsw.search(idx, B.ofRows(spark, base), queries,
                 depth, ef = ef, kj.idCol, kj.vecCol,
                 baseIterations = math.max(10, ef)), idx.params.metric, true))
@@ -916,7 +921,10 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               spark.read.parquet(s"${e.indexPath}/hnsw_meta")
                 .head().getAs[Int]("m").toDouble
             }
-            math.max(40, coarseK(e, compressed = false)) * m
+            // price the ef the route would REALLY search with (the same
+            // ef_curve inversion candidate generation applies) — a stale
+            // max(40, depth) here could win the bid and then read far more
+            hnswEf(e, math.max(40, coarseK(e, compressed = false))) * m
           } else {
             val compressed = layout == "ivf_pq" || layout == "ivf_pqcl" ||
               layout == "scann" || layout == "rabitq" || layout == "ivf_sq"

@@ -101,7 +101,8 @@ object TieredIndex {
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): TieredIndex = {
-    val meta = spark.read.parquet(s"$path/tiered_meta").head()
+    recoverSwap(spark, path)
+    val meta = TieredIngest.readOneRowSidecar(spark, s"$path/tiered_meta")
     val base = IvfFlatIndex.load(spark, s"$path/tiered_base")
     // legacy saves predate the delta_rows column — fall back to the probe
     val deltaRows =
@@ -135,6 +136,14 @@ object TieredIndex {
     * ledger through) that become visible ATOMICALLY with the compaction. */
   def compactInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
       beforeSwap: String => Unit = _ => ()): Unit = {
+    // clear a stale tmp from a compaction attempt that crashed before its
+    // swap (done here, not in recoverSwap — a concurrent reader must never
+    // delete the tmp of an IN-FLIGHT compaction)
+    {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".compact_tmp"), true)
+    }
     load(spark, path).compact().save(path + ".compact_tmp")
     beforeSwap(path + ".compact_tmp")
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -143,8 +152,47 @@ object TieredIndex {
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
     fs.delete(old, true)
-    require(fs.rename(real, old) && fs.rename(tmp, real),
-      s"compactInPlace: directory swap failed at $path")
+    require(fs.rename(real, old),
+      s"compactInPlace: could not move the live layout aside at $path")
+    if (!fs.rename(tmp, real)) {
+      // second rename failed after the first succeeded: put the
+      // pre-compaction layout back so the path never stays empty
+      val rolledBack = fs.rename(old, real)
+      throw new IllegalStateException(
+        s"compactInPlace: directory swap failed at $path" +
+          (if (rolledBack) " (pre-compaction layout rolled back)"
+           else s" AND rollback failed — restore manually from $path.compact_old"))
+    }
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for the compactInPlace swap window: a crash between
+    * the two renames leaves NO layout at `path` but an intact one at
+    * `<path>.compact_old` — restore it (losing only the compaction, never
+    * data: the delta rows are still in the restored delta tier). Restore
+    * only — a stale `.compact_tmp` is cleaned by the next compaction
+    * attempt itself, because a reader must never delete the tmp of an
+    * in-flight swap. Called on every load and every ingest append. */
+  private[stream] def recoverSwap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def healthy(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "tiered_meta"))
+    val real = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    if (!healthy(real) && fs.exists(old) && healthy(old)) {
+      // grace recheck: an IN-FLIGHT swap also shows this state for the
+      // milliseconds between its two renames — give it time to finish
+      // before concluding the state is a crash leftover
+      Thread.sleep(200)
+      if (healthy(real) || !fs.exists(old) || !healthy(old)) return
+      if (fs.exists(real)) fs.delete(real, true)
+      require(fs.rename(old, real),
+        s"compactInPlace recovery: could not restore $path from $path.compact_old")
+      System.err.println(s"graft TieredIndex: restored $path from an " +
+        "interrupted compaction swap (the compaction will re-run at the " +
+        "next threshold crossing)")
+    }
   }
 }

@@ -16,25 +16,32 @@ import graft.index.IvfFlatIndex
   * live-appended rows with zero ANN-tier work.
   *
   * EXACTLY-ONCE under foreachBatch's at-least-once redelivery: each
-  * micro-batch lands in its own `delta/batch-<batchId>/` directory with
-  * OVERWRITE semantics (a replay rewrites the same rows, never duplicates
-  * them — partial writes from a crashed attempt are overwritten too), and
-  * a committed-batch ledger (`delta_commits`: scope, batch_id, n_rows)
-  * records what landed. The SCOPE is the stream's checkpoint location:
-  * Structured Streaming batchIds are only unique per checkpoint, so a
-  * rebuilt checkpoint (or a second pipeline into the same layout) starts a
-  * fresh id namespace instead of silently colliding with — and being
-  * skipped as replays of — the old one. A replayed (scope, batchId) found
-  * in the ledger skips the data write and only re-derives the sidecars
-  * from the ledger — which also covers a crash BETWEEN the ledger write
-  * and the sidecar writes (the write order is data → ledger → sidecars,
-  * each step idempotent given the previous). The one-row sidecar rewrites
-  * go through a staged-rename (write aside, swap in) so a crash cannot
-  * leave a half-written parquet directory behind; a reader that still
-  * catches the swap window treats the ledger as absent and re-derives —
-  * the engine only ever redelivers the LAST batch, whose rows are by
-  * construction not yet in the pre-crash sidecar value, so the re-derived
-  * counts stay exact.
+  * micro-batch lands in its own `delta/batch-<scopeTag>-<batchId>/`
+  * directory with OVERWRITE semantics (a replay rewrites the same rows,
+  * never duplicates them — partial writes from a crashed attempt are
+  * overwritten too), and a committed-batch ledger (`delta_commits`: one
+  * row per SCOPE — max_batch_id, cum_rows) records what landed. The
+  * scope is the stream's checkpoint location: Structured Streaming
+  * batchIds are only unique per checkpoint, so a rebuilt checkpoint (or
+  * a second pipeline into the same layout) starts a fresh id namespace
+  * instead of silently colliding with — and being skipped as replays of
+  * — the old one; the scope also NAMES the batch directory, so two
+  * scopes reusing an id never overwrite each other's rows. Batch ids
+  * are monotonic per checkpoint and the engine only ever redelivers the
+  * LAST one, so a `batchId <= max_batch_id` test recognizes every
+  * possible replay and the ledger stays O(scopes) for the stream's whole
+  * life — never one row per batch ever ingested. A recognized replay
+  * skips the data write and only re-derives the sidecars from the
+  * ledger — which also covers a crash BETWEEN the ledger write and the
+  * sidecar writes (the write order is data → ledger → sidecars, each
+  * step idempotent given the previous). The one-row sidecar rewrites go
+  * through a staged-rename (write aside, rename the old content ASIDE,
+  * swap in — a reader finds old or new content except inside a
+  * two-metadata-op window, which `readOneRowSidecar`'s bounded retry
+  * rides out); a reader that still catches a torn ledger treats it as
+  * absent and re-derives — the engine only ever redelivers the LAST
+  * batch, whose rows are by construction not yet in the pre-crash
+  * sidecar value, so the re-derived counts stay exact.
   *
   * AUTO-PROMOTION: after each refresh the delta population is checked
   * against the layout's `min_ann_rows` and, once crossed, the delta is
@@ -55,8 +62,11 @@ import graft.index.IvfFlatIndex
   * micro-batch plus three one-row sidecar rewrites — no shuffle, no index
   * rebuild, no read of the base tier, and the delta-population refresh is
   * INCREMENTAL (previous ledger sum + this batch's count), never a
-  * re-count of the whole delta directory — O(batch) per batch, not
-  * O(total-appended). Compaction bounds the delta's exact-scan cost.
+  * re-count of the whole delta directory. The ledger itself holds one
+  * row per SCOPE (not per batch), so a year-long one-batch-per-10s
+  * ingest still reads and rewrites a handful of rows per micro-batch —
+  * O(scopes), not O(batches-ever). Compaction bounds the delta's
+  * exact-scan cost.
   */
 object TieredIngest {
 
@@ -71,11 +81,18 @@ object TieredIngest {
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  /** Ledger key for the rows that were in the delta BEFORE the first
+  /** Scope of the rows that were in the delta BEFORE the first
     * ledger-tracked batch (the save-time delta + any legacy direct
-    * appends) — kept as a pseudo-batch so delta_rows is always the plain
-    * sum of the ledger's n_rows column. */
-  private val BaseKey: (String, Long) = ("", -1L)
+    * appends) — kept as a pseudo-scope so delta_rows is always the plain
+    * sum of the ledger's cum_rows column. Direct callers passing
+    * `batchId >= 0` with an empty scope share this namespace (their ids
+    * are their own to keep monotonic). */
+  private val BaseScope: String = ""
+
+  /** Per-scope ledger state: highest committed batch id (ids are
+    * monotonic per scope, so `batchId <= maxBatchId` IS the replay test)
+    * and the cumulative rows this scope has landed in the delta. */
+  private[stream] case class ScopeState(maxBatchId: Long, cumRows: Long)
 
   private def ledgerPath(indexPath: String) = s"$indexPath/delta_commits"
 
@@ -84,73 +101,118 @@ object TieredIngest {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** The committed-batch ledger, keyed by (scope, batch_id); initialized
-    * from the CURRENT `tiered_meta.delta_rows` (authoritative as of the
-    * save / the last legacy append) when no ledger exists. An unreadable
-    * ledger (a crash caught the staged-rename window) is treated the same
-    * way — see the class doc for why the re-derived counts stay exact on
-    * the engine's only real redelivery (the last batch). */
+  /** The committed-batch ledger, one entry per scope; initialized from
+    * the CURRENT `tiered_meta.delta_rows` (authoritative as of the save /
+    * the last legacy append) when no ledger exists. A pre-r16 ledger
+    * (one row per batch) folds into the per-scope form on read — its
+    * per-batch ids collapse to the max, its counts to the sum. An
+    * unreadable ledger (a crash caught the staged-rename window) is
+    * treated as absent — see the class doc for why the re-derived counts
+    * stay exact on the engine's only real redelivery (the last batch). */
   private def readLedger(spark: SparkSession,
-      indexPath: String): Map[(String, Long), Long] =
+      indexPath: String): Map[String, ScopeState] =
     if (!exists(spark, ledgerPath(indexPath)))
-      Map(BaseKey -> metaDeltaRows(spark, indexPath))
+      Map(BaseScope -> ScopeState(-1L, metaDeltaRows(spark, indexPath)))
     else
       try {
         val df = spark.read.parquet(ledgerPath(indexPath))
-        val scoped = df.schema.fieldNames.contains("scope")
-        df.select(
-            (if (scoped) col("scope") else lit("")).cast("string").as("scope"),
-            col("batch_id").cast("long"), col("n_rows").cast("long"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val fields = df.schema.fieldNames.toSet
+        val rows =
+          if (fields.contains("max_batch_id"))
+            df.select(col("scope").cast("string"), col("max_batch_id").cast("long"),
+              col("cum_rows").cast("long"))
+          else // pre-r16 per-batch rows: fold to per-scope max/sum
+            df.select(
+                (if (fields.contains("scope")) col("scope") else lit(""))
+                  .cast("string").as("scope"),
+                col("batch_id").cast("long"), col("n_rows").cast("long"))
+              .groupBy(col("scope"))
+              .agg(max(col("batch_id")).as("max_batch_id"),
+                sum(col("n_rows")).as("cum_rows"))
+        rows.collect()
+          .map(r => r.getString(0) -> ScopeState(r.getLong(1), r.getLong(2)))
+          .toMap
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"graft TieredIngest: unreadable delta_commits at " +
             s"$indexPath (${e.getClass.getSimpleName}) — re-deriving from tiered_meta")
-          Map(BaseKey -> metaDeltaRows(spark, indexPath))
+          Map(BaseScope -> ScopeState(-1L, metaDeltaRows(spark, indexPath)))
       }
 
-  /** Staged-rename one-row parquet write: never leaves a half-written
-    * target directory (the crash windows leave either the old content or
-    * no directory — both states readers handle). */
+  /** Staged-rename one-row parquet write: the staged content is fully
+    * written first, then the OLD content is renamed aside and the staged
+    * directory renamed in — a crash leaves old content, new content, or
+    * (inside the two-rename window) the `.old` directory that
+    * `readOneRowSidecar` restores; never a half-written target. */
   private def atomicOneRowWrite(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
-    val staged = target + ".staged"
-    df.coalesce(1).write.mode("overwrite").parquet(staged)
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(target)),
-      s"sidecar swap failed at $target")
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val stagedP = new org.apache.hadoop.fs.Path(target + ".staged")
+    val oldP = new org.apache.hadoop.fs.Path(target + ".old")
+    df.coalesce(1).write.mode("overwrite").parquet(stagedP.toString)
+    fs.delete(oldP, true)
+    if (fs.exists(targetP))
+      require(fs.rename(targetP, oldP), s"sidecar swap failed at $target")
+    if (!fs.rename(stagedP, targetP)) {
+      // put the previous content back so readers never see an absent
+      // sidecar because of a failed swap
+      if (fs.exists(oldP)) fs.rename(oldP, targetP)
+      throw new IllegalStateException(s"sidecar swap failed at $target")
+    }
+    fs.delete(oldP, true)
+  }
+
+  /** One-row sidecar read that survives the swap window: a read landing
+    * between the two renames retries briefly, and a crash that left the
+    * content at `.old` (renamed aside, never swapped in) restores it. */
+  private[stream] def readOneRowSidecar(spark: SparkSession,
+      target: String): org.apache.spark.sql.Row = {
+    var attempt = 0
+    while (true) {
+      try return spark.read.parquet(target).head()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val fs = new org.apache.hadoop.fs.Path(target)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val targetP = new org.apache.hadoop.fs.Path(target)
+          val oldP = new org.apache.hadoop.fs.Path(target + ".old")
+          if (!fs.exists(targetP) && fs.exists(oldP)) fs.rename(oldP, targetP)
+          else if (attempt >= 4) throw e
+          else Thread.sleep(50L << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def writeLedger(spark: SparkSession, indexPath: String,
-      ledger: Map[(String, Long), Long]): Unit = {
+      ledger: Map[String, ScopeState]): Unit = {
     import spark.implicits._
     atomicOneRowWrite(
-      ledger.toSeq.map { case ((sc, id), n) => (sc, id, n) }
-        .toDF("scope", "batch_id", "n_rows"),
+      ledger.toSeq.map { case (sc, st) => (sc, st.maxBatchId, st.cumRows) }
+        .toDF("scope", "max_batch_id", "cum_rows"),
       ledgerPath(indexPath))
   }
 
-  /** Carry the committed batch keys through an in-place compaction as a
+  /** Carry the committed batch ids through an in-place compaction as a
     * zeroed ledger (the rows now live in the ANN tier; a post-compaction
     * redelivery must still be recognized). Written into the compacted
     * layout BEFORE the directory swap (TieredIndex.compactInPlace's
     * beforeSwap hook). */
   private def writeZeroedLedger(spark: SparkSession, intoPath: String,
-      committed: Set[(String, Long)]): Unit =
+      committed: Map[String, ScopeState]): Unit =
     if (committed.nonEmpty)
       writeLedger(spark, intoPath,
-        committed.map(_ -> 0L).toMap + (BaseKey -> 0L))
+        committed.map { case (sc, st) => sc -> ScopeState(st.maxBatchId, 0L) })
 
   /** Current delta population per the sidecar; a legacy layout without
     * the delta_rows column counts the delta's ROOT files only (batch
     * directories are excluded: a crash-orphaned batch dir must not be
     * folded into the base entry AND re-added when its batch replays). */
   private def metaDeltaRows(spark: SparkSession, indexPath: String): Long = {
-    val meta = spark.read.parquet(s"$indexPath/tiered_meta").head()
+    val meta = readOneRowSidecar(spark, s"$indexPath/tiered_meta")
     if (meta.schema.fieldNames.contains("delta_rows"))
       meta.getAs[Long]("delta_rows")
     else {
@@ -172,6 +234,23 @@ object TieredIngest {
     }
   }
 
+  /** Batch data directory, namespaced by BOTH the scope and the batch id
+    * to match the ledger key: two checkpoint scopes reusing an id (the
+    * rebuilt-checkpoint / second-pipeline case the scope exists for) must
+    * land in different directories, or the second scope's overwrite would
+    * destroy the first's committed rows while the ledger still counted
+    * them. The scope is folded to a fixed-width SHA-1 tag (paths make bad
+    * directory names, and the tag must be stable across JVMs); the empty
+    * scope keeps the bare pre-r16 name so existing layouts stay readable. */
+  private def batchDir(indexPath: String, scope: String, batchId: Long): String =
+    if (scope.isEmpty) s"$indexPath/delta/batch-$batchId"
+    else {
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(scope.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tag = sha.take(8).map(b => f"$b%02x").mkString
+      s"$indexPath/delta/batch-$tag-$batchId"
+    }
+
   /** Append one micro-batch of (idCol, vecCol) rows + refresh the
     * sidecars. `batchId >= 0` (the streaming sink always passes one)
     * engages the idempotent per-batch-directory protocol above, with
@@ -185,28 +264,30 @@ object TieredIngest {
       batchId: Long = -1L, scope: String = ""): Unit =
     lockFor(indexPath).synchronized {
       val spark = batch.sparkSession
+      TieredIndex.recoverSwap(spark, normalize(indexPath))
       val shaped = batch
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      val key = (normalize(scope), batchId)
+      val sc = normalize(scope)
       val stats: (Long, Long) =
         if (batchId >= 0) {
           val ledger = readLedger(spark, indexPath)
-          if (ledger.contains(key)) {
-            // at-least-once redelivery of an already-committed batch: the
-            // data and ledger landed last time — only the sidecars might
-            // be stale (crash between ledger and sidecar writes), so
-            // re-derive them and land nothing
-            writeSidecars(spark, indexPath, ledger.values.sum)
+          val state = ledger.getOrElse(sc, ScopeState(-1L, 0L))
+          if (batchId <= state.maxBatchId) {
+            // at-least-once redelivery of an already-committed batch
+            // (ids are monotonic per scope, so <= max means committed):
+            // the data and ledger landed last time — only the sidecars
+            // might be stale (crash between ledger and sidecar writes),
+            // so re-derive them and land nothing
+            writeSidecars(spark, indexPath, ledger.values.map(_.cumRows).sum)
           } else {
             // overwrite = idempotent under replay AND under a crashed
             // partial write of this very directory
-            shaped.write.mode("overwrite")
-              .parquet(s"$indexPath/delta/batch-$batchId")
-            val n = spark.read
-              .parquet(s"$indexPath/delta/batch-$batchId").count()
-            val grown = ledger + (key -> n)
+            val dir = batchDir(indexPath, sc, batchId)
+            shaped.write.mode("overwrite").parquet(dir)
+            val n = spark.read.parquet(dir).count()
+            val grown = ledger + (sc -> ScopeState(batchId, state.cumRows + n))
             writeLedger(spark, indexPath, grown)
-            writeSidecars(spark, indexPath, grown.values.sum)
+            writeSidecars(spark, indexPath, grown.values.map(_.cumRows).sum)
           }
         } else {
           shaped.write.mode("append").parquet(s"$indexPath/delta")
@@ -222,7 +303,7 @@ object TieredIngest {
   private def writeSidecars(spark: SparkSession, indexPath: String,
       deltaRows: Long): (Long, Long) = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$indexPath/tiered_meta").head()
+    val meta = readOneRowSidecar(spark, s"$indexPath/tiered_meta")
     val minAnnRows = meta.getAs[Long]("min_ann_rows")
     atomicOneRowWrite(
       Seq((minAnnRows, meta.getAs[String]("metric"), deltaRows))
@@ -240,9 +321,15 @@ object TieredIngest {
     val deltaRows = TieredIndex.readDelta(spark, indexPath).count()
     val stats = writeSidecars(spark, indexPath, deltaRows)
     if (exists(spark, ledgerPath(indexPath))) {
-      val batches = readLedger(spark, indexPath) - BaseKey
-      writeLedger(spark, indexPath,
-        batches + (BaseKey -> (deltaRows - batches.values.sum)))
+      // re-base: the streaming scopes keep their committed counts, the
+      // base pseudo-scope absorbs whatever the recount says the
+      // out-of-band rows add up to
+      val ledger = readLedger(spark, indexPath)
+      val scoped = ledger - BaseScope
+      val baseMax = ledger.get(BaseScope).map(_.maxBatchId).getOrElse(-1L)
+      writeLedger(spark, indexPath, scoped +
+        (BaseScope -> ScopeState(baseMax,
+          deltaRows - scoped.values.map(_.cumRows).sum)))
     }
     stats
   }
@@ -261,8 +348,8 @@ object TieredIngest {
         spark.conf.get("spark.graft.tiered.autoCompact.enabled", "true").toBoolean) {
       val committed =
         if (exists(spark, ledgerPath(indexPath)))
-          readLedger(spark, indexPath).keySet - BaseKey
-        else Set.empty[(String, Long)]
+          readLedger(spark, indexPath)
+        else Map.empty[String, ScopeState]
       TieredIndex.compactInPlace(spark, indexPath,
         tmp => writeZeroedLedger(spark, tmp, committed))
       // the layout changed UNDER any live registration: drop the

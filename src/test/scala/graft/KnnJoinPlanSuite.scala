@@ -818,6 +818,77 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("hnsw cost bids with the route's REAL ef: a demanding ef_curve loses, a cheap one wins") {
+    // layoutCost's hnsw arm must price the SAME ef_curve inversion the
+    // route will then search with — a stale max(40, depth)·m price could
+    // win the bid on 320 rows and then actually read ef=4000·m
+    ensureRule()
+    import spark.implicits._
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val flatPath = java.nio.file.Files.createTempDirectory("costef_ivf").toString
+    val hnswPath = java.nio.file.Files.createTempDirectory("costef_hnsw").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(flatPath)
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = graft.graphops.AllNeighbors.exact(e, 16, Metric.L2, "id", "vec")
+    // m = 8 keeps the cheap-curve price (40·8 = 320) under the flat
+    // route's full-probe scan (n = 500) so direction 2 is decidable
+    graft.index.Hnsw.save(
+      graft.index.Hnsw.fromGraph(base, e, graft.index.Hnsw.Params(m = 8), "id", "vec"),
+      hnswPath)
+    val n = emb.count().toInt
+    def setEfCurve(points: Seq[(Int, Double)]): Unit = {
+      points.map { case (ef, r) => (ef, r, 32L, 10) }
+        .toDF("probes", "recall", "n_queries", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$hnswPath/ef_curve")
+      graft.plans.GraftIndexCatalog.invalidateStats()
+    }
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+    // direction 1: the curve says the 0.95 target needs ef = 8n — the
+    // aligned price (8n·m) dwarfs the flat route's n; ivf must win in
+    // both orders, and full probes make the flat answer exact
+    setEfCurve(Seq((40, 0.50), (8 * n, 1.0)))
+    for (order <- Seq(Seq(flatPath, hnswPath), Seq(hnswPath, flatPath))) {
+      order.foreach { p =>
+        graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 8,
+          kCoarse = if (p == flatPath) 30 else 0)
+      }
+      try withIndexGateOff {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(graft.plans.IndexRoute.routedThrough(routed, flatPath),
+          s"ivf should outbid a curve-demanding hnsw (order: $order)")
+        assert(!graft.plans.IndexRoute.markerMatches(routed, hnswPath))
+        assert(routed.exceptAll(exact).count() == 0 &&
+          exact.exceptAll(routed).count() == 0)
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    }
+    // direction 2: the curve certifies the target at the ef0 floor —
+    // price 40·8 = 320 < n = 500, hnsw must win in both orders and its
+    // beam then searches with that same ef
+    setEfCurve(Seq((40, 1.0)))
+    for (order <- Seq(Seq(flatPath, hnswPath), Seq(hnswPath, flatPath))) {
+      order.foreach { p =>
+        graft.plans.GraftIndexCatalog.register(dataPath, p, nProbes = 8,
+          kCoarse = if (p == flatPath) 30 else 0)
+      }
+      try withIndexGateOff {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        val cp = routed.select(col("qid"), col("nbr_id")).localCheckpoint()
+        assert(graft.plans.IndexRoute.markerMatches(routed, hnswPath),
+          s"hnsw should win on the cheap measured curve (order: $order)")
+        assert(!graft.plans.IndexRoute.routedThrough(routed, flatPath))
+        val hits = cp.intersect(exact.select(col("qid"), col("nbr_id"))).count()
+        assert(hits >= exact.count() * 6 / 10,
+          s"hnsw-routed recall too low: $hits of ${exact.count()}")
+      } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    }
+  }
+
   test("auto mode REFUSES a compressed layout whose measured curve can't reach the target") {
     // a code-compressed route can miss a recall floor even at full
     // probes (the reorder depth caps the candidates), so "probe

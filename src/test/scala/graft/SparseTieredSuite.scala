@@ -158,6 +158,121 @@ class SparseTieredSuite extends SparkFunSuite {
     assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
       appended + fresh.count(),
       "a new checkpoint scope reusing batch id 0 must append, not skip")
+    // the sidecar must also be TRUE: the second scope's batch-0 directory
+    // must not have overwritten the first scope's batch-0 rows (the batch
+    // directory is namespaced by scope, like the ledger key)
+    assert(TieredIndex.load(spark, dir).delta.count() == appended + fresh.count(),
+      "cross-scope id reuse must not overwrite the other scope's batch rows")
+    // a third scope colliding on the same id keeps its own rows too
+    val fresh2 = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    graft.stream.TieredIngest.append(fresh2, dir, "vec_id", "embedding",
+      batchId = 0L, scope = "ck3")
+    assert(TieredIndex.load(spark, dir).delta.count() ==
+      appended + fresh.count() + fresh2.count())
+  }
+
+  test("ingest ledger stays O(scopes): hundreds of batches, a handful of ledger rows") {
+    // the ledger records (scope -> max committed id, cumulative rows) —
+    // NOT one row per batch — so a year-long micro-batch ingest reads and
+    // rewrites a bounded ledger per batch instead of an ever-growing one
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tiered_ledger").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val vec = emb.select(col("embedding")).head().getSeq[Float](0)
+    val nBatches = 300
+    for (i <- 0 until nBatches) {
+      val batch = Seq((1000000L + i, vec)).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      graft.stream.TieredIngest.append(batch, dir, "vec_id", "embedding",
+        batchId = i.toLong, scope = "ck")
+    }
+    val ledger = spark.read.parquet(s"$dir/delta_commits")
+    assert(ledger.count() <= 2,
+      s"ledger must stay O(scopes) — got ${ledger.count()} rows after $nBatches batches")
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      nBatches.toLong)
+    // a replay of the last batch (the only one the engine ever redelivers)
+    // still lands nothing
+    val last = Seq((1000000L + nBatches - 1, vec)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    graft.stream.TieredIngest.append(last, dir, "vec_id", "embedding",
+      batchId = (nBatches - 1).toLong, scope = "ck")
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      nBatches.toLong, "replay of the max committed id must land nothing")
+    assert(TieredIndex.load(spark, dir).delta.count() == nBatches.toLong)
+  }
+
+  test("a pre-r16 per-batch ledger folds into the per-scope form and keeps replays recognized") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tiered_oldledger").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val b0 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    val b1 = emb.filter(col("vec_id") >= 420 && col("vec_id") < 450)
+    graft.stream.TieredIngest.append(b0, dir, "vec_id", "embedding",
+      batchId = 0L, scope = "ck")
+    graft.stream.TieredIngest.append(b1, dir, "vec_id", "embedding",
+      batchId = 1L, scope = "ck")
+    val landed = b0.count() + b1.count()
+    // rewrite the ledger in the retired one-row-per-batch schema, as a
+    // layout created by an older build would carry
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/delta_commits"), true)
+    Seq(("", -1L, 0L), ("ck", 0L, b0.count()), ("ck", 1L, b1.count()))
+      .toDF("scope", "batch_id", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/delta_commits")
+    // replay of the last committed batch: recognized through the folded form
+    graft.stream.TieredIngest.append(b1, dir, "vec_id", "embedding",
+      batchId = 1L, scope = "ck")
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      landed, "replay must be recognized through a folded pre-r16 ledger")
+    // and the next REAL batch both lands and rewrites the compact form
+    val b2 = emb.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+    graft.stream.TieredIngest.append(b2, dir, "vec_id", "embedding",
+      batchId = 2L, scope = "ck")
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      landed + b2.count())
+    val ledger = spark.read.parquet(s"$dir/delta_commits")
+    assert(ledger.schema.fieldNames.contains("max_batch_id") && ledger.count() <= 2)
+  }
+
+  test("compactInPlace swap crash: load() restores the layout from .compact_old") {
+    val dir0 = java.nio.file.Files.createTempDirectory("tiered_crash").toString
+    val dir = s"$dir0/layout"
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    graft.stream.TieredIngest.append(emb.filter(col("vec_id") >= 400), dir,
+      "vec_id", "embedding", batchId = 0L, scope = "ck")
+    // simulate a crash INSIDE the swap window: the live layout was renamed
+    // aside and the process died before the compacted tmp renamed in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".compact_tmp")) // dead half-save
+    val loaded = TieredIndex.load(spark, dir) // must restore, not throw
+    assert(loaded.delta.count() == emb.filter(col("vec_id") >= 400).count())
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 5, Metric.L2,
+      "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
+    // an ingest append right after the restore works too (recoverSwap
+    // runs on the append path as well)
+    graft.stream.TieredIngest.append(
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")),
+      dir, "vec_id", "embedding", batchId = 1L, scope = "ck")
+    assert(TieredIndex.load(spark, dir).delta.count() ==
+      emb.filter(col("vec_id") >= 400).count() + 5)
   }
 
   test("streaming ingest auto-compacts once the delta crosses min_ann_rows") {
@@ -227,6 +342,72 @@ class SparseTieredSuite extends SparkFunSuite {
     assert(meta.getAs[Long]("delta_rows") == newRows.length,
       "restarted stream must append every row exactly once")
     val loaded = TieredIndex.load(spark, dir)
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.ops.BruteForceKnn.knnJoin(emb, qs, 5, Metric.L2,
+      "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(key(loaded.search(qs, 5, nProbes = 8)) == key(exact))
+  }
+
+  test("TieredIngest mid-batch kill: a crash INSIDE foreachBatch redelivers, lands exactly once") {
+    // the hard restart case: the process dies while a micro-batch is in
+    // flight — either before the sink appended (rows never landed) or
+    // after it appended but before the engine committed the batch (rows
+    // landed, engine doesn't know). Both make the engine REDELIVER that
+    // batchId on restart; the ledger must land the first case once and
+    // skip the second.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tiered_kill").toString
+    val ck = java.nio.file.Files.createTempDirectory("tiered_kill_ck").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val newRows = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val crashAfterAppend = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val crashBeforeAppend = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = stream.toDF().toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (batchId == 2 && crashBeforeAppend.getAndSet(false))
+          throw new RuntimeException("injected kill BEFORE the sink appended")
+        graft.stream.TieredIngest.append(batch, dir, "id", "vec",
+          batchId = batchId, scope = ck)
+        if (batchId == 1 && crashAfterAppend.getAndSet(false))
+          throw new RuntimeException("injected kill AFTER the sink appended, " +
+            "before the engine committed")
+      }
+      .start()
+    def drainIgnoringInjectedKill(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.processAllAvailable()
+      catch { case _: Exception => () } finally q.stop()
+    // batch 0 commits; batch 1 appends then the "process dies"
+    val q1 = start()
+    stream.addData(newRows.take(30).toSeq)
+    q1.processAllAvailable()
+    stream.addData(newRows.slice(30, 60).toSeq)
+    drainIgnoringInjectedKill(q1)
+    // restart 1: batch 1 is redelivered (it DID land) — must be skipped;
+    // batch 2 then dies before its rows ever landed
+    stream.addData(newRows.drop(60).toSeq)
+    val q2 = start()
+    drainIgnoringInjectedKill(q2)
+    // restart 2: batch 2 is redelivered and lands for the first time
+    val q3 = start()
+    drainIgnoringInjectedKill(q3)
+    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
+      newRows.length.toLong,
+      "mid-batch kills must land every row exactly once across restarts")
+    val loaded = TieredIndex.load(spark, dir)
+    assert(loaded.delta.count() == newRows.length.toLong)
     val qs = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = graft.ops.BruteForceKnn.knnJoin(emb, qs, 5, Metric.L2,

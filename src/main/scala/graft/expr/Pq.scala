@@ -21,18 +21,30 @@ case class PqCodebooks(books: Array[Float], pqDim: Int, nCenters: Int, subLen: I
 }
 
 object PqOps {
+  // The encode/LUT loops below all copy their ArrayData inputs to
+  // primitive float arrays up front (toFloatArray): ArrayData.getFloat is
+  // a virtual call — and on GenericArrayData a per-element UNBOX — inside
+  // loops that run pqDim·nCenters·subLen times PER ROW; measured on the
+  // 1M×256d build it was a ~30x tax on the anisotropic encode (the
+  // dominant stage of a compressed save-with-curve).
+
   /** Encode: per subspace, the L2-nearest center id (pq.hpp:205 transform). */
-  def encode(cb: PqCodebooks, vec: ArrayData): ArrayData = {
+  def encode(cb: PqCodebooks, vec: ArrayData): ArrayData =
+    new GenericArrayData(encodeRaw(cb, vec.toFloatArray()))
+
+  private def encodeRaw(cb: PqCodebooks, v: Array[Float]): Array[Int] = {
     val codes = new Array[Int](cb.pqDim)
+    val books = cb.books
     var s = 0
     while (s < cb.pqDim) {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cb.nCenters) {
         val off = (s * cb.nCenters + c) * cb.subLen
+        val vOff = s * cb.subLen
         var d = 0.0; var j = 0
         while (j < cb.subLen) {
-          val t = vec.getFloat(s * cb.subLen + j).toDouble - cb.books(off + j)
+          val t = v(vOff + j).toDouble - books(off + j)
           d += t * t; j += 1
         }
         if (d < bestD) { bestD = d; best = c }
@@ -41,7 +53,7 @@ object PqOps {
       codes(s) = best
       s += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   /** Decode codes back to a reconstructed vector (pq.hpp:239 inverse). */
@@ -60,15 +72,18 @@ object PqOps {
     * each center — flat array of pqDim*nCenters doubles
     * (ivf_pq_compute_similarity.cuh LUT precompute). */
   def lut(cb: PqCodebooks, qvec: ArrayData): ArrayData = {
+    val q = qvec.toFloatArray()
+    val books = cb.books
     val out = new Array[Double](cb.pqDim * cb.nCenters)
     var s = 0
     while (s < cb.pqDim) {
       var c = 0
       while (c < cb.nCenters) {
         val off = (s * cb.nCenters + c) * cb.subLen
+        val qOff = s * cb.subLen
         var d = 0.0; var j = 0
         while (j < cb.subLen) {
-          val t = qvec.getFloat(s * cb.subLen + j).toDouble - cb.books(off + j)
+          val t = q(qOff + j).toDouble - books(off + j)
           d += t * t; j += 1
         }
         out(s * cb.nCenters + c) = d
@@ -87,10 +102,12 @@ object PqOps {
     * the fused kernel loop) yields the full estimated dot product —
     * larger is closer (is_min_close(InnerProduct) = false). */
   def lutIp(cb: PqCodebooks, cs: CentroidSet, qvec: ArrayData, listId: Int): ArrayData = {
+    val q = qvec.toFloatArray()
+    val books = cb.books
     val cBase = listId * cs.dim
     var qc = 0.0
     var j0 = 0
-    while (j0 < cs.dim) { qc += qvec.getFloat(j0).toDouble * cs.flat(cBase + j0); j0 += 1 }
+    while (j0 < cs.dim) { qc += q(j0).toDouble * cs.flat(cBase + j0); j0 += 1 }
     val share = qc / cb.pqDim
     val out = new Array[Double](cb.pqDim * cb.nCenters)
     var s = 0
@@ -98,9 +115,10 @@ object PqOps {
       var c = 0
       while (c < cb.nCenters) {
         val off = (s * cb.nCenters + c) * cb.subLen
+        val qOff = s * cb.subLen
         var d = 0.0; var j = 0
         while (j < cb.subLen) {
-          d += qvec.getFloat(s * cb.subLen + j).toDouble * cb.books(off + j)
+          d += q(qOff + j).toDouble * books(off + j)
           j += 1
         }
         out(s * cb.nCenters + c) = d + share
@@ -127,51 +145,78 @@ object PqOps {
     * weights error against the datapoint the query will dot with). */
   def encodeAniso(cb: PqCodebooks, vec: ArrayData, unit: ArrayData,
       eta: Double, rounds: Int = 2): ArrayData = {
-    val seeded = encode(cb, vec)
-    if (eta <= 1.0) return seeded
-    val codes = seeded.toIntArray()
+    val v = vec.toFloatArray()
+    if (eta <= 1.0) return new GenericArrayData(encodeRaw(cb, v))
+    val u = unit.toFloatArray()
+    val books = cb.books
     val w = eta - 1.0
+    // Both per-(subspace, center) terms of the loss are ROUND-INVARIANT:
+    // l2(s,c) = ||v_s - c||² and pu(s,c) = (v_s - c)·u_s depend only on
+    // the row, never on the other subspaces' codes — only the coupling
+    // scalar t = Σ par(s) moves during descent. Tabulate both in ONE
+    // pass (this pass IS the plain-encode scan, so the L2 seed falls out
+    // of the same table) and the descent rounds become table lookups —
+    // pqDim·nCenters flops per round instead of pqDim·nCenters·subLen.
+    val nSC = cb.pqDim * cb.nCenters
+    val l2T = new Array[Double](nSC)
+    val puT = new Array[Double](nSC)
+    val codes = new Array[Int](cb.pqDim)
+    var s0 = 0
+    while (s0 < cb.pqDim) {
+      val vOff = s0 * cb.subLen
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.nCenters) {
+        val off = (s0 * cb.nCenters + c) * cb.subLen
+        var l2 = 0.0; var pu = 0.0; var j = 0
+        while (j < cb.subLen) {
+          val e = v(vOff + j).toDouble - books(off + j)
+          l2 += e * e
+          pu += e * u(vOff + j)
+          j += 1
+        }
+        l2T(s0 * cb.nCenters + c) = l2
+        puT(s0 * cb.nCenters + c) = pu
+        if (l2 < bestD) { bestD = l2; best = c }
+        c += 1
+      }
+      codes(s0) = best
+      s0 += 1
+    }
     // per-subspace e_s·u_s under the current codes, and their sum t
     val par = new Array[Double](cb.pqDim)
     var t = 0.0
-    var s0 = 0
-    while (s0 < cb.pqDim) {
-      val off = (s0 * cb.nCenters + codes(s0)) * cb.subLen
-      var pu = 0.0; var j = 0
-      while (j < cb.subLen) {
-        pu += (vec.getFloat(s0 * cb.subLen + j).toDouble - cb.books(off + j)) *
-          unit.getFloat(s0 * cb.subLen + j)
-        j += 1
-      }
-      par(s0) = pu; t += pu
-      s0 += 1
+    var s1 = 0
+    while (s1 < cb.pqDim) {
+      par(s1) = puT(s1 * cb.nCenters + codes(s1)); t += par(s1)
+      s1 += 1
     }
     var r = 0
-    while (r < rounds) {
+    var converged = false
+    while (r < rounds && !converged) {
+      var changed = false
       var s = 0
       while (s < cb.pqDim) {
         val tMinus = t - par(s)
         var best = codes(s); var bestLoss = Double.MaxValue; var bestPar = par(s)
+        val base = s * cb.nCenters
         var c = 0
         while (c < cb.nCenters) {
-          val off = (s * cb.nCenters + c) * cb.subLen
-          var l2 = 0.0; var pu = 0.0; var j = 0
-          while (j < cb.subLen) {
-            val e = vec.getFloat(s * cb.subLen + j).toDouble - cb.books(off + j)
-            l2 += e * e
-            pu += e * unit.getFloat(s * cb.subLen + j)
-            j += 1
-          }
+          val pu = puT(base + c)
           val tot = tMinus + pu
-          val loss = l2 + w * tot * tot
+          val loss = l2T(base + c) + w * tot * tot
           if (loss < bestLoss) { bestLoss = loss; best = c; bestPar = pu }
           c += 1
         }
+        if (best != codes(s)) changed = true
         codes(s) = best
         par(s) = bestPar
         t = tMinus + bestPar
         s += 1
       }
+      // a round that moved no code cannot move one next round either
+      // (the loss landscape it saw is unchanged) — stop early
+      converged = !changed
       r += 1
     }
     new GenericArrayData(codes)
@@ -280,19 +325,29 @@ case class ClusterCodebooks(flat: Array[Float], nLists: Int, nCenters: Int,
 }
 
 object PqClusterOps {
+  // Same primitive-array discipline as PqOps (see the note there): these
+  // loops run nCenters·subLen times per row per subspace — ArrayData
+  // access stays outside them.
+
   /** Encode: per subspace, the L2-nearest center of the ROW'S OWN list. */
-  def encode(ccb: ClusterCodebooks, listId: Int, vec: ArrayData): ArrayData = {
+  def encode(ccb: ClusterCodebooks, listId: Int, vec: ArrayData): ArrayData =
+    new GenericArrayData(encodeRaw(ccb, listId, vec.toFloatArray()))
+
+  private def encodeRaw(ccb: ClusterCodebooks, listId: Int,
+      v: Array[Float]): Array[Int] = {
     val codes = new Array[Int](ccb.pqDim)
+    val flat = ccb.flat
     val base = listId * ccb.nCenters * ccb.subLen
     var s = 0
     while (s < ccb.pqDim) {
       var best = 0; var bestD = Double.MaxValue
+      val vOff = s * ccb.subLen
       var c = 0
       while (c < ccb.nCenters) {
         val off = base + c * ccb.subLen
         var d = 0.0; var j = 0
         while (j < ccb.subLen) {
-          val t = vec.getFloat(s * ccb.subLen + j).toDouble - ccb.flat(off + j)
+          val t = v(vOff + j).toDouble - flat(off + j)
           d += t * t; j += 1
         }
         if (d < bestD) { bestD = d; best = c }
@@ -301,7 +356,7 @@ object PqClusterOps {
       codes(s) = best
       s += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   /** Reconstruct from codes + the list's codebook. */
@@ -321,16 +376,19 @@ object PqClusterOps {
     * PqOps.lut, every subspace row computed against the list's one
     * codebook — PqAdc consumes it unchanged. */
   def lut(ccb: ClusterCodebooks, listId: Int, qvec: ArrayData): ArrayData = {
+    val q = qvec.toFloatArray()
+    val flat = ccb.flat
     val out = new Array[Double](ccb.pqDim * ccb.nCenters)
     val base = listId * ccb.nCenters * ccb.subLen
     var s = 0
     while (s < ccb.pqDim) {
+      val qOff = s * ccb.subLen
       var c = 0
       while (c < ccb.nCenters) {
         val off = base + c * ccb.subLen
         var d = 0.0; var j = 0
         while (j < ccb.subLen) {
-          val t = qvec.getFloat(s * ccb.subLen + j).toDouble - ccb.flat(off + j)
+          val t = q(qOff + j).toDouble - flat(off + j)
           d += t * t; j += 1
         }
         out(s * ccb.nCenters + c) = d
@@ -347,51 +405,71 @@ object PqClusterOps {
     * scores against the one shared table at the list's offset. */
   def encodeAniso(ccb: ClusterCodebooks, listId: Int, vec: ArrayData,
       unit: ArrayData, eta: Double, rounds: Int = 2): ArrayData = {
-    val seeded = encode(ccb, listId, vec)
-    if (eta <= 1.0) return seeded
-    val codes = seeded.toIntArray()
+    val v = vec.toFloatArray()
+    if (eta <= 1.0) return new GenericArrayData(encodeRaw(ccb, listId, v))
+    val u = unit.toFloatArray()
+    val flat = ccb.flat
     val w = eta - 1.0
     val base = listId * ccb.nCenters * ccb.subLen
-    val par = new Array[Double](ccb.pqDim)
-    var t = 0.0
+    // same round-invariant l2/pu tabulation as PqOps.encodeAniso (the
+    // one-pass table IS the plain-encode scan; rounds become lookups)
+    val nSC = ccb.pqDim * ccb.nCenters
+    val l2T = new Array[Double](nSC)
+    val puT = new Array[Double](nSC)
+    val codes = new Array[Int](ccb.pqDim)
     var s0 = 0
     while (s0 < ccb.pqDim) {
-      val off = base + codes(s0) * ccb.subLen
-      var pu = 0.0; var j = 0
-      while (j < ccb.subLen) {
-        pu += (vec.getFloat(s0 * ccb.subLen + j).toDouble - ccb.flat(off + j)) *
-          unit.getFloat(s0 * ccb.subLen + j)
-        j += 1
+      val vOff = s0 * ccb.subLen
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ccb.nCenters) {
+        val off = base + c * ccb.subLen
+        var l2 = 0.0; var pu = 0.0; var j = 0
+        while (j < ccb.subLen) {
+          val e = v(vOff + j).toDouble - flat(off + j)
+          l2 += e * e
+          pu += e * u(vOff + j)
+          j += 1
+        }
+        l2T(s0 * ccb.nCenters + c) = l2
+        puT(s0 * ccb.nCenters + c) = pu
+        if (l2 < bestD) { bestD = l2; best = c }
+        c += 1
       }
-      par(s0) = pu; t += pu
+      codes(s0) = best
       s0 += 1
     }
+    val par = new Array[Double](ccb.pqDim)
+    var t = 0.0
+    var s1 = 0
+    while (s1 < ccb.pqDim) {
+      par(s1) = puT(s1 * ccb.nCenters + codes(s1)); t += par(s1)
+      s1 += 1
+    }
     var r = 0
-    while (r < rounds) {
+    var converged = false
+    while (r < rounds && !converged) {
+      var changed = false
       var s = 0
       while (s < ccb.pqDim) {
         val tMinus = t - par(s)
         var best = codes(s); var bestLoss = Double.MaxValue; var bestPar = par(s)
+        val tBase = s * ccb.nCenters
         var c = 0
         while (c < ccb.nCenters) {
-          val off = base + c * ccb.subLen
-          var l2 = 0.0; var pu = 0.0; var j = 0
-          while (j < ccb.subLen) {
-            val e = vec.getFloat(s * ccb.subLen + j).toDouble - ccb.flat(off + j)
-            l2 += e * e
-            pu += e * unit.getFloat(s * ccb.subLen + j)
-            j += 1
-          }
+          val pu = puT(tBase + c)
           val tot = tMinus + pu
-          val loss = l2 + w * tot * tot
+          val loss = l2T(tBase + c) + w * tot * tot
           if (loss < bestLoss) { bestLoss = loss; best = c; bestPar = pu }
           c += 1
         }
+        if (best != codes(s)) changed = true
         codes(s) = best
         par(s) = bestPar
         t = tMinus + bestPar
         s += 1
       }
+      converged = !changed
       r += 1
     }
     new GenericArrayData(codes)

@@ -138,3 +138,46 @@ case class VectorDistance(metricName: String, left: Expression, right: Expressio
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+object VectorNormOps {
+  /** Unit-normalize an array<float> vector (double-accumulated norm, each
+    * element divided in double then cast back to float — the exact
+    * arithmetic of the old `sqrt(aggregate(..))`/`transform(..)` column it
+    * replaces). A vector with no positive norm (all-zero, or any NaN
+    * poisoning the sum) returns ITSELF, matching the old
+    * `when(n > 0.0, ...)` guard. */
+  def unitNorm(v: ArrayData): ArrayData = {
+    val a = v.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    if (!(s > 0.0)) return v
+    val n = math.sqrt(s)
+    val out = new Array[Float](a.length)
+    i = 0
+    while (i < a.length) { out(i) = (a(i).toDouble / n).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Unit-normalization as a native codegen'd expression. The column form
+  * it replaces (`transform(vec, x => x / sqrt(aggregate(vec, ...)))`)
+  * evaluated INTERPRETED — higher-order functions never reach codegen —
+  * and re-evaluated the embedded norm aggregate once PER ELEMENT, i.e.
+  * O(dim²) boxed lambda evals per row; on a 1M×256d anisotropic PQ build
+  * that column, not the encode arithmetic, dominated the whole stage. */
+case class UnitNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(s"unit_norm requires array<float>, got $o")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorNormOps.unitNorm(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.VectorNormOps.unitNorm($v);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -277,12 +277,13 @@ object IvfFlatIndex {
     * the shared IP-LUT ADC estimator ranks by cosine similarity —
     * cos(q, x) = q̂·x̂ — instead of needing a third estimator; queries are
     * normalized symmetrically at search time. */
-  private[graft] def unitNormCol(vec: Column): Column = {
-    val n = sqrt(aggregate(vec, lit(0.0),
-      (s, x) => s + x.cast("double") * x.cast("double")))
-    when(n > 0.0, transform(vec, x => (x.cast("double") / n).cast("float")))
-      .otherwise(vec)
-  }
+  /** Unit-normalize, as the native codegen'd expression — the previous
+    * higher-order-function column form ran interpreted AND re-evaluated
+    * its embedded norm aggregate per element (O(dim²) per row); see
+    * graft.expr.UnitNorm. Same arithmetic, same zero/NaN guard. */
+  private[graft] def unitNormCol(vec: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expr.UnitNorm(org.apache.spark.sql.graft.bridge.expression(vec)))
 
   /** Population sidecar: one row `(n_rows)` — the planner reads it
     * instead of counting the registered relation at rewrite time. Shared

@@ -95,6 +95,13 @@ class IvfPqIndex(
         else ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")),
           codebooks))
       .select(col("qid"), col("list_id"), col("_lut"))
+      // materialize: the LUT must be computed ONCE per (query, probed
+      // list). Left as a lazy projection, CollapseProject can inline the
+      // single-use _lut alias into the join's output projection in some
+      // plan shapes (measured inside a broadcast-candidates refine), and
+      // the pqDim·2^bits·subLen table gets rebuilt PER PAIR — ~80x the
+      // intended work at 1M rows. The frame is nQ·nProbes rows.
+      .transform(graft.core.Frames.materialize(_))
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
@@ -106,10 +113,12 @@ class IvfPqIndex(
     * the raw dataset — the recall-recovery composition. */
   def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
       kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      broadcastCandidates: Boolean = false): DataFrame = {
     val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
       .select(col("qid"), col("nbr_id").as("id"))
-    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol,
+      broadcastCandidates = broadcastCandidates)
   }
 
   /** Persist: pq-coded lists (partitioned for DPP), centroid sidecar, and
@@ -135,7 +144,8 @@ class IvfPqIndex(
       measureSource.foreach { src =>
         val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, depthHint)
         IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
-          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth,
+            broadcastCandidates = true), nRows)
       }
   }
 }
@@ -209,6 +219,8 @@ class IvfPqClusterIndex(
           B.expression(residualCol(col("_qvec"), col("list_id"))),
           B.expression(col("list_id").cast("int")), codebooks)))
       .select(col("qid"), col("list_id"), col("_lut"))
+      // once-per-(query, list) LUT barrier — see IvfPqIndex.search
+      .transform(graft.core.Frames.materialize(_))
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
@@ -219,10 +231,12 @@ class IvfPqClusterIndex(
 
   def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
       kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      broadcastCandidates: Boolean = false): DataFrame = {
     val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
       .select(col("qid"), col("nbr_id").as("id"))
-    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol,
+      broadcastCandidates = broadcastCandidates)
   }
 
   /** Persist: coded lists + centroid sidecar + per-list codebook table. */
@@ -243,7 +257,8 @@ class IvfPqClusterIndex(
       measureSource.foreach { src =>
         val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, depthHint)
         IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
-          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth,
+            broadcastCandidates = true), nRows)
       }
   }
 }

@@ -65,6 +65,9 @@ class IvfRabitqIndex(
       .withColumn("_qn2", aggregate(col("_qr"), lit(0.0),
         (s, x) => s + x.cast("double") * x.cast("double")))
       .select(col("qid"), col("list_id"), col("_qr"), col("_qs"), col("_qn2"))
+      // once-per-(query, list) barrier for the rotated residual (dim²
+      // flops) and its interpreted aggregate sums — see IvfPqIndex.search
+      .transform(graft.core.Frames.materialize(_))
 
     val estIp =
       if (bitsPerDim <= 1) {
@@ -210,10 +213,12 @@ class IvfRabitqIndex(
   /** Coarse RaBitQ estimate -> exact re-rank against the raw vectors. */
   def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
       kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      broadcastCandidates: Boolean = false): DataFrame = {
     val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
       .select(col("qid"), col("nbr_id").as("id"))
-    Refine.refine(cand, dataset, queries, k, Metric.L2, idCol, vecCol, qidCol, qvecCol)
+    Refine.refine(cand, dataset, queries, k, Metric.L2, idCol, vecCol, qidCol, qvecCol,
+      broadcastCandidates = broadcastCandidates)
   }
 
   /** Persist: coded lists (partitioned for DPP), centroid sidecar, and the
@@ -235,7 +240,8 @@ class IvfRabitqIndex(
       measureSource.foreach { src =>
         val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, None)
         IvfFlatIndex.saveMeasuredCurve(spark, path, src, graft.core.Metric.L2,
-          centroids.k, (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+          centroids.k, (q, kk, p) => searchWithRefine(q, src, kk, p, depth,
+            broadcastCandidates = true), nRows)
       }
   }
 }

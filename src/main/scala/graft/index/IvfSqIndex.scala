@@ -127,10 +127,12 @@ class IvfSqIndex(
 
   def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
       kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      broadcastCandidates: Boolean = false): DataFrame = {
     val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
       .select(col("qid"), col("nbr_id").as("id"))
-    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol,
+      broadcastCandidates = broadcastCandidates)
   }
 
   /** Persist: int8 lists (partitioned for DPP), centroid sidecar, and the
@@ -150,7 +152,8 @@ class IvfSqIndex(
       measureSource.foreach { src =>
         val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, None)
         IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
-          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth,
+            broadcastCandidates = true), nRows)
       }
   }
 }

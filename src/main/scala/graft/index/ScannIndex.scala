@@ -88,6 +88,8 @@ class ScannIndex(
         else ProductQuantizer.lutCol(residualCol(col("_qvec"), col("list_id")),
           codebooks))
       .select(col("qid"), col("list_id"), col("_lut"))
+      // once-per-(query, list) LUT barrier — see IvfPqIndex.search
+      .transform(graft.core.Frames.materialize(_))
     val pairs = dedup(lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
@@ -98,10 +100,12 @@ class ScannIndex(
   /** ScaNN reordering: exact re-rank of the ADC top-kCoarse. */
   def searchWithRefine(queries: DataFrame, dataset: DataFrame, k: Int, nProbes: Int,
       kCoarse: Int, idCol: String = "id", vecCol: String = "vec",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      broadcastCandidates: Boolean = false): DataFrame = {
     val cand = search(queries, kCoarse, nProbes, qidCol, qvecCol)
       .select(col("qid"), col("nbr_id").as("id"))
-    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    Refine.refine(cand, dataset, queries, k, metric, idCol, vecCol, qidCol, qvecCol,
+      broadcastCandidates = broadcastCandidates)
   }
 
   /** Persist: SOAR-spilled coded lists (partitioned for DPP), centroid
@@ -126,7 +130,8 @@ class ScannIndex(
       measureSource.foreach { src =>
         val depth = graft.plans.ResolveKnnJoin.compressedDepth(10, depthHint)
         IvfFlatIndex.saveMeasuredCurve(spark, path, src, metric, centroids.k,
-          (q, kk, p) => searchWithRefine(q, src, kk, p, depth), nRows)
+          (q, kk, p) => searchWithRefine(q, src, kk, p, depth,
+            broadcastCandidates = true), nRows)
       }
   }
 }

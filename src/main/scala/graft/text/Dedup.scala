@@ -548,8 +548,8 @@ object Dedup {
       .withColumn("_n", sqrt(aggregate(col("vec"), lit(0.0),
         (s, x) => s + x.cast("double") * x.cast("double"))))
       .filter(col("_n") > 0.0)
-      .select(col("id"), transform(col("vec"),
-        x => (x.cast("double") / col("_n")).cast("float")).as("uvec"))
+      .select(col("id"),
+        graft.index.IvfFlatIndex.unitNormCol(col("vec")).as("uvec"))
       .transform(graft.core.Frames.materialize(_))
     val nRows = unit.count()
     val idx = BallCover.build(unit, math.max(2, math.sqrt(nRows.toDouble).toInt),

@@ -147,36 +147,45 @@ object PqOps {
       eta: Double, rounds: Int = 2): ArrayData = {
     val v = vec.toFloatArray()
     if (eta <= 1.0) return new GenericArrayData(encodeRaw(cb, v))
-    val u = unit.toFloatArray()
-    val books = cb.books
-    val w = eta - 1.0
-    // Both per-(subspace, center) terms of the loss are ROUND-INVARIANT:
-    // l2(s,c) = ||v_s - c||² and pu(s,c) = (v_s - c)·u_s depend only on
-    // the row, never on the other subspaces' codes — only the coupling
-    // scalar t = Σ par(s) moves during descent. Tabulate both in ONE
-    // pass (this pass IS the plain-encode scan, so the L2 seed falls out
-    // of the same table) and the descent rounds become table lookups —
-    // pqDim·nCenters flops per round instead of pqDim·nCenters·subLen.
-    val nSC = cb.pqDim * cb.nCenters
+    new GenericArrayData(anisoDescent(cb.books,
+      (s, c) => (s * cb.nCenters + c) * cb.subLen,
+      cb.pqDim, cb.nCenters, cb.subLen, v, unit.toFloatArray(),
+      eta - 1.0, rounds))
+  }
+
+  /** Shared anisotropic coordinate-descent core (PER_SUBSPACE and
+    * PER_CLUSTER codebooks differ only in `offsetFor`, the codebook
+    * layout). Both per-(subspace, center) terms of the loss are
+    * ROUND-INVARIANT: l2(s,c) = ||v_s - c||² and pu(s,c) = (v_s - c)·u_s
+    * depend only on the row, never on the other subspaces' codes — only
+    * the coupling scalar t = Σ par(s) moves during descent. Tabulate
+    * both in ONE pass (this pass IS the plain-encode scan, so the L2
+    * seed falls out of the same table) and the descent rounds become
+    * table lookups — pqDim·nCenters flops per round instead of
+    * pqDim·nCenters·subLen. */
+  private[expr] def anisoDescent(books: Array[Float],
+      offsetFor: (Int, Int) => Int, pqDim: Int, nCenters: Int, subLen: Int,
+      v: Array[Float], u: Array[Float], w: Double, rounds: Int): Array[Int] = {
+    val nSC = pqDim * nCenters
     val l2T = new Array[Double](nSC)
     val puT = new Array[Double](nSC)
-    val codes = new Array[Int](cb.pqDim)
+    val codes = new Array[Int](pqDim)
     var s0 = 0
-    while (s0 < cb.pqDim) {
-      val vOff = s0 * cb.subLen
+    while (s0 < pqDim) {
+      val vOff = s0 * subLen
       var best = 0; var bestD = Double.MaxValue
       var c = 0
-      while (c < cb.nCenters) {
-        val off = (s0 * cb.nCenters + c) * cb.subLen
+      while (c < nCenters) {
+        val off = offsetFor(s0, c)
         var l2 = 0.0; var pu = 0.0; var j = 0
-        while (j < cb.subLen) {
+        while (j < subLen) {
           val e = v(vOff + j).toDouble - books(off + j)
           l2 += e * e
           pu += e * u(vOff + j)
           j += 1
         }
-        l2T(s0 * cb.nCenters + c) = l2
-        puT(s0 * cb.nCenters + c) = pu
+        l2T(s0 * nCenters + c) = l2
+        puT(s0 * nCenters + c) = pu
         if (l2 < bestD) { bestD = l2; best = c }
         c += 1
       }
@@ -184,11 +193,11 @@ object PqOps {
       s0 += 1
     }
     // per-subspace e_s·u_s under the current codes, and their sum t
-    val par = new Array[Double](cb.pqDim)
+    val par = new Array[Double](pqDim)
     var t = 0.0
     var s1 = 0
-    while (s1 < cb.pqDim) {
-      par(s1) = puT(s1 * cb.nCenters + codes(s1)); t += par(s1)
+    while (s1 < pqDim) {
+      par(s1) = puT(s1 * nCenters + codes(s1)); t += par(s1)
       s1 += 1
     }
     var r = 0
@@ -196,12 +205,12 @@ object PqOps {
     while (r < rounds && !converged) {
       var changed = false
       var s = 0
-      while (s < cb.pqDim) {
+      while (s < pqDim) {
         val tMinus = t - par(s)
         var best = codes(s); var bestLoss = Double.MaxValue; var bestPar = par(s)
-        val base = s * cb.nCenters
+        val base = s * nCenters
         var c = 0
-        while (c < cb.nCenters) {
+        while (c < nCenters) {
           val pu = puT(base + c)
           val tot = tMinus + pu
           val loss = l2T(base + c) + w * tot * tot
@@ -219,7 +228,7 @@ object PqOps {
       converged = !changed
       r += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   /** ADC score = sum of LUT entries selected by the code bytes — the
@@ -407,72 +416,13 @@ object PqClusterOps {
       unit: ArrayData, eta: Double, rounds: Int = 2): ArrayData = {
     val v = vec.toFloatArray()
     if (eta <= 1.0) return new GenericArrayData(encodeRaw(ccb, listId, v))
-    val u = unit.toFloatArray()
-    val flat = ccb.flat
-    val w = eta - 1.0
+    // same descent as PqOps.encodeAniso; only the codebook layout differs
+    // (one table per list, shared across subspaces)
     val base = listId * ccb.nCenters * ccb.subLen
-    // same round-invariant l2/pu tabulation as PqOps.encodeAniso (the
-    // one-pass table IS the plain-encode scan; rounds become lookups)
-    val nSC = ccb.pqDim * ccb.nCenters
-    val l2T = new Array[Double](nSC)
-    val puT = new Array[Double](nSC)
-    val codes = new Array[Int](ccb.pqDim)
-    var s0 = 0
-    while (s0 < ccb.pqDim) {
-      val vOff = s0 * ccb.subLen
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < ccb.nCenters) {
-        val off = base + c * ccb.subLen
-        var l2 = 0.0; var pu = 0.0; var j = 0
-        while (j < ccb.subLen) {
-          val e = v(vOff + j).toDouble - flat(off + j)
-          l2 += e * e
-          pu += e * u(vOff + j)
-          j += 1
-        }
-        l2T(s0 * ccb.nCenters + c) = l2
-        puT(s0 * ccb.nCenters + c) = pu
-        if (l2 < bestD) { bestD = l2; best = c }
-        c += 1
-      }
-      codes(s0) = best
-      s0 += 1
-    }
-    val par = new Array[Double](ccb.pqDim)
-    var t = 0.0
-    var s1 = 0
-    while (s1 < ccb.pqDim) {
-      par(s1) = puT(s1 * ccb.nCenters + codes(s1)); t += par(s1)
-      s1 += 1
-    }
-    var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
-      var changed = false
-      var s = 0
-      while (s < ccb.pqDim) {
-        val tMinus = t - par(s)
-        var best = codes(s); var bestLoss = Double.MaxValue; var bestPar = par(s)
-        val tBase = s * ccb.nCenters
-        var c = 0
-        while (c < ccb.nCenters) {
-          val pu = puT(tBase + c)
-          val tot = tMinus + pu
-          val loss = l2T(tBase + c) + w * tot * tot
-          if (loss < bestLoss) { bestLoss = loss; best = c; bestPar = pu }
-          c += 1
-        }
-        if (best != codes(s)) changed = true
-        codes(s) = best
-        par(s) = bestPar
-        t = tMinus + bestPar
-        s += 1
-      }
-      converged = !changed
-      r += 1
-    }
-    new GenericArrayData(codes)
+    new GenericArrayData(PqOps.anisoDescent(ccb.flat,
+      (_, c) => base + c * ccb.subLen,
+      ccb.pqDim, ccb.nCenters, ccb.subLen, v, unit.toFloatArray(),
+      eta - 1.0, rounds))
   }
 
   /** Inner-product LUT over the list's OWN codebook — the PER_CLUSTER

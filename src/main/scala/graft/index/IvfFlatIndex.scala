@@ -280,10 +280,13 @@ object IvfFlatIndex {
   /** Unit-normalize, as the native codegen'd expression — the previous
     * higher-order-function column form ran interpreted AND re-evaluated
     * its embedded norm aggregate per element (O(dim²) per row); see
-    * graft.expr.UnitNorm. Same arithmetic, same zero/NaN guard. */
+    * graft.expr.UnitNorm. Same arithmetic, same zero/NaN guard. The
+    * float cast keeps the old form's acceptance of any numeric vector
+    * (a no-op the analyzer erases on the array<float> hot path). */
   private[graft] def unitNormCol(vec: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
-      graft.expr.UnitNorm(org.apache.spark.sql.graft.bridge.expression(vec)))
+      graft.expr.UnitNorm(org.apache.spark.sql.graft.bridge.expression(
+        vec.cast("array<float>"))))
 
   /** Population sidecar: one row `(n_rows)` — the planner reads it
     * instead of counting the registered relation at rewrite time. Shared

@@ -100,8 +100,11 @@ class IvfPqIndex(
       // single-use _lut alias into the join's output projection in some
       // plan shapes (measured inside a broadcast-candidates refine), and
       // the pqDim·2^bits·subLen table gets rebuilt PER PAIR — ~80x the
-      // intended work at 1M rows. The frame is nQ·nProbes rows.
-      .transform(graft.core.Frames.materialize(_))
+      // intended work at 1M rows. localCheckpoint (not persist): the
+      // frame is nQ·nProbes rows and there is no post-execution hook to
+      // unpersist from, so the blocks must be GC-reclaimable — a
+      // CacheManager entry would pin them for the session's life.
+      .localCheckpoint()
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),
@@ -220,7 +223,7 @@ class IvfPqClusterIndex(
           B.expression(col("list_id").cast("int")), codebooks)))
       .select(col("qid"), col("list_id"), col("_lut"))
       // once-per-(query, list) LUT barrier — see IvfPqIndex.search
-      .transform(graft.core.Frames.materialize(_))
+      .localCheckpoint()
     val pairs = lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),

@@ -67,7 +67,7 @@ class IvfRabitqIndex(
       .select(col("qid"), col("list_id"), col("_qr"), col("_qs"), col("_qn2"))
       // once-per-(query, list) barrier for the rotated residual (dim²
       // flops) and its interpreted aggregate sums — see IvfPqIndex.search
-      .transform(graft.core.Frames.materialize(_))
+      .localCheckpoint()
 
     val estIp =
       if (bitsPerDim <= 1) {

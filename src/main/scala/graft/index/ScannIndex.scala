@@ -89,7 +89,7 @@ class ScannIndex(
           codebooks))
       .select(col("qid"), col("list_id"), col("_lut"))
       // once-per-(query, list) LUT barrier — see IvfPqIndex.search
-      .transform(graft.core.Frames.materialize(_))
+      .localCheckpoint()
     val pairs = dedup(lists
       .join(broadcast(probes), "list_id")
       .select(col("qid"), col("id").as("_nid"),

@@ -169,10 +169,15 @@ object TieredIndex {
   /** Crash recovery for the compactInPlace swap window: a crash between
     * the two renames leaves NO layout at `path` but an intact one at
     * `<path>.compact_old` — restore it (losing only the compaction, never
-    * data: the delta rows are still in the restored delta tier). Restore
-    * only — a stale `.compact_tmp` is cleaned by the next compaction
-    * attempt itself, because a reader must never delete the tmp of an
-    * in-flight swap. Called on every load and every ingest append. */
+    * data: the delta rows are still in the restored delta tier). The
+    * restore is strictly NON-DESTRUCTIVE: it never deletes anything, and
+    * it only attempts the rename while `path` is absent — so a reader
+    * racing an IN-FLIGHT swap (which shows the same transient state) can
+    * at worst lose the rename race to the swap's own second rename and
+    * then observe the freshly-compacted layout; it can never remove one.
+    * A stale `.compact_tmp` is cleaned by the next compaction attempt
+    * itself, for the same reason. Called on every load and every ingest
+    * append. */
   private[stream] def recoverSwap(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -181,18 +186,22 @@ object TieredIndex {
       fs.exists(new org.apache.hadoop.fs.Path(p, "tiered_meta"))
     val real = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    if (!healthy(real) && fs.exists(old) && healthy(old)) {
-      // grace recheck: an IN-FLIGHT swap also shows this state for the
-      // milliseconds between its two renames — give it time to finish
-      // before concluding the state is a crash leftover
-      Thread.sleep(200)
-      if (healthy(real) || !fs.exists(old) || !healthy(old)) return
-      if (fs.exists(real)) fs.delete(real, true)
-      require(fs.rename(old, real),
-        s"compactInPlace recovery: could not restore $path from $path.compact_old")
+    if (healthy(real) || !fs.exists(old) || !healthy(old)) return
+    // grace recheck: an in-flight swap usually finishes within the sleep,
+    // in which case there is nothing to do
+    Thread.sleep(200)
+    if (healthy(real)) return
+    if (!fs.exists(real) && fs.exists(old) && healthy(old) &&
+        fs.rename(old, real)) {
       System.err.println(s"graft TieredIndex: restored $path from an " +
         "interrupted compaction swap (the compaction will re-run at the " +
         "next threshold crossing)")
+      return
     }
+    // the rename lost a race to the swap completing (or the state moved
+    // under us) — only an unhealthy final state is an error
+    require(healthy(real),
+      s"compactInPlace recovery: no layout at $path and could not restore " +
+        s"from $path.compact_old")
   }
 }

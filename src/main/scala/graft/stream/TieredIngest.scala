@@ -165,26 +165,33 @@ object TieredIngest {
   }
 
   /** One-row sidecar read that survives the swap window: a read landing
-    * between the two renames retries briefly, and a crash that left the
-    * content at `.old` (renamed aside, never swapped in) restores it. */
+    * between atomicOneRowWrite's two renames RETRIES first (a live writer
+    * finishes in milliseconds — restoring eagerly would steal the `.old`
+    * directory out from under its in-flight swap and fail the ingest
+    * batch), and only after the retries are exhausted treats a
+    * still-absent target with `.old` present as a crashed writer's
+    * leftover and renames it back for one final read. */
   private[stream] def readOneRowSidecar(spark: SparkSession,
       target: String): org.apache.spark.sql.Row = {
     var attempt = 0
-    while (true) {
+    while (attempt < 4) {
       try return spark.read.parquet(target).head()
       catch {
-        case scala.util.control.NonFatal(e) =>
-          val fs = new org.apache.hadoop.fs.Path(target)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val targetP = new org.apache.hadoop.fs.Path(target)
-          val oldP = new org.apache.hadoop.fs.Path(target + ".old")
-          if (!fs.exists(targetP) && fs.exists(oldP)) fs.rename(oldP, targetP)
-          else if (attempt >= 4) throw e
-          else Thread.sleep(50L << attempt)
+        case scala.util.control.NonFatal(_) =>
+          Thread.sleep(50L << attempt)
           attempt += 1
       }
     }
-    throw new IllegalStateException("unreachable")
+    try spark.read.parquet(target).head()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val fs = new org.apache.hadoop.fs.Path(target)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val targetP = new org.apache.hadoop.fs.Path(target)
+        val oldP = new org.apache.hadoop.fs.Path(target + ".old")
+        if (!fs.exists(targetP) && fs.exists(oldP)) fs.rename(oldP, targetP)
+        spark.read.parquet(target).head() // throws if genuinely unreadable
+    }
   }
 
   private def writeLedger(spark: SparkSession, indexPath: String,
@@ -277,7 +284,17 @@ object TieredIngest {
             // (ids are monotonic per scope, so <= max means committed):
             // the data and ledger landed last time — only the sidecars
             // might be stale (crash between ledger and sidecar writes),
-            // so re-derive them and land nothing
+            // so re-derive them and land nothing. Structured Streaming
+            // only ever redelivers the LAST batch (== max); a direct
+            // caller submitting a NEW id below its scope's max violates
+            // the monotonic-id contract and gets skipped as a replay —
+            // loudly, so the drop is never silent.
+            if (batchId < state.maxBatchId)
+              System.err.println(s"graft TieredIngest: batch $batchId in scope " +
+                s"'$sc' is below the scope's max committed id ${state.maxBatchId} " +
+                "— treated as an already-committed replay and SKIPPED (per-scope " +
+                "batch ids must be monotonic; use a fresh scope to restart an " +
+                "id sequence)")
             writeSidecars(spark, indexPath, ledger.values.map(_.cumRows).sum)
           } else {
             // overwrite = idempotent under replay AND under a crashed

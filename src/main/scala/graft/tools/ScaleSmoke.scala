@@ -88,17 +88,19 @@ object ScaleSmoke {
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        // taskMetrics is null for a stage completed without ever being
+        // submitted (job cancellation) — exactly the runs worth tracing
+        val runMs = Option(si.taskMetrics).map(_.executorRunTime).getOrElse(0L)
         if (secs > 5.0) {
           // run = summed executor task time: a wall >> run stage only
           // QUEUED behind a saturated pool, it did not compute for `wall`
-          val runSecs = si.taskMetrics.executorRunTime / 1e3
+          val runSecs = runMs / 1e3
           println(f"  STAGE ${si.stageId}%5d ${si.name.take(56)}%-56s tasks=${si.numTasks}%5d wall=$secs%7.2f s run=$runSecs%7.2f s")
         }
         // a long LOW-PARALLELISM stage is exactly the 100x scale-up
         // killer this tool exists to catch — print where it came from;
         // same for any stage burning serious aggregate task time
-        if ((secs > 20.0 && si.numTasks <= 2) ||
-            si.taskMetrics.executorRunTime > 200000L)
+        if ((secs > 20.0 && si.numTasks <= 2) || runMs > 200000L)
           si.details.linesIterator
             .filter(l => l.contains("graft") || l.contains("ScaleSmoke"))
             .take(6).foreach(l => println(s"  STAGE-AT ${si.stageId} $l"))

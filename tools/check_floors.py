@@ -8,8 +8,10 @@ the target SF first, then:
     sbt "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_sf01"
     python3 tools/check_floors.py /tmp/verify_sf01
 
-Scans every query output that carries a floor_met / *_ok boolean column and
-fails if any is false.
+Scans every query output that carries a floor_met / *_ok boolean column —
+plus the planner-route pins (*_routed, route_refused, order_independent,
+delta_empty, delta_appended), which the sf0.01 oracle hash-checks but
+nothing re-asserted at the larger SF — and fails if any is false.
 """
 import glob
 import sys
@@ -25,7 +27,10 @@ def main(outdir: str) -> int:
         name = q.rsplit("/", 1)[-1]
         df = duckdb.sql(f"SELECT * FROM '{q}/*.parquet'").df()
         flags = [c for c in df.columns
-                 if c == "floor_met" or c.endswith("_ok") or c.endswith("_met")]
+                 if c == "floor_met" or c.endswith("_ok") or c.endswith("_met")
+                 or c.endswith("_routed") or c in
+                 ("route_refused", "order_independent",
+                  "delta_empty", "delta_appended")]
         if not flags:
             continue
         checked += 1

@@ -145,8 +145,18 @@ object VectorNormOps {
     * arithmetic of the old `sqrt(aggregate(..))`/`transform(..)` column it
     * replaces). A vector with no positive norm (all-zero, or any NaN
     * poisoning the sum) returns ITSELF, matching the old
-    * `when(n > 0.0, ...)` guard. */
+    * `when(n > 0.0, ...)` guard — and so does a vector with a NULL
+    * element: the old form's `aggregate` summed it to a null norm and
+    * the `when` fell through to the input, so the null check here (cheap
+    * predictable branches, before `toFloatArray` would throw on a null
+    * slot) keeps that contract instead of crashing. */
   def unitNorm(v: ArrayData): ArrayData = {
+    var j = 0
+    val len = v.numElements()
+    while (j < len) {
+      if (v.isNullAt(j)) return v
+      j += 1
+    }
     val a = v.toFloatArray()
     var s = 0.0
     var i = 0

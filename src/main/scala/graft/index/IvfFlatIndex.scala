@@ -280,9 +280,14 @@ object IvfFlatIndex {
   /** Unit-normalize, as the native codegen'd expression — the previous
     * higher-order-function column form ran interpreted AND re-evaluated
     * its embedded norm aggregate per element (O(dim²) per row); see
-    * graft.expr.UnitNorm. Same arithmetic, same zero/NaN guard. The
-    * float cast keeps the old form's acceptance of any numeric vector
-    * (a no-op the analyzer erases on the array<float> hot path). */
+    * graft.expr.UnitNorm. Same arithmetic, same zero/NaN/null-element
+    * guards. The float cast keeps the old form's acceptance of any
+    * numeric vector (a no-op the analyzer erases on the array<float> hot
+    * path) — with one deliberate change: a non-float vector is cast to
+    * float BEFORE the norm, where the old form normalized in the input's
+    * own width. Every engine entry point already stores/compares vectors
+    * as array<float>, so the cast only rounds inputs that were about to
+    * be rounded anyway. */
   private[graft] def unitNormCol(vec: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
       graft.expr.UnitNorm(org.apache.spark.sql.graft.bridge.expression(

@@ -171,6 +171,22 @@ object GraftIndexCatalog {
     sidecarCurveMemo.clear()
     sidecarDepthMemo.clear()
     layoutMemo.clear()
+    resolvedMemo.clear()
+  }
+
+  /** Memoized live-version resolution of a registered layout root
+    * (TieredIndex's version-directory scheme: an in-place-compacted
+    * tiered layout's current content lives in the highest committed
+    * `v_NNNNNN` subdirectory; everything else resolves to itself) — one
+    * filesystem listing per registration, not one per re-optimization.
+    * Same clear-on-register discipline as the other memos, and
+    * `invalidateStats()` (called by the in-process auto-compaction)
+    * drops it so the next rewrite plans on the new version. */
+  private val resolvedMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[plans] def cachedResolved(indexPath: String)(
+      resolve: => String): String = {
+    if (resolvedMemo.size >= probeCacheCap) resolvedMemo.clear()
+    resolvedMemo.getOrElseUpdate(normalize(indexPath), resolve)
   }
 
   /** Route taken by each KnnJoinPlan rewrite, keyed by the NODE's output
@@ -980,18 +996,50 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           case scala.util.control.NonFatal(_) => Double.MaxValue
         }
 
+      /** A registration whose search parameters the USER pinned — an
+        * explicit probe count, an explicit reorder depth, or a session
+        * autoProbeFraction. Such registrations keep the user's call in
+        * every price/floor decision (the same discipline as
+        * compressedFloorReachable); only FULLY-AUTO entries submit to the
+        * cost model's brute arm below. */
+      def explicitRegistration(e: GraftIndexCatalog.Entry): Boolean =
+        e.nProbes > 0 || e.kCoarse > 0 ||
+          spark.conf.getOption("spark.graft.knnJoin.autoProbeFraction").isDefined
+
       /** Registered layouts on `base`, cheapest-first when there is a
-        * choice. A single registration (the common case) pays no cost
-        * evaluation at all; with ≥2, the per-layout costs come from
-        * memoized sidecar reads and registration ORDER never decides —
-        * the tie-break is the path, for determinism. */
+        * choice, with the BRUTE ALTERNATIVE priced as a competing arm —
+        * the reference's own plan factory prices its fallback path too
+        * (knn_brute_force.cuh:353-501 fused-vs-tiled choice;
+        * search_plan.cuh:113-133). Brute reads the full population at raw
+        * row width and refines nothing, so its expected per-query read is
+        * exactly `n` in layoutCost's raw-row currency; a fully-auto
+        * layout whose route prices at or above that is dropped here and
+        * the exact brute pipeline serves the query (e.g. a layout whose
+        * measured curve demands every probe, or a compressed layout whose
+        * displacement-calibrated refine depth approaches the population).
+        * Explicit registrations keep the user's call, like the recall
+        * floor; `spark.graft.knnJoin.bruteArm.enabled=false` restores the
+        * pre-r17 index-if-routable behavior. An explicit-vs-auto mix
+        * still sorts purely by cost — the arm only removes auto entries
+        * that priced above brute, never reorders survivors. */
       def entriesFor(base: LogicalPlan): Seq[(GraftIndexCatalog.Entry, String)] = {
-        val es = GraftIndexCatalog.lookupAll(scanPaths(base))
-        if (es.isEmpty || !bigEnoughForIndex(base)) Seq.empty
+        val es0 = GraftIndexCatalog.lookupAll(scanPaths(base))
+        if (es0.isEmpty || !bigEnoughForIndex(base)) Seq.empty
         else {
+          val es = es0
           val typed = es.flatMap(e => layoutOf(e.indexPath).map(l => (e, l)))
-          if (typed.size <= 1) typed
-          else typed.sortBy { case (e, l) => (layoutCost(e, l, base), e.indexPath) }
+          val ordered =
+            if (typed.size <= 1) typed
+            else typed.sortBy { case (e, l) => (layoutCost(e, l, base), e.indexPath) }
+          val bruteArm = typed.exists(t => !explicitRegistration(t._1)) &&
+            spark.conf.get("spark.graft.knnJoin.bruteArm.enabled", "true").toBoolean
+          if (!bruteArm) ordered
+          else ordered.filter { case (e, l) =>
+            explicitRegistration(e) || {
+              val brute = math.max(baseRows(e, base), 1L).toDouble
+              layoutCost(e, l, base) < brute
+            }
+          }
         }
       }
 

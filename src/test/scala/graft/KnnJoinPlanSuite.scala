@@ -938,6 +938,65 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(hardDir)
   }
 
+  test("brute arm: an auto layout priced at or above the exact scan is declined") {
+    // the cost model's missing fallback arm (knn_brute_force.cuh:353-501
+    // prices the fused-vs-tiled fallback; search_plan.cuh:113-133): brute
+    // reads the population once at raw width, so a FULLY-AUTO layout whose
+    // expected read prices at or above that must not take the route. A
+    // recall target of 1.0 makes the flat layout resolve to FULL probes
+    // deterministically (autoProbes: targetRecall >= 1.0 -> every list),
+    // pricing the route at exactly the population — the decline boundary.
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnbrutearm").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    val exact = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+      "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nbr_id").cast("long"),
+        col("rank"), col("dist"))
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath) // fully auto
+    try withIndexGateOff {
+      spark.conf.set("spark.graft.knnJoin.targetRecall", "1.0")
+      try {
+        val out = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(!graft.plans.IndexRoute.routedThrough(out, idxPath),
+          "a full-probe auto route prices at the population and must lose to brute")
+        assert(out.exceptAll(exact).count() == 0 && exact.exceptAll(out).count() == 0,
+          "the declined route must serve the exact brute result")
+        // conf opt-out restores the pre-r17 index-if-routable behavior
+        spark.conf.set("spark.graft.knnJoin.bruteArm.enabled", "false")
+        try {
+          val back = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+            "vec_id", "embedding")
+          assert(graft.plans.IndexRoute.routedThrough(back, idxPath),
+            "bruteArm.enabled=false must restore the route")
+        } finally spark.conf.unset("spark.graft.knnJoin.bruteArm.enabled")
+      } finally spark.conf.unset("spark.graft.knnJoin.targetRecall")
+      // pruned direction: a cheap target resolves to a probe fraction
+      // well under 1 -> the route prices under brute and is KEPT
+      spark.conf.set("spark.graft.knnJoin.targetRecall", "0.5")
+      try {
+        val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+          "vec_id", "embedding")
+        assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
+          "a probe-pruned auto route prices under brute and must keep the route")
+        assert(routed.count() == queries.count() * 10)
+      } finally spark.conf.unset("spark.graft.knnJoin.targetRecall")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    // an EXPLICIT full-probe registration keeps the user's call even
+    // though it prices at the population — the floor rule's discipline
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      val out = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(out, idxPath),
+        "explicit probes must keep the route regardless of the brute price")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("two deny lists over one table memoize DISTINCT filter counts") {
     // the predicate-blind memo bug: a filter-side count keyed only by scan
     // paths would silently reuse the FIRST deny view's count for every
@@ -1071,10 +1130,14 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     assert(reloaded.efCurveSample == loaded.efCurveSample,
       "re-save must carry the ef_curve sample columns verbatim")
     // a DEFAULT-depth registration (kCoarse = 0) inverts the sidecar: the
-    // routed result must clear the session recall target on the fixture
+    // routed result must clear the session recall target on the fixture.
+    // The brute arm is opted out — on a 500-row fixture an honest ef·m
+    // price exceeds the population (the arm's own test pins that rule);
+    // THIS test pins the ef inversion the route searches with.
     ensureRule()
     val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
     graft.plans.GraftIndexCatalog.register(dataPath, dir)
+    spark.conf.set("spark.graft.knnJoin.bruteArm.enabled", "false")
     try withIndexGateOff {
       val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2,
         "vec_id", "embedding")
@@ -1086,7 +1149,10 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       val matched = routed.select(col("qid"), col("nbr_id")).intersect(exact).count()
       val recall = matched.toDouble / exact.count()
       assert(recall >= 0.9, s"auto-ef recall $recall")
-    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    } finally {
+      graft.plans.GraftIndexCatalog.unregister(dataPath)
+      spark.conf.unset("spark.graft.knnJoin.bruteArm.enabled")
+    }
   }
 
   test("route markers are per node: a mixed two-node frame earns no bit") {

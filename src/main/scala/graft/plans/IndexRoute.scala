@@ -71,7 +71,11 @@ object IndexRoute {
     }
     nodes.nonEmpty && nodes.forall(ids =>
       GraftIndexCatalog.routeMarkerFor(ids).exists { case (_, p) =>
-        normalize(p) == idx
+        // prefix match, like the structural walk: a tiered layout's route
+        // records the resolved live VERSION directory under the
+        // registered root (TieredIndex.resolveLive)
+        val n = normalize(p)
+        n == idx || n.startsWith(idx + "/")
       })
   }
 }

@@ -1026,7 +1026,20 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         val es0 = GraftIndexCatalog.lookupAll(scanPaths(base))
         if (es0.isEmpty || !bigEnoughForIndex(base)) Seq.empty
         else {
-          val es = es0
+          // registrations name the layout ROOT; an in-place-compacted
+          // tiered layout's current content lives in its highest committed
+          // version directory (TieredIndex.resolveLive) — resolve ONCE
+          // here, so every downstream load/sidecar/cost read (and the
+          // route marker) addresses one consistent version. The memos key
+          // sidecar statistics to the version directory they were read
+          // from, so a compaction can never serve a new version with the
+          // old version's statistics.
+          val es = es0.map { e =>
+            val live = GraftIndexCatalog.cachedResolved(e.indexPath) {
+              graft.stream.TieredIndex.resolveLive(spark, e.indexPath)
+            }
+            if (live == e.indexPath) e else e.copy(indexPath = live)
+          }
           val typed = es.flatMap(e => layoutOf(e.indexPath).map(l => (e, l)))
           val ordered =
             if (typed.size <= 1) typed

@@ -102,14 +102,23 @@ object TieredIndex {
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): TieredIndex = {
     recoverSwap(spark, path)
-    val meta = TieredIngest.readOneRowSidecar(spark, s"$path/tiered_meta")
-    val base = IvfFlatIndex.load(spark, s"$path/tiered_base")
+    loadLive(spark, resolveLive(spark, path))
+  }
+
+  /** Load from a RESOLVED live directory (the layout root for flat/legacy
+    * saves, `<root>/v_NNNNNN` after an in-place compaction) — the version
+    * indirection is resolved exactly once, here and in the planner's
+    * registration lookup, never inside the readers below. */
+  private[stream] def loadLive(spark: org.apache.spark.sql.SparkSession,
+      live: String): TieredIndex = {
+    val meta = TieredIngest.readOneRowSidecar(spark, s"$live/tiered_meta")
+    val base = IvfFlatIndex.load(spark, s"$live/tiered_base")
     // legacy saves predate the delta_rows column — fall back to the probe
     val deltaRows =
       if (meta.schema.fieldNames.contains("delta_rows"))
         Some(meta.getAs[Long]("delta_rows"))
       else None
-    new TieredIndex(base, readDelta(spark, path),
+    new TieredIndex(base, readDelta(spark, live),
       meta.getAs[Long]("min_ann_rows"), Metric.fromName(meta.getAs[String]("metric")),
       deltaRows)
   }
@@ -124,60 +133,118 @@ object TieredIndex {
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/delta")
       .select(col("id").cast("long").as("id"), col("vec"))
 
-  /** Fold the delta into the ANN tier IN PLACE — the auto-promotion step
-    * of the reference's tiered lifecycle (tiered_index.hpp:59-67
-    * `create_ann_index_on_extend`, :105, :136). The compacted layout is
-    * SAVED to a sibling temp directory first (its inputs still read from
-    * the live one — never an overwrite of a path being read), including
-    * the re-measured recall curve, then swapped in with two renames; the
-    * old layout survives as `<path>.compact_old` only inside the swap
-    * window. `beforeSwap` runs against the fully-saved temp directory so
-    * callers can add sidecars (TieredIngest carries its zeroed commit
-    * ledger through) that become visible ATOMICALLY with the compaction. */
-  def compactInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
-      beforeSwap: String => Unit = _ => ()): Unit = {
-    // clear a stale tmp from a compaction attempt that crashed before its
-    // swap (done here, not in recoverSwap — a concurrent reader must never
-    // delete the tmp of an IN-FLIGHT compaction)
-    {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path + ".compact_tmp"), true)
-    }
-    load(spark, path).compact().save(path + ".compact_tmp")
-    beforeSwap(path + ".compact_tmp")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val real = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    fs.delete(old, true)
-    require(fs.rename(real, old),
-      s"compactInPlace: could not move the live layout aside at $path")
-    if (!fs.rename(tmp, real)) {
-      // second rename failed after the first succeeded: put the
-      // pre-compaction layout back so the path never stays empty
-      val rolledBack = fs.rename(old, real)
-      throw new IllegalStateException(
-        s"compactInPlace: directory swap failed at $path" +
-          (if (rolledBack) " (pre-compaction layout rolled back)"
-           else s" AND rollback failed — restore manually from $path.compact_old"))
-    }
-    fs.delete(old, true)
+  /** Version-directory layout of an in-place-compacted tiered index: the
+    * root holds `v_NNNNNN` subdirectories, each a COMPLETE layout, and
+    * the highest one carrying the `_COMMITTED` marker file is live. A
+    * flat save (TieredIndex.save writes the layout members at the root —
+    * unchanged on-disk format) is version 0 of this scheme. Readers
+    * resolve the live directory with one listing and never observe a
+    * partial layout: the marker CREATE is the atomic commit point, and
+    * the previous version survives one full compaction interval before
+    * retention deletes it, so a query planned on it finishes undisturbed
+    * — there is no swap window, no reader retry, and no grace sleep. */
+  private val VersionRe = "^v_(\\d{6})$".r
+  private val CommitMarker = "_COMMITTED"
+
+  /** Committed version numbers under `path`, ascending (empty for flat
+    * saves and non-tiered layouts — one listing either way). */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VersionRe(n)
+            if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)) &&
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "tiered_meta")) =>
+          Some(n.toInt)
+        case _ => None
+      })
+      .sorted
   }
 
-  /** Crash recovery for the compactInPlace swap window: a crash between
-    * the two renames leaves NO layout at `path` but an intact one at
-    * `<path>.compact_old` — restore it (losing only the compaction, never
-    * data: the delta rows are still in the restored delta tier). The
-    * restore is strictly NON-DESTRUCTIVE: it never deletes anything, and
-    * it only attempts the rename while `path` is absent — so a reader
-    * racing an IN-FLIGHT swap (which shows the same transient state) can
-    * at worst lose the rename race to the swap's own second rename and
-    * then observe the freshly-compacted layout; it can never remove one.
-    * A stale `.compact_tmp` is cleaned by the next compaction attempt
-    * itself, for the same reason. Called on every load and every ingest
-    * append. */
+  private def versionDir(path: String, n: Int): String = f"$path/v_$n%06d"
+
+  /** The directory the layout's CURRENT content lives in: the highest
+    * committed version, or the root itself for flat/legacy saves (and for
+    * every non-tiered layout, where no version directories exist). Every
+    * reader and the planner's registration lookup resolve through this;
+    * the writers below keep it stable for at least one full compaction
+    * interval after a newer version commits. */
+  def resolveLive(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    committedVersions(fs, path).lastOption
+      .map(versionDir(path, _)).getOrElse(path)
+  }
+
+  /** Fold the delta into the ANN tier IN PLACE — the auto-promotion step
+    * of the reference's tiered lifecycle (tiered_index.hpp:59-67
+    * `create_ann_index_on_extend`, :105, :136), reader-safe: the
+    * compacted layout is SAVED as the next version directory (its inputs
+    * still read from the live one — never an overwrite of a path being
+    * read), `beforeSwap` runs against it so callers can add sidecars
+    * (TieredIngest carries its zeroed commit ledger through) that become
+    * visible ATOMICALLY with the compaction, and the `_COMMITTED` marker
+    * create is the commit point. Retention then deletes versions OLDER
+    * than the one just superseded — an in-flight query planned on the
+    * previous version keeps its files for a full compaction interval.
+    * A crash anywhere before the marker leaves an uncommitted directory
+    * the next attempt deletes; a crash after it is a completed
+    * compaction. Nothing is ever renamed, so there is no window in which
+    * the layout is absent. */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeSwap: String => Unit = _ => ()): Unit = {
+    recoverSwap(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = committedVersions(fs, path)
+    val cur = committed.lastOption.getOrElse(0)
+    val live = committed.lastOption.map(versionDir(path, _)).getOrElse(path)
+    val next = versionDir(path, cur + 1)
+    // a compaction attempt that crashed before its commit marker left an
+    // uncommitted directory under the next number — safe to clear (the
+    // per-layout ingest lock serializes in-process compactions, and
+    // cross-process writers hold the ingest lease); a pre-versioning
+    // crash's sibling tmp directory is junk under the new scheme
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".compact_tmp"), true)
+    loadLive(spark, live).compact().save(next)
+    beforeSwap(next)
+    fs.create(new org.apache.hadoop.fs.Path(next, CommitMarker), false).close()
+    // retention: the version just superseded (`cur`) survives one more
+    // compaction interval for in-flight readers; everything older goes,
+    // and once a version PRECEDES the grace version the flat (v0) members
+    // at the root go with it
+    committed.dropRight(1).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(path, n)), true)
+    }
+    if (cur >= 1) deleteFlatMembers(fs, path)
+  }
+
+  /** The flat layout members a pre-versioning save wrote at the root —
+    * deleted only once a version directory has itself been superseded
+    * (the flat content then had a full compaction interval of grace).
+    * Named members only: version directories and the ingest lease are
+    * never touched. */
+  private def deleteFlatMembers(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit =
+    Seq("tiered_base", "delta", "tiered_meta", "meta", "recall_curve",
+        "delta_commits", "tiered_meta.old", "delta_commits.old",
+        "tiered_meta.staged", "delta_commits.staged", "meta.old", "meta.staged")
+      .foreach { m =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, m), true)
+      }
+
+  /** Crash recovery for the PRE-VERSIONING compactInPlace's two-rename
+    * swap window (r16 and earlier): such a crash left NO layout at `path`
+    * but an intact one at `<path>.compact_old` — restore it (losing only
+    * the compaction, never data: the delta rows are still in the restored
+    * delta tier). The versioned scheme above never creates this state, so
+    * the restore runs eagerly (no in-flight-swap grace sleep to ride out)
+    * and only when the root carries neither flat members nor a committed
+    * version. Called on every load and every ingest append. */
   private[stream] def recoverSwap(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -186,20 +253,17 @@ object TieredIndex {
       fs.exists(new org.apache.hadoop.fs.Path(p, "tiered_meta"))
     val real = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    if (healthy(real) || !fs.exists(old) || !healthy(old)) return
-    // grace recheck: an in-flight swap usually finishes within the sleep,
-    // in which case there is nothing to do
-    Thread.sleep(200)
-    if (healthy(real)) return
-    if (!fs.exists(real) && fs.exists(old) && healthy(old) &&
-        fs.rename(old, real)) {
+    if (healthy(real) || committedVersions(fs, path).nonEmpty ||
+        !fs.exists(old) || !healthy(old)) return
+    // the rename is only sound while the root is ABSENT (the pre-versioning
+    // crash state): renaming onto an existing directory would NEST the
+    // restored layout inside it under Hadoop local-FS semantics
+    if (!fs.exists(real) && fs.rename(old, real)) {
       System.err.println(s"graft TieredIndex: restored $path from an " +
-        "interrupted compaction swap (the compaction will re-run at the " +
-        "next threshold crossing)")
+        "interrupted pre-versioning compaction swap (the compaction will " +
+        "re-run at the next threshold crossing)")
       return
     }
-    // the rename lost a race to the swap completing (or the state moved
-    // under us) — only an unhealthy final state is an error
     require(healthy(real),
       s"compactInPlace recovery: no layout at $path and could not restore " +
         s"from $path.compact_old")

@@ -49,14 +49,25 @@ import graft.index.IvfFlatIndex
   * reference's `create_ann_index_on_extend` contract (tiered_index.hpp:
   * 59-67, 105, 136). Without it a long-running ingest grows the
   * exact-scan delta without bound. The committed batch ids survive
-  * compaction as a zeroed ledger written into the swapped-in layout, so
-  * a post-compaction redelivery is still recognized. NOTE: the in-place
-  * swap is two directory renames — queries EXECUTING over the layout in
-  * exactly that window can fail and must retry (Spark re-plans on the
-  * swapped-in layout); deployments serving queries concurrently with
-  * ingest should either tolerate that retry or set
-  * `spark.graft.tiered.autoCompact.enabled=false` and compact at quiet
-  * points. Opting out never loses data — only the delta grows.
+  * compaction as a zeroed ledger written into the new layout version, so
+  * a post-compaction redelivery is still recognized. Compaction is
+  * READER-SAFE: each one commits a new `v_NNNNNN` version directory with
+  * an atomic marker create and the superseded version survives one more
+  * compaction interval (TieredIndex version scheme), so queries executing
+  * over the layout never lose their files mid-plan and never need a
+  * retry. `spark.graft.tiered.autoCompact.enabled=false` still defers
+  * compaction to quiet points; opting out never loses data — only the
+  * delta grows.
+  *
+  * SINGLE WRITER: concurrent ingest into one layout from a SECOND
+  * process would interleave the ledger/sidecar read-modify-write and
+  * corrupt counts silently, so every append holds a best-effort lease
+  * file (`.ingest_lease` at the layout root: writer token, heartbeat =
+  * the append-rate mtime refresh). A second process finds a live foreign
+  * lease and fails LOUDLY instead; a lease whose heartbeat is older than
+  * `spark.graft.tiered.lease.staleMs` (default 60000) is a dead writer's
+  * and is stolen with a warning. In-JVM concurrency stays on the
+  * per-layout lock.
   *
   * 100 TB posture: each append is one partitioned parquet write of the
   * micro-batch plus three one-row sidecar rewrites — no shuffle, no index
@@ -80,6 +91,60 @@ object TieredIngest {
     locks.computeIfAbsent(normalize(indexPath), _ => new Object)
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
+
+  /** This JVM's writer identity for the cross-process ingest lease — one
+    * token per process: two streams in one JVM already serialize on the
+    * per-layout lock, so they legitimately share the lease. */
+  private val leaseToken = java.util.UUID.randomUUID().toString
+
+  /** Acquire (or heartbeat) the single-writer lease at the layout root.
+    * Create-if-absent with the writer token; every append rewrites it, so
+    * the file's mtime IS the heartbeat. A FOREIGN token younger than the
+    * staleness horizon is a live concurrent writer — fail loudly (the
+    * silent alternative is interleaved ledger read-modify-writes and
+    * permanently wrong counts). A foreign token older than the horizon is
+    * a dead writer's leftover and is stolen with a warning. Best-effort
+    * by design (a racing create can still slip through on a filesystem
+    * without atomic creates), which converts the UNDETECTABLE corruption
+    * into a detectable, loud failure in every realistic interleaving. */
+  private def acquireLease(spark: SparkSession, root: String): Unit = {
+    if (!spark.conf.get("spark.graft.tiered.lease.enabled", "true").toBoolean) return
+    val staleMs = spark.conf.get("spark.graft.tiered.lease.staleMs", "60000").toLong
+    val p = new org.apache.hadoop.fs.Path(root, ".ingest_lease")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val held: Option[(String, Long)] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          Some((content, fs.getFileStatus(p).getModificationTime))
+        }
+      } catch {
+        // an unreadable lease (torn write, vanished mid-read) is treated
+        // as absent — the rewrite below re-establishes it
+        case scala.util.control.NonFatal(_) => None
+      }
+    held.foreach { case (tok, mtime) =>
+      if (tok.nonEmpty && tok != leaseToken) {
+        val age = System.currentTimeMillis() - mtime
+        if (age < staleMs)
+          throw new IllegalStateException(
+            s"TieredIngest: another process holds the ingest lease on $root " +
+              s"(token $tok, heartbeat ${age}ms ago < staleMs=$staleMs). " +
+              "Concurrent multi-process ingest into one layout is unsupported — " +
+              "stop the other writer, or raise spark.graft.tiered.lease.staleMs " +
+              "only if it is known dead.")
+        System.err.println(s"graft TieredIngest: stealing stale ingest lease on " +
+          s"$root (token $tok, heartbeat ${age}ms ago >= staleMs=$staleMs)")
+      }
+    }
+    val out = fs.create(p, true)
+    try out.write(leaseToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Scope of the rows that were in the delta BEFORE the first
     * ledger-tracked batch (the save-time delta + any legacy direct
@@ -173,11 +238,19 @@ object TieredIngest {
     * leftover and renames it back for one final read. */
   private[stream] def readOneRowSidecar(spark: SparkSession,
       target: String): org.apache.spark.sql.Row = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val oldP = new org.apache.hadoop.fs.Path(target + ".old")
     var attempt = 0
     while (attempt < 4) {
       try return spark.read.parquet(target).head()
       catch {
-        case scala.util.control.NonFatal(_) =>
+        case scala.util.control.NonFatal(e) =>
+          // a genuinely-missing sidecar (no target, no in-flight swap's
+          // `.old` sibling) can't appear by waiting — fail fast with the
+          // real error instead of riding the whole retry ladder
+          if (!fs.exists(targetP) && !fs.exists(oldP)) throw e
           Thread.sleep(50L << attempt)
           attempt += 1
       }
@@ -185,11 +258,9 @@ object TieredIngest {
     try spark.read.parquet(target).head()
     catch {
       case scala.util.control.NonFatal(e) =>
-        val fs = new org.apache.hadoop.fs.Path(target)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val targetP = new org.apache.hadoop.fs.Path(target)
-        val oldP = new org.apache.hadoop.fs.Path(target + ".old")
-        if (!fs.exists(targetP) && fs.exists(oldP)) fs.rename(oldP, targetP)
+        if (!fs.exists(targetP) && fs.exists(oldP) && !fs.rename(oldP, targetP))
+          throw new IllegalStateException(
+            s"sidecar at $target is absent and restoring $target.old failed", e)
         spark.read.parquet(target).head() // throws if genuinely unreadable
     }
   }
@@ -271,13 +342,19 @@ object TieredIngest {
       batchId: Long = -1L, scope: String = ""): Unit =
     lockFor(indexPath).synchronized {
       val spark = batch.sparkSession
-      TieredIndex.recoverSwap(spark, normalize(indexPath))
+      val root = normalize(indexPath)
+      TieredIndex.recoverSwap(spark, root)
+      acquireLease(spark, root)
+      // all data/ledger/sidecar writes target the layout's LIVE version
+      // directory (the root itself until the first in-place compaction);
+      // resolved once per append, under the lock
+      val live = TieredIndex.resolveLive(spark, root)
       val shaped = batch
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       val sc = normalize(scope)
       val stats: (Long, Long) =
         if (batchId >= 0) {
-          val ledger = readLedger(spark, indexPath)
+          val ledger = readLedger(spark, live)
           val state = ledger.getOrElse(sc, ScopeState(-1L, 0L))
           if (batchId <= state.maxBatchId) {
             // at-least-once redelivery of an already-committed batch
@@ -295,22 +372,43 @@ object TieredIngest {
                 "— treated as an already-committed replay and SKIPPED (per-scope " +
                 "batch ids must be monotonic; use a fresh scope to restart an " +
                 "id sequence)")
-            writeSidecars(spark, indexPath, ledger.values.map(_.cumRows).sum)
+            writeSidecars(spark, live, ledger.values.map(_.cumRows).sum)
           } else {
+            // pre-r16 upgrade hazard: a pre-r16 batch under this scope
+            // wrote its data to the UNSCOPED delta/batch-<id> dir and
+            // crashed before its ledger row, so this redelivery would land
+            // the same rows AGAIN under the scope-tagged name while the
+            // orphan still sits in the recursive delta listing. Remove the
+            // orphan first — but only when the empty scope's own ledger
+            // does not claim the id (a direct empty-scope caller that
+            // legitimately committed batch-<id> owns that directory).
+            if (sc.nonEmpty &&
+                ledger.get(BaseScope).forall(_.maxBatchId < batchId)) {
+              val legacy = new org.apache.hadoop.fs.Path(
+                s"$live/delta/batch-$batchId")
+              val lfs = legacy.getFileSystem(spark.sessionState.newHadoopConf())
+              if (lfs.exists(legacy)) {
+                System.err.println(s"graft TieredIngest: removing orphaned " +
+                  s"pre-upgrade batch directory $legacy before re-landing batch " +
+                  s"$batchId under scope '$sc' (crashed pre-r16 write, never " +
+                  "committed to the ledger)")
+                lfs.delete(legacy, true)
+              }
+            }
             // overwrite = idempotent under replay AND under a crashed
             // partial write of this very directory
-            val dir = batchDir(indexPath, sc, batchId)
+            val dir = batchDir(live, sc, batchId)
             shaped.write.mode("overwrite").parquet(dir)
             val n = spark.read.parquet(dir).count()
             val grown = ledger + (sc -> ScopeState(batchId, state.cumRows + n))
-            writeLedger(spark, indexPath, grown)
-            writeSidecars(spark, indexPath, grown.values.map(_.cumRows).sum)
+            writeLedger(spark, live, grown)
+            writeSidecars(spark, live, grown.values.map(_.cumRows).sum)
           }
         } else {
-          shaped.write.mode("append").parquet(s"$indexPath/delta")
-          refreshSidecars(spark, indexPath)
+          shaped.write.mode("append").parquet(s"$live/delta")
+          refreshSidecars(spark, live)
         }
-      maybeCompact(spark, indexPath, stats._1, stats._2)
+      maybeCompact(spark, root, live, stats._1, stats._2)
     }
 
   /** Rewrite `tiered_meta` (delta population) and the top-level
@@ -335,16 +433,18 @@ object TieredIngest {
     * repair tool for a layout whose delta was modified out of band. Also
     * re-bases the ledger so later streaming batches stay incremental. */
   def refreshSidecars(spark: SparkSession, indexPath: String): (Long, Long) = {
-    val deltaRows = TieredIndex.readDelta(spark, indexPath).count()
-    val stats = writeSidecars(spark, indexPath, deltaRows)
-    if (exists(spark, ledgerPath(indexPath))) {
+    // callers may pass the layout ROOT — operate on the live version
+    val live = TieredIndex.resolveLive(spark, normalize(indexPath))
+    val deltaRows = TieredIndex.readDelta(spark, live).count()
+    val stats = writeSidecars(spark, live, deltaRows)
+    if (exists(spark, ledgerPath(live))) {
       // re-base: the streaming scopes keep their committed counts, the
       // base pseudo-scope absorbs whatever the recount says the
       // out-of-band rows add up to
-      val ledger = readLedger(spark, indexPath)
+      val ledger = readLedger(spark, live)
       val scoped = ledger - BaseScope
       val baseMax = ledger.get(BaseScope).map(_.maxBatchId).getOrElse(-1L)
-      writeLedger(spark, indexPath, scoped +
+      writeLedger(spark, live, scoped +
         (BaseScope -> ScopeState(baseMax,
           deltaRows - scoped.values.map(_.cumRows).sum)))
     }
@@ -355,23 +455,24 @@ object TieredIngest {
     * crosses `min_ann_rows`, fold it into the ANN tier in place (the
     * compacted save re-measures the recall curve and resets delta_rows to
     * 0). The committed batch keys survive compaction as a ZEROED ledger
-    * written into the compacted layout BEFORE the directory swap — a
+    * written into the new version directory BEFORE its commit marker — a
     * post-compaction redelivery of an already-folded batch must still be
     * recognized and skipped, or the replay would duplicate rows the ANN
     * tier now owns. */
-  private def maybeCompact(spark: SparkSession, indexPath: String,
+  private def maybeCompact(spark: SparkSession, root: String, live: String,
       deltaRows: Long, minAnnRows: Long): Unit =
     if (deltaRows >= minAnnRows &&
         spark.conf.get("spark.graft.tiered.autoCompact.enabled", "true").toBoolean) {
       val committed =
-        if (exists(spark, ledgerPath(indexPath)))
-          readLedger(spark, indexPath)
+        if (exists(spark, ledgerPath(live)))
+          readLedger(spark, live)
         else Map.empty[String, ScopeState]
-      TieredIndex.compactInPlace(spark, indexPath,
+      TieredIndex.compactInPlace(spark, root,
         tmp => writeZeroedLedger(spark, tmp, committed))
       // the layout changed UNDER any live registration: drop the
-      // planner's memoized sidecar statistics so routed queries read
-      // the compacted population/curve, not the pre-swap values
+      // planner's memoized sidecar statistics (and its live-version
+      // resolution) so routed queries read the compacted population/
+      // curve, not the pre-compaction values
       graft.plans.GraftIndexCatalog.invalidateStats()
     }
 

@@ -1066,6 +1066,26 @@ class KnnJoinPlanSuite extends SparkFunSuite {
       assert(routed.exceptAll(direct).count() == 0)
       assert(direct.exceptAll(routed).count() == 0)
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+    // an IN-PLACE compaction moves the live content into a version
+    // directory under the same root; a registration of the ROOT must
+    // resolve to it (entriesFor → TieredIndex.resolveLive) and the route
+    // is still earned against the root path — prefix-matched markers and
+    // scan paths
+    graft.stream.TieredIndex.compactInPlace(spark, idxPath)
+    assert(graft.stream.TieredIndex.resolveLive(spark, idxPath) != idxPath,
+      "compaction must commit a version directory")
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      val routed = KnnJoinPlan.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
+        "a version-directory tiered layout must route from its registered root")
+      val direct = BruteForceKnn.knnJoin(emb, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"), col("rank"), col("dist"))
+      assert(routed.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(routed).count() == 0)
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
   test("measured ADC displacement calibrates the compressed reorder depth") {

@@ -290,21 +290,25 @@ class SparseTieredSuite extends SparkFunSuite {
     assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") ==
       small.count(), "a sub-threshold delta must not compact")
     graft.stream.TieredIngest.append(big, dir, "vec_id", "embedding", batchId = 1L)
-    val meta = spark.read.parquet(s"$dir/tiered_meta").head()
+    // compaction commits a new VERSION directory (reader-safe scheme):
+    // sidecar reads go through the resolved live directory
+    val live = TieredIndex.resolveLive(spark, dir)
+    assert(live != dir, "compaction must commit a version directory")
+    val meta = spark.read.parquet(s"$live/tiered_meta").head()
     assert(meta.getAs[Long]("delta_rows") == 0L, "crossing min_ann_rows must compact")
     // a post-compaction redelivery of the already-FOLDED batch must be
     // recognized by the carried-over (zeroed) ledger — not re-appended
     graft.stream.TieredIngest.append(big, dir, "vec_id", "embedding", batchId = 1L)
-    assert(spark.read.parquet(s"$dir/tiered_meta").head().getAs[Long]("delta_rows") == 0L,
+    assert(spark.read.parquet(s"$live/tiered_meta").head().getAs[Long]("delta_rows") == 0L,
       "replay of a compacted batch must not re-land its rows")
     val loaded = TieredIndex.load(spark, dir)
     assert(loaded.delta.count() == 0L)
     assert(loaded.base.lists.count() == emb.count(),
       "compaction must fold every delta row into the ANN tier")
     // the compacted save re-measured the promoted tier's recall curve
-    assert(IvfFlatIndex.loadRecallCurve(spark, dir).nonEmpty,
+    assert(IvfFlatIndex.loadRecallCurve(spark, live).nonEmpty,
       "in-place compaction must re-measure the recall curve")
-    assert(IvfFlatIndex.loadMeta(spark, dir).contains(emb.count()))
+    assert(IvfFlatIndex.loadMeta(spark, live).contains(emb.count()))
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = graft.ops.BruteForceKnn.knnJoin(emb, q, 5, Metric.L2,
@@ -312,6 +316,153 @@ class SparseTieredSuite extends SparkFunSuite {
     def key(df: org.apache.spark.sql.DataFrame) = df.select("qid", "nbr_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
     assert(key(loaded.search(q, 5, nProbes = 8)) == key(exact))
+  }
+
+  test("compaction is reader-safe: a reader loop racing repeated compactions never fails") {
+    // the r16 two-rename swap had a window where the layout was absent and
+    // an executing query failed; the versioned scheme (commit marker +
+    // one-interval retention of the superseded version) must never show a
+    // reader a missing or partial layout. A reader loop (fresh resolve +
+    // load + routed search each iteration) races a writer that triggers a
+    // compaction per appended batch — zero reader failures allowed.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tiered_race").toString
+    val base = emb.filter(col("vec_id") < 400)
+    TieredIndex.build(base, IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      minAnnRows = 5, idCol = "vec_id", vecCol = "embedding").save(dir)
+    val vec = emb.select(col("embedding")).head().getSeq[Float](0)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!done.get()) {
+        try {
+          val n = TieredIndex.load(spark, dir).search(q, 3, nProbes = 8).count()
+          assert(n > 0)
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    reader.start()
+    val nCompactions = 4
+    try {
+      for (i <- 0 until nCompactions) {
+        // 6 rows >= minAnnRows -> every append crosses the threshold and
+        // compacts in place, committing a fresh version directory
+        val batch = (0 until 6).map(j => (2000000L + i * 10 + j, vec))
+          .toDF("vec_id", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+        graft.stream.TieredIngest.append(batch, dir, "vec_id", "embedding",
+          batchId = i.toLong, scope = "ck")
+      }
+    } finally {
+      done.set(true)
+      reader.join(60000)
+    }
+    assert(failures.isEmpty,
+      s"reader failed ${failures.size} times racing compactions: ${failures.peek()}")
+    assert(reads.get() > 0, "the reader loop must actually have read")
+    // the live version is the last compaction's commit; retention keeps
+    // at most the superseded version alongside it (plus no flat members
+    // once a version has itself been superseded)
+    val live = TieredIndex.resolveLive(spark, dir)
+    assert(live == f"$dir/v_$nCompactions%06d", s"live=$live")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+    assert(versions.length <= 2, s"retention must bound versions, got " +
+      versions.map(_.getPath.getName).mkString(","))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "tiered_base")),
+      "flat members must be pruned once a version has been superseded")
+    // every appended row was folded; the layout still answers exactly
+    val loaded = TieredIndex.load(spark, dir)
+    assert(loaded.delta.count() == 0L)
+    assert(loaded.base.lists.count() == base.count() + nCompactions * 6L)
+  }
+
+  test("ingest lease: a live foreign writer fails loudly; a stale lease is stolen") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tiered_lease").toString
+    TieredIndex.build(emb.filter(col("vec_id") < 400),
+      IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val vec = emb.select(col("embedding")).head().getSeq[Float](0)
+    def batch(id: Long) = Seq((id, vec)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val lease = new org.apache.hadoop.fs.Path(dir, ".ingest_lease")
+    val fs = lease.getFileSystem(spark.sessionState.newHadoopConf())
+    // a FRESH foreign lease = a live concurrent writer -> loud failure,
+    // nothing landed
+    val out = fs.create(lease, true)
+    out.write("foreign-writer-token".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      graft.stream.TieredIngest.append(batch(3000000L), dir, "vec_id", "embedding",
+        batchId = 0L, scope = "ck")
+    }
+    assert(e.getMessage.contains("ingest lease"))
+    assert(TieredIndex.load(spark, dir).delta.count() == 0L,
+      "a refused append must land nothing")
+    // age the same lease past the staleness horizon -> stolen, append lands
+    fs.setTimes(lease, System.currentTimeMillis() -
+      spark.conf.get("spark.graft.tiered.lease.staleMs", "60000").toLong - 1000L, -1L)
+    graft.stream.TieredIngest.append(batch(3000001L), dir, "vec_id", "embedding",
+      batchId = 0L, scope = "ck")
+    assert(TieredIndex.load(spark, dir).delta.count() == 1L)
+    val in = fs.open(lease)
+    val tok = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(tok != "foreign-writer-token", "the stolen lease must carry our token")
+    // and the same JVM keeps appending under its own lease (heartbeat path)
+    graft.stream.TieredIngest.append(batch(3000002L), dir, "vec_id", "embedding",
+      batchId = 1L, scope = "ck")
+    assert(TieredIndex.load(spark, dir).delta.count() == 2L)
+  }
+
+  test("a crashed pre-upgrade batch directory is removed when its batch replays under a scope") {
+    // pre-r16 layouts wrote scoped batches to UNSCOPED delta/batch-<id>
+    // dirs: a batch that landed data but crashed before its ledger row is
+    // redelivered post-upgrade with batchId > max — without cleanup its
+    // rows would land AGAIN under the scope-tagged name while the orphan
+    // still sits in the recursive delta listing (counted twice, made
+    // permanent by compaction)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tiered_orphan").toString
+    TieredIndex.build(emb.filter(col("vec_id") < 400),
+      IvfFlatIndex.Params(nLists = 8, nIters = 5),
+      idCol = "vec_id", vecCol = "embedding").save(dir)
+    val b0 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 430)
+    val b1 = emb.filter(col("vec_id") >= 430 && col("vec_id") < 450)
+    graft.stream.TieredIngest.append(b0, dir, "vec_id", "embedding",
+      batchId = 0L, scope = "ck")
+    // simulate the pre-upgrade crash: batch 1's DATA landed at the legacy
+    // unscoped path, the ledger row never did
+    b1.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .write.mode("overwrite").parquet(s"$dir/delta/batch-1")
+    // post-upgrade redelivery of batch 1 under the same scope
+    graft.stream.TieredIngest.append(b1, dir, "vec_id", "embedding",
+      batchId = 1L, scope = "ck")
+    assert(TieredIndex.load(spark, dir).delta.count() == b0.count() + b1.count(),
+      "the orphaned legacy batch dir must not double-count the replayed rows")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/delta/batch-1")),
+      "the orphaned legacy directory must be removed")
+    // guard direction: an EMPTY-scope direct caller legitimately owns the
+    // legacy-named directory for ids it has committed — a scoped append on
+    // the same id must NOT delete it
+    val direct = emb.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+    graft.stream.TieredIngest.append(direct, dir, "vec_id", "embedding",
+      batchId = 5L, scope = "")
+    val other = emb.filter(col("vec_id") >= 460 && col("vec_id") < 470)
+    graft.stream.TieredIngest.append(other, dir, "vec_id", "embedding",
+      batchId = 5L, scope = "ck2")
+    assert(TieredIndex.load(spark, dir).delta.count() ==
+      b0.count() + b1.count() + direct.count() + other.count(),
+      "a committed empty-scope batch must survive a scoped append on the same id")
   }
 
   test("TieredIngest restart-recovery: a second query on the same checkpoint resumes cleanly") {

@@ -16,11 +16,15 @@ import org.apache.spark.sql.SparkSession
   *     single sample. The `value`/`queries` totals keep their single-pass
   *     meaning.
   *
-  * A fixed-work host-calibration probe runs after warm-up and after the
-  * median pass (`BENCHC` lines, `calib_start_sec`/`calib_end_sec`, and a
-  * `calib` pair on the final line) — constant work whose wall time tracks
-  * the host's session band, the instrument for normalizing
-  * round-over-round medians.
+  * TWO fixed-work host-calibration probes run after warm-up and after the
+  * median pass (`BENCHC` lines, `calib_start_sec`/`calib_end_sec` and
+  * `calib_stream_start_sec`/`calib_stream_end_sec`; `calib` and
+  * `calib_stream` pairs on the final line) — constant work whose wall
+  * time tracks the host's session band, the instrument for normalizing
+  * round-over-round medians. The CPU/shuffle probe normalizes the batch
+  * family; the stateful micro-batch probe normalizes the streaming_*
+  * family, whose per-batch latency drifts on a different axis than CPU
+  * throughput (proved by a same-host A/B — SURVEY §8).
   *
   * Every per-query and per-artifact timing is printed ON ITS OWN LINE
   * (`BENCHQ`/`BENCHA` prefixed JSON) as it completes, so a bounded tail
@@ -84,10 +88,48 @@ object Bench {
         .count().count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Fixed-work STREAMING probe — the stateful micro-batch twin of the
+    // CPU probe above. The CPU/shuffle probe provably under-corrects the
+    // streaming_* family: those queries are dominated by per-batch
+    // latency (offset/commit log writes, state-store passes, checkpoint
+    // file churn), which drifts with the host's fsync/scheduling weather
+    // on a different axis than raw CPU throughput. Constant work: a
+    // MemoryStream drained through a stateful groupBy-count for a fixed
+    // number of micro-batches on a throwaway checkpoint. Recorded as
+    // calib_stream_start_sec/calib_stream_end_sec; round-over-round
+    // comparison of streaming_* medians should normalize by
+    // mean(calib_stream), not the CPU pair.
+    def calibrateStream(): Double = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ck = java.nio.file.Files.createTempDirectory("graft_calib_stream").toString
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val t0 = System.nanoTime()
+      val q = mem.toDF().toDF("v")
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.lit(64L))).count()
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ck).start()
+      try {
+        var i = 0
+        while (i < 6) { mem.addData(0L until 2000L); q.processAllAvailable(); i += 1 }
+      } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      try {
+        val root = java.nio.file.Paths.get(ck)
+        val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(f => java.nio.file.Files.deleteIfExists(f)) finally it.close()
+      } catch { case _: Throwable => () }
+      sec
+    }
     calibrate() // discarded warm-up: the probe itself must not be charged
                 // one-time JIT/codegen/exchange setup, only host speed
     val calibStart = calibrate()
     println(s"""BENCHC {"calib_start_sec":$calibStart}""")
+    try calibrateStream() catch { case _: Throwable => () } // discarded warm-up
+    val calibStreamStart = try calibrateStream() catch { case _: Throwable => -1.0 }
+    println(s"""BENCHC {"calib_stream_start_sec":$calibStreamStart}""")
 
     // optional comma-separated subset for local iteration; default = all
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
@@ -172,6 +214,8 @@ object Bench {
     val medianTotal = medians.map(_._2).sum
     val calibEnd = calibrate()
     println(s"""BENCHC {"calib_end_sec":$calibEnd}""")
+    val calibStreamEnd = try calibrateStream() catch { case _: Throwable => -1.0 }
+    println(s"""BENCHC {"calib_stream_end_sec":$calibStreamEnd}""")
     // the streaming_* group is dominated by fixed micro-batch machinery
     // (checkpoint dirs, staged files, per-batch state-store passes), not
     // plans — reported separately so the BATCH total stays comparable
@@ -190,6 +234,8 @@ object Bench {
         s""""streaming_sec":$streamingSec,"batch_sec":$batchSec,""" +
         s""""medians":$m,"median_total":$medianTotal,"median_runs":$medianRuns,""" +
         s""""calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,""" +
+        s""""calib_stream_start_sec":$calibStreamStart,""" +
+        s""""calib_stream_end_sec":$calibStreamEnd,""" +
         s""""artifact_build_sec":$a,"build_total":$buildTotal,""" +
         s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     }
@@ -205,6 +251,7 @@ object Bench {
       s""""streaming_sec":${r3(streamingSec)},"batch_sec":${r3(batchSec)},""" +
       s""""median_total":${r3(medianTotal)},""" +
       s""""calib":[${r3(calibStart)},${r3(calibEnd)}],""" +
+      s""""calib_stream":[${r3(calibStreamStart)},${r3(calibStreamEnd)}],""" +
       s""""n_queries":${timed.size},"n_errors":${errs.size},""" +
       s""""build_total":${r3(buildTotal)},"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}""")
     spark.stop()

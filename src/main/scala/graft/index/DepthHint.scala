@@ -31,7 +31,7 @@ private[graft] object DepthHint {
   def measure(search: (DataFrame, Int, Int) => DataFrame, nLists: Int,
       dataset: DataFrame, metric: Metric, idCol: String, vecCol: String,
       k: Int = 10, nQueries: Int = 32, cap: Int = 4096,
-      seed: Long = 42): Option[(Int, Int)] = {
+      seed: Long = 42, nRowsHint: Option[Long] = None): Option[(Int, Int)] = {
     val q = dataset
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(nQueries)
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
@@ -51,11 +51,30 @@ private[graft] object DepthHint {
           .filter(col("nbr_id") =!= col("qid"))
           .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
           .select(col("qid"), col("nbr_id")).localCheckpoint()
-        val ranked = search(q, cap, nLists).select(col("qid"), col("nbr_id"), col("rank"))
-        val hit = ranked.join(exact, Seq("qid", "nbr_id"))
-          .agg(count(lit(1)).as("n"), max(col("rank")).as("worst")).head()
-        val disp =
-          if (hit.getLong(0) < exact.count()) cap else hit.getAs[Int]("worst")
+        // the full-probe top-`cap` code ranking is the measurement's one
+        // heavy job (per-partition heaps of nQ·cap candidates over the
+        // whole corpus); at curve-scale corpora split it into query
+        // chunks so no single stage holds the full nQ×n scan — hits are
+        // per-query, so (sum of matches, max of worst ranks) over the
+        // chunks is identical to the single-job aggregate
+        def hitAgg(qs: DataFrame): (Long, Int) = {
+          val hit = search(qs, cap, nLists).select(col("qid"), col("nbr_id"), col("rank"))
+            .join(exact, Seq("qid", "nbr_id"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(max(col("rank")), lit(0)).as("worst")).head()
+          (hit.getLong(0), hit.getAs[Int]("worst"))
+        }
+        val rankChunk = 8
+        val bigCorpus = nRowsHint.exists(_ >= 1000000L)
+        val (nHit, worst) =
+          if (!bigCorpus) hitAgg(q)
+          else {
+            val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
+            qids.grouped(rankChunk)
+              .map(ids => hitAgg(q.filter(col("qid").isin(ids.map(Long.box).toSeq: _*))))
+              .reduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+          }
+        val disp = if (nHit < exact.count()) cap else worst
         Some((k, disp))
       }
     } finally q.unpersist()

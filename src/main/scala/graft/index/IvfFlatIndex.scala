@@ -371,8 +371,27 @@ object IvfFlatIndex {
         .filter(col("nbr_id") =!= col("qid"))
         .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= kk)
         .select(col("qid"), col("nbr_id"))
-      val exact = dropSelf(BruteForceKnn.knnJoin(corpus, q, kk + 1, metric))
-        .localCheckpoint()
+      // the exact ground truth is the sweep's single most expensive job
+      // (the sweep points are probe-pruned searches); at curve-scale
+      // corpora split it into query chunks so no one stage holds the
+      // whole q×n brute scan — per-query results are independent, so the
+      // union is row-identical to the single-job form and the measured
+      // curve (and its sidecar) is bit-identical
+      val exactChunk = 32
+      val exact =
+        if (nQTarget <= exactChunk || nRows < 1000000L)
+          dropSelf(BruteForceKnn.knnJoin(corpus, q, kk + 1, metric))
+            .localCheckpoint()
+        else {
+          val qids = q.select(col("qid").cast("long")).collect()
+            .map(_.getLong(0)).sorted
+          qids.grouped(exactChunk).map { ids =>
+            dropSelf(BruteForceKnn.knnJoin(corpus,
+                q.filter(col("qid").isin(ids.map(Long.box).toSeq: _*)),
+                kk + 1, metric))
+              .localCheckpoint()
+          }.reduce(_ unionByName _)
+        }
       val nQ = q.count()
       val denom = math.max(1L, exact.count())
       val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < nLists).toSeq :+ nLists

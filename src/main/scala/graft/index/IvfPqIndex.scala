@@ -423,7 +423,8 @@ object IvfPqIndex {
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new IvfPqIndex(pcs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), pcs.k,
-          ds, params.metric, idCol, vecCol), measureSource = src)
+          ds, params.metric, idCol, vecCol,
+            nRowsHint = Some(lists.count())), measureSource = src)
     else idx
   }
 
@@ -574,7 +575,8 @@ object IvfPqIndex {
       if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
         new IvfPqClusterIndex(pcs, ccb, lists, params.metric,
           DepthHint.measure(idx.search(_, _, _), pcs.k,
-            ds, params.metric, idCol, vecCol), measureSource = src)
+            ds, params.metric, idCol, vecCol,
+            nRowsHint = Some(lists.count())), measureSource = src)
       else idx
     } finally withRes.unpersist()
   }

@@ -265,7 +265,8 @@ object ScannIndex {
     if (DepthHint.enabled(dataset.sparkSession) && DepthHint.routableMetric(params.metric))
       new ScannIndex(cs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), cs.k,
-          ds, params.metric, idCol, vecCol), measureSource = src)
+          ds, params.metric, idCol, vecCol,
+            nRowsHint = Some(lists.count())), measureSource = src)
     else idx
   }
 }

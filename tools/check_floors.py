@@ -9,7 +9,8 @@ the target SF first, then:
     python3 tools/check_floors.py /tmp/verify_sf01
 
 Scans every query output that carries a floor_met / *_ok boolean column —
-plus the planner-route pins (*_routed, route_refused, order_independent,
+plus the planner-route pins (*_routed, route_refused, brute_served,
+order_independent,
 delta_empty, delta_appended), which the sf0.01 oracle hash-checks but
 nothing re-asserted at the larger SF — and fails if any is false.
 """
@@ -30,7 +31,7 @@ def main(outdir: str) -> int:
                  if c == "floor_met" or c.endswith("_ok") or c.endswith("_met")
                  or c.endswith("_routed") or c in
                  ("route_refused", "order_independent",
-                  "delta_empty", "delta_appended")]
+                  "brute_served", "delta_empty", "delta_appended")]
         if not flags:
             continue
         checked += 1

@@ -54,6 +54,28 @@ object Frames {
     * checkpointed route — its blocks are freed by the ContextCleaner). */
   def release(df: DataFrame): Unit = df.unpersist()
 
+  /** Row count past which the save-time measurement jobs (recall-curve
+    * ground truth, DepthHint code ranking) switch to query-chunked
+    * fan-out, and the curve's held-out sample widens — one constant so
+    * the three call sites cannot drift apart. */
+  private[graft] val CurveScaleRows = 1000000L
+
+  /** Run `job` over a small (qid, ...) query frame in deterministic
+    * qid-sorted chunks and fold the results — the shared shape of the
+    * save-time measurement fan-outs: per-query results are independent,
+    * so the combined result is identical to one job over the whole frame
+    * while no single stage holds the full q×n scan. */
+  private[graft] def chunkedByQid[A](q: DataFrame, chunk: Int)(
+      job: DataFrame => A)(combine: (A, A) => A): A = {
+    import org.apache.spark.sql.functions.col
+    val qids = q.select(col("qid").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    if (qids.length <= chunk) job(q)
+    else qids.grouped(chunk)
+      .map(ids => job(q.filter(col("qid").isin(ids.map(Long.box).toSeq: _*))))
+      .reduce(combine)
+  }
+
   /** Release a frame's storage INCLUDING localCheckpoint blocks.
     * `Dataset.unpersist` only removes CacheManager entries; a
     * localCheckpoint's blocks belong to the underlying RDD (behind a

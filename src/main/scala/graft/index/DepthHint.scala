@@ -64,16 +64,11 @@ private[graft] object DepthHint {
               coalesce(max(col("rank")), lit(0)).as("worst")).head()
           (hit.getLong(0), hit.getAs[Int]("worst"))
         }
-        val rankChunk = 8
-        val bigCorpus = nRowsHint.exists(_ >= 1000000L)
+        val bigCorpus = nRowsHint.exists(_ >= graft.core.Frames.CurveScaleRows)
         val (nHit, worst) =
           if (!bigCorpus) hitAgg(q)
-          else {
-            val qids = q.select(col("qid")).collect().map(_.getLong(0)).sorted
-            qids.grouped(rankChunk)
-              .map(ids => hitAgg(q.filter(col("qid").isin(ids.map(Long.box).toSeq: _*))))
-              .reduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
-          }
+          else graft.core.Frames.chunkedByQid(q, chunk = 8)(hitAgg)(
+            (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
         val disp = if (nHit < exact.count()) cap else worst
         Some((k, disp))
       }

@@ -333,7 +333,7 @@ object IvfFlatIndex {
     * (ResolveKnnJoin.autoProbes), so a small sample widens probes rather
     * than silently missing the floor. */
   private[graft] def curveSampleQueries(nRows: Long): Int =
-    if (nRows >= 1000000L) 128 else 32
+    if (nRows >= graft.core.Frames.CurveScaleRows) 128 else 32
 
   private[graft] def saveRecallCurve(spark: SparkSession, path: String,
       idx: IvfFlatIndex, nRows: Long, nQueries: Int = 0, k: Int = 10,
@@ -377,21 +377,13 @@ object IvfFlatIndex {
       // whole q×n brute scan — per-query results are independent, so the
       // union is row-identical to the single-job form and the measured
       // curve (and its sidecar) is bit-identical
-      val exactChunk = 32
       val exact =
-        if (nQTarget <= exactChunk || nRows < 1000000L)
+        if (nRows < graft.core.Frames.CurveScaleRows)
           dropSelf(BruteForceKnn.knnJoin(corpus, q, kk + 1, metric))
             .localCheckpoint()
-        else {
-          val qids = q.select(col("qid").cast("long")).collect()
-            .map(_.getLong(0)).sorted
-          qids.grouped(exactChunk).map { ids =>
-            dropSelf(BruteForceKnn.knnJoin(corpus,
-                q.filter(col("qid").isin(ids.map(Long.box).toSeq: _*)),
-                kk + 1, metric))
-              .localCheckpoint()
-          }.reduce(_ unionByName _)
-        }
+        else graft.core.Frames.chunkedByQid(q, chunk = 32)(qc =>
+          dropSelf(BruteForceKnn.knnJoin(corpus, qc, kk + 1, metric))
+            .localCheckpoint())(_ unionByName _)
       val nQ = q.count()
       val denom = math.max(1L, exact.count())
       val points = Iterator.iterate(1)(_ * 2).takeWhile(_ < nLists).toSeq :+ nLists

@@ -568,7 +568,7 @@ object IvfPqIndex {
       val lists = withRes
         .select(col("list_id"), col("id"), encoded.as("pq_codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      lists.count() // materialize before the residual input unpersists
+      val nListRows = lists.count() // materialize before the residual input unpersists
       val pcs = probeView(ivf.centroids, params.metric)
       val src = Some(ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
       val idx = new IvfPqClusterIndex(pcs, ccb, lists, params.metric, measureSource = src)
@@ -576,7 +576,7 @@ object IvfPqIndex {
         new IvfPqClusterIndex(pcs, ccb, lists, params.metric,
           DepthHint.measure(idx.search(_, _, _), pcs.k,
             ds, params.metric, idCol, vecCol,
-            nRowsHint = Some(lists.count())), measureSource = src)
+            nRowsHint = Some(nListRows)), measureSource = src)
       else idx
     } finally withRes.unpersist()
   }

@@ -258,7 +258,9 @@ object ScannIndex {
       .select(col("list_id"), col("id"), encoded.as("pq_codes"))
       .repartition(col("list_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    lists.count() // materialize before releasing the shared assignment frame
+    // SOAR stores every id twice, so this over-counts the population 2x —
+    // harmless for the big-corpus chunking gate it hints
+    val nListRows = lists.count() // materialize before releasing the shared frame
     graft.core.Frames.release(d)
     val src = Some(ds.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")))
     val idx = new ScannIndex(cs, cb, lists, params.metric, measureSource = src)
@@ -266,7 +268,7 @@ object ScannIndex {
       new ScannIndex(cs, cb, lists, params.metric,
         DepthHint.measure(idx.search(_, _, _), cs.k,
           ds, params.metric, idCol, vecCol,
-            nRowsHint = Some(lists.count())), measureSource = src)
+          nRowsHint = Some(nListRows)), measureSource = src)
     else idx
   }
 }

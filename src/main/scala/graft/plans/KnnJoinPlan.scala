@@ -188,6 +188,10 @@ object GraftIndexCatalog {
     if (resolvedMemo.size >= probeCacheCap) resolvedMemo.clear()
     resolvedMemo.getOrElseUpdate(normalize(indexPath), resolve)
   }
+  /** Drop one root's memoized resolution — the resolver's self-check path
+    * when the memoized version directory no longer exists on disk. */
+  private[plans] def invalidateResolved(indexPath: String): Unit =
+    resolvedMemo.remove(normalize(indexPath))
 
   /** Route taken by each KnnJoinPlan rewrite, keyed by the NODE's output
     * exprIds — `(layout, indexPath)` when an index route produced the
@@ -1035,9 +1039,26 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           // from, so a compaction can never serve a new version with the
           // old version's statistics.
           val es = es0.map { e =>
-            val live = GraftIndexCatalog.cachedResolved(e.indexPath) {
+            def resolve() = GraftIndexCatalog.cachedResolved(e.indexPath) {
               graft.stream.TieredIndex.resolveLive(spark, e.indexPath)
             }
+            val memo = resolve()
+            val live =
+              if (memo == e.indexPath) memo
+              else {
+                // self-check the memo: a compaction OUTSIDE this JVM's
+                // invalidation reach (another process, or a registration
+                // outliving invalidateStats) can retire the memoized
+                // version directory — one exists() per rewrite buys a
+                // re-resolve instead of planning onto deleted files
+                val p = new org.apache.hadoop.fs.Path(memo, "tiered_meta")
+                if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+                  memo
+                else {
+                  GraftIndexCatalog.invalidateResolved(e.indexPath)
+                  resolve()
+                }
+              }
             if (live == e.indexPath) e else e.copy(indexPath = live)
           }
           val typed = es.flatMap(e => layoutOf(e.indexPath).map(l => (e, l)))

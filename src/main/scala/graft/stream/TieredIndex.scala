@@ -143,7 +143,7 @@ object TieredIndex {
     * the previous version survives one full compaction interval before
     * retention deletes it, so a query planned on it finishes undisturbed
     * — there is no swap window, no reader retry, and no grace sleep. */
-  private val VersionRe = "^v_(\\d{6})$".r
+  private val VersionRe = "^v_(\\d{6,})$".r
   private val CommitMarker = "_COMMITTED"
 
   /** Committed version numbers under `path`, ascending (empty for flat
@@ -221,6 +221,11 @@ object TieredIndex {
       fs.delete(new org.apache.hadoop.fs.Path(versionDir(path, n)), true)
     }
     if (cur >= 1) deleteFlatMembers(fs, path)
+    // the layout's live version just moved: drop the planner's memoized
+    // resolution/statistics HERE, at the mutation site — a direct
+    // compactInPlace call (the repair path) must refresh registrations
+    // exactly like the ingest-triggered one
+    graft.plans.GraftIndexCatalog.invalidateStats()
   }
 
   /** The flat layout members a pre-versioning save wrote at the root —
@@ -255,6 +260,14 @@ object TieredIndex {
     val old = new org.apache.hadoop.fs.Path(path + ".compact_old")
     if (healthy(real) || committedVersions(fs, path).nonEmpty ||
         !fs.exists(old) || !healthy(old)) return
+    // grace recheck: a PRE-VERSIONING writer (rolling upgrade) could be
+    // inside its two-rename swap right now — showing the same transient
+    // state — and restoring under it would make its second rename NEST
+    // the compacted layout inside the restored one (Hadoop local-FS
+    // rename-into-dir semantics). An in-flight swap finishes within the
+    // sleep; only then is the state a crash leftover.
+    Thread.sleep(200)
+    if (healthy(real)) return
     // the rename is only sound while the root is ABSENT (the pre-versioning
     // crash state): renaming onto an existing directory would NEST the
     // restored layout inside it under Hadoop local-FS semantics

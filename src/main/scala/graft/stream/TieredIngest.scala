@@ -249,8 +249,16 @@ object TieredIngest {
         case scala.util.control.NonFatal(e) =>
           // a genuinely-missing sidecar (no target, no in-flight swap's
           // `.old` sibling) can't appear by waiting — fail fast with the
-          // real error instead of riding the whole retry ladder
-          if (!fs.exists(targetP) && !fs.exists(oldP)) throw e
+          // real error instead of riding the whole retry ladder. The two
+          // exists() reads are not atomic against a live writer's
+          // rename dance (target absent at the first check, the swap
+          // completing and deleting `.old` before the second), so the
+          // verdict is confirmed once after a beat before throwing.
+          def genuinelyMissing = !fs.exists(targetP) && !fs.exists(oldP)
+          if (genuinelyMissing) {
+            Thread.sleep(25)
+            if (genuinelyMissing) throw e
+          }
           Thread.sleep(50L << attempt)
           attempt += 1
       }

@@ -934,7 +934,7 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         * unreadable layout costs MaxValue so a broken candidate can never
         * outbid a working one. */
       def layoutCost(e: GraftIndexCatalog.Entry, layout: String,
-          base: LogicalPlan): Double =
+          base: LogicalPlan, depthOverride: Option[Int] = None): Double =
         try {
           if (layout == "hnsw") {
             val m = GraftIndexCatalog.cachedStat(s"cost:m:${e.indexPath}") {
@@ -944,11 +944,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             // price the ef the route would REALLY search with (the same
             // ef_curve inversion candidate generation applies) — a stale
             // max(40, depth) here could win the bid and then read far more
-            hnswEf(e, math.max(40, coarseK(e, compressed = false))) * m
+            hnswEf(e, math.max(40,
+              depthOverride.getOrElse(coarseK(e, compressed = false)))) * m
           } else {
             val compressed = layout == "ivf_pq" || layout == "ivf_pqcl" ||
               layout == "scann" || layout == "rabitq" || layout == "ivf_sq"
-            val depth = coarseK(e, compressed)
+            val depth = depthOverride.getOrElse(coarseK(e, compressed))
             val statsBase =
               if (layout == "tiered") s"${e.indexPath}/tiered_base" else e.indexPath
             val nLists = GraftIndexCatalog.cachedStat(s"cost:nlists:$statsBase") {
@@ -1082,13 +1083,18 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         * rate, widen the depth so the allowed candidates still cover the
         * requested reorder, and refuse the route (→ exact brute over the
         * filtered frame) when the rate is unknown, below the floor, or
-        * the widened depth would blow past the cap. For a deny equi-join
+        * the widened depth would blow past the cap. Returns (widened
+        * depth, small-id-filter?, estimated pass rate) — the rate feeds
+        * the filtered brute arm at the call site: the brute alternative
+        * for a filtered query scans only rate × population, so a
+        * fully-auto route must price its WIDENED read under that, not
+        * under the full scan. For a deny equi-join
         * whose list fits under the cap, `depth + nDeny` is used instead:
         * the anti join can drop at most nDeny distinct ids, so the
         * filtered result is as exact as the underlying candidate set
         * (exact at full probes) — the gate's shape. */
       def widenedDepth(shape: FilterShape, base: LogicalPlan,
-          e: GraftIndexCatalog.Entry)(depth: Int): Option[(Int, Boolean)] = {
+          e: GraftIndexCatalog.Entry)(depth: Int): Option[(Int, Boolean, Double)] = {
         val widenCap =
           spark.conf.get("spark.graft.knnJoin.maxWidenedCoarse", "4096").toInt
         val rateFloor =
@@ -1096,11 +1102,12 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         val nBase = math.max(baseRows(e, base), 1L)
         // rate-branch result: the filter is NOT small enough to
         // post-filter candidates directly (refine via the data child)
-        def byRate(rate: Double): Option[(Int, Boolean)] =
+        def byRate(rate: Double): Option[(Int, Boolean, Double)] =
           if (rate < rateFloor) None
           else {
             val d = math.ceil(depth / rate)
-            if (d <= widenCap) Some((math.max(depth, d.toInt), false)) else None
+            if (d <= widenCap) Some((math.max(depth, d.toInt), false, rate))
+            else None
           }
         val statKeyBase = scanPaths(base).sorted.mkString(",")
         shape match {
@@ -1147,7 +1154,8 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 // the small branch is exactness-preserving AND lets the
                 // route post-filter candidates directly (broadcastable)
                 if (depth.toLong + nFilter <= widenCap)
-                  Some((depth + nFilter.toInt, true))
+                  Some((depth + nFilter.toInt, true,
+                    1.0 - nFilter.toDouble / nBase))
                 else byRate(1.0 - nFilter.toDouble / nBase)
               } else
                 // allow mode: a list small enough to broadcast implies a
@@ -1240,8 +1248,25 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   case _ => ViaData
                 }
                 entriesFor(shape.base).view.flatMap { case (e, layout) =>
-                  routeFor(e, layout, shape.base,
-                    widenedDepth(shape, shape.base, e), post)
+                  // the FILTERED brute alternative reads only the filter's
+                  // pass-rate fraction of the population, and the route
+                  // pays its WIDENED depth — so the brute arm re-prices
+                  // both sides here before candidates are generated; the
+                  // same explicit-registration and conf exemptions apply.
+                  // entriesFor's full-population arm stays a sound
+                  // pre-filter: cost(base depth) >= n implies
+                  // cost(widened) >= n >= rate * n.
+                  val widen: Int => Option[(Int, Boolean)] = d0 =>
+                    widenedDepth(shape, shape.base, e)(d0).flatMap {
+                      case (d, small, rate) =>
+                        val keep = explicitRegistration(e) ||
+                          !spark.conf.get(
+                            "spark.graft.knnJoin.bruteArm.enabled", "true").toBoolean ||
+                          layoutCost(e, layout, shape.base, Some(d)) <
+                            rate * math.max(baseRows(e, shape.base), 1L)
+                        if (keep) Some((d, small)) else None
+                    }
+                  routeFor(e, layout, shape.base, widen, post)
                 }.headOption
               }
           else None

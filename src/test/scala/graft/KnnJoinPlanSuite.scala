@@ -997,6 +997,74 @@ class KnnJoinPlanSuite extends SparkFunSuite {
     } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
   }
 
+  test("brute arm prices the FILTERED alternative: a low-rate filter's brute beats the route") {
+    // a filtered query's brute alternative reads only rate x population,
+    // so a fully-auto route must price its widened read under THAT: at a
+    // pass rate below the route's probe fraction the filtered scan is the
+    // cheaper exact plan and the route must decline, while a rate above
+    // it keeps the route. The decision boundary is derived from the
+    // layout's own measured curve so the test tracks the fixture.
+    ensureRule()
+    val dataPath = s"${SparkTestBase.sf0001}/embeddings.parquet"
+    val idxPath = java.nio.file.Files.createTempDirectory("knnfiltarm").toString
+    graft.index.IvfFlatIndex.build(emb,
+      graft.index.IvfFlatIndex.Params(nLists = 8, nIters = 5), "vec_id", "embedding")
+      .save(idxPath)
+    // the 500-row fixture's Wilson-bounded curve cannot certify a fixed
+    // high target at any pruned point (the small sample drags every bound
+    // down and auto mode resolves to all 8 probes) — so derive the target
+    // FROM the curve: just under the first measured point's bound, which
+    // the inversion then certifies at probes = that point (pf = 1/8,
+    // squarely between the two filter rates the boundary test uses)
+    val (curve, nSamples) = graft.index.IvfFlatIndex
+      .loadCurveWithN(spark, idxPath, "recall_curve").get
+    val bounded = nSamples.filter(_ > 0)
+      .map(n => curve.map { case (pr, r) =>
+        (pr, graft.plans.ResolveKnnJoin.wilsonLower(r, n)) })
+      .getOrElse(curve)
+    val target = math.max(0.05, bounded.head._2 - 0.01)
+    val probes = graft.plans.ResolveKnnJoin.autoProbes(target, 8,
+      emb.count(), 20, curve, nSamples)
+    val pf = probes / 8.0
+    assume(pf > 0.11 && pf < 0.89,
+      s"fixture assumption: mid-range probe fraction, got $probes/8")
+    spark.conf.set("spark.graft.knnJoin.targetRecall", target.toString)
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath) // fully auto
+    try withIndexGateOff {
+      // pass rate ~0.1 < pf: the filtered brute scan is cheaper -> decline
+      val lowRate = emb.filter(col("vec_id") % 10 === 0)
+      val declined = KnnJoinPlan.knnJoin(lowRate, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(!graft.plans.IndexRoute.routedThrough(declined, idxPath),
+        s"a pass rate below the probe fraction ($pf) must decline the route")
+      val exactLow = BruteForceKnn.knnJoin(lowRate, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+        .select(col("qid").cast("long"), col("nbr_id").cast("long"),
+          col("rank"), col("dist"))
+      assert(declined.exceptAll(exactLow).count() == 0 &&
+        exactLow.exceptAll(declined).count() == 0,
+        "the declined filtered route must serve the exact filtered result")
+      // pass rate ~0.9 > pf: the widened route reads less -> kept
+      val highRate = emb.filter(col("vec_id") % 10 =!= 0)
+      val routed = KnnJoinPlan.knnJoin(highRate, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
+        s"a pass rate above the probe fraction ($pf) must keep the route")
+    } finally {
+      graft.plans.GraftIndexCatalog.unregister(dataPath)
+      spark.conf.unset("spark.graft.knnJoin.targetRecall")
+    }
+    // explicit registrations keep the user's call on filtered shapes too
+    graft.plans.GraftIndexCatalog.register(dataPath, idxPath, nProbes = 8, kCoarse = 30)
+    try withIndexGateOff {
+      val lowRate = emb.filter(col("vec_id") % 10 === 0)
+      val routed = KnnJoinPlan.knnJoin(lowRate, queries, 10, Metric.L2Sqrt,
+        "vec_id", "embedding")
+      assert(graft.plans.IndexRoute.routedThrough(routed, idxPath),
+        "an explicit registration must keep the filtered route regardless of price")
+    } finally graft.plans.GraftIndexCatalog.unregister(dataPath)
+  }
+
   test("two deny lists over one table memoize DISTINCT filter counts") {
     // the predicate-blind memo bug: a filter-side count keyed only by scan
     // paths would silently reuse the FIRST deny view's count for every

@@ -36,6 +36,26 @@ object DynamicBatcher {
           search: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
+    // The dispatcher's checkpoint is an implicit temp dir that lives for
+    // one drive — transient by construction — so the Spark 4.1 checksum
+    // checkpoint manager (a sibling .crc write per checkpoint file plus
+    // per-query thread pools whose stop waits 500 ms each) buys nothing
+    // here; same opt-out conf as StreamPipeline.drain.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prior = spark.conf.getOption(ckKey)
+    if (spark.conf.get("spark.graft.stream.transientCheckpoint", "true").toBoolean)
+      spark.conf.set(ckKey, "false")
+    try runImpl(spark, waves, search)
+    finally prior match {
+      case Some(v) => spark.conf.set(ckKey, v)
+      case None => spark.conf.unset(ckKey)
+    }
+  }
+
+  private def runImpl(spark: SparkSession, waves: Seq[Seq[(Long, Array[Float])]],
+          search: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
     val stream = MemoryStream[(Long, Seq[Float])]
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val query = stream.toDS().toDF("qid", "qvec")

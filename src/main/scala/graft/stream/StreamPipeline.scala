@@ -282,11 +282,81 @@ object StreamPipeline {
     Option(lastDrainStateMetricsTl.get()).getOrElse(Set.empty)
   private val lastDrainStateMetricsTl = new ThreadLocal[Set[String]]
 
+  /** Set `kvs` for the duration of `body`, restoring prior values after —
+    * the streaming-query twin of [[withNanosAsLong]] for arbitrary pairs. */
+  private def withConfs[T](spark: SparkSession, kvs: Seq[(String, String)])(body: => T): T = {
+    val priors = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Total bytes of the data files under `dir` (non-recursive is enough —
+    * every staging/source dir here is flat) for the state-partition
+    * derivation below; −1 when unreadable (derivation skipped). */
+  private def dirBytes(spark: SparkSession, dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).iterator.filter(_.isFile).map(_.getLen).sum
+    } catch { case _: Throwable => -1L }
+
   /** Drain `df` (a streaming frame) through an append parquet sink with
     * Trigger.AvailableNow and return the written rows as a batch frame.
     * The checkpoint is transient by design — each invocation is a fresh
-    * bounded run (a resumable deployment would pin a durable location). */
-  private def drain(df: DataFrame, tag: String): DataFrame = {
+    * bounded run (a resumable deployment would pin a durable location).
+    *
+    * Two per-batch fixed costs are trimmed for the drain, both measured
+    * against the r17 baseline (guide §1/§2) and both restored after:
+    *
+    *  - `spark.sql.streaming.checkpoint.fileChecksum.enabled=false`
+    *    (Spark 4.1 default true): the checksum manager writes a sibling
+    *    `.crc` PER checkpoint file (2x the offset/commit/state file
+    *    count + fsyncs per micro-batch) and holds per-query thread pools
+    *    whose stop waits up to 500 ms each ("Thread pool did not
+    *    shutdown" warnings on every drain). Corruption self-detection
+    *    buys nothing on a checkpoint that lives for one bounded run —
+    *    a resumable deployment keeps the Spark default via
+    *    `spark.graft.stream.transientCheckpoint=false`.
+    *  - `spark.sql.shuffle.partitions` for the stream, derived from the
+    *    INPUT SIZE (`ceil(inputBytes / targetBytesPerStatePartition)`,
+    *    capped at the session value): a stateful micro-batch commits one
+    *    state-store instance per partition per batch, so a fixed
+    *    core-count-sized 32 pays 32 store commits per batch on a
+    *    megabyte backfill. Scale-adaptive, not a local[32] constant: a
+    *    100 TB backfill saturates the cap (the session's own setting),
+    *    a small one stops paying for stores it doesn't need. Pin
+    *    explicitly with `spark.graft.stream.statePartitions`; target
+    *    bytes per partition via
+    *    `spark.graft.stream.targetBytesPerStatePartition` (default 32m,
+    *    the state-store-commit-bound analog of guide §2.2's 100MB-1GB
+    *    shuffle-partition sizing). Results are partition-count-invariant
+    *    (hash by key), so the oracle rows are unchanged. */
+  private def drain(df: DataFrame, tag: String, inputBytes: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    val confs = scala.collection.mutable.Buffer.empty[(String, String)]
+    if (spark.conf.get("spark.graft.stream.transientCheckpoint", "true").toBoolean)
+      confs += "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"
+    val parts = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse {
+        if (inputBytes < 0) -1
+        else {
+          val target = spark.conf.get(
+            "spark.graft.stream.targetBytesPerStatePartition",
+            (32L * 1024 * 1024).toString).toLong
+          val cur = spark.sessionState.conf.numShufflePartitions
+          math.max(1L, math.min(cur.toLong,
+            (inputBytes + target - 1) / math.max(1L, target))).toInt
+        }
+      }
+    if (parts > 0) confs += "spark.sql.shuffle.partitions" -> parts.toString
+    withConfs(spark, confs.toSeq)(drainImpl(df, tag))
+  }
+
+  private def drainImpl(df: DataFrame, tag: String): DataFrame = {
     val out = tempDir(s"${tag}_out")
     val ckpt = tempDir(s"${tag}_ckpt")
     val q = df.writeStream
@@ -345,7 +415,8 @@ object StreamPipeline {
       .toDF("win_start", "event_type", "n_events", "sum_value")
     // the windowed aggregation + sentinel-bounded drain, shared by the
     // staged and direct input shapes
-    def finish(in: DataFrame, maxTs: java.sql.Timestamp, tag: String): DataFrame = {
+    def finish(in: DataFrame, maxTs: java.sql.Timestamp, tag: String,
+        inputBytes: Long): DataFrame = {
       val agg = in
         .withWatermark("ts", delay)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -354,7 +425,7 @@ object StreamPipeline {
           col("event_type"), col("n_events"), col("sum_value"))
       // belt and braces: real windows start at or before maxTs's hour
       val lastRealWinStart = maxTs.getTime / 3600000L * 3600L
-      drain(agg, tag).filter(col("win_start") <= lastRealWinStart)
+      drain(agg, tag, inputBytes).filter(col("win_start") <= lastRealWinStart)
     }
     if (direct) {
       // DIRECT mode: the source dir streams in place (no staged copy);
@@ -367,7 +438,7 @@ object StreamPipeline {
         case Some((stream, maxTs, cleanup)) =>
           val res = finish(
             stream.select(col("ts"), col("event_type"), col("value")),
-            maxTs, "winagg_direct")
+            maxTs, "winagg_direct", dirBytes(spark, eventsPath))
           cleanup()
           res
       }
@@ -413,7 +484,7 @@ object StreamPipeline {
 
     val reader = spark.readStream.schema(batch.schema)
     if (batches > 1) reader.option("maxFilesPerTrigger", "1")
-    val res = finish(reader.parquet(stage), maxTs, "winagg")
+    val res = finish(reader.parquet(stage), maxTs, "winagg", dirBytes(spark, stage))
     Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
     res
   }
@@ -475,7 +546,8 @@ object StreamPipeline {
           val in = stream.select(col("ts"),
             col("user_id").cast("long").as("user_id"),
             coalesce(col("sentinel"), lit(false)).as("sentinel"))
-          val res = sessionFold(in, gap, delay, "sess_direct")
+          val res = sessionFold(in, gap, delay, "sess_direct",
+            dirBytes(spark, eventsPath))
           cleanup()
           res
       }
@@ -530,7 +602,8 @@ object StreamPipeline {
 
     val reader = spark.readStream.schema(batch.schema)
     if (batches > 1) reader.option("maxFilesPerTrigger", "1")
-    val res = sessionFold(reader.parquet(stage), gap, delay, "sess")
+    val res = sessionFold(reader.parquet(stage), gap, delay, "sess",
+      dirBytes(spark, stage))
     Seq(stage, dataTmp, sentTmp).foreach(deleteRecursively)
     res
   }
@@ -539,7 +612,7 @@ object StreamPipeline {
     * (ts timestamp, user_id long, sentinel boolean) — shared by the
     * staged and direct input shapes. */
   private def sessionFold(in: DataFrame, gap: String, delay: String,
-      tag: String): DataFrame = {
+      tag: String, inputBytes: Long): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
     val gapMs = intervalMs(gap)
@@ -603,7 +676,7 @@ object StreamPipeline {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
       .toDF()
-    drain(sessions, tag)
+    drain(sessions, tag, inputBytes)
   }
 
   /** Streaming dedup with a BOUNDED state horizon — the 100 TB shape the
@@ -654,7 +727,7 @@ object StreamPipeline {
       .withColumn("micros", unix_micros(col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "micros", "event_type")
       .select(col("user_id"), col("micros"), col("event_type"))
-    val res = drain(deduped, "dedupwm")
+    val res = drain(deduped, "dedupwm", dirBytes(spark, stage))
     Seq(stage, dataTmp).foreach(deleteRecursively)
     res
   }
@@ -677,7 +750,7 @@ object StreamPipeline {
     val deduped = in
       .select(md5(col("text")).as("text_hash"))
       .dropDuplicates("text_hash")
-    val res = drain(deduped, "dedup")
+    val res = drain(deduped, "dedup", dirBytes(spark, stage))
     Seq(stage, dataTmp).foreach(deleteRecursively)
     res
   }

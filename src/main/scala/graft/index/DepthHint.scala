@@ -81,12 +81,13 @@ private[graft] object DepthHint {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/depth_meta")
   }
 
-  def load(spark: SparkSession, path: String): Option[(Int, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(path, "depth_meta")
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
-    else spark.read.parquet(p.toString).collect().headOption
-      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("displacement")))
-  }
+  def load(spark: SparkSession, path: String): Option[(Int, Int)] =
+    // driver-side read (r17): one-row sidecar the resolver consults on
+    // every compressed-route planning pass — no Spark job (SidecarIO doc)
+    graft.sources.SidecarIO.readHead(spark, s"$path/depth_meta").flatMap { r =>
+      for (k <- r.get("k"); d <- r.get("displacement"))
+        yield (graft.sources.SidecarIO.asInt(k), graft.sources.SidecarIO.asInt(d))
+    }
 
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.index.depthHint.enabled", "true").toBoolean

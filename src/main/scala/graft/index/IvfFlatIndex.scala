@@ -247,15 +247,21 @@ object IvfFlatIndex {
   }
 
   private[index] def loadCentroids(spark: SparkSession, path: String): (CentroidSet, Metric) = {
-    val cdf = spark.read.parquet(s"$path/centroids").orderBy("list_id").collect()
-    val dim = cdf.head.getAs[Int]("dim")
-    val metric = Metric.fromName(cdf.head.getAs[String]("metric"))
-    val flat = new Array[Float](cdf.length * dim)
-    cdf.foreach { r =>
-      val v = r.getSeq[Float](r.fieldIndex("centroid")).toArray
-      System.arraycopy(v, 0, flat, r.getAs[Int]("list_id") * dim, dim)
+    // driver-side read (r17): the centroid set was always collected to the
+    // driver anyway — reading it through a Spark job bought nothing but a
+    // plan/schedule round per index load (SidecarIO doc)
+    import graft.sources.SidecarIO
+    val rows = SidecarIO.readRows(spark, s"$path/centroids")
+      .getOrElse(throw new IllegalStateException(s"no centroids at $path"))
+    require(rows.nonEmpty, s"corrupt index: no centroid rows at $path/centroids")
+    val dim = SidecarIO.asInt(rows.head("dim"))
+    val metric = Metric.fromName(rows.head("metric").asInstanceOf[String])
+    val flat = new Array[Float](rows.length * dim)
+    rows.foreach { r =>
+      val v = SidecarIO.asFloats(r("centroid"))
+      System.arraycopy(v, 0, flat, SidecarIO.asInt(r("list_id")) * dim, dim)
     }
-    (CentroidSet(flat, cdf.length, dim, metric.name), metric)
+    (CentroidSet(flat, rows.length, dim, metric.name), metric)
   }
 
   private[index] def saveCentroids(spark: SparkSession, path: String,
@@ -303,12 +309,11 @@ object IvfFlatIndex {
   }
 
   /** None when the layout predates the sidecar (legacy saves). */
-  private[graft] def loadMeta(spark: SparkSession, path: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path, "meta")
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
-    else spark.read.parquet(p.toString).collect().headOption
-      .map(_.getAs[Long]("n_rows"))
-  }
+  private[graft] def loadMeta(spark: SparkSession, path: String): Option[Long] =
+    // driver-side read (r17): the planner consults this on every rewrite;
+    // a one-row sidecar must not cost a Spark job (SidecarIO doc)
+    graft.sources.SidecarIO.readHead(spark, s"$path/meta")
+      .flatMap(_.get("n_rows")).map(graft.sources.SidecarIO.asLong)
 
   /** Measure and persist THIS index's probe/recall relation: a seeded
     * held-out query sample (rows of the index itself), exact top-k over
@@ -435,22 +440,20 @@ object IvfFlatIndex {
     * to point-estimate. */
   private[graft] def loadCurveKN(spark: SparkSession, path: String,
       child: String): Option[(Seq[(Int, Double)], Option[(Int, Long)])] = {
-    val p = new org.apache.hadoop.fs.Path(path, child)
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
-    else {
-      val df = spark.read.parquet(p.toString)
-      val rows = df
-        .select(col("probes").cast("int"), col("recall").cast("double"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    // driver-side read (r17): curve sidecars are a handful of rows and
+    // the resolver reads them on every planning pass — no Spark job
+    import graft.sources.SidecarIO
+    SidecarIO.readRows(spark, s"$path/$child").flatMap { raw =>
+      val rows = raw.flatMap { r =>
+        for (p <- r.get("probes"); rc <- r.get("recall"))
+          yield (SidecarIO.asInt(p), SidecarIO.asDouble(rc))
+      }.sortBy(_._1)
       if (rows.isEmpty) None
       else {
-        val fields = df.schema.fieldNames.toSet
-        val kn =
-          if (fields.contains("n_queries") && fields.contains("k"))
-            df.select(col("k").cast("int"), col("n_queries").cast("long"))
-              .collect().headOption.map(r => (r.getInt(0), r.getLong(1)))
-              .filter { case (k, nQ) => k > 0 && nQ > 0 }
-          else None
+        val kn = raw.headOption.flatMap { r =>
+          for (k <- r.get("k"); nQ <- r.get("n_queries"))
+            yield (SidecarIO.asInt(k), SidecarIO.asLong(nQ))
+        }.filter { case (k, nQ) => k > 0 && nQ > 0 }
         val curve = rows.foldLeft(Vector.empty[(Int, Double)]) { case (acc, (pr, rc)) =>
           acc :+ (pr -> math.max(math.min(rc, 1.0), acc.lastOption.map(_._2).getOrElse(0.0)))
         }

@@ -342,16 +342,22 @@ object IvfPqIndex {
 
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
-    val cb = spark.read.parquet(s"$path/codebooks").orderBy("s", "c").collect()
+    // codebooks are driver-resident by construction — read them driver-side
+    // like the centroids (r17, SidecarIO doc); positions come from the
+    // (s, c) columns, so file order is irrelevant
+    import graft.sources.SidecarIO
+    val cb = SidecarIO.readRows(spark, s"$path/codebooks")
+      .getOrElse(throw new IllegalStateException(s"no codebooks at $path"))
     require(cb.nonEmpty, s"corrupt index: no codebook rows at $path/codebooks")
     val head = cb.head
-    val (pqDim, nCenters, subLen) =
-      (head.getAs[Int]("pq_dim"), head.getAs[Int]("n_centers"), head.getAs[Int]("sub_len"))
+    val (pqDim, nCenters, subLen) = (SidecarIO.asInt(head("pq_dim")),
+      SidecarIO.asInt(head("n_centers")), SidecarIO.asInt(head("sub_len")))
     val books = new Array[Float](pqDim * nCenters * subLen)
     cb.foreach { r =>
-      val v = r.getSeq[Float](r.fieldIndex("center")).toArray
+      val v = SidecarIO.asFloats(r("center"))
       System.arraycopy(v, 0,
-        books, (r.getAs[Int]("s") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
+        books, (SidecarIO.asInt(r("s")) * nCenters + SidecarIO.asInt(r("c"))) * subLen,
+        subLen)
     }
     new IvfPqIndex(centroids, PqCodebooks(books, pqDim, nCenters, subLen),
       spark.read.parquet(s"$path/pq_lists"), metric, DepthHint.load(spark, path))

@@ -936,10 +936,14 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       def layoutCost(e: GraftIndexCatalog.Entry, layout: String,
           base: LogicalPlan, depthOverride: Option[Int] = None): Double =
         try {
+          // every stat below is a DRIVER-SIDE sidecar read (r17,
+          // SidecarIO): a missing path/field throws here and the catch
+          // prices the layout MaxValue, exactly like the old job-based
+          // head() did
           if (layout == "hnsw") {
             val m = GraftIndexCatalog.cachedStat(s"cost:m:${e.indexPath}") {
-              spark.read.parquet(s"${e.indexPath}/hnsw_meta")
-                .head().getAs[Int]("m").toDouble
+              graft.sources.SidecarIO.asDouble(graft.sources.SidecarIO
+                .readHead(spark, s"${e.indexPath}/hnsw_meta").get.apply("m"))
             }
             // price the ef the route would REALLY search with (the same
             // ef_curve inversion candidate generation applies) — a stale
@@ -953,11 +957,13 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             val statsBase =
               if (layout == "tiered") s"${e.indexPath}/tiered_base" else e.indexPath
             val nLists = GraftIndexCatalog.cachedStat(s"cost:nlists:$statsBase") {
-              spark.read.parquet(s"$statsBase/centroids").count().toDouble
+              // footer-only record count — no data pages, no job
+              graft.sources.SidecarIO.rowCount(spark, s"$statsBase/centroids")
+                .get.toDouble
             }
             val dim = GraftIndexCatalog.cachedStat(s"cost:dim:$statsBase") {
-              spark.read.parquet(s"$statsBase/centroids")
-                .head().getAs[Int]("dim").toDouble
+              graft.sources.SidecarIO.asDouble(graft.sources.SidecarIO
+                .readHead(spark, s"$statsBase/centroids").get.apply("dim"))
             }
             val n = math.max(baseRows(e, base), 1L).toDouble
             val probes = resolveProbes(e, base, math.max(1, nLists.toInt), depth)
@@ -967,26 +973,26 @@ case class ResolveKnnJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               case "ivf_sq" => 0.25        // int8 codes vs float32
               case "rabitq" =>             // bits_per_dim vs float32
                 val bits = GraftIndexCatalog.cachedStat(s"cost:rbits:${e.indexPath}") {
-                  spark.read.parquet(s"${e.indexPath}/rotation")
-                    .head().getAs[Int]("bits_per_dim").toDouble
+                  graft.sources.SidecarIO.asDouble(graft.sources.SidecarIO
+                    .readHead(spark, s"${e.indexPath}/rotation").get.apply("bits_per_dim"))
                 }
                 bits / 32.0
               case _ =>                    // PQ family: pq_dim ints vs dim floats
                 val pqBooks =
                   if (layout == "ivf_pqcl") "cluster_codebooks" else "codebooks"
                 val pqDim = GraftIndexCatalog.cachedStat(s"cost:pqdim:${e.indexPath}") {
-                  spark.read.parquet(s"${e.indexPath}/$pqBooks")
-                    .head().getAs[Int]("pq_dim").toDouble
+                  graft.sources.SidecarIO.asDouble(graft.sources.SidecarIO
+                    .readHead(spark, s"${e.indexPath}/$pqBooks").get.apply("pq_dim"))
                 }
                 pqDim / math.max(1.0, dim)
             }
             val deltaScan =
               if (layout == "tiered")
                 GraftIndexCatalog.cachedStat(s"cost:delta:${e.indexPath}") {
-                  val meta = spark.read.parquet(s"${e.indexPath}/tiered_meta").head()
-                  if (meta.schema.fieldNames.contains("delta_rows"))
-                    meta.getAs[Long]("delta_rows").toDouble
-                  else 0.0
+                  val meta = graft.sources.SidecarIO
+                    .readHead(spark, s"${e.indexPath}/tiered_meta").get
+                  meta.get("delta_rows")
+                    .map(graft.sources.SidecarIO.asDouble).getOrElse(0.0)
                 }
               else 0.0
             // the tiered meta population is base + delta; only the BASE is

@@ -350,14 +350,17 @@ object Hnsw {
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
-    val meta = spark.read.parquet(s"$path/hnsw_meta").head()
+    // driver-side one-row meta read (r17, SidecarIO doc)
+    import graft.sources.SidecarIO
+    val meta = SidecarIO.readHead(spark, s"$path/hnsw_meta")
+      .getOrElse(throw new IllegalStateException(s"no hnsw_meta at $path"))
     val curveKN = IvfFlatIndex.loadCurveKN(spark, path, "ef_curve")
     Index(
       spark.read.parquet(s"$path/hnsw_levels"),
       spark.read.parquet(s"$path/hnsw_edges"),
-      meta.getAs[Int]("max_level"), meta.getAs[Long]("entry_point"),
-      Params(meta.getAs[Int]("m"), meta.getAs[Long]("seed"),
-        Metric.fromName(meta.getAs[String]("metric"))),
+      SidecarIO.asInt(meta("max_level")), SidecarIO.asLong(meta("entry_point")),
+      Params(SidecarIO.asInt(meta("m")), SidecarIO.asLong(meta("seed")),
+        Metric.fromName(meta("metric").asInstanceOf[String])),
       curveKN.map(_._1), curveKN.flatMap(_._2))
   }
 

@@ -269,17 +269,22 @@ class IvfPqClusterIndex(
 object IvfPqClusterIndex {
   def load(spark: SparkSession, path: String): IvfPqClusterIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
-    val cb = spark.read.parquet(s"$path/cluster_codebooks").orderBy("l", "c").collect()
+    // driver-side read (r17): collected to the driver anyway (SidecarIO
+    // doc); (l, c) columns carry positions, file order irrelevant
+    import graft.sources.SidecarIO
+    val cb = SidecarIO.readRows(spark, s"$path/cluster_codebooks")
+      .getOrElse(throw new IllegalStateException(s"no cluster_codebooks at $path"))
     require(cb.nonEmpty, s"corrupt index: no codebook rows at $path/cluster_codebooks")
     val head = cb.head
     val (nLists, nCenters, subLen, pqDim) =
-      (head.getAs[Int]("n_lists"), head.getAs[Int]("n_centers"),
-        head.getAs[Int]("sub_len"), head.getAs[Int]("pq_dim"))
+      (SidecarIO.asInt(head("n_lists")), SidecarIO.asInt(head("n_centers")),
+        SidecarIO.asInt(head("sub_len")), SidecarIO.asInt(head("pq_dim")))
     val flat = new Array[Float](nLists * nCenters * subLen)
     cb.foreach { r =>
-      val v = r.getSeq[Float](r.fieldIndex("center")).toArray
+      val v = SidecarIO.asFloats(r("center"))
       System.arraycopy(v, 0,
-        flat, (r.getAs[Int]("l") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
+        flat, (SidecarIO.asInt(r("l")) * nCenters + SidecarIO.asInt(r("c"))) * subLen,
+        subLen)
     }
     new IvfPqClusterIndex(centroids,
       ClusterCodebooks(flat, nLists, nCenters, subLen, pqDim),

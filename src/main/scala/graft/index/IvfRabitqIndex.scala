@@ -285,15 +285,21 @@ object IvfRabitqIndex {
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfRabitqIndex = {
     val (centroids, _) = IvfFlatIndex.loadCentroids(spark, path)
-    val rot = spark.read.parquet(s"$path/rotation").orderBy("r").collect()
+    // driver-side rotation read (r17): collected to the driver anyway —
+    // the Spark job bought nothing (SidecarIO doc); the `r` column carries
+    // row positions, so file order is irrelevant
+    import graft.sources.SidecarIO
+    val rot = SidecarIO.readRows(spark, s"$path/rotation")
+      .getOrElse(throw new IllegalStateException(s"no rotation at $path"))
     val dim = rot.length
     val flat = new Array[Double](dim * dim)
     rot.foreach { r =>
-      val v = r.getSeq[Double](r.fieldIndex("row")).toArray
-      System.arraycopy(v, 0, flat, r.getAs[Int]("r") * dim, dim)
+      val v = SidecarIO.asDoubles(r("row"))
+      System.arraycopy(v, 0, flat, SidecarIO.asInt(r("r")) * dim, dim)
     }
     new IvfRabitqIndex(centroids, ProjectionMatrix(flat, dim, dim, Array.emptyDoubleArray),
-      spark.read.parquet(s"$path/rabitq_lists"), rot.head.getAs[Int]("bits_per_dim"))
+      spark.read.parquet(s"$path/rabitq_lists"),
+      SidecarIO.asInt(rot.head("bits_per_dim")))
   }
 
   def build(dataset: DataFrame, params: Params,

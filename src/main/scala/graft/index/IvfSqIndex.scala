@@ -161,9 +161,12 @@ class IvfSqIndex(
 object IvfSqIndex {
   def load(spark: SparkSession, path: String): IvfSqIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
-    val m = spark.read.parquet(s"$path/sq_model").head()
+    // driver-side one-row model read (r17, SidecarIO doc)
+    val m = graft.sources.SidecarIO.readHead(spark, s"$path/sq_model")
+      .getOrElse(throw new IllegalStateException(s"no sq_model at $path"))
     new IvfSqIndex(centroids,
-      ScalarQuantizer.Model(m.getAs[Double]("lo"), m.getAs[Double]("hi")),
+      ScalarQuantizer.Model(graft.sources.SidecarIO.asDouble(m("lo")),
+        graft.sources.SidecarIO.asDouble(m("hi"))),
       spark.read.parquet(s"$path/sq_lists"), metric)
   }
 

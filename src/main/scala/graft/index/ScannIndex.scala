@@ -139,16 +139,22 @@ class ScannIndex(
 object ScannIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): ScannIndex = {
     val (centroids, metric) = IvfFlatIndex.loadCentroids(spark, path)
-    val cb = spark.read.parquet(s"$path/codebooks").orderBy("s", "c").collect()
+    // driver-side codebook read (r17): collected to the driver anyway —
+    // the Spark job bought nothing (SidecarIO doc); (s, c) columns carry
+    // the positions, so file order is irrelevant
+    import graft.sources.SidecarIO
+    val cb = SidecarIO.readRows(spark, s"$path/codebooks")
+      .getOrElse(throw new IllegalStateException(s"no codebooks at $path"))
     require(cb.nonEmpty, s"corrupt index: no codebook rows at $path/codebooks")
     val head = cb.head
-    val (pqDim, nCenters, subLen) =
-      (head.getAs[Int]("pq_dim"), head.getAs[Int]("n_centers"), head.getAs[Int]("sub_len"))
+    val (pqDim, nCenters, subLen) = (SidecarIO.asInt(head("pq_dim")),
+      SidecarIO.asInt(head("n_centers")), SidecarIO.asInt(head("sub_len")))
     val books = new Array[Float](pqDim * nCenters * subLen)
     cb.foreach { r =>
-      val v = r.getSeq[Float](r.fieldIndex("center")).toArray
+      val v = SidecarIO.asFloats(r("center"))
       System.arraycopy(v, 0,
-        books, (r.getAs[Int]("s") * nCenters + r.getAs[Int]("c")) * subLen, subLen)
+        books, (SidecarIO.asInt(r("s")) * nCenters + SidecarIO.asInt(r("c"))) * subLen,
+        subLen)
     }
     new ScannIndex(centroids, PqCodebooks(books, pqDim, nCenters, subLen),
       spark.read.parquet(s"$path/scann_lists"), metric, DepthHint.load(spark, path))

@@ -160,6 +160,10 @@ object SidecarIO {
   def asFloats(v: Any): Array[Float] =
     v.asInstanceOf[Seq[Any]].iterator.map(_.asInstanceOf[Number].floatValue).toArray
 
+  /** A list field coerced to Array[Double] (loader convenience). */
+  def asDoubles(v: Any): Array[Double] =
+    v.asInstanceOf[Seq[Any]].iterator.map(_.asInstanceOf[Number].doubleValue).toArray
+
   /** Numeric coercions for loader convenience (parquet writers may have
     * stored an int as int32 or int64 depending on the frame that wrote
     * it). */

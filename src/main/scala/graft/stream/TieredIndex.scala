@@ -114,12 +114,10 @@ object TieredIndex {
     val meta = TieredIngest.readOneRowSidecar(spark, s"$live/tiered_meta")
     val base = IvfFlatIndex.load(spark, s"$live/tiered_base")
     // legacy saves predate the delta_rows column — fall back to the probe
-    val deltaRows =
-      if (meta.schema.fieldNames.contains("delta_rows"))
-        Some(meta.getAs[Long]("delta_rows"))
-      else None
+    val deltaRows = meta.get("delta_rows").map(graft.sources.SidecarIO.asLong)
     new TieredIndex(base, readDelta(spark, live),
-      meta.getAs[Long]("min_ann_rows"), Metric.fromName(meta.getAs[String]("metric")),
+      graft.sources.SidecarIO.asLong(meta("min_ann_rows")),
+      Metric.fromName(meta("metric").asInstanceOf[String]),
       deltaRows)
   }
 

@@ -180,23 +180,22 @@ object TieredIngest {
       Map(BaseScope -> ScopeState(-1L, metaDeltaRows(spark, indexPath)))
     else
       try {
-        val df = spark.read.parquet(ledgerPath(indexPath))
-        val fields = df.schema.fieldNames.toSet
-        val rows =
-          if (fields.contains("max_batch_id"))
-            df.select(col("scope").cast("string"), col("max_batch_id").cast("long"),
-              col("cum_rows").cast("long"))
-          else // pre-r16 per-batch rows: fold to per-scope max/sum
-            df.select(
-                (if (fields.contains("scope")) col("scope") else lit(""))
-                  .cast("string").as("scope"),
-                col("batch_id").cast("long"), col("n_rows").cast("long"))
-              .groupBy(col("scope"))
-              .agg(max(col("batch_id")).as("max_batch_id"),
-                sum(col("n_rows")).as("cum_rows"))
-        rows.collect()
-          .map(r => r.getString(0) -> ScopeState(r.getLong(1), r.getLong(2)))
-          .toMap
+        // driver-side read (r17, SidecarIO doc): the ledger is O(scopes)
+        // rows and was read as a Spark job PER MICRO-BATCH; the pre-r16
+        // per-batch fold happens in plain Scala on the same rows
+        import graft.sources.SidecarIO
+        val raw = SidecarIO.readRows(spark, ledgerPath(indexPath))
+          .getOrElse(throw new java.io.FileNotFoundException(ledgerPath(indexPath)))
+        if (raw.headOption.exists(_.contains("max_batch_id")))
+          raw.map(r => r("scope").asInstanceOf[String] ->
+            ScopeState(SidecarIO.asLong(r("max_batch_id")),
+              SidecarIO.asLong(r("cum_rows")))).toMap
+        else // pre-r16 per-batch rows: fold to per-scope max/sum
+          raw.groupBy(r => r.get("scope").map(_.asInstanceOf[String]).getOrElse(""))
+            .map { case (scope, rs) =>
+              scope -> ScopeState(rs.map(r => SidecarIO.asLong(r("batch_id"))).max,
+                rs.map(r => SidecarIO.asLong(r("n_rows"))).sum)
+            }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"graft TieredIngest: unreadable delta_commits at " +
@@ -237,14 +236,20 @@ object TieredIngest {
     * still-absent target with `.old` present as a crashed writer's
     * leftover and renames it back for one final read. */
   private[stream] def readOneRowSidecar(spark: SparkSession,
-      target: String): org.apache.spark.sql.Row = {
+      target: String): Map[String, Any] = {
+    // driver-side read (r17, SidecarIO doc): sidecar reads ran one Spark
+    // job each, paid per micro-batch on the ingest path; the retry ladder
+    // and crash-restore semantics below are unchanged
+    def readHead(): Map[String, Any] =
+      graft.sources.SidecarIO.readHead(spark, target)
+        .getOrElse(throw new java.io.FileNotFoundException(target))
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val targetP = new org.apache.hadoop.fs.Path(target)
     val oldP = new org.apache.hadoop.fs.Path(target + ".old")
     var attempt = 0
     while (attempt < 4) {
-      try return spark.read.parquet(target).head()
+      try return readHead()
       catch {
         case scala.util.control.NonFatal(e) =>
           // a genuinely-missing sidecar (no target, no in-flight swap's
@@ -263,13 +268,13 @@ object TieredIngest {
           attempt += 1
       }
     }
-    try spark.read.parquet(target).head()
+    try readHead()
     catch {
       case scala.util.control.NonFatal(e) =>
         if (!fs.exists(targetP) && fs.exists(oldP) && !fs.rename(oldP, targetP))
           throw new IllegalStateException(
             s"sidecar at $target is absent and restoring $target.old failed", e)
-        spark.read.parquet(target).head() // throws if genuinely unreadable
+        readHead() // throws if genuinely unreadable
     }
   }
 
@@ -299,8 +304,8 @@ object TieredIngest {
     * folded into the base entry AND re-added when its batch replays). */
   private def metaDeltaRows(spark: SparkSession, indexPath: String): Long = {
     val meta = readOneRowSidecar(spark, s"$indexPath/tiered_meta")
-    if (meta.schema.fieldNames.contains("delta_rows"))
-      meta.getAs[Long]("delta_rows")
+    if (meta.contains("delta_rows"))
+      graft.sources.SidecarIO.asLong(meta("delta_rows"))
     else {
       val total = TieredIndex.readDelta(spark, indexPath).count()
       total - batchDirRows(spark, indexPath)
@@ -427,9 +432,9 @@ object TieredIngest {
       deltaRows: Long): (Long, Long) = {
     import spark.implicits._
     val meta = readOneRowSidecar(spark, s"$indexPath/tiered_meta")
-    val minAnnRows = meta.getAs[Long]("min_ann_rows")
+    val minAnnRows = graft.sources.SidecarIO.asLong(meta("min_ann_rows"))
     atomicOneRowWrite(
-      Seq((minAnnRows, meta.getAs[String]("metric"), deltaRows))
+      Seq((minAnnRows, meta("metric").asInstanceOf[String], deltaRows))
         .toDF("min_ann_rows", "metric", "delta_rows"),
       s"$indexPath/tiered_meta")
     val baseRows = IvfFlatIndex.loadMeta(spark, s"$indexPath/tiered_base").getOrElse(0L)

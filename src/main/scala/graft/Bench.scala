@@ -195,7 +195,7 @@ object Bench {
     val flagged = (timed.sortBy(-_._2).take(math.max(0, medianK)).map(_._1) ++
       timed.collect { case (n, s) if medianK > 0 && s >= medianMinSec => n }).toSet
     val byName = selected.toMap
-    val medians: Seq[(String, Double)] = timed.collect {
+    val mediansFull: Seq[(String, Double, Int)] = timed.collect {
       case (name, firstSec) if flagged(name) =>
         val extra = (2 to medianRuns).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -209,8 +209,9 @@ object Bench {
         // queries high, the opposite of what a regression signal wants
         val med = samples((samples.length - 1) / 2)
         println(s"""BENCHM {"query":"$name","median_sec":$med,"samples":${samples.length}}""")
-        name -> med
+        (name, med, samples.length)
     }
+    val medians: Seq[(String, Double)] = mediansFull.map(t => (t._1, t._2))
     val medianTotal = medians.map(_._2).sum
     val calibEnd = calibrate()
     println(s"""BENCHC {"calib_end_sec":$calibEnd}""")
@@ -240,9 +241,30 @@ object Bench {
         s""""prepass_total":$prepassSec,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // r18: ALSO write a cpus-stamped copy (BENCH_LOCAL.c32.json /
+    // BENCH_LOCAL.c8.json). The driver benches the same tree at two core
+    // counts back-to-back and the un-stamped detail file is overwritten by
+    // the second run — r17's 32-core per-query map was lost exactly this
+    // way (PERF_r17 per_query={}). The stamped copies make both runs'
+    // full-precision per-query maps durable side by side.
+    val stampedPath =
+      if (outPath.endsWith(".json")) outPath.stripSuffix(".json") + s".c$cpus.json"
+      else s"$outPath.c$cpus"
+    Seq(outPath, stampedPath).foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
+    // r18: re-print every per-query median as one compact block right
+    // before the contract line. The BENCHM lines above stream as medians
+    // complete, interleaved with minutes of re-run output — a bounded
+    // stdout tail keeps only the last few, which left PERF_r17 with an
+    // empty per_query/scaling comparison. Rounded to 4 decimals so the
+    // whole block fits a small tail; full precision stays in the JSON
+    // artifacts.
+    mediansFull.foreach { case (k, v, n) =>
+      println(f"""BENCHM {"query":"$k","median_sec":$v%.4f,"samples":$n}""")
+    }
     // FINAL LINE = the driver contract. The driver keeps only a bounded
     // stdout tail, so this line must stay short (<~300 chars): totals only;
     // the per-query map lives in the BENCHQ lines above and the full-

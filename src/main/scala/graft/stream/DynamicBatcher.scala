@@ -41,14 +41,16 @@ object DynamicBatcher {
     // checkpoint manager (a sibling .crc write per checkpoint file plus
     // per-query thread pools whose stop waits 500 ms each) buys nothing
     // here; same opt-out conf as StreamPipeline.drain.
-    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
-    val prior = spark.conf.getOption(ckKey)
-    if (spark.conf.get("spark.graft.stream.transientCheckpoint", "true").toBoolean)
-      spark.conf.set(ckKey, "false")
+    val kvs =
+      if (spark.conf.get("spark.graft.stream.transientCheckpoint", "true").toBoolean)
+        StreamPipeline.transientCheckpointConfs
+      else Seq.empty
+    val priors = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
     try runImpl(spark, waves, search)
-    finally prior match {
-      case Some(v) => spark.conf.set(ckKey, v)
-      case None => spark.conf.unset(ckKey)
+    finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -339,7 +339,7 @@ object StreamPipeline {
     val spark = df.sparkSession
     val confs = scala.collection.mutable.Buffer.empty[(String, String)]
     if (spark.conf.get("spark.graft.stream.transientCheckpoint", "true").toBoolean)
-      confs += "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"
+      confs ++= transientCheckpointConfs
     val parts = spark.conf.getOption("spark.graft.stream.statePartitions")
       .map(_.toInt).getOrElse {
         if (inputBytes < 0) -1
@@ -355,6 +355,34 @@ object StreamPipeline {
     if (parts > 0) confs += "spark.sql.shuffle.partitions" -> parts.toString
     withConfs(spark, confs.toSeq)(drainImpl(df, tag))
   }
+
+  /** Conf overrides for a TRANSIENT (single-bounded-run) checkpoint, shared
+    * by every local drain (here and DynamicBatcher):
+    *
+    *  - checksum sidecars off (see drain doc above, r17);
+    *  - `FileSystemBasedCheckpointFileManager` instead of the default
+    *    FileContext-based manager (r18). Measured root cause, not taste: a
+    *    driver thread dump during a degraded drain shows every checkpoint
+    *    rename (offsets/commits/state deltas — several PER MICRO-BATCH) on
+    *    the FileContext path going `FileContext.rename` → `ChecksumFs` →
+    *    `RawLocalFileSystem.getFileLinkStatus` → `FileUtil.readLink` →
+    *    `Shell.execCommand`, i.e. FORKING A SHELL PROCESS per rename
+    *    (Hadoop's native lib is absent, and the 3-arg FileSystem.rename the
+    *    FileContext path takes always stats the source via readlink). fork()
+    *    cost scales with the JVM's resident set, so consecutive drains in a
+    *    long session degrade progressively — a streaming-only bench run
+    *    measured the SAME query going 2.0 s → 8.0 s within one session, with
+    *    the fixed-work stream probe drifting 6.6 → 14.5 s. The
+    *    FileSystem-based manager (Spark's own alternative for filesystems
+    *    with atomic rename — exactly the local FS) renames via
+    *    `File.renameTo`, no fork. A durable deployment on an object store
+    *    keeps the Spark default via
+    *    `spark.graft.stream.transientCheckpoint=false`. */
+  private[stream] val transientCheckpointConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+    "spark.sql.streaming.checkpointFileManagerClass" ->
+      ("org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager"))
 
   private def drainImpl(df: DataFrame, tag: String): DataFrame = {
     val out = tempDir(s"${tag}_out")

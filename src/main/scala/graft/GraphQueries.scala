@@ -367,22 +367,63 @@ object GraphQueries {
     * cap, and the alpha-RNG prune property — for kept edges (p,c) there is
     * no kept closer neighbor w of p with alpha·d(w,c) <= d(p,c). */
   private def vamanaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphops.LocalKernel
     val e = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val g = Vamana.build(e, Vamana.Params(graphDegree = 16, visitedSize = 32, alpha = 1.2),
-      "id", "vec").cache()
-    val degOk = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .agg(max(col("deg")).as("m")).select((col("m") <= 16).as("ok")).head().getBoolean(0)
-    val vecs = e.select(col("id"), col("vec"))
-    val violations = g.as("ec").join(g.as("ew"),
-        col("ec.src") === col("ew.src") && col("ew.dist") < col("ec.dist"))
-      .join(vecs.select(col("id").as("_wc"), col("vec").as("wvec")), col("ew.dst") === col("_wc"))
-      .join(vecs.select(col("id").as("_cc"), col("vec").as("cvec")), col("ec.dst") === col("_cc"))
-      .filter(lit(1.2) * graft.functions.vector_distance(Metric.L2Sqrt,
-        col("wvec"), col("cvec")) <= col("ec.dist"))
-      .count()
+    val gRaw = Vamana.build(e, Vamana.Params(graphDegree = 16, visitedSize = 32, alpha = 1.2),
+      "id", "vec")
+    // Gate-cost kernel (r18, LocalKernel route): the alpha-RNG proof is a
+    // per-src pair scan over <= degree kept edges — the join route ships
+    // sum(deg²) rows through TWO vector joins to evaluate the same
+    // predicate (1.2·d(w,c) <= d(p,c), identical doubles compared, same
+    // strict ew.dist < ec.dist pairing). Booleans identical; the joins
+    // below stay as the at-scale path.
+    val (degOk, alphaOk) =
+      if (LocalKernel.enabled(spark) &&
+          LocalKernel.within(e, LocalKernel.maxVectors(spark)) &&
+          LocalKernel.within(gRaw, LocalKernel.maxEdges(spark))) {
+        import spark.implicits._
+        val vecs = new java.util.HashMap[Long, Array[Float]]()
+        e.as[(Long, Array[Float])].collect().foreach { case (i, v) => vecs.put(i, v) }
+        val bySrc = gRaw.select(col("src").cast("long"), col("dst").cast("long"),
+            col("dist").cast("double"))
+          .as[(Long, Long, Double)].collect().groupBy(_._1)
+        val distFn = graft.core.Distance.fn(Metric.L2Sqrt)
+        val dOk = bySrc.valuesIterator.forall(_.length <= 16)
+        var violations = 0L
+        bySrc.valuesIterator.foreach { es =>
+          var i = 0
+          while (i < es.length) {
+            val (_, cDst, cDist) = es(i)
+            val cvec = vecs.get(cDst)
+            var j = 0
+            while (j < es.length) {
+              if (es(j)._3 < cDist &&
+                  1.2 * distFn(vecs.get(es(j)._2), cvec) <= cDist) violations += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        (dOk, violations == 0L)
+      } else {
+        val g = gRaw.cache()
+        val dOk = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .agg(max(col("deg")).as("m")).select((col("m") <= 16).as("ok")).head().getBoolean(0)
+        val vecs = e.select(col("id"), col("vec"))
+        val violations = g.as("ec").join(g.as("ew"),
+            col("ec.src") === col("ew.src") && col("ew.dist") < col("ec.dist"))
+          .join(vecs.select(col("id").as("_wc"), col("vec").as("wvec")),
+            col("ew.dst") === col("_wc"))
+          .join(vecs.select(col("id").as("_cc"), col("vec").as("cvec")),
+            col("ec.dst") === col("_cc"))
+          .filter(lit(1.2) * graft.functions.vector_distance(Metric.L2Sqrt,
+            col("wvec"), col("cvec")) <= col("ec.dist"))
+          .count()
+        (dOk, violations == 0L)
+      }
     e.agg(count(lit(1)).as("n_nodes"))
       .select(col("n_nodes"), lit(16).as("graph_degree"),
-        lit(degOk).as("degree_ok"), lit(violations == 0).as("alpha_rng_ok"))
+        lit(degOk).as("degree_ok"), lit(alphaOk).as("alpha_rng_ok"))
   }
 
   private val vamanaOracle: String =

@@ -439,6 +439,24 @@ object KMeans {
     * pass. Only candidate vectors ever reach the driver; the data side
     * stays distributed. */
   private def plusPlusInit(data: DataFrame, params: Params, dim: Int): Array[Array[Float]] = {
+    // Cost-based route (graft.graphops.LocalKernel): the distributed
+    // oversampling pays 2 jobs PER ROUND (the phi aggregate, then the
+    // filtered candidate collect) plus the final weighting job — ~10 jobs
+    // whose data is k·dim floats. On a collectable trainset the same
+    // seeded-hash draws run in memory off ONE collect: the same candidate
+    // rule (u(r) < d²·l/φ with u(r) the xxhash64-derived uniform — XXH64
+    // replayed via the catalyst implementation, type-aware on the id), the
+    // same lexicographic candidate order, the same count-weighted
+    // reduction. The distributed loop below is the at-scale path.
+    val sparkL = data.sparkSession
+    val idType = data.schema("_id").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (graft.graphops.LocalKernel.enabled(sparkL) && integral &&
+        graft.graphops.LocalKernel.within(data,
+          graft.graphops.LocalKernel.maxVectors(sparkL)))
+      return plusPlusInitLocal(collectById(data),
+        idType == org.apache.spark.sql.types.IntegerType, params)
     val k = params.k
     var cands: Array[Array[Float]] = Array(
       data.orderBy(xxhash64(col("_id"), lit(params.seed)), col("_id"))
@@ -478,6 +496,61 @@ object KMeans {
       .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
     val w = Array.tabulate(cands.length)(i => counts.getOrElse(i, 0L).toDouble)
     weightedPlusPlus(cands, w, k, params.seed, params.metric)
+  }
+
+  /** xxhash64(idCol, lit(seed2)) replayed locally: catalyst's XxHash64
+    * folds left from seed 42, hashing each child by its physical type —
+    * so the id hashes as int or long exactly as the column would. */
+  private def xxh2(id: Long, idIsInt: Boolean, seed2: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h1 = if (idIsInt) XXH64.hashInt(id.toInt, 42L) else XXH64.hashLong(id, 42L)
+    XXH64.hashLong(seed2, h1)
+  }
+
+  /** In-memory twin of the distributed k-means|| oversampling below —
+    * same seeded draws, same candidate multiset, same weighted reduction;
+    * rows arrive id-sorted from collectById so every scan order is
+    * canonical. */
+  private def plusPlusInitLocal(rows: Array[(Long, Array[Float])], idIsInt: Boolean,
+      params: Params): Array[Array[Float]] = {
+    val k = params.k
+    val distFn = Distance.fn(params.metric)
+    val minClose = Metric.isMinClose(params.metric)
+    val vecs = rows.map(_._2)
+    def seededOrder: Array[Array[Float]] = rows
+      .map(r => ((xxh2(r._1, idIsInt, params.seed), r._1), r._2))
+      .sortBy(_._1).map(_._2)
+    val first = seededOrder.head
+    var cands = scala.collection.mutable.ArrayBuffer(first.clone())
+    val l = 2.0 * k
+    val rounds = 4
+    val assign = new Array[Int](rows.length)
+    val d2 = new Array[Double](rows.length)
+    var r = 1
+    while (r <= rounds && cands.length < 1 + rounds * 2 * k) {
+      assignLocal(vecs, cands.toArray, distFn, minClose, assign, d2)
+      val phi = d2.sum
+      if (phi <= 0) r = rounds
+      else {
+        var i = 0
+        while (i < rows.length) {
+          val u = (math.abs(xxh2(rows(i)._1, idIsInt, params.seed + r)) % 1000000007L)
+            .toDouble / 1000000007.0
+          if (u < d2(i) * l / phi) cands += vecs(i).clone()
+          i += 1
+        }
+      }
+      r += 1
+    }
+    if (cands.length <= k) {
+      val pad = seededOrder.take(k)
+      return (cands.toArray ++ pad).distinctBy(_.toSeq).padTo(k, cands.head).take(k)
+    }
+    val arr = cands.toArray.sortWith((a, b) => java.util.Arrays.compare(a, b) < 0)
+    assignLocal(vecs, arr, distFn, minClose, assign, d2)
+    val w = new Array[Double](arr.length)
+    assign.foreach(c => w(c) += 1.0)
+    weightedPlusPlus(arr, w, k, params.seed, params.metric)
   }
 
   /** Driver-side weighted k-means++ over the candidate set (standard

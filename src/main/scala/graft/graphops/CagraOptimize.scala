@@ -23,6 +23,19 @@ object CagraOptimize {
     * <= degree edges per src. */
   def optimize(graph: DataFrame, degree: Int): DataFrame = {
     val e = graph.select(col("src"), col("dst"), col("dist"))
+    // Cost-based route (LocalKernel): the detour count is a triangle join
+    // (two shuffles) + two ranked windows + a reverse-edge aggregate —
+    // ~10 jobs. On a collectable edge list (|V|·k rows, NOT the vector
+    // table) the same counting runs in memory off one collect: per edge
+    // (s,d), scan s's out-list and probe (v,d) in a hash index — identical
+    // counts, identical (detours, dist, dst) pruning order, identical
+    // reverse-augment min-dist dedup. Row-identical output (the
+    // cagra_optimize oracle hash-pins it); the join route below is the
+    // at-scale plan.
+    val sparkL = graph.sparkSession
+    if (LocalKernel.enabled(sparkL) &&
+        LocalKernel.within(e, LocalKernel.maxEdges(sparkL)))
+      return optimizeLocal(e, degree)
     // detours: s->v (d1) and v->d (d2), both shorter than s->d
     val detours = e.as("sd")
       .join(e.as("sv"), col("sd.src") === col("sv.src"))
@@ -47,6 +60,92 @@ object CagraOptimize {
       .filter(col("rank") <= degree)
   }
 
+  /** In-memory core of the local route: detour-count prune + reverse
+    * augment + degree cap over a collected edge list. Returns the per-src
+    * kept lists sorted by (dist, dst) — rank is index+1. */
+  private def pruneLocal(edges: Array[(Long, Long, Double)],
+      degree: Int): java.util.HashMap[Long, Array[(Double, Long)]] = {
+    // out-adjacency + (src, dst) -> dist probe index
+    val out = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+    val byPair = new java.util.HashMap[(Long, Long), java.lang.Double](edges.length * 2)
+    edges.foreach { case (s, d, w) =>
+      var b = out.get(s)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; out.put(s, b) }
+      b += ((d, w))
+      byPair.put((s, d), w)
+    }
+    // detours of (s,d): middle nodes v with d(s,v) < d(s,d) and d(v,d) < d(s,d)
+    def detoursOf(s: Long, d: Long, w: Double): Long = {
+      val nbrs = out.get(s)
+      var c = 0L
+      var i = 0
+      while (i < nbrs.length) {
+        val (v, d1) = nbrs(i)
+        if (d1 < w) {
+          val d2 = byPair.get((v, d))
+          if (d2 != null && d2.doubleValue() < w) c += 1
+        }
+        i += 1
+      }
+      c
+    }
+    // prune: keep the `degree` least-detourable per src ((detours, dist, dst))
+    val bySrc = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]()
+    edges.foreach { case t @ (s, _, _) =>
+      var b = bySrc.get(s)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; bySrc.put(s, b) }
+      b += t
+    }
+    val augmented = new java.util.HashMap[Long, java.util.HashMap[Long, java.lang.Double]]()
+    def add(s: Long, d: Long, w: Double): Unit = {
+      var m = augmented.get(s)
+      if (m == null) { m = new java.util.HashMap[Long, java.lang.Double](); augmented.put(s, m) }
+      val prev = m.get(d)
+      if (prev == null || w < prev.doubleValue()) m.put(d, w)
+    }
+    bySrc.forEach { (s, b) =>
+      val scored = b.map { case (_, d, w) => (detoursOf(s, d, w), w, d) }.toArray
+      java.util.Arrays.sort(scored,
+        Ordering.by((t: (Long, Double, Long)) => t))
+      val keep = math.min(degree, scored.length)
+      var i = 0
+      while (i < keep) {
+        val (_, w, d) = scored(i)
+        add(s, d, w); add(d, s, w)
+        i += 1
+      }
+    }
+    // cap per-node degree again, rank by (dist, dst)
+    val res = new java.util.HashMap[Long, Array[(Double, Long)]](augmented.size() * 2)
+    augmented.forEach { (s, m) =>
+      val arr = new Array[(Double, Long)](m.size)
+      var i = 0
+      m.forEach { (d, w) => arr(i) = (w, d); i += 1 }
+      java.util.Arrays.sort(arr, Ordering.by((t: (Double, Long)) => t))
+      res.put(s, arr.take(math.min(degree, arr.length)))
+    }
+    res
+  }
+
+  private def collectEdges(e: DataFrame): Array[(Long, Long, Double)] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("src").cast("long"), col("dst").cast("long"), col("dist").cast("double"))
+      .as[(Long, Long, Double)].collect()
+  }
+
+  /** In-memory twin of the optimize plan (see optimize doc). */
+  private def optimizeLocal(e: DataFrame, degree: Int): DataFrame = {
+    val spark = e.sparkSession
+    val capped = pruneLocal(collectEdges(e), degree)
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    capped.forEach { (s, arr) =>
+      var i = 0
+      while (i < arr.length) { res += ((s, arr(i)._2, arr(i)._1, i + 1)); i += 1 }
+    }
+    spark.createDataFrame(res.toSeq).toDF("src", "dst", "dist", "rank")
+  }
+
   /** `optimize` with the connectivity guarantee (cagra.hpp:369-380,
     * `guarantee_connectivity` — "MST optimization ensures all vertices
     * stay reachable"): after the detour prune, any input-graph components
@@ -64,6 +163,21 @@ object CagraOptimize {
     * collect would OOM the driver; #components is tiny).
     */
   def optimizeConnected(graph: DataFrame, degree: Int): DataFrame = {
+    // Cost-based route (LocalKernel): the distributed form below pays the
+    // prune (local-kernel'd already), a checkpoint, an iterative
+    // connected-components, a distinct count, and — when components split —
+    // a per-round contracted Borůvka with a collect per round: ~25 jobs.
+    // On a collectable edge list the whole pipeline runs in memory off one
+    // collect: same detour prune, a min-id union-find (= the min-label
+    // propagation fixpoint), the same per-super-component (dist, src, dst)
+    // bridge proposals applied in the same order, the same min-dist dedup
+    // and UNCAPPED (dist, dst) rank. Row-identical output (LocalKernelSuite
+    // pins it); the distributed plan below is the at-scale path.
+    val eIn = graph.select(col("src"), col("dst"), col("dist"))
+    val sparkG = graph.sparkSession
+    if (LocalKernel.enabled(sparkG) &&
+        LocalKernel.within(eIn, LocalKernel.maxEdges(sparkG)))
+      return optimizeConnectedLocal(eIn, degree)
     val pruned = optimize(graph, degree).select(col("src"), col("dst"), col("dist"))
       .localCheckpoint()
     val verts = graph.select(col("src").as("id"))
@@ -99,6 +213,100 @@ object CagraOptimize {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
       .orderBy(col("dist").asc, col("dst").asc)
     all.withColumn("rank", row_number().over(w))
+  }
+
+  /** In-memory twin of optimizeConnected (see its doc): prune, min-id
+    * union-find components, contracted-Borůvka bridges, min-dist dedup,
+    * uncapped per-src (dist, dst) rank — all off one collect. */
+  private def optimizeConnectedLocal(e: DataFrame, degree: Int): DataFrame = {
+    val spark = e.sparkSession
+    val edges = collectEdges(e)
+    val capped = pruneLocal(edges, degree)
+    // union-find over every vertex of the ORIGINAL graph, rooted at the
+    // min id — find(v) equals the min-label-propagation component label
+    val parent = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (s, d, _) =>
+      parent.putIfAbsent(s, s); parent.putIfAbsent(d, d)
+    }
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
+      r
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (a, b) = (find(x), find(y))
+      if (a != b) parent.put(math.max(a, b), math.min(a, b))
+    }
+    capped.forEach { (s, arr) => arr.foreach { case (_, d) => union(s, d) } }
+    // component count after the prune
+    val roots = new java.util.HashSet[Long]()
+    parent.keySet().forEach(v => roots.add(find(v)))
+    val bridges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    if (roots.size > 1) {
+      // contracted Borůvka over the original graph's cross-component
+      // edges — same proposal bucket (super-component of the SRC label),
+      // same (dist, src, dst) pick and merge order as boruvkaMstContracted
+      val cross = edges.map { case (s, d, w) => (s, d, w, find(s), find(d)) }
+        .filter(t => t._4 != t._5)
+      val parent2 = new java.util.HashMap[Long, Long]()
+      cross.foreach { t => parent2.putIfAbsent(t._4, t._4); parent2.putIfAbsent(t._5, t._5) }
+      def find2(x: Long): Long = {
+        var r = x
+        while (parent2.get(r) != r) { parent2.put(r, parent2.get(parent2.get(r))); r = parent2.get(r) }
+        r
+      }
+      var rounds = 0
+      var merged = 1
+      while (merged > 0 && rounds < 20) {
+        val best = new java.util.HashMap[Long, (Long, Long, Double, Long, Long)]()
+        cross.foreach { case t @ (s, d, w, cs, cd) =>
+          val a = find2(cs); val b = find2(cd)
+          if (a != b) {
+            val cur = best.get(a)
+            if (cur == null || {
+                  val (s0, d0, w0, _, _) = cur
+                  w < w0 || (w == w0 && (s < s0 || (s == s0 && d < d0)))
+                }) best.put(a, t)
+          }
+        }
+        merged = 0
+        val props = new Array[(Long, Long, Double, Long, Long)](best.size)
+        var i = 0
+        best.forEach { (_, t) => props(i) = t; i += 1 }
+        java.util.Arrays.sort(props,
+          Ordering.by((t: (Long, Long, Double, Long, Long)) => (t._3, t._1, t._2)))
+        props.foreach { case (s, d, w, cs, cd) =>
+          val (a, b) = (find2(cs), find2(cd))
+          if (a != b) {
+            parent2.put(math.max(a, b), math.min(a, b))
+            bridges += ((s, d, w))
+            merged += 1
+          }
+        }
+        rounds += 1
+      }
+    }
+    // pruned ∪ bridges ∪ reversed bridges, min-dist dedup per (src, dst)
+    val all = new java.util.HashMap[Long, java.util.HashMap[Long, java.lang.Double]]()
+    def add(s: Long, d: Long, w: Double): Unit = {
+      var m = all.get(s)
+      if (m == null) { m = new java.util.HashMap[Long, java.lang.Double](); all.put(s, m) }
+      val prev = m.get(d)
+      if (prev == null || w < prev.doubleValue()) m.put(d, w)
+    }
+    capped.forEach { (s, arr) => arr.foreach { case (w, d) => add(s, d, w) } }
+    bridges.foreach { case (s, d, w) => add(s, d, w); add(d, s, w) }
+    // UNCAPPED rank per src by (dist, dst) — bridge endpoints may exceed degree
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    all.forEach { (s, m) =>
+      val arr = new Array[(Double, Long)](m.size)
+      var i = 0
+      m.forEach { (d, w) => arr(i) = (w, d); i += 1 }
+      java.util.Arrays.sort(arr, Ordering.by((t: (Double, Long)) => t))
+      i = 0
+      while (i < arr.length) { res += ((s, arr(i)._2, arr(i)._1, i + 1)); i += 1 }
+    }
+    spark.createDataFrame(res.toSeq).toDF("src", "dst", "dist", "rank")
   }
 
   /** ACE (Augmented Core Extraction) partitioned/disk CAGRA build — the

@@ -40,6 +40,22 @@ object NnDescent {
       .transform(graft.core.Frames.materialize(_))
     val n = data.count()
 
+    // Cost-based route (LocalKernel): each refinement round is a self-join
+    // + top-k + checkpoint job; on a collectable graph the rounds run in
+    // memory, mirrored exactly (same xxhash64/pmod seeded init — replayed
+    // via the catalyst XXH64 the expression compiles to — same 2-hop
+    // candidate set, same distinct/merge, same (dist, id) top-k, same
+    // update-rate termination, same final (dist, dst) rank window). r18:
+    // the init previously ran as a distributed explode + two joins and was
+    // collected anyway — building it off the already-collected vector map
+    // removes those jobs from every local-route build.
+    val sparkS = df.sparkSession
+    if (LocalKernel.enabled(sparkS) && n <= LocalKernel.maxVectors(sparkS) &&
+        n * params.k <= LocalKernel.maxEdges(sparkS)) {
+      try return buildLocal(data, n, params)
+      finally data.unpersist()
+    }
+
     // seeded random initial graph: k pseudo-random neighbors per node
     val init = data.select(col("id").as("src"))
       .select(col("src"), explode(sequence(lit(1), lit(params.k))).as("j"))
@@ -50,18 +66,6 @@ object NnDescent {
       .join(data.select(col("id").as("src"), col("vec").as("svec")), "src")
       .select(col("src"), col("dst"),
         graft.functions.vector_distance(params.metric, col("svec"), col("dvec")).as("dist"))
-
-    // Cost-based route (LocalKernel): each refinement round is a self-join
-    // + top-k + checkpoint job; on a collectable graph the rounds run in
-    // memory over the Spark-computed seeded init, mirrored exactly
-    // (2-hop candidate set, same distinct/merge, same (dist, id) top-k,
-    // same update-rate termination, same final (dist, dst) rank window).
-    val sparkS = df.sparkSession
-    if (LocalKernel.enabled(sparkS) && n <= LocalKernel.maxVectors(sparkS) &&
-        n * params.k <= LocalKernel.maxEdges(sparkS)) {
-      try return buildLocal(data, init, n, params)
-      finally data.unpersist()
-    }
 
     var graph = init.localCheckpoint()
     var it = 0
@@ -115,7 +119,7 @@ object NnDescent {
   }
 
   /** In-memory twin of the refinement loop (see build). */
-  private def buildLocal(data: DataFrame, init: DataFrame, n: Long,
+  private def buildLocal(data: DataFrame, n: Long,
       params: Params): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
@@ -124,10 +128,28 @@ object NnDescent {
     val distFn = graft.core.Distance.fn(params.metric)
     val minClose = Metric.isMinClose(params.metric)
 
-    // graph state: per-src sorted-by-(dist,dst) top-k edge arrays
-    var graph: Map[Long, Array[(Long, Double)]] =
-      init.as[(Long, Long, Double)].collect()
-        .groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    // seeded init, replayed off the collected vector map: catalyst's
+    // xxhash64(src: long, j: int, seed: long) folds left from seed 42
+    // hashing each child by its physical type; pmod is ((h % n) + n) % n.
+    // Edges whose drawn dst is absent from the id space drop out exactly
+    // as the distributed init's inner join drops them.
+    var graph: Map[Long, Array[(Long, Double)]] = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val ids = vecs.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue())
+      ids.iterator.map { src =>
+        val sv = vecs.get(src)
+        val es = (1 to params.k).iterator.flatMap { j =>
+          var h = XXH64.hashLong(src, 42L)
+          h = XXH64.hashInt(j, h)
+          h = XXH64.hashLong(params.seed, h)
+          val dst = ((h % n) + n) % n
+          val dv = vecs.get(dst)
+          if (dst != src && dv != null) Iterator.single((dst, distFn(sv, dv)))
+          else Iterator.empty
+        }.toArray
+        src -> es
+      }.filter(_._2.nonEmpty).toMap
+    }
 
     def edgePairs: Set[(Long, Long)] =
       graph.iterator.flatMap { case (s, es) => es.iterator.map(e => (s, e._1)) }.toSet

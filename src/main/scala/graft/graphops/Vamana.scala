@@ -35,8 +35,23 @@ object Vamana {
   def build(df: DataFrame, params: Params,
       idCol: String = "id", vecCol: String = "vec",
       candidates: Option[DataFrame] = None): DataFrame = {
-    val data = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .transform(graft.core.Frames.materialize(_))
+    val sel = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // Cost-based route (LocalKernel): the default-pool build is exact-kNN
+    // (a full self-join pass) + two per-node prunes + a reverse-edge
+    // aggregation — ~20 jobs whose per-job scheduling dwarfs the compute on
+    // a collectable table (r18: 2.6 s wall, 1.0 scaling ratio 8c→32c). The
+    // local kernel broadcasts the vectors once, fuses the exact L-NN pool
+    // and the first prune into ONE parallel pass over node ranges (same
+    // TopKBuf (dist, id) order as the knnJoin plan, so the pool is
+    // identical), and runs the reverse augment + re-prune on the collected
+    // |V|·degree edge list. Output is row-identical to the join route —
+    // GraphSuite pins the equivalence. Above the gate (or with an explicit
+    // candidate pool) the distributed plan below runs unchanged.
+    val sparkL = df.sparkSession
+    if (candidates.isEmpty && LocalKernel.enabled(sparkL) &&
+        LocalKernel.within(sel, LocalKernel.maxVectors(sparkL)))
+      return buildLocal(sel, params)
+    val data = sel.transform(graft.core.Frames.materialize(_))
     val cand = candidates
       .getOrElse(AllNeighbors.exact(data, params.visitedSize, params.metric, "id", "vec"))
       .select(col("src"), col("dst"), col("dist"))
@@ -49,6 +64,108 @@ object Vamana {
     val out = robustPrune(augmented, data, params)
     data.unpersist()
     out
+  }
+
+  /** Greedy alpha-RNG prune of one node's candidate pool (sorted best
+    * first); shared by both robustPrune routes and the fused buildLocal. */
+  private def pruneGroup(src: Long, cand: Array[(Long, Double, Array[Float])],
+      degree: Int, alpha: Double,
+      distFn: (Array[Float], Array[Float]) => Double): Iterator[(Long, Long, Double, Int)] = {
+    val removed = new Array[Boolean](cand.length)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var i = 0
+    while (i < cand.length && kept.length < degree) {
+      if (!removed(i)) {
+        val (dst, dist, dvec) = cand(i)
+        kept += ((dst, dist))
+        var j = i + 1
+        while (j < cand.length) {
+          if (!removed(j) && alpha * distFn(dvec, cand(j)._3) <= cand(j)._2)
+            removed(j) = true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    kept.iterator.zipWithIndex.map { case ((dst, dist), rk) => (src, dst, dist, rk + 1) }
+  }
+
+  /** Single-collect fused build (see build doc): exact L-NN pool + first
+    * prune in one parallel pass over node ranges against the broadcast
+    * vector table, then reverse augment + re-prune over the collected
+    * pruned edge list (|V|·degree rows). Row-identical to the join route. */
+  private def buildLocal(sel: DataFrame, params: Params): DataFrame = {
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val rows: Array[(Long, Array[Float])] =
+      sel.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = rows.length
+    val distFn = Distance.fn(params.metric)
+    val l2Fast = params.metric == Metric.L2 || params.metric == Metric.L2Sqrt
+    val sqrtOut = params.metric == Metric.L2Sqrt
+    val minClose = Metric.isMinClose(params.metric)
+    val lSize = params.visitedSize
+    val (degree, alpha) = (params.graphDegree, params.alpha)
+    val bc = spark.sparkContext.broadcast(rows)
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, math.max(1, n)))
+    // stage 1 (parallel): per node, exact top-L pool over the broadcast
+    // table (TopKBuf's (dist, id) total order = the knnJoin ranking, self
+    // excluded) fused with the first robust prune
+    val pruned: Array[(Long, Long, Double, Int)] =
+      if (n == 0) Array.empty
+      else spark.range(0, n, 1, parts).as[Long].mapPartitions { it =>
+        val all = bc.value
+        val byId = new java.util.HashMap[Long, Array[Float]](all.length * 2)
+        all.foreach { case (id, v) => byId.put(id, v) }
+        it.flatMap { iL =>
+          val i = iL.toInt
+          val (id, vec) = all(i)
+          val buf = graft.core.TopKBuf(lSize, minClose,
+            new Array[Double](lSize), new Array[Long](lSize), 0)
+          var j = 0
+          while (j < all.length) {
+            if (j != i) {
+              if (l2Fast) {
+                val raw = buf.bound
+                val bnd =
+                  if (sqrtOut && !raw.isInfinity) Math.nextUp(Math.nextUp(raw * raw)) else raw
+                val s = graft.core.Distance.l2UpTo(vec, all(j)._2, bnd)
+                if (s <= bnd) buf.insert(if (sqrtOut) math.sqrt(s) else s, all(j)._1)
+              } else buf.insert(distFn(vec, all(j)._2), all(j)._1)
+            }
+            j += 1
+          }
+          // buf's arrays are in heap order (root = worst); pruneGroup needs
+          // the robustPrune candidate order — (dist, id) ascending, exactly
+          // the join route's sortBy((t._3, t._2))
+          val cand = buf.result().toArray
+            .map(nb => (nb.id, nb.dist, byId.get(nb.id)))
+            .sortBy(t => (t._2, t._1))
+          pruneGroup(id, cand, degree, alpha, distFn)
+        }
+      }.collect()
+    bc.destroy()
+    // stage 2 (driver, |V|·degree edges): reverse augment, min-dist dedup,
+    // re-prune per node — same (dist, dst) candidate order as robustPrune
+    val byId = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+    rows.foreach { case (id, v) => byId.put(id, v) }
+    val merged = new java.util.HashMap[Long, java.util.HashMap[Long, java.lang.Double]]()
+    def add(s: Long, d: Long, w: Double): Unit = {
+      var m = merged.get(s)
+      if (m == null) { m = new java.util.HashMap[Long, java.lang.Double](); merged.put(s, m) }
+      val prev = m.get(d)
+      if (prev == null || w < prev.doubleValue()) m.put(d, w)
+    }
+    pruned.foreach { case (s, d, w, _) => add(s, d, w); add(d, s, w) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    merged.forEach { (s, m) =>
+      val cand = new Array[(Long, Double, Array[Float])](m.size)
+      var i = 0
+      m.forEach { (d, w) => cand(i) = (d, w, byId.get(d)); i += 1 }
+      java.util.Arrays.sort(cand, Ordering.by((t: (Long, Double, Array[Float])) => (t._2, t._1)))
+      out ++= pruneGroup(s, cand, degree, alpha, distFn)
+    }
+    spark.createDataFrame(out.toSeq).toDF("src", "dst", "dist", "rank")
   }
 
   /** Greedy alpha-RNG prune per source node (DiskANN RobustPrune).
@@ -67,27 +184,6 @@ object Vamana {
     val distFn = Distance.fn(params.metric)
     val (degree, alpha) = (params.graphDegree, params.alpha)
 
-    def pruneGroup(src: Long, cand: Array[(Long, Double, Array[Float])]):
-        Iterator[(Long, Long, Double, Int)] = {
-      val removed = new Array[Boolean](cand.length)
-      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      var i = 0
-      while (i < cand.length && kept.length < degree) {
-        if (!removed(i)) {
-          val (dst, dist, dvec) = cand(i)
-          kept += ((dst, dist))
-          var j = i + 1
-          while (j < cand.length) {
-            if (!removed(j) && alpha * distFn(dvec, cand(j)._3) <= cand(j)._2)
-              removed(j) = true
-            j += 1
-          }
-        }
-        i += 1
-      }
-      kept.iterator.zipWithIndex.map { case ((dst, dist), rk) => (src, dst, dist, rk + 1) }
-    }
-
     if (LocalKernel.enabled(spark) &&
         LocalKernel.within(data, LocalKernel.maxVectors(spark))) {
       val vecs = new java.util.HashMap[Long, Array[Float]]()
@@ -100,7 +196,7 @@ object Vamana {
         .flatMapGroups { (src, it) =>
           val vs = bcVecs.value
           val cand = it.toArray.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3, vs.get(t._2)))
-          pruneGroup(src, cand)
+          pruneGroup(src, cand, degree, alpha, distFn)
         }
         .toDF("src", "dst", "dist", "rank")
     } else {
@@ -111,7 +207,7 @@ object Vamana {
         .groupByKey(_._1)
         .flatMapGroups { (src, it) =>
           val cand = it.toArray.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3, t._4))
-          pruneGroup(src, cand)
+          pruneGroup(src, cand, degree, alpha, distFn)
         }
         .toDF("src", "dst", "dist", "rank")
     }

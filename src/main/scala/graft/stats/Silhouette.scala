@@ -35,14 +35,91 @@ object Silhouette {
     try {
       val spark = df.sparkSession
       val exactMax = spark.conf.get("spark.graft.silhouette.exactMaxRows", "20000").toLong
+      val n = x.count()
       val res =
-        if (x.count() <= exactMax) scores(pairMeans(x, x.as("j"), metric))
-        else {
+        if (n <= exactMax) {
+          // Cost-based route (graft.graphops.LocalKernel): the exact form
+          // is a broadcast nested-loop join + a 50k-group aggregate + two
+          // derived joins — ~13 jobs whose scheduling dwarfs the O(n²·dim)
+          // compute at collectable sizes (r18: 2.4 s median, 1.4 CPU-s of
+          // task time). The kernel broadcasts (vec, label) once and scores
+          // each point's per-cluster means in one parallel pass over point
+          // ranges: same pairwise distance arithmetic (VectorDistanceOps ≡
+          // Distance.fn, double-accumulated), means summed in ascending-id
+          // order (a canonical order; the join route sums in partition
+          // order — same values up to fp associativity, and the declared
+          // outputs round to 4dp). The join route stays for exactMaxRows
+          // past the broadcast gate and is pinned row-equal by
+          // SilhouetteSuite.
+          if (graft.graphops.LocalKernel.enabled(spark) &&
+              n <= graft.graphops.LocalKernel.maxVectors(spark))
+            perPointLocal(x, metric)
+          else scores(pairMeans(x, x.as("j"), metric))
+        } else {
           val cap = spark.conf.get("spark.graft.silhouette.samplePerCluster", "256").toInt
           perPointSampled(x, metric, cap)
         }
       res.localCheckpoint()
     } finally x.unpersist()
+  }
+
+  /** Single-pass broadcast kernel for the exact route (see perPoint doc);
+    * identical output schema, row-equal to the join route up to fp
+    * associativity of the per-cluster mean. */
+  private[graft] def perPointLocal(x: DataFrame, metric: Metric): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val rows: Array[(Long, Array[Float], Int)] =
+      x.select(col("id"), col("vec"), col("label"))
+        .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    val labels = rows.map(_._3).distinct.sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val distFn = graft.core.Distance.fn(metric)
+    val bc = spark.sparkContext.broadcast(rows)
+    val nLab = labels.length
+    val labelIdxB = spark.sparkContext.broadcast(labelIdx)
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.length))
+    val res = spark.range(0, rows.length, 1, parts).as[Long].mapPartitions { it =>
+      val all = bc.value
+      val lIdx = labelIdxB.value
+      it.flatMap { iL =>
+        val i = iL.toInt
+        val (id, vec, label) = all(i)
+        val sums = new Array[Double](nLab)
+        val counts = new Array[Long](nLab)
+        var j = 0
+        while (j < all.length) {
+          if (j != i) {
+            val li = lIdx(all(j)._3)
+            sums(li) += distFn(vec, all(j)._2)
+            counts(li) += 1
+          }
+          j += 1
+        }
+        val own = lIdx(label)
+        // the join route emits a only when the point has an intra-cluster
+        // pair, and b only when some other cluster is non-empty — an inner
+        // join on both, so a singleton-cluster point or a one-cluster
+        // dataset drops out of the result exactly as it does here
+        if (counts(own) == 0) Iterator.empty
+        else {
+          val a = sums(own) / counts(own)
+          var b = Double.MaxValue
+          var hasB = false
+          var li = 0
+          while (li < nLab) {
+            if (li != own && counts(li) > 0) {
+              val m = sums(li) / counts(li)
+              if (!hasB || m < b) { b = m; hasB = true }
+            }
+            li += 1
+          }
+          if (!hasB) Iterator.empty
+          else Iterator.single((id, label, a, b, (b - a) / math.max(a, b)))
+        }
+      }
+    }.toDF("id", "label", "a", "b", "s")
+    res
   }
 
   /** Sampled route, exposed for tests; identical output schema. */

@@ -408,7 +408,12 @@ object Dedup {
     val maxDepth = spark.conf.get("spark.graft.simhash.maxSplitDepth", "4").toInt
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val nBands = maxHamming + 1
-    val sk = sketches.select(col("id"), col("simhash"))
+    // The sketch pass feeds FIVE consumers (zero-pair self-join both sides,
+    // the distinct-value seed, and the two id-expansion joins at the end) —
+    // checkpoint it once so the upstream flatMap (shingling + bit-sums over
+    // every document) runs once, not once per consumer (r18: the bench
+    // showed 9.4 CPU-s of task time for a ~2 CPU-s sketch pass).
+    val sk = sketches.select(col("id"), col("simhash")).localCheckpoint()
     // pairs of ids sharing one sketch value: exactly the hamming-0 output
     val zeroPairs = sk.as("x").join(sk.as("y"), Seq("simhash"))
       .filter(col("x.id") < col("y.id"))
@@ -499,11 +504,19 @@ object Dedup {
         }
       }
     }
-    // verify distinct-value candidates, then expand back to id pairs
+    // verify distinct-value candidates, then expand back to id pairs.
+    // valuePairs is MATERIALIZED (localCheckpoint) before the band frames
+    // unpersist: the candidate plans reference them, and unpersisting a
+    // lazy result frame silently re-derived the whole banding DAG —
+    // including the per-document sketch pass — when the caller finally
+    // consumed it (r18; the persist only ever paid off for the hotInfo
+    // collect above). The checkpointed frame is tiny: distinct
+    // (sketch-value, sketch-value) pairs within the hamming budget.
     val valuePairs = cands.reduce(_ unionByName _)
       .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
     val crossPairs = valuePairs
       .join(sk.select(col("simhash").as("sa"), col("id").as("ia")), "sa")
       .join(sk.select(col("simhash").as("sb"), col("id").as("ib")), "sb")

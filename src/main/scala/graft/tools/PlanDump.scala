@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   * evidence). Bench-identical session shape: local[$SPARK_GRAFT_CPUS],
   * shuffle.partitions = cpus.
   *
-  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> q1,q2,...
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> q1,q2,... [k=v;k=v]
   * Writes <outDir>/<query>_<suffix>.txt. The frame is built once per query
-  * (same code path the bench times) and explained WITHOUT executing.
+  * (same code path the bench times) and explained WITHOUT executing. The
+  * optional 5th arg sets session confs first (e.g.
+  * spark.graft.localKernel.enabled=false for a "before" dump).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -21,6 +23,10 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.length > 4) args(4).split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     new java.io.File(outDir).mkdirs()
     val byName = graft.SparkEntry.queries
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>

@@ -394,6 +394,71 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(local.sameElements(dist))
   }
 
+  test("vamana build: fused local kernel == exact-pool + prune joins, row for row") {
+    import graft.graphops.Vamana
+    val (local, dist) = bothRoutes {
+      Vamana.build(emb, Vamana.Params(graphDegree = 8, visitedSize = 16, alpha = 1.2),
+        "id", "vec")
+        .select(col("src"), col("dst"), round(col("dist"), 9).as("d"), col("rank"))
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
+  test("cagra optimize: local detour kernel == triangle join, row for row") {
+    val knn = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val (local, dist) = bothRoutes {
+      CagraOptimize.optimize(knn.select(col("src"), col("dst"), col("dist")), degree = 8)
+        .select(col("src"), col("dst"), round(col("dist"), 9).as("d"), col("rank"))
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
+  test("cagra optimizeConnected: local kernel == prune+CC+Borůvka, row for row") {
+    import spark.implicits._
+    // two far-apart line clusters: the 16-NN graph is connected (cluster
+    // size 12 < 17 forces cross edges), but a degree-3 prune keeps only
+    // same-cluster edges — so the connectivity guarantee must re-bridge
+    // via the contracted Borůvka on BOTH routes
+    val pts = (0 until 12).map(i => (i.toLong, Array(i.toFloat, 0f))) ++
+      (0 until 12).map(i => ((i + 12).toLong, Array(i.toFloat, 100f)))
+    val df = spark.createDataFrame(pts).toDF("id", "vec")
+    val knn = AllNeighbors.exact(df, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val (local, dist) = bothRoutes {
+      CagraOptimize.optimizeConnected(
+        knn.select(col("src"), col("dst"), col("dist")), degree = 3)
+        .select(col("src"), col("dst"), round(col("dist"), 9).as("d"), col("rank"))
+    }
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+    // the bridge path must actually have fired (a cross-cluster edge kept)
+    assert(local.exists(_.contains("100.0")), "expected a ~dist-100 bridge edge")
+    // and the single-component path (fixture graph, no bridges) too
+    val knn2 = AllNeighbors.exact(emb, 16, Metric.L2Sqrt, "id", "vec").localCheckpoint()
+    val (l2r, d2r) = bothRoutes {
+      CagraOptimize.optimizeConnected(
+        knn2.select(col("src"), col("dst"), col("dist")), degree = 4)
+        .select(col("src"), col("dst"), round(col("dist"), 9).as("d"), col("rank"))
+    }
+    assert(l2r.length > 0)
+    assert(l2r.sameElements(d2r))
+  }
+
+  test("silhouette exact: broadcast kernel == pairwise join route") {
+    import graft.stats.Silhouette
+    val labeled = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val (local, dist) = bothRoutes {
+      Silhouette.perPoint(labeled, Metric.L2Sqrt, "vec_id", "embedding", "label")
+        .select(col("id"), col("label"), round(col("a"), 6).as("a"),
+          round(col("b"), 6).as("b"), round(col("s"), 6).as("s"))
+    }
+    // routes sum the per-cluster means in different orders, so compare at
+    // 6dp (the oracle compare granularity), not bit-for-bit
+    assert(local.length > 0)
+    assert(local.sameElements(dist))
+  }
+
   test("sparse kNN: broadcast-queries kernel == inverted-index join") {
     import graft.ops.SparseKnn
     val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")

@@ -617,14 +617,43 @@ object GraphQueries {
     val exact = exactHalfQ10(spark, dir)
     val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")),
       exact).toDouble / (q.count() * 10)
-    val newDeg = ext.join(addRows.select(col("id").as("src")), "src")
-      .groupBy(col("src")).count()
-    val newFullDegree = newDeg.count() == addRows.count() &&
-      newDeg.filter(col("count") =!= 16).count() == 0
+    val newFullDegree = newFullDegreeCheck(spark, ext, addRows, degree = 16)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(16).as("degree"),
         lit(newFullDegree).as("new_full_degree"),
         lit(0.95).as("recall_floor"), lit(recall >= 0.95).as("floor_met"))
+  }
+
+  /** new_full_degree: every inserted node present with exactly `degree`
+    * out-edges. Gate-cost kernel (r18, LocalKernel route): the edge list is
+    * a checkpointed |V|·degree frame — the join + groupBy + two counts
+    * shipped it through three jobs to compute a per-id counter. Identical
+    * booleans (same inner-join-on-add-ids, count-per-src semantics); the
+    * join route stays as the at-scale path. */
+  private def newFullDegreeCheck(spark: SparkSession, edges: DataFrame,
+      addRows: DataFrame, degree: Int): Boolean = {
+    import graft.graphops.LocalKernel
+    if (LocalKernel.enabled(spark) &&
+        LocalKernel.within(edges, LocalKernel.maxEdges(spark)) &&
+        LocalKernel.within(addRows, LocalKernel.maxVectors(spark))) {
+      val addIds = addRows.select(col("id").cast("long")).collect()
+        .map(_.getLong(0)).toSet
+      val cnt = new java.util.HashMap[Long, Long]()
+      edges.select(col("src").cast("long")).collect().foreach { r =>
+        val s = r.getLong(0)
+        if (addIds.contains(s)) cnt.merge(s, 1L, _ + _)
+      }
+      cnt.size == addIds.size && {
+        var ok = true
+        cnt.forEach { (_, c) => if (c != degree) ok = false }
+        ok
+      }
+    } else {
+      val newDeg = edges.join(addRows.select(col("id").as("src")), "src")
+        .groupBy(col("src")).count()
+      newDeg.count() == addRows.count() &&
+        newDeg.filter(col("count") =!= degree).count() == 0
+    }
   }
 
   private val cagraExtendOracle: String =
@@ -652,8 +681,23 @@ object GraphQueries {
     val got = GraphSearch.searchFiltered(g.select(col("src"), col("dst")), e, q, 10,
       GraphSearch.Params(itopk = 40, searchWidth = 4, maxIterations = 20), allow, "id", "vec")
       .localCheckpoint()
-    val allowedOnly = got.join(allow.withColumnRenamed("id", "nbr_id"),
-      Seq("nbr_id"), "left_anti").count() == 0
+    // allowed_only gate-cost kernel (r18): the anti-join proves "no result
+    // id outside the allow list" over ≤ n_queries·k checkpointed rows —
+    // same left-anti semantics computed as a set-membership scan when both
+    // sides are collectable; the anti-join stays as the at-scale path
+    val allowedOnly = {
+      import graft.graphops.LocalKernel
+      if (LocalKernel.enabled(spark) &&
+          LocalKernel.within(got, LocalKernel.maxEdges(spark)) &&
+          LocalKernel.within(allow, LocalKernel.maxVectors(spark))) {
+        val allowSet = allow.select(col("id").cast("long")).collect()
+          .map(_.getLong(0)).toSet
+        got.select(col("nbr_id").cast("long")).collect()
+          .forall(r => allowSet.contains(r.getLong(0)))
+      } else
+        got.join(allow.withColumnRenamed("id", "nbr_id"),
+          Seq("nbr_id"), "left_anti").count() == 0
+    }
     // truth over the allowed subset is fixture-derived — memoized like
     // the other exact graphs (r17), so repeated runs time the filtered
     // traversal, not the ground-truth rebuild
@@ -761,11 +805,8 @@ object GraphQueries {
     val exact = exactHalfQ10(spark, dir)
     val recall = graft.core.Recall.matched(got.select(col("qid"), col("nbr_id")),
       exact).toDouble / (q.count() * 10)
-    val newDeg = idx.edges.filter(col("level") === 0)
-      .join(addRows.select(col("id").as("src")), "src")
-      .groupBy(col("src")).count()
-    val newFullDegree = newDeg.count() == addRows.count() &&
-      newDeg.filter(col("count") =!= 16).count() == 0
+    val newFullDegree =
+      newFullDegreeCheck(spark, idx.edges.filter(col("level") === 0), addRows, degree = 16)
     q.agg(count(lit(1)).as("n_queries"))
       .select(col("n_queries"), lit(10).as("k"), lit(16).as("degree"),
         lit(newFullDegree).as("new_full_degree"),

@@ -383,6 +383,10 @@ object StreamPipeline {
     "spark.sql.streaming.checkpointFileManagerClass" ->
       ("org.apache.spark.sql.execution.streaming.checkpointing." +
         "FileSystemBasedCheckpointFileManager"))
+  // r18 negative result, recorded so it isn't retried: adding
+  // minBatchesToRetain=2 + stateStore.maintenanceInterval=600s here was a
+  // wash on a streaming-only A/B (8 queries × 3 medians, same session
+  // band) — the drains are too short for retention/maintenance to fire.
 
   private def drainImpl(df: DataFrame, tag: String): DataFrame = {
     val out = tempDir(s"${tag}_out")

@@ -445,6 +445,26 @@ class LocalKernelSuite extends SparkFunSuite {
     assert(l2r.sameElements(d2r))
   }
 
+  test("recall: local intersect == distributed INTERSECT, duplicates and all") {
+    import spark.implicits._
+    import graft.core.Recall
+    // duplicates on both sides (INTERSECT is set-semantics; vsExact's
+    // denominator counts exact's rows WITH duplicates)
+    val approx = Seq((1L, 2L), (1L, 2L), (1L, 3L), (9L, 9L)).toDF("qid", "nbr_id")
+    val exact = Seq((1L, 2L), (1L, 4L), (1L, 4L), (5L, 5L)).toDF("qid", "nbr_id")
+    def both[A](run: => A): (A, A) = {
+      spark.conf.set("spark.graft.localKernel.enabled", "true")
+      val l = run
+      spark.conf.set("spark.graft.localKernel.enabled", "false")
+      val d = try run finally spark.conf.set("spark.graft.localKernel.enabled", "true")
+      (l, d)
+    }
+    val (ml, md) = both(Recall.matched(approx, exact))
+    assert(ml == 1L && md == 1L)
+    val (vl, vd) = both(Recall.vsExact(approx, exact))
+    assert(vl == vd && vl == 1.0 / 4.0)
+  }
+
   test("silhouette exact: broadcast kernel == pairwise join route") {
     import graft.stats.Silhouette
     val labeled = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
